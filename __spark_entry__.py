@@ -1,38 +1,994 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is a thin wrapper over the
+``big_data_ml_pipeline_spark`` package (the real engine surface);
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Operators whose
+semantics SQL cannot express (MLlib models, LSH with Spark-specific
+hash functions, mapInPandas stubs, streaming) have no oracle entry and
+get the driver's rows-only check.
+
+Determinism policy for hash-checked queries (see
+big_data_ml_pipeline_spark/functions/exact.py): float aggregates over
+money-like 2-decimal columns are computed EXACTLY by scaling to integer
+cents and summing as BIGINT, so results are bit-identical across
+partitionings and engines. Window/top-k queries always order by a total
+order (timestamp + unique id).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.functions import (
+    davg,
+    dstddev_samp,
+    dsum,
+    epoch_day_of_month,
+    epoch_day_of_week,
+    epoch_hour,
+    epoch_is_weekend,
+    json_get,
+    null_safe_div,
+)
+from big_data_ml_pipeline_spark.operators import (
+    aggregates as agg_ops,
+)
+from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+from big_data_ml_pipeline_spark.operators import joins as join_ops
+from big_data_ml_pipeline_spark.operators import multimodal as mm_ops
+from big_data_ml_pipeline_spark.operators import projection as proj_ops
+from big_data_ml_pipeline_spark.operators import setops as set_ops
+from big_data_ml_pipeline_spark.operators import similarity as sim_ops
+from big_data_ml_pipeline_spark.operators import text as text_ops
+from big_data_ml_pipeline_spark.operators import windows as win_ops
+from big_data_ml_pipeline_spark.sources.catalog import load_table, load_tables
+
+# ---------------------------------------------------------------------------
+# Oracle-SQL building blocks (DuckDB dialect, deterministic)
+# ---------------------------------------------------------------------------
+
+def _dsum(x: str, scale: int = 2) -> str:
+    m = 10**scale
+    return f"CAST(SUM(CAST(ROUND(({x}) * {m}) AS BIGINT)) AS BIGINT) / CAST({m} AS DOUBLE)"
+
+
+def _davg(x: str, scale: int = 2) -> str:
+    return f"{_dsum(x, scale)} / COUNT({x})"
+
+
+def _dstd(x: str, scale: int = 2) -> str:
+    m = 10**scale
+    c = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
+    return (
+        f"sqrt(CAST(SUM({c} * {c}) * COUNT({x}) - SUM({c}) * SUM({c}) AS DOUBLE)"
+        f" / CAST(COUNT({x}) * (COUNT({x}) - 1) AS DOUBLE)) / CAST({m} AS DOUBLE)"
+    )
+
+
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+# Whitespace tokens / 3-word shingles in DuckDB (mirrors operators/text.py
+# and operators/dedup.py exactly).
+_DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
+_DUCK_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (S1, P4, P5-arith, A1).
+
+    Filter pushed to the parquet scan; one hash aggregation with
+    map-side partials; exact integer-cents money aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice')} AS sum_base_price,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {_davg('l_quantity')} AS avg_qty,
+  {_davg('l_extendedprice')} AS avg_price,
+  {_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (orderBy+limit → TakeOrderedAndProject) over a
+    grouped exact-revenue aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    return set_ops.top_k(per_order, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+_Q02_SQL = f"""
+SELECT l_orderkey,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q03_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim equi-join (broadcast customer) + grouped multi-agg (J1, A1)."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    joined = join_ops.broadcast_join(
+        t["orders"], t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("order_count"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+        davg(F.col("o_totalprice")).alias("avg_totalprice"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+    )
+
+
+_Q03_SQL = f"""
+SELECT c_mktsegment,
+  COUNT(*) AS order_count,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  {_davg('o_totalprice')} AS avg_totalprice,
+  MIN(o_totalprice) AS min_totalprice,
+  MAX(o_totalprice) AS max_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dim chain customer⋈nation⋈region, both dims broadcast."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+    df = join_ops.broadcast_join(
+        t["customer"], t["nation"], t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"]
+    )
+    df = join_ops.broadcast_join(
+        df, t["region"], df["n_regionkey"] == t["region"]["r_regionkey"]
+    )
+    return df.groupBy("r_name").agg(
+        F.count("*").alias("n_customers"),
+        dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        davg(F.col("c_acctbal")).alias("avg_acctbal"),
+    )
+
+
+_Q04_SQL = f"""
+SELECT r_name,
+  COUNT(*) AS n_customers,
+  {_dsum('c_acctbal')} AS total_acctbal,
+  {_davg('c_acctbal')} AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q05_priority_with_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): orders having any lineitem shipped in 1996."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    shipped = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    hits = join_ops.semi_join(
+        t["orders"], shipped, t["orders"]["o_orderkey"] == shipped["l_orderkey"]
+    )
+    return hits.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q05_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders, per nation."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
+    idle = join_ops.anti_join(
+        t["customer"], t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"]
+    )
+    joined = join_ops.broadcast_join(
+        idle, t["nation"], idle["c_nationkey"] == t["nation"]["n_nationkey"]
+    )
+    return joined.groupBy("n_name").agg(F.count("*").alias("idle_customers"))
+
+
+_Q06_SQL = """
+SELECT n_name, COUNT(*) AS idle_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+def q07_ratio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe guarded division (P5, P6): 0 — not null — on zero
+    denominator, reference src/feature_engineering.py:60-74 semantics."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity", "l_tax"
+    )
+    out = proj_ops.ratio_features(li, ["l_extendedprice"], ["l_quantity", "l_tax"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice_to_l_quantity_ratio",
+        "l_extendedprice_to_l_tax_ratio",
+    )
+
+
+_Q07_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END
+    AS l_extendedprice_to_l_quantity_ratio,
+  CASE WHEN l_tax <> 0 THEN l_extendedprice / l_tax ELSE 0.0 END
+    AS l_extendedprice_to_l_tax_ratio
+FROM lineitem
+"""
+
+
+def q08_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful epoch-arithmetic time features (P7 trap:
+    fractional, Thursday-origin dow — reference src/feature_engineering.py:25-34)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = proj_ops.time_features(ev, "ts")
+    return out.select("event_id", "hour", "day_of_week", "day_of_month", "is_weekend")
+
+
+_Q08_SQL = f"""
+SELECT event_id,
+  ({_EPOCH} % 86400) / 3600.0 AS hour,
+  ({_EPOCH} / 86400.0) % 7 AS day_of_week,
+  ({_EPOCH} / 86400.0) % 31 + 1 AS day_of_month,
+  CASE WHEN ({_EPOCH} / 86400.0) % 7 IN (5.0, 6.0) THEN 1 ELSE 0 END AS is_weekend
+FROM events
+"""
+
+
+def q09_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise interaction products (P10) in a single projection."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    out = proj_ops.interaction_features(li, ["l_quantity", "l_discount", "l_tax"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity_x_l_discount",
+        "l_quantity_x_l_tax",
+        "l_discount_x_l_tax",
+    )
+
+
+_Q09_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_quantity * l_discount AS l_quantity_x_l_discount,
+  l_quantity * l_tax AS l_quantity_x_l_tax,
+  l_discount * l_tax AS l_discount_x_l_tax
+FROM lineitem
+"""
+
+
+def q10_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed lags (W1) under a total per-user order (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win_ops.lag_features(ev, ["user_id"], ["ts", "event_id"], "value", [1, 7])
+    return out.select("event_id", "value", "value_lag_1", "value_lag_7")
+
+
+_Q10_SQL = """
+SELECT event_id, value,
+  LAG(value, 1) OVER w AS value_lag_1,
+  LAG(value, 7) OVER w AS value_lag_7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q11_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling sum/mean over a ROWS [-7, 0] frame (W2), exact via cents."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-7, 0)
+    cents = F.round(F.col("value") * 100).cast("long")
+    roll_sum = F.sum(cents).over(w) / F.lit(100.0)
+    roll_mean = roll_sum / F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        roll_sum.alias("value_rolling_sum_7"),
+        roll_mean.alias("value_rolling_mean_7"),
+    )
+
+
+_Q11_SQL = """
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
+    AS value_rolling_sum_7,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
+    / COUNT(value) OVER w AS value_rolling_mean_7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q12_agg_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-features pattern (J1+A1): per-group stats broadcast
+    back onto rows — reference src/feature_engineering.py:36-58."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg(F.col("value")).alias("value_mean"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count("value").alias("value_count"),
+    )
+    out = join_ops.join_back(ev, stats, ["event_type"])
+    return out.select(
+        "event_id", "event_type", "value", "value_mean", "value_min", "value_max", "value_count"
+    )
+
+
+_Q12_SQL = f"""
+SELECT event_id, event_type, value, value_mean, value_min, value_max, value_count
+FROM events LEFT JOIN (
+  SELECT event_type AS et,
+    {_davg('value')} AS value_mean,
+    MIN(value) AS value_min,
+    MAX(value) AS value_max,
+    COUNT(value) AS value_count
+  FROM events GROUP BY event_type) s ON events.event_type = s.et
+"""
+
+
+def q13_freq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency encoding (J2+A2) — reference src/feature_engineering.py:224-233."""
+    cust = load_table(spark, sf_dir, "customer")
+    freq = agg_ops.freq_counts(cust, "c_mktsegment")
+    return join_ops.join_back(cust, freq, ["c_mktsegment"]).select(
+        "c_custkey", "c_mktsegment", "c_mktsegment_freq"
+    )
+
+
+_Q13_SQL = """
+SELECT c_custkey, c_mktsegment, c_mktsegment_freq
+FROM customer LEFT JOIN (
+  SELECT c_mktsegment AS seg, COUNT(*) AS c_mktsegment_freq
+  FROM customer GROUP BY c_mktsegment) f ON customer.c_mktsegment = f.seg
+"""
+
+
+def q14_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding (J3+A3) — per-category exact target mean joined
+    back (reference src/feature_engineering.py:236-249)."""
+    cust = load_table(spark, sf_dir, "customer")
+    means = cust.groupBy("c_mktsegment").agg(
+        davg(F.col("c_acctbal")).alias("c_mktsegment_target_mean")
+    )
+    return join_ops.join_back(cust, means, ["c_mktsegment"]).select(
+        "c_custkey", "c_mktsegment", "c_mktsegment_target_mean"
+    )
+
+
+_Q14_SQL = f"""
+SELECT c_custkey, c_mktsegment, c_mktsegment_target_mean
+FROM customer LEFT JOIN (
+  SELECT c_mktsegment AS seg, {_davg('c_acctbal')} AS c_mktsegment_target_mean
+  FROM customer GROUP BY c_mktsegment) t ON customer.c_mktsegment = t.seg
+"""
+
+
+def q15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global scalar stats (A4) + outlier flag (P9): one stats job,
+    broadcast to the flagging pass — replaces the reference's
+    per-column first() loop (src/feature_engineering.py:156-176)."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.select(
+        davg(F.col("value")).alias("mu"), dstddev_samp(F.col("value")).alias("sigma")
+    )
+    flagged = ev.crossJoin(F.broadcast(stats)).select(
+        "event_type",
+        (F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sigma")).cast("int").alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.sum("is_outlier").alias("n_outliers"), F.count("*").alias("n_total")
+    )
+
+
+_Q15_SQL = f"""
+WITH s AS (SELECT {_davg('value')} AS mu, {_dstd('value')} AS sigma FROM events)
+SELECT event_type,
+  CAST(SUM(CASE WHEN abs(value - mu) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n_total
+FROM events CROSS JOIN s
+GROUP BY event_type
+"""
+
+
+def q16_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (free Catalyst win beyond the reference)."""
+    o = load_table(spark, sf_dir, "orders")
+    return agg_ops.grouping_rollup(
+        o,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_price")],
+    )
+
+
+_Q16_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q17_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return agg_ops.grouping_cube(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count("*").alias("n_items"), dsum(F.col("l_quantity")).alias("sum_qty")],
+    )
+
+
+_Q17_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, {_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q18_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing: per-month order counts + exact totals.
+
+    Month bucket emitted as integer (year, month) columns — date/
+    timestamp values cross the Arrow bridge with engine-specific types,
+    integers do not."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"), dsum(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+_Q18_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+  COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q19_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global COUNT(DISTINCT) (A5 + the distinct-agg extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_Q19_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(*) AS n_events
+FROM events
+"""
+
+
+def q20_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    return set_ops.distinct_union(
+        t["customer"].select(F.col("c_nationkey").alias("nationkey")),
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey")),
+    )
+
+
+_Q20_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q21_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    return set_ops.except_all(
+        t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct(),
+        t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct(),
+    )
+
+
+_Q21_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events.props payload (§2g)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", json_get(F.col("props"), "k").cast("int").alias("k")
+    )
+
+
+_Q22_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q23_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 rows per group via row_number (§2e ext)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win_ops.top_k_per_group(
+        ev, ["event_type"], [F.col("value").desc(), F.col("event_id")], 3
+    )
+    return out.select(
+        "event_type", "event_id", "value", F.col("rn").cast("long").alias("rn")
+    )
+
+
+_Q23_SQL = """
+SELECT event_type, event_id, value, rn FROM (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token counts, avg token length, language ID,
+    fingerprint — all Catalyst expressions (operators/text.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(t).alias("n_tokens"),
+        text_ops.char_count(t).alias("n_chars_computed"),
+        text_ops.avg_token_length(t).alias("avg_token_len"),
+        text_ops.lang_id(t).alias("lang_pred"),
+        text_ops.fingerprint(t).alias("fp"),
+    )
+
+
+_TOKS = _DUCK_TOKENS.format(col="text")
+_TOKS_LOWER = _DUCK_TOKENS.format(col="lower(text)")
+_Q24_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_computed,
+  CASE WHEN len({_TOKS}) > 0
+       THEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS})
+       ELSE 0.0 END AS avg_token_len,
+  CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+         OR ' ' || lower(text) || ' ' LIKE '% and %'
+         OR ' ' || lower(text) || ' ' LIKE '% a %' THEN 'en'
+       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+         OR ' ' || lower(text) || ' ' LIKE '% und %'
+         OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+         OR ' ' || lower(text) || ' ' LIKE '% et %'
+         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
+       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+         OR ' ' || lower(text) || ' ' LIKE '% y %'
+         OR ' ' || lower(text) || ' ' LIKE '% de %' THEN 'es'
+       ELSE 'und' END AS lang_pred,
+  md5({_DUCK_NORM}) AS fp
+FROM documents
+"""
+
+
+def q25_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint → (count, first id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_groups(docs)
+
+
+_Q25_SQL = f"""
+SELECT md5({_DUCK_NORM}) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id
+FROM documents GROUP BY 1
+"""
+
+
+def q26_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary: total vs distinct fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup_ops.exact_dedup(docs)
+    return deduped.select(F.lit(1).alias("one")).groupBy().agg(
+        F.count("*").alias("distinct_docs")
+    ).crossJoin(docs.groupBy().agg(F.count("*").alias("total_docs"))).select(
+        "total_docs", "distinct_docs"
+    )
+
+
+_Q26_SQL = f"""
+SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+       (SELECT COUNT(DISTINCT md5({_DUCK_NORM})) FROM documents) AS distinct_docs
+"""
+
+
+def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via explode + equi-join —
+    no cross join; candidates blocked by `source`."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ops.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, block_col="source"
+    )
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len({t}) - 2),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+).format(t=_TOKS_LOWER)
+_Q27_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+"""
+
+
+def q28_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    exact ANN baseline, no shuffle (broadcast query + TakeOrdered)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10
+    ).select(F.col("vec_id"), F.col("sim"))
+
+
+_Q28_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(qe, qe))), 6) AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation, batch twin of the streaming path
+    (streaming/events.py) — bucket emitted as epoch seconds BIGINT."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+_Q29_SQL = f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket, event_type,
+  COUNT(*) AS n, {_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) via lag + running
+    flag-sum — the batch twin of streaming session windows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1).over(w)
+    flagged = ev.select(
+        "user_id", F.when(gap > 1800, 1).otherwise(0).alias("new_session")
+    )
+    return flagged.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+_Q30_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN {_EPOCH} - LAG({_EPOCH}, 1)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension operator, operators/joins.py): each event
+    picks up the value of the user's latest 'signup' event at-or-before
+    its timestamp. DuckDB oracle uses its native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = join_ops.as_of_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups,
+        partition_cols=["user_id"],
+        time_col="ts",
+        right_value_cols=["signup_value"],
+    )
+    return out.select("event_id", F.col("signup_value_asof"))
+
+
+_Q31_SQL = """
+SELECT e.event_id, s.value AS signup_value_asof
+FROM events e
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join against an in-memory tier table
+    (S4 in-memory source + range-join extension)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 9.0), ("medium", 10.0, 24.0), ("large", 25.0, 100.0)],
+        ["tier", "lo", "hi"],
+    )
+    joined = join_ops.range_join(li, F.broadcast(tiers), "l_quantity", "lo", "hi")
+    return joined.groupBy("tier").agg(
+        F.count("*").alias("n_items"), dsum(F.col("l_extendedprice")).alias("total_price")
+    )
+
+
+_Q32_SQL = f"""
+SELECT tier, COUNT(*) AS n_items, {_dsum('l_extendedprice')} AS total_price
+FROM lineitem JOIN (VALUES ('small', 0.0, 9.0), ('medium', 10.0, 24.0),
+                           ('large', 25.0, 100.0)) AS t(tier, lo, hi)
+  ON l_quantity BETWEEN lo AND hi
+GROUP BY tier
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle; driver records row-count)
+# ---------------------------------------------------------------------------
+
+def q40_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+banded-LSH near-dup candidates (xxhash64 signatures are
+    Spark-specific — not SQL-reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup_pairs(docs, num_hashes=64, bands=16)
+
+
+def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup candidates (Hamming ≤ banding bound)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_dedup_pairs(docs)
+
+
+def q42_lsh_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed cosine near-dup pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucketed_pairs(emb, n_planes=8, threshold=0.5)
+
+
+def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbours (nprobe cell search)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+def q44_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → Arrow-batched mapInPandas
+    feature extraction (decode stubbed — no media libs in container)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.attach_binary_payload(docs, "text", "doc_id")
+    return mm_ops.extract_features(media, dim=8)
+
+
+def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-quality projection (punct/stopword ratios + composite
+    score). Rows-only: regex-class semantics differ subtly across
+    engines; exact-value coverage lives in unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.text_stats(docs).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomSplit (the reference's only sampler,
+    src/ml_pipeline.py:186) — split sizes as a 2-row frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    train, test = set_ops.random_split(li, [0.8, 0.2], seed=42)
+    return train.select(F.lit("train").alias("split")).groupBy("split").agg(
+        F.count("*").alias("n")
+    ).unionByName(
+        test.select(F.lit("test").alias("split")).groupBy("split").agg(
+            F.count("*").alias("n")
+        )
+    )
+
+
+def q47_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib pipeline parity (M1-M3, M8, M16, M19): assemble embedding
+    features → scale → RandomForest train+predict (seeded)."""
+    from big_data_ml_pipeline_spark.ml.train import train_predict_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return train_predict_embeddings(emb, algorithm="random_forest", task="classification")
+
+
+def q48_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib clustering parity (M14): KMeans k=5 seed=42 cluster sizes."""
+    from big_data_ml_pipeline_spark.ml.train import cluster_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_embeddings(emb, k=5)
+
+
+def q49_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference feature-pipeline parity (M1 StringIndexer + M2
+    VectorAssembler + M3 StandardScaler) over a mixed-type projection."""
+    from big_data_ml_pipeline_spark.features.pipeline import build_feature_pipeline
+
+    cust = load_table(spark, sf_dir, "customer")
+    df = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    model = build_feature_pipeline(df, categorical_cols=["c_mktsegment"], numeric_cols=["c_acctbal"])
+    out = model.transform(df)
+    return out.select("c_custkey", F.col("c_mktsegment_indexed"))
+
+
+def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window agg over the events table
+    replayed as a file stream; returns the final micro-batch result
+    (batch twin is q29_events_hourly, which IS oracle-checked)."""
+    from big_data_ml_pipeline_spark.streaming.events import hourly_counts_batch_replay
+
+    return hourly_counts_batch_replay(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_revenue_orders": q02_top_revenue_orders,
+        "q03_segment_stats": q03_segment_stats,
+        "q04_region_rollup": q04_region_rollup,
+        "q05_priority_with_shipped": q05_priority_with_shipped,
+        "q06_customers_without_orders": q06_customers_without_orders,
+        "q07_ratio_features": q07_ratio_features,
+        "q08_time_features": q08_time_features,
+        "q09_interactions": q09_interactions,
+        "q10_lag_features": q10_lag_features,
+        "q11_rolling_features": q11_rolling_features,
+        "q12_agg_join_back": q12_agg_join_back,
+        "q13_freq_encode": q13_freq_encode,
+        "q14_target_encode": q14_target_encode,
+        "q15_zscore_outliers": q15_zscore_outliers,
+        "q16_rollup_orders": q16_rollup_orders,
+        "q17_cube_lineitem": q17_cube_lineitem,
+        "q18_monthly_orders": q18_monthly_orders,
+        "q19_distinct_counts": q19_distinct_counts,
+        "q20_setop_union": q20_setop_union,
+        "q21_setop_except": q21_setop_except,
+        "q22_json_extract": q22_json_extract,
+        "q23_top3_per_type": q23_top3_per_type,
+        "q24_text_stats": q24_text_stats,
+        "q25_duplicate_groups": q25_duplicate_groups,
+        "q26_exact_dedup_count": q26_exact_dedup_count,
+        "q27_jaccard_pairs": q27_jaccard_pairs,
+        "q28_embedding_topk": q28_embedding_topk,
+        "q29_events_hourly": q29_events_hourly,
+        "q30_sessionize": q30_sessionize,
+        "q31_asof_join": q31_asof_join,
+        "q32_range_join": q32_range_join,
+        "q40_minhash_pairs": q40_minhash_pairs,
+        "q41_simhash_pairs": q41_simhash_pairs,
+        "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
+        "q43_ivf_topk": q43_ivf_topk,
+        "q44_multimodal_features": q44_multimodal_features,
+        "q45_quality_scores": q45_quality_scores,
+        "q46_random_split": q46_random_split,
+        "q47_ml_classifier": q47_ml_classifier,
+        "q48_ml_kmeans": q48_ml_kmeans,
+        "q49_feature_pipeline": q49_feature_pipeline,
+        "q50_streaming_hourly": q50_streaming_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_top_revenue_orders": _Q02_SQL,
+        "q03_segment_stats": _Q03_SQL,
+        "q04_region_rollup": _Q04_SQL,
+        "q05_priority_with_shipped": _Q05_SQL,
+        "q06_customers_without_orders": _Q06_SQL,
+        "q07_ratio_features": _Q07_SQL,
+        "q08_time_features": _Q08_SQL,
+        "q09_interactions": _Q09_SQL,
+        "q10_lag_features": _Q10_SQL,
+        "q11_rolling_features": _Q11_SQL,
+        "q12_agg_join_back": _Q12_SQL,
+        "q13_freq_encode": _Q13_SQL,
+        "q14_target_encode": _Q14_SQL,
+        "q15_zscore_outliers": _Q15_SQL,
+        "q16_rollup_orders": _Q16_SQL,
+        "q17_cube_lineitem": _Q17_SQL,
+        "q18_monthly_orders": _Q18_SQL,
+        "q19_distinct_counts": _Q19_SQL,
+        "q20_setop_union": _Q20_SQL,
+        "q21_setop_except": _Q21_SQL,
+        "q22_json_extract": _Q22_SQL,
+        "q23_top3_per_type": _Q23_SQL,
+        "q24_text_stats": _Q24_SQL,
+        "q25_duplicate_groups": _Q25_SQL,
+        "q26_exact_dedup_count": _Q26_SQL,
+        "q27_jaccard_pairs": _Q27_SQL,
+        "q28_embedding_topk": _Q28_SQL,
+        "q29_events_hourly": _Q29_SQL,
+        "q30_sessionize": _Q30_SQL,
+        "q31_asof_join": _Q31_SQL,
+        "q32_range_join": _Q32_SQL,
+    }

@@ -1,0 +1,85 @@
+"""Aggregation operators (SURVEY.md §2d, A1-A5 + free Spark extras).
+
+All single-job, single-pass: Spark's hash aggregation does map-side
+partial aggregation automatically, so each of these is one shuffle of
+pre-combined partials — the correct shape at 100 TB. The reference's
+per-column ``first()`` loop (src/feature_engineering.py:163-165) is the
+anti-pattern these replace.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: stat name -> aggregate builder. stddev is SAMPLE stddev
+#: (stddev_samp), matching both the reference and DuckDB defaults.
+STATS = {
+    "mean": F.mean,
+    "stddev": F.stddev_samp,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def grouped_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_cols: list[str],
+    stats: list[str] | None = None,
+) -> DataFrame:
+    """Per-group mean/stddev/min/max/count for each value column (A1).
+
+    Output aliases ``{col}_{stat}`` exactly like reference
+    src/feature_engineering.py:36-58, computed as ONE multi-aggregate.
+    """
+    stats = stats or list(STATS)
+    exprs = [
+        STATS[s](F.col(c)).alias(f"{c}_{s}") for c in agg_cols for s in stats
+    ]
+    return df.groupBy(*group_cols).agg(*exprs)
+
+
+def freq_counts(df: DataFrame, col: str) -> DataFrame:
+    """Per-category row counts for frequency encoding (A2).
+
+    Reference: src/feature_engineering.py:231."""
+    return df.groupBy(col).agg(F.count("*").alias(f"{col}_freq"))
+
+
+def target_means(df: DataFrame, col: str, target: str) -> DataFrame:
+    """Per-category target means for target encoding (A3).
+
+    Reference: src/feature_engineering.py:244-246."""
+    return df.groupBy(col).agg(F.mean(target).alias(f"{col}_target_mean"))
+
+
+def global_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Global (un-grouped) mean+stddev for many columns in ONE job (A4).
+
+    Replaces the reference's per-column driver loop
+    (src/feature_engineering.py:163-165: one Spark job per column).
+    Output: ``{col}_mean``, ``{col}_stddev``.
+    """
+    exprs = []
+    for c in cols:
+        exprs.append(F.mean(c).alias(f"{c}_mean"))
+        exprs.append(F.stddev_samp(c).alias(f"{c}_stddev"))
+    return df.select(*exprs)
+
+
+def grouping_rollup(df: DataFrame, group_cols: list[str], agg_exprs: list) -> DataFrame:
+    """ROLLUP aggregation (subtotals per prefix of group_cols + grand total)."""
+    return df.rollup(*group_cols).agg(*agg_exprs)
+
+
+def grouping_cube(df: DataFrame, group_cols: list[str], agg_exprs: list) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations)."""
+    return df.cube(*group_cols).agg(*agg_exprs)
+
+
+def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ approximate distinct count — the scale path for
+    cardinality on 100 TB (exact COUNT(DISTINCT) is a full shuffle)."""
+    return df.select(F.approx_count_distinct(col, rsd).alias(f"{col}_approx_distinct"))

@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines (north-star).
+
+Five strategies, ordered by cost/recall trade-off. All avoid the O(n²)
+all-pairs comparison except within tiny candidate buckets:
+
+ - exact: hash-groupBy on a normalized fingerprint — one shuffle.
+ - minhash_lsh: shingles → MinHash signatures → banded LSH buckets →
+   pair generation within buckets only (standard MMDS ch.3 scheme).
+ - simhash: 64-bit simhash from token hashes; near-dups share the
+   value under small Hamming distance, surfaced via band keys.
+ - ngram_jaccard: exact Jaccard over n-gram shingle sets computed by
+   explode + equi-join (no cross join; shuffle is on shingle hash).
+ - embedding near-dup: see similarity.py (cosine over LSH buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    groupBy on md5(normalized text) — a single hash-partitioned shuffle
+    of (fp, id) pairs, never the full text. At 100 TB, project the two
+    columns first so the shuffle moves ~50 bytes/row.
+    """
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint → (count, first id) per duplicate group."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("first_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling (shared by MinHash / Jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles as an array of distinct strings."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, seed=i). Pure Catalyst (higher-order functions);
+    one pass over the shingle array per document."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    rows/bands = 64/16 = 4 rows per band → catches Jaccard ≳ 0.5 with
+    high probability. The only shuffle is the groupBy on (band, band
+    hash); pairs are generated inside buckets, so cost is Σ|bucket|²,
+    not n². Returns (id_a, id_b, est_jaccard) with id_a < id_b,
+    est_jaccard = matching-signature fraction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
+    docs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    banded = docs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash from token xxhash64 values, as a signed BIGINT.
+
+    For each bit position, sum +1/-1 over tokens by that bit of the
+    token hash; the sign of the sum sets the output bit. Pure
+    higher-order-function fold — no UDF.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # Per-bit vote: sum of ±1 across token hashes. Bit positions are
+    # Python ints (shift amounts must be literals), so this unrolls to
+    # `bits` aggregate expressions — all map-side, single pass.
+    def bit_vote(i: int):
+        # NB: a plain `lambda acc, h, i=i:` would break here — PySpark
+        # derives the lambda-variable count from the function arity, so
+        # the defaulted third arg would be bound to a lambda variable.
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+            ).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        vote = bit_vote(i)
+        out = out.bitwiseOR(
+            F.when(vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates whose 64-bit SimHash agrees on at least one
+    16-bit band (Hamming-distance ≤ 3 is guaranteed caught with 4
+    bands). Returns (id_a, id_b, hamming)."""
+    sh = simhash(F.col(text_col)).alias("sh")
+    docs = df.select(F.col(id_col).alias("id"), sh)
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = docs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(xor).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via explode + equi-join (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct n-gram shingle sets.
+
+    Shape: explode shingles → self-equi-join on the shingle (this is the
+    shuffle; a shingle is a join key, so common shingles are the skew
+    risk — at scale, drop top-frequency shingles first) → count
+    intersections per pair → Jaccard = |∩| / (|A|+|B|−|∩|).
+    ``block_col`` restricts candidates to equal blocking keys.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("blk")] if block_col else [] ),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("setsize"))
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("setsize").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("setsize").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,145 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images / audio / video are opaque ``binary`` columns plus a typed
+metadata struct. The Spark-side machinery — schema, partition-aware
+batch iteration, Arrow-batched Pandas transforms via ``mapInPandas`` —
+is real and tested; the codec step is STUBBED (this container has no
+image/audio libraries) behind ``decode_stub``: a deterministic fake
+"decoder" that derives pseudo features from the bytes, or raises
+``NotImplementedError`` when ``strict=True``.
+
+At scale: binary payloads dominate row size, so operators here always
+``select`` the minimal columns before mapInPandas, keep batch sizes
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, and return
+narrow feature rows (never re-emit the blob).
+"""
+
+from __future__ import annotations
+
+import sys
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:  # pandas imported lazily inside tasks
+    import pandas as pd
+
+#: Canonical multimodal schema fragment: payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a multimodal-shaped table from any corpus: payload =
+    utf8 bytes of the text (a stand-in blob), modality round-robin.
+    Used by tests/bench since the driver testdata has no binary column."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_stub(payload: bytes, dim: int = 8, strict: bool = False) -> list[float]:
+    """STUB codec. Real deployments plug Pillow/torchaudio/decord here.
+
+    Deterministic fake: byte-histogram moments — keeps the plumbing
+    testable without media libs.
+    """
+    if strict:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in this environment"
+        )
+    if not payload:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for i, b in enumerate(payload):
+        buckets[b % dim] += 1
+    n = float(len(payload))
+    return [round(c / n, 6) for c in buckets]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, batch_hint: int | None = None
+) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` so each task processes whole Arrow batches; the
+    blob never leaves the executor, and the output is a narrow
+    (id, modality, n_bytes, feature) row.
+    """
+
+    # Executors may not have this package on PYTHONPATH (the driver
+    # harness imports us by file path) — force the closure and its
+    # callees to serialize by value instead of by module reference.
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "feature": pdf["payload"].map(lambda p: decode_stub(p, dim)),
+                }
+            )
+
+    narrow = media.select("media_id", "modality", "payload")
+    return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms)
+    rows via ``sequence`` + ``explode`` — the decode of each frame is the
+    stubbed step, the distribution shape (explode before decode so frame
+    work parallelizes across tasks) is the real pattern."""
+    has_duration = "duration_ms" in media.columns
+    duration = F.col("duration_ms") if has_duration else F.lit(5000)
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), duration.cast("long"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Two tiers:
+ - ``brute_force_topk`` — exact cosine top-k against a query vector.
+   One broadcast of the query + a single TakeOrderedAndProject; the
+   baseline and the correctness oracle.
+ - ``lsh_bucketed_pairs`` / ``ivf_topk`` — the scale paths. Random
+   hyperplane LSH (signed projections) buckets vectors so candidate
+   generation is per-bucket; IVF assigns vectors to the nearest of k
+   sampled centroids and searches only the query's nprobe cells.
+
+All vector math is Catalyst higher-order functions over array<double>
+(functions/vector.py) — deterministic, no UDF, no collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, dot, to_double_array
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k of ``embeddings`` rows against the single row
+    in ``query_df``. Returns (id, sim) ordered by sim desc, id asc.
+
+    The query side is broadcast (1 row); the scan side streams — no
+    shuffle at all, and the global top-k is TakeOrderedAndProject
+    (k rows per partition → k total), which is exactly the right plan
+    at any scale.
+    """
+    q = F.broadcast(
+        query_df.select(to_double_array(F.col(query_vec_col)).alias("__q"))
+    )
+    sim = cosine_similarity(to_double_array(F.col(vec_col)), F.col("__q"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        embeddings.crossJoin(q)
+        .select(F.col(id_col), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure Python, tiny;
+    shipped to executors as literals)."""
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]):
+    """Signed-projection LSH bucket id: bit i = sign(v · plane_i)."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        proj = dot(vec_col, lit_plane)
+        bits.append(
+            F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold among vectors
+    sharing a signed-projection LSH bucket. The self-join is an
+    equi-join on the bucket id (one shuffle, Σ|bucket|² work) instead of
+    an n² cross join."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    v = to_double_array(F.col(vec_col))
+    tagged = embeddings.select(
+        F.col(id_col).alias("id"), v.alias("v"), _bucket_expr(v, planes).alias("bucket")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: centroids = deterministic sample of
+    the corpus; every vector is assigned to its nearest centroid
+    (argmax cosine, computed against the broadcast centroid array);
+    the query searches only its ``nprobe`` closest cells.
+
+    At 100 TB the assignment pass is a single broadcast-map job and the
+    search touches nprobe/n_cells of the data. Centroid fitting is
+    pluggable (use MLlib KMeans offline for real workloads).
+    """
+    cents = (
+        embeddings.select(to_double_array(F.col(vec_col)).alias("c"))
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row["c"]]) for row in cents]
+    )
+
+    def nearest_cells(vec, n: int):
+        sims = F.transform(cent_lit, lambda c: cosine_similarity(vec, c))
+        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+        ranked = F.reverse(
+            F.array_sort(
+                F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda p: p["i"])
+
+    v = to_double_array(F.col(vec_col))
+    assigned = embeddings.select(
+        F.col(id_col),
+        v.alias("v"),
+        nearest_cells(v, 1)[0].alias("cell"),
+    )
+    q = F.broadcast(
+        query_df.select(
+            to_double_array(F.col(vec_col)).alias("qv"),
+        ).select("qv", F.explode(nearest_cells(F.col("qv"), nprobe)).alias("cell"))
+    )
+    return (
+        assigned.join(q, on="cell")
+        .select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators over a document corpus (north-star extension).
+
+All pure Catalyst expressions (split/regexp/length/md5 …) — no Python
+per row, so these run at full codegen speed over 100 TB of text. The
+`documents` test table (doc_id, text, lang, source, n_chars) is the
+reference corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .projection import with_columns
+
+#: Tiny per-language stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "a"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> (drops empty tokens)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def avg_token_length(text: Column) -> Column:
+    """Mean token length — (chars − separators) / tokens, guarded."""
+    n = token_count(text)
+    total = F.aggregate(
+        F.transform(tokens(text), lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped).cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = ("the", "a", "and", "of", "to")) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    n = F.size(toks)
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: penalize very short docs, high
+    punctuation and stopword-free (unnatural) text. Deterministic
+    arithmetic only, so it is oracle-checkable."""
+    n = token_count(text)
+    length_component = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    punct_component = 1.0 - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return F.round(0.5 * length_component + 0.5 * punct_component, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-stopword language guess; 'und' (undetermined) when no
+    marker set wins. Word-boundary containment via LIKE on a
+    space-padded lowered text — identical semantics in ANSI SQL."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    out = F.lit("und")
+    # Build a chained CASE, first language with any marker hit wins in
+    # the declared order (deterministic).
+    expr = None
+    for lang, markers in LANG_MARKERS.items():
+        cond = None
+        for m in markers:
+            c = padded.contains(f" {m} ")
+            cond = c if cond is None else (cond | c)
+        branch = (lang, cond)
+        if expr is None:
+            expr = F.when(branch[1], branch[0])
+        else:
+            expr = expr.when(branch[1], branch[0])
+    return expr.otherwise(out)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Identical in DuckDB:
+    ``md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))``."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass projection of the full text-feature set."""
+    t = F.col(text_col)
+    return with_columns(
+        df,
+        {
+            "n_tokens": token_count(t),
+            "n_chars_computed": char_count(t),
+            "avg_token_len": avg_token_length(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_pred": lang_id(t),
+            "fp": fingerprint(t),
+        },
+    )

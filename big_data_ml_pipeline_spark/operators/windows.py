@@ -1,0 +1,79 @@
+"""Window-function operators (SURVEY.md §2e, W1-W2 + ranking/top-k).
+
+One window spec per (partition, order) pair is reused across all lag /
+rolling expressions, so Spark sorts each partition ONCE regardless of
+how many features are derived — the reference re-declares the spec but
+Catalyst already merges them; the real win here is emitting a single
+projection instead of its per-feature withColumn loop
+(reference src/feature_engineering.py:178-222).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .projection import with_columns
+
+
+def lag_features(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str] | str,
+    value_col: str,
+    lags: list[int] = (1, 7, 30),
+) -> DataFrame:
+    """Per-partition ordered ``lag(value, k)`` features (W1).
+
+    Output ``{value_col}_lag_{k}`` — reference src/feature_engineering.py:178-196.
+    Pass several order_cols (e.g. a timestamp plus a unique id) to make
+    the ordering total — lag under a non-total order is nondeterministic.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return with_columns(
+        df, {f"{value_col}_lag_{k}": F.lag(value_col, k).over(w) for k in lags}
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str] | str,
+    value_col: str,
+    windows: list[int] = (7, 30),
+) -> DataFrame:
+    """Rolling mean/sum over ROWS frames ``[-w, 0]`` (W2).
+
+    ROWS (physical offsets), not RANGE — matching reference
+    src/feature_engineering.py:198-222 which uses ``rowsBetween(-w, 0)``;
+    we keep its exact frame (w preceding + current = w+1 rows).
+    Output ``{value_col}_rolling_{mean|sum}_{w}``.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    exprs = {}
+    for wsize in windows:
+        frame = (
+            Window.partitionBy(*partition_cols)
+            .orderBy(*order_cols)
+            .rowsBetween(-wsize, 0)
+        )
+        exprs[f"{value_col}_rolling_mean_{wsize}"] = F.avg(value_col).over(frame)
+        exprs[f"{value_col}_rolling_sum_{wsize}"] = F.sum(value_col).over(frame)
+    return with_columns(df, exprs)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_exprs: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number (deterministic when the
+    order_exprs form a total order — include a unique tiebreaker)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

@@ -1,0 +1,85 @@
+"""SparkSession factory.
+
+Mirrors the reference's session config (reference src/ml_pipeline.py:40-55:
+AQE on, AQE coalesce on, Kryo) and adds what the reference declared but
+never wired (config/pipeline_config.yaml:129-133: broadcast threshold,
+shuffle partitions) plus Arrow for pandas interchange and a pinned UTC
+session timezone so timestamp semantics are engine-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to *any* session (including one handed
+#: to us by a test harness) before running engine queries.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read it as a
+    # nanos-since-epoch BIGINT (the events.ts column) — the catalog
+    # normalizes it back to a microsecond TimestampType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Classic (non-ANSI) evaluation semantics: lenient casts, null on
+    # malformed input — matches the reference (Spark 3.5) behavior.
+    "spark.sql.ansi.enabled": "false",
+}
+
+#: Confs that must be set at session-build time.
+BUILD_CONFS: dict[str, str] = {
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 10 MB broadcast threshold, as declared (never wired) by the
+    # reference at config/pipeline_config.yaml:133.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on an externally-provided session.
+
+    Engine entry points call this so correctness (UTC timestamps, AQE)
+    does not depend on who built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable at runtime on this build — keep going;
+            # queries are written to degrade safely.
+            pass
+    return spark
+
+
+def get_session(
+    app_name: str = "big-data-ml-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset so the
+    same code path serves tests, bench and a real cluster (where the
+    master comes from spark-submit and this arg stays None).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and not os.environ.get("SPARK_MASTER"):
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in BUILD_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)

@@ -1,0 +1,49 @@
+"""Batch sinks (SURVEY.md §2a, S6).
+
+The reference writes batch predictions with ``mode("overwrite").parquet``
+(reference api/api.py:213). We generalize: format dispatch, partitioned
+writes (partitionBy is how a 100 TB table stays prunable), and optional
+bucketing for shuffle-free downstream joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_data(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "delta":
+        writer.format("delta").save(path)
+    else:
+        writer.format(fmt).save(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed managed table.
+
+    Bucketing both sides of a recurring large join on the join key
+    removes the shuffle entirely — the core scale lever for repeated
+    fact-fact joins at 100 TB.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

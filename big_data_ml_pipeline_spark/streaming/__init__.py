@@ -1,0 +1,15 @@
+from .events import (
+    hourly_counts_batch_replay,
+    read_events_stream,
+    sliding_value_stats,
+    stream_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts",
+    "sliding_value_stats",
+    "stream_dedup",
+    "hourly_counts_batch_replay",
+]

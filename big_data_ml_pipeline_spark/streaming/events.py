@@ -1,0 +1,133 @@
+"""Structured Streaming surface (SURVEY.md §2i — extension; the
+reference has zero streaming code).
+
+Sources: file stream over the events parquet (tests/driver) or rate
+source. Operators: watermarked tumbling/sliding window aggregations,
+session windows, stateful dedup within the watermark. Sinks: memory
+(tests), parquet/kafka-shaped in production.
+
+Batch twins of these aggregations live in ``__spark_entry__.py``
+(q29_events_hourly, q30_sessionize) and are DuckDB-oracle-checked; the
+streaming variants are checked rows-only plus unit tests asserting
+stream==batch on the replayed file.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import apply_runtime_confs
+
+#: events.parquet physical schema (ts read as nanos BIGINT — see
+#: sources/catalog.py; the stream normalizes it to TimestampType).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream replaying the events table."""
+    apply_runtime_confs(spark)
+    # The file source requires a directory; glob-filter to the events
+    # file so sibling tables with other schemas aren't picked up.
+    stream = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum per event_type — the
+    streaming twin of q29_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_stats(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window mean/max of value."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.avg("value").alias("mean_value"), F.max("value").alias("max_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("bucket"), "mean_value", "max_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window (gap-based) event counts per user — streaming twin
+    of the batch sessionization (q30_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup bounded by the event-time watermark."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming plan to completion on the replayed file
+    (Trigger.AvailableNow) into a memory sink; return the final table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def hourly_counts_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing rows-only query: replay events as a stream, run the
+    watermarked tumbling agg, return the materialized result."""
+    events = read_events_stream(spark, sf_dir)
+    result = run_to_memory(tumbling_counts(events), output_mode="append")
+    # Materialize to a static DataFrame (memory-sink tables are scoped
+    # to this session; copy out so callers can reuse).
+    return result
