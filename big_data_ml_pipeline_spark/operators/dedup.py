@@ -55,14 +55,21 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as an array of distinct strings."""
+    """n-word shingles as an array of distinct strings.
+
+    Documents shorter than ``n`` tokens yield an empty set. NB
+    ``sequence(a, b)`` DESCENDS when b < a, so the upper bound is
+    clamped to ≥1 and the short-doc case masked out by the CASE."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    k = F.size(toks) - (n - 1)
-    return F.array_distinct(
+    k = F.size(toks) - (n - 1)  # number of shingles when positive
+    shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
+    )
+    return F.when(k >= 1, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -71,14 +78,48 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed=i). Pure Catalyst (higher-order functions);
-    one pass over the shingle array per document."""
+    """MinHash signature as a single Column expression: per hash
+    function i, min over shingles of xxhash64(shingle, seed=i).
+
+    WARNING — evaluation cost: the outer ``transform`` re-evaluates its
+    lambda body per hash function, so anything non-trivial inside
+    ``shingles`` is recomputed ``num_hashes`` times per row (measured 64×
+    slowdown at sf0.1). Use :func:`minhash_signatures` (explode + one
+    aggregation) for corpus-scale signature computation; this Column
+    form is for ad-hoc single-doc use only."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, i))
         ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig) MinHash signatures via the distributed shape that is
+    fast at any scale: explode shingles (computed ONCE per doc), hash
+    each (shingle, seed) in the aggregate projection, per-seed MIN with
+    map-side partial aggregation — one shuffle of 8·num_hashes bytes
+    per doc. Docs with no shingles get an all-null signature and are
+    dropped (they cannot be near anything under Jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
     )
 
 
@@ -99,8 +140,7 @@ def minhash_dedup_pairs(
     est_jaccard = matching-signature fraction.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes)
-    docs = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    docs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
 
     banded = docs.select(
         "id",
@@ -151,12 +191,57 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_from_votes(vote_cols: list[Column], bits: int = 64) -> Column:
+    """Assemble the signed-BIGINT simhash from per-bit vote columns
+    (bit i set iff vote_i > 0; bit 63 is the sign bit)."""
+    out = F.lit(0).cast("long")
+    for i, vote in enumerate(vote_cols):
+        out = out.bitwiseOR(
+            F.when(
+                vote > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, sh) SimHash values via explode + ONE aggregation — the
+    corpus-scale path (the Column form below re-evaluates the token
+    hashing per bit, 64× the work). Per-bit ±1 votes are 64 SUM
+    aggregates over the exploded token rows, combined map-side; the
+    shuffle carries 64 longs per doc. Token-less docs drop out."""
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("t"),
+    ).select("id", F.xxhash64(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1).cast("long")) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    return agg.select(
+        "id", _simhash_from_votes([F.col(f"__v{i}") for i in range(bits)], bits).alias("sh")
+    )
+
+
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash from token xxhash64 values, as a signed BIGINT.
 
     For each bit position, sum +1/-1 over tokens by that bit of the
     token hash; the sign of the sum sets the output bit. Pure
     higher-order-function fold — no UDF.
+
+    WARNING — the per-bit fold re-evaluates the token-hash array once
+    per bit (64× work); use :func:`simhash_signatures` for corpus-scale
+    computation. Kept for single-expression use.
     """
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
@@ -196,8 +281,7 @@ def simhash_dedup_pairs(
     """Near-dup candidates whose 64-bit SimHash agrees on at least one
     16-bit band (Hamming-distance ≤ 3 is guaranteed caught with 4
     bands). Returns (id_a, id_b, hamming)."""
-    sh = simhash(F.col(text_col)).alias("sh")
-    docs = df.select(F.col(id_col).alias("id"), sh)
+    docs = simhash_signatures(df, text_col, id_col)
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = docs.select(

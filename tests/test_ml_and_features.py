@@ -1,0 +1,195 @@
+"""ML layer tests mirroring the reference's strategy
+(tests/test_pipeline.py: small frames, metric-range asserts, save/load
+round-trip) plus the FeatureEngineer behaviors."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.features.engineering import FeatureEngineer
+from big_data_ml_pipeline_spark.features.pipeline import (
+    build_feature_pipeline,
+    discover_roles,
+)
+from big_data_ml_pipeline_spark.ml.evaluate import (
+    davies_bouldin,
+    evaluate_classification,
+    evaluate_clustering,
+    evaluate_regression,
+)
+from big_data_ml_pipeline_spark.ml.models import MODEL_REGISTRY, build_estimator
+from big_data_ml_pipeline_spark.ml.train import (
+    load_model,
+    save_model,
+    train_model,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled_df(spark):
+    """Linearly separable 2-feature data, mirroring the reference's
+    8-row fixture shape (tests/test_pipeline.py:40-49) but big enough
+    for a stable split."""
+    rows = []
+    for i in range(60):
+        x = float(i % 10)
+        y = float((i * 7) % 10)
+        label = 1.0 if x + y > 9 else 0.0
+        rows.append((x, y, label))
+    return spark.createDataFrame(rows, ["f1", "f2", "label"])
+
+
+def _with_features(df):
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(inputCols=["f1", "f2"], outputCol="features").transform(df)
+
+
+def test_discover_roles(spark):
+    df = spark.createDataFrame([("a", 1, 2.0, True)], ["s", "i", "d", "b"])
+    cat, num = discover_roles(df)
+    assert cat == ["s"] and num == ["i", "d"]  # bool excluded, like the reference
+
+
+def test_feature_pipeline_shapes(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("A", 3.0)], ["cat", "x"]
+    )
+    model = build_feature_pipeline(df, categorical_cols=["cat"], numeric_cols=["x"])
+    out = model.transform(df)
+    assert "features" in out.columns and "cat_indexed" in out.columns
+    vec = out.first()["features"]
+    assert len(vec) == 2  # numeric + indexed categorical
+
+
+def test_train_and_evaluate_classifier(spark, labeled_df):
+    model, preds = train_model(
+        _with_features(labeled_df), "logistic_regression", "classification"
+    )
+    assert preds.count() > 0 and "prediction" in preds.columns
+    metrics = evaluate_classification(preds)
+    for k in ("areaUnderROC", "areaUnderPR", "accuracy", "f1",
+              "weightedPrecision", "weightedRecall"):
+        assert k in metrics
+        assert 0.0 <= metrics[k] <= 1.0  # reference asserts this range
+    assert metrics["accuracy"] > 0.6  # separable data must beat chance
+
+
+def test_train_and_evaluate_regressor(spark, labeled_df):
+    df = _with_features(labeled_df.withColumn("label", F.col("f1") * 2 + 1))
+    model, preds = train_model(df, "linear_regression", "regression")
+    metrics = evaluate_regression(preds)
+    assert metrics["rmse"] < 0.1 and metrics["r2"] > 0.99  # exact linear fit
+
+
+def test_model_save_load_roundtrip(spark, labeled_df, tmp_path):
+    df = _with_features(labeled_df)
+    model, _ = train_model(df, "logistic_regression", "classification")
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    reloaded = load_model(path)
+    a = model.transform(df).select("prediction").collect()
+    b = reloaded.transform(df).select("prediction").collect()
+    assert a == b
+
+
+def test_clustering_and_davies_bouldin(spark):
+    # two tight, well-separated blobs → DB index must be < 1
+    rows = [(float(i % 3) * 0.01 + c * 100.0, c * 100.0)
+            for c in (0, 1) for i in range(15)]
+    df = _with_features(
+        spark.createDataFrame(rows, ["f1", "f2"]).withColumn("label", F.lit(0.0))
+    )
+    est = build_estimator("kmeans", "clustering", k=2)
+    preds = est.fit(df).transform(df)
+    sizes = sorted(r["n"] for r in preds.groupBy("prediction").count()
+                   .withColumnRenamed("count", "n").collect())
+    assert sizes == [15, 15]
+    metrics = evaluate_clustering(preds)
+    assert metrics["silhouette"] > 0.9
+    assert 0.0 < metrics["davies_bouldin"] < 0.1
+
+
+def test_davies_bouldin_single_cluster_zero(spark):
+    df = _with_features(
+        spark.createDataFrame([(1.0, 2.0), (1.5, 2.5)], ["f1", "f2"])
+    ).withColumn("prediction", F.lit(0))
+    assert davies_bouldin(df) == 0.0
+
+
+def test_model_registry_constructs_all(spark):
+    for (algo, task) in MODEL_REGISTRY:
+        est = build_estimator(algo, task)
+        assert est is not None
+    with pytest.raises(ValueError):
+        build_estimator("nope", "classification")
+
+
+# ---------------------------------------------------------------------------
+# FeatureEngineer (the reference's 13 behaviors)
+# ---------------------------------------------------------------------------
+
+def test_aggregation_features(spark):
+    fe = FeatureEngineer(spark)
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)], ["g", "v"])
+    out = fe.create_aggregation_features(df, ["g"], ["v"])
+    assert out.count() == 3
+    got = {r["g"]: r["v_mean"] for r in out.select("g", "v_mean").distinct().collect()}
+    assert got == {"a": 2.0, "b": 5.0}
+
+
+def test_binning_features_multi_column_single_fit(spark):
+    fe = FeatureEngineer(spark)
+    df = spark.createDataFrame([(float(i), float(100 - i)) for i in range(100)], ["x", "y"])
+    out = fe.create_binning_features(df, ["x", "y"], num_bins=4)
+    assert {"x_binned", "y_binned"} <= set(out.columns)
+    assert out.select("x_binned").distinct().count() == 4
+
+
+def test_outlier_features_flags_the_outlier(spark):
+    fe = FeatureEngineer(spark)
+    vals = [10.0] * 20 + [10.5] * 20 + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    out = fe.create_outlier_features(df, ["v"], threshold=3.0)
+    flagged = [r["v"] for r in out.filter(F.col("v_is_outlier") == 1).collect()]
+    assert flagged == [1000.0]  # reference test asserts the outlier is caught
+
+
+def test_missing_value_strategies(spark):
+    fe = FeatureEngineer(spark)
+    df = spark.createDataFrame(
+        [(1.0, "a"), (None, "b"), (3.0, "c")], ["v", "s"]
+    )
+    dropped = fe.handle_missing_values(df, strategy="drop")
+    assert dropped.count() == 2
+    imputed = fe.handle_missing_values(df, numeric_cols=["v"], strategy="mean")
+    assert imputed.count() == 3
+    got = sorted(r["v"] for r in imputed.collect())
+    assert got == [1.0, 2.0, 3.0]  # mean-imputed in place, column name kept
+
+
+def test_frequency_and_target_encoding_chain(spark):
+    fe = FeatureEngineer(spark)
+    df = spark.createDataFrame(
+        [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 9.0)], ["c1", "c2", "y"]
+    )
+    out = fe.create_frequency_encoding(df, ["c1", "c2"])
+    r = out.filter((F.col("c1") == "A") & (F.col("c2") == "x")).first()
+    assert r["c1_freq"] == 2 and r["c2_freq"] == 2
+    out2 = fe.create_target_encoding(df, ["c1"], "y")
+    got = {r["c1"]: r["c1_target_encoded"] for r in out2.select("c1", "c1_target_encoded").distinct().collect()}
+    assert got == {"A": 1.5, "B": 9.0}
+
+
+def test_polynomial_and_pca(spark):
+    fe = FeatureEngineer(spark)
+    df = _with_features(
+        spark.createDataFrame([(1.0, 2.0), (3.0, 4.0), (5.0, 7.0)], ["f1", "f2"])
+    )
+    poly = fe.create_polynomial_features(df, degree=2)
+    assert len(poly.first()["poly_features"]) == 5  # (n+d choose d)-1 for n=2,d=2
+    pca = fe.create_pca_features(df, k=1)
+    assert len(pca.first()["pca_features"]) == 1

@@ -1,0 +1,245 @@
+"""Exact-value tests for projection / aggregate / join / window / setop
+operators (SURVEY.md §2b-§2f)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators import (
+    aggregates as agg_ops,
+)
+from big_data_ml_pipeline_spark.operators import joins as join_ops
+from big_data_ml_pipeline_spark.operators import projection as proj_ops
+from big_data_ml_pipeline_spark.operators import setops as set_ops
+from big_data_ml_pipeline_spark.operators import windows as win_ops
+
+
+# ---------------------------------------------------------------------------
+# Projection (P1-P10)
+# ---------------------------------------------------------------------------
+
+def test_with_columns_single_projection(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = proj_ops.with_columns(df, {"c": F.col("a") + F.col("b"), "a": F.col("a") * 10})
+    assert out.columns == ["b", "c", "a"]  # replaced cols move, none duplicated
+    assert out.first()["c"] == 3 and out.first()["a"] == 10
+
+
+def test_ratio_features_zero_denominator(spark):
+    df = spark.createDataFrame([(10.0, 0.0, 2.0)], ["x", "zero", "two"])
+    out = proj_ops.ratio_features(df, ["x"], ["zero", "two"]).first()
+    assert out["x_to_zero_ratio"] == 0.0  # reference: 0, not null
+    assert out["x_to_two_ratio"] == 5.0
+
+
+def test_interaction_features_all_pairs(spark):
+    df = spark.createDataFrame([(2.0, 3.0, 5.0)], ["a", "b", "c"])
+    out = proj_ops.interaction_features(df, ["a", "b", "c"]).first()
+    assert (out["a_x_b"], out["a_x_c"], out["b_x_c"]) == (6.0, 10.0, 15.0)
+
+
+def test_time_features_native(spark):
+    df = spark.createDataFrame([(datetime(2024, 3, 2, 15, 30),)], ["ts"])  # Saturday
+    out = proj_ops.time_features_native(df, "ts").first()
+    assert out["hour"] == 15
+    assert out["day_of_week"] == 7  # Spark: 1=Sunday..7=Saturday
+    assert out["day_of_month"] == 2
+    assert out["is_weekend"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Aggregates (A1-A5)
+# ---------------------------------------------------------------------------
+
+def test_grouped_stats_values(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], ["g", "v"]
+    )
+    out = {r["g"]: r for r in agg_ops.grouped_stats(df, ["g"], ["v"]).collect()}
+    assert out["a"]["v_mean"] == 2.0
+    assert math.isclose(out["a"]["v_stddev"], math.sqrt(2.0), rel_tol=1e-12)  # sample
+    assert out["a"]["v_min"] == 1.0 and out["a"]["v_max"] == 3.0
+    assert out["a"]["v_count"] == 2
+    assert out["b"]["v_stddev"] is None  # stddev_samp of 1 row
+
+
+def test_freq_and_target_encodings(spark):
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 10.0)], ["cat", "y"]
+    )
+    freq = {r["cat"]: r["cat_freq"] for r in agg_ops.freq_counts(df, "cat").collect()}
+    assert freq == {"A": 3, "B": 1}  # reference test asserts freq("A")==3
+    tm = {r["cat"]: r["cat_target_mean"] for r in agg_ops.target_means(df, "cat", "y").collect()}
+    assert tm == {"A": 2.0, "B": 10.0}
+
+
+def test_global_stats_one_row(spark):
+    df = spark.createDataFrame([(1.0, 10.0), (3.0, 30.0)], ["x", "y"])
+    out = agg_ops.global_stats(df, ["x", "y"])
+    row = out.first()
+    assert len(out.columns) == 4 and out.count() == 1
+    assert row["x_mean"] == 2.0 and row["y_mean"] == 20.0
+
+
+def test_rollup_and_cube_shapes(spark):
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 1), ("y", "p", 1)], ["a", "b", "n"]
+    )
+    rollup = agg_ops.grouping_rollup(df, ["a", "b"], [F.count("*").alias("c")])
+    # 3 leaf groups + 2 per-a subtotals + 1 grand total
+    assert rollup.count() == 6
+    cube = agg_ops.grouping_cube(df, ["a", "b"], [F.count("*").alias("c")])
+    # rollup rows + 2 per-b-only subtotals
+    assert cube.count() == 8
+    grand = [r for r in rollup.collect() if r["a"] is None and r["b"] is None]
+    assert grand[0]["c"] == 3
+
+
+def test_approx_distinct_close(spark):
+    df = spark.createDataFrame([(i % 50,) for i in range(1000)], ["k"])
+    got = agg_ops.approx_distinct(df, "k", rsd=0.02).first()["k_approx_distinct"]
+    assert abs(got - 50) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3, semi/anti, as-of, range)
+# ---------------------------------------------------------------------------
+
+def test_join_back_preserves_rows(spark):
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)], ["g", "v"])
+    stats = df.groupBy("g").agg(F.avg("v").alias("v_mean"))
+    out = join_ops.join_back(df, stats, ["g"])
+    assert out.count() == 3
+    got = {(r["g"], r["v"]): r["v_mean"] for r in out.collect()}
+    assert got[("a", 1.0)] == 1.5 and got[("b", 3.0)] == 3.0
+
+
+def test_semi_and_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2, "x"), (2, "y")], ["k", "junk"])
+    semi = join_ops.semi_join(left, right, left["k"] == right["k"])
+    anti = join_ops.anti_join(left, right, left["k"] == right["k"])
+    assert semi.columns == ["k"]  # no right columns, no duplicates
+    assert [r["k"] for r in semi.collect()] == [2]
+    assert sorted(r["k"] for r in anti.collect()) == [1, 3]
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_as_of_join_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00"), "e1"),
+         (1, _ts("2024-01-01 05:00"), "e2"),
+         (1, _ts("2024-01-01 10:00"), "e3"),
+         (2, _ts("2024-01-01 05:00"), "e4")],
+        ["uid", "ts", "eid"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 03:00"), 7.0), (1, _ts("2024-01-01 08:00"), 9.0)],
+        ["uid", "ts", "px"],
+    )
+    out = join_ops.as_of_join(left, right, ["uid"], "ts", ["px"])
+    got = {r["eid"]: r["px_asof"] for r in out.collect()}
+    assert got == {"e1": None, "e2": 7.0, "e3": 9.0, "e4": None}
+
+
+def test_as_of_join_ties_prefer_right_then_tolerance(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 03:00"), "e1")], ["uid", "ts", "eid"])
+    right = spark.createDataFrame([(1, _ts("2024-01-01 03:00"), 5.0)], ["uid", "ts", "px"])
+    # equal timestamps: right sorts first (at-or-before includes equality)
+    out = join_ops.as_of_join(left, right, ["uid"], "ts", ["px"])
+    assert out.first()["px_asof"] == 5.0
+    # a 1h-old right row is dropped under a 30-min tolerance
+    right2 = spark.createDataFrame([(1, _ts("2024-01-01 02:00"), 5.0)], ["uid", "ts", "px"])
+    out2 = join_ops.as_of_join(left, right2, ["uid"], "ts", ["px"], tolerance_seconds=1800)
+    assert out2.first()["px_asof"] is None
+    out3 = join_ops.as_of_join(left, right2, ["uid"], "ts", ["px"], tolerance_seconds=3600)
+    assert out3.first()["px_asof"] == 5.0
+
+
+def test_range_join_bucketed_matches_plain(spark):
+    left = spark.createDataFrame([(float(i),) for i in range(0, 100, 7)], ["p"])
+    right = spark.createDataFrame(
+        [("lo", 0.0, 30.0), ("mid", 25.0, 60.0), ("hi", 55.0, 99.0)], ["tier", "lo", "hi"]
+    )
+    plain = join_ops.range_join(left, right, "p", "lo", "hi")
+    bucketed = join_ops.range_join(left, right, "p", "lo", "hi", bucket_width=10)
+    key = lambda r: (r["p"], r["tier"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bucketed.collect()))
+    assert plain.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W2, ranking)
+# ---------------------------------------------------------------------------
+
+def test_lag_features_exact(spark):
+    df = spark.createDataFrame(
+        [("u", i, float(10 * i)) for i in range(1, 5)], ["uid", "t", "v"]
+    )
+    out = win_ops.lag_features(df, ["uid"], ["t"], "v", [1, 2])
+    got = {r["t"]: (r["v_lag_1"], r["v_lag_2"]) for r in out.collect()}
+    assert got == {1: (None, None), 2: (10.0, None), 3: (20.0, 10.0), 4: (30.0, 20.0)}
+
+
+def test_rolling_features_exact(spark):
+    df = spark.createDataFrame(
+        [("u", i, float(i)) for i in range(1, 6)], ["uid", "t", "v"]
+    )
+    out = win_ops.rolling_features(df, ["uid"], ["t"], "v", [2])
+    got = {r["t"]: (r["v_rolling_sum_2"], r["v_rolling_mean_2"]) for r in out.collect()}
+    # frame = 2 preceding + current (reference rowsBetween(-w, 0))
+    assert got[1] == (1.0, 1.0)
+    assert got[2] == (3.0, 1.5)
+    assert got[3] == (6.0, 2.0)
+    assert got[5] == (12.0, 4.0)
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 5)) for i in range(10)], ["g", "id", "v"]
+    )
+    out = win_ops.top_k_per_group(df, ["g"], [F.col("v").desc(), F.col("id")], 3)
+    got = [(r["id"], r["v"], r["rn"]) for r in out.orderBy("rn").collect()]
+    assert got == [(4, 4.0, 1), (9, 4.0, 2), (3, 3.0, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Set ops / sampling / top-k
+# ---------------------------------------------------------------------------
+
+def test_set_operations(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,)], ["k"])
+    assert set_ops.union_all(a, b).count() == 5
+    assert sorted(r["k"] for r in set_ops.distinct_union(a, b).collect()) == [1, 2, 3]
+    assert sorted(r["k"] for r in set_ops.intersect(a, b).collect()) == [2]
+    # exceptAll keeps multiplicity: {1,2,2} minus {2,3} = {1,2}
+    assert sorted(r["k"] for r in set_ops.except_all(a, b).collect()) == [1, 2]
+
+
+def test_random_split_seeded_partition(spark):
+    df = spark.range(1000)
+    tr1, te1 = set_ops.random_split(df, [0.8, 0.2], seed=42)
+    tr2, te2 = set_ops.random_split(df, [0.8, 0.2], seed=42)
+    assert tr1.count() + te1.count() == 1000
+    assert tr1.count() == tr2.count()  # seeded → reproducible
+    assert set_ops.intersect(tr1, te1).count() == 0  # disjoint
+
+
+def test_global_top_k(spark):
+    df = spark.createDataFrame([(i, float(-i)) for i in range(100)], ["id", "v"])
+    out = set_ops.top_k(df, [F.col("v").desc(), F.col("id")], 3)
+    assert [r["id"] for r in out.collect()] == [0, 1, 2]
+
+
+def test_top_k_plan_is_take_ordered(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    plan = set_ops.top_k(df, [F.col("v").desc()], 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no full sort at any scale

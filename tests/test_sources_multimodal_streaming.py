@@ -1,0 +1,153 @@
+"""Sources/sinks, multimodal plumbing, and Structured Streaming tests.
+
+The streaming tests assert stream == batch on the replayed sf0.001
+events file — the strongest check available without a live source.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators import multimodal as mm_ops
+from big_data_ml_pipeline_spark.sources.catalog import load_table
+from big_data_ml_pipeline_spark.sources.readers import _infer_format, load_data
+from big_data_ml_pipeline_spark.sources.writers import write_data
+from big_data_ml_pipeline_spark.streaming import events as stream_ops
+
+from conftest import SF0001
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks
+# ---------------------------------------------------------------------------
+
+def test_infer_format():
+    assert _infer_format("/a/b/data.parquet") == "parquet"
+    assert _infer_format("s3a://bucket/x.CSV") == "csv"
+    assert _infer_format("/a/b/table") == "parquet"  # default: lake format
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    path = str(tmp_path / "t.parquet")
+    write_data(df, path)
+    back = load_data(spark, path)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_csv_roundtrip_with_header(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    path = str(tmp_path / "t.csv")
+    write_data(df, path, fmt="csv", header="true")
+    back = load_data(spark, path)
+    assert back.first()["k"] == 1  # inferSchema like the reference
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["v", "p"])
+    path = str(tmp_path / "part.parquet")
+    write_data(df, path, partition_by=["p"])
+    back = load_data(spark, path).filter(F.col("p") == 1)
+    assert back.count() == 10
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(p" in plan
+
+
+def test_catalog_normalizes_event_timestamps(spark):
+    ev = load_table(spark, SF0001, "events")
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    assert ev.count() > 0
+
+
+def test_catalog_rejects_unknown_table(spark):
+    with pytest.raises(KeyError):
+        load_table(spark, SF0001, "nope")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_decode_stub_deterministic_and_strict():
+    a = mm_ops.decode_stub(b"hello world", dim=4)
+    b = mm_ops.decode_stub(b"hello world", dim=4)
+    assert a == b and len(a) == 4
+    assert math.isclose(sum(a), 1.0, rel_tol=1e-6)  # histogram normalized
+    assert mm_ops.decode_stub(b"", dim=4) == [0.0] * 4
+    with pytest.raises(NotImplementedError):
+        mm_ops.decode_stub(b"x", strict=True)
+
+
+def test_attach_and_extract_features(spark):
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "bbbb"), (2, "cccc")], ["doc_id", "text"]
+    )
+    media = mm_ops.attach_binary_payload(docs, "text", "doc_id")
+    assert sorted(r["modality"] for r in media.collect()) == ["audio", "image", "video"]
+    feats = mm_ops.extract_features(media, dim=4)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[0]["n_bytes"] == 4
+    # 'aaaa' = 4 bytes of 0x61; 0x61 % 4 == 1 → all mass in bucket 1
+    assert got[0]["feature"] == [0.0, 1.0, 0.0, 0.0]
+    assert feats.schema == mm_ops.FEATURE_SCHEMA
+
+
+def test_sample_frames(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 3000), (2, "image", None)], ["media_id", "modality", "duration_ms"]
+    )
+    frames = mm_ops.sample_frames(media, every_ms=1000)
+    got = [r["frame_ts_ms"] for r in frames.collect()]
+    assert got == [0, 1000, 2000, 3000]  # image row filtered out
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming
+# ---------------------------------------------------------------------------
+
+def test_stream_tumbling_equals_batch(spark):
+    """Replaying the events file through the watermarked streaming agg
+    must reproduce the batch groupBy exactly (counts exact, sums fp-close)."""
+    stream = stream_ops.read_events_stream(spark, SF0001)
+    assert stream.isStreaming
+    # complete mode: append would hold back windows newer than the final
+    # watermark (max_ts - 2h), which is correct streaming semantics but
+    # not comparable 1:1 against the batch result.
+    got = stream_ops.run_to_memory(stream_ops.tumbling_counts(stream), output_mode="complete")
+    want = (
+        load_table(spark, SF0001, "events")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    g = {(r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+         for r in got.collect()}
+    w = {(r["hour_bucket"], r["event_type"]): (r["n"], r["total_value"])
+         for r in want.collect()}
+    assert g.keys() == w.keys() and len(g) > 0
+    for k in w:
+        assert g[k][0] == w[k][0]
+        assert math.isclose(g[k][1], w[k][1], rel_tol=1e-9)
+
+
+def test_stream_dedup_within_watermark(spark):
+    stream = stream_ops.read_events_stream(spark, SF0001)
+    deduped = stream_ops.stream_dedup(stream, ["user_id", "event_type"])
+    got = stream_ops.run_to_memory(deduped)
+    want = (
+        load_table(spark, SF0001, "events")
+        .select("user_id", "event_type").distinct().count()
+    )
+    assert got.count() == want
+
+
+def test_stream_session_counts_runs(spark):
+    stream = stream_ops.read_events_stream(spark, SF0001)
+    got = stream_ops.run_to_memory(stream_ops.session_counts(stream))
+    assert got.count() > 0
+    assert got.columns == ["user_id", "n_events"]

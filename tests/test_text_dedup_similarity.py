@@ -1,0 +1,188 @@
+"""Exact-value tests for the north-star text / dedup / similarity
+operators (training-data-pipeline surface)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+from big_data_ml_pipeline_spark.operators import similarity as sim_ops
+from big_data_ml_pipeline_spark.operators import text as text_ops
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_and_char_counts(spark):
+    df = spark.createDataFrame([("the  cat sat",), ("",)], ["text"])
+    out = df.select(
+        text_ops.token_count(F.col("text")).alias("n"),
+        text_ops.char_count(F.col("text")).alias("c"),
+        text_ops.avg_token_length(F.col("text")).alias("avg"),
+    ).collect()
+    assert (out[0]["n"], out[0]["c"]) == (3, 12)
+    assert out[0]["avg"] == 3.0  # mean of len('the'), len('cat'), len('sat')
+    assert (out[1]["n"], out[1]["avg"]) == (0, 0.0)  # guarded empty doc
+
+
+def test_punct_and_stopword_ratios(spark):
+    df = spark.createDataFrame([("ab!?",), ("the dog of war runs",)], ["text"])
+    out = df.select(
+        text_ops.punct_ratio(F.col("text")).alias("p"),
+        text_ops.stopword_ratio(F.col("text")).alias("s"),
+    ).collect()
+    assert out[0]["p"] == 0.5
+    assert out[1]["s"] == 2 / 5  # 'the', 'of' of 5 tokens
+
+
+def test_lang_id_markers(spark):
+    cases = [
+        ("the cat and hat", "en"),
+        ("der hund und katze", "de"),
+        ("le chat et chien", "fr"),
+        ("el perro y gato", "es"),
+        ("xyzzy plugh", "und"),
+    ]
+    df = spark.createDataFrame(cases, ["text", "want"])
+    got = df.select("want", text_ops.lang_id(F.col("text")).alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"]
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("  hello world ",), ("different",)], ["text"]
+    )
+    got = [r[0] for r in df.select(text_ops.fingerprint(F.col("text"))).collect()]
+    assert got[0] == got[1] != got[2]
+    assert got[0] == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_quality_score_range_and_order(spark):
+    good = "word " * 150
+    bad = "!!! ??? ###"
+    df = spark.createDataFrame([(good,), (bad,)], ["text"])
+    got = [r[0] for r in df.select(text_ops.quality_score(F.col("text"))).collect()]
+    assert all(0.0 <= v <= 1.0 for v in got)
+    assert got[0] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    got = [r[0] for r in df.select(dedup_ops.word_shingles(F.col("text"), 3)).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # shorter than n → empty set
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  Doc"), (2, "same doc"), (3, "other")], ["doc_id", "text"]
+    )
+    kept = sorted(r["doc_id"] for r in dedup_ops.exact_dedup(df).collect())
+    assert kept == [1, 3]
+    groups = {r["first_id"]: r["n_dups"] for r in dedup_ops.duplicate_groups(df).collect()}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # shingle sets {a b c, b c d} vs {a b c, b c e}: |∩|=1, |∪|=3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "zz yy xx ww")], ["doc_id", "text"]
+    )
+    got = dedup_ops.jaccard_pairs(df, threshold=0.2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert math.isclose(r["jaccard"], 1 / 3, rel_tol=1e-12)
+
+
+def test_jaccard_blocking_prunes_cross_block_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "a b c d", "s2")], ["doc_id", "text", "source"]
+    )
+    assert dedup_ops.jaccard_pairs(df, threshold=0.1).count() == 1
+    assert dedup_ops.jaccard_pairs(df, threshold=0.1, block_col="source").count() == 0
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated text about spark query engines and shuffles " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup_ops.minhash_dedup_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_identical_docs_full_signature_match(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    got = dedup_ops.minhash_dedup_pairs(df).collect()
+    assert len(got) == 1 and got[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "alpha beta gamma zeta")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup_ops.simhash_dedup_pairs(df).collect()}
+    assert got[(1, 2)] == 0
+    # one swapped token moves few bits; candidates share a 16-bit band
+    for (a, b), h in got.items():
+        assert 0 <= h <= 64
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # identical to query
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        (3, [1.0, 1.0, 0.0, 0.0]),   # 45°
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(vecs, ["vec_id", "embedding"])
+
+
+def test_brute_force_topk_exact(spark):
+    emb = _emb_df(spark)
+    out = sim_ops.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["vec_id"], r["sim"]) for r in out.collect()]
+    assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
+    assert got[2][0] == 3 and math.isclose(got[2][1], round(1 / math.sqrt(2), 6))
+
+
+def test_lsh_bucketed_pairs_finds_identical(spark):
+    emb = _emb_df(spark)
+    pairs = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in sim_ops.lsh_bucketed_pairs(emb, n_planes=4, dim=4, threshold=0.9).collect()}
+    assert pairs.get((0, 1)) == 1.0
+    assert all(s >= 0.9 for s in pairs.values())
+
+
+def test_ivf_topk_contains_exact_matches(spark):
+    emb = _emb_df(spark)
+    out = sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=2, n_cells=2, nprobe=2)
+    got = [(r["vec_id"], r["sim"]) for r in out.collect()]
+    assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
