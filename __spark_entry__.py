@@ -786,7 +786,9 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("small", 0.0, 9.0), ("medium", 10.0, 24.0), ("large", 25.0, 100.0)],
         ["tier", "lo", "hi"],
     )
-    joined = join_ops.range_join(li, F.broadcast(tiers), "l_quantity", "lo", "hi")
+    joined = join_ops.range_join(
+        li, F.broadcast(tiers), "l_quantity", "lo", "hi", bucket_width=10
+    )
     return joined.groupBy("tier").agg(
         F.count("*").alias("n_items"), dsum(F.col("l_extendedprice")).alias("total_price")
     )
@@ -798,6 +800,139 @@ FROM lineitem JOIN (VALUES ('small', 0.0, 9.0), ('medium', 10.0, 24.0),
                            ('large', 25.0, 100.0)) AS t(tier, lo, hi)
   ON l_quantity BETWEEN lo AND hi
 GROUP BY tier
+"""
+
+
+def q33_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: local-supplier revenue per nation in one region
+    and year. One fact-fact shuffle join (lineitem⋈orders, keyed on
+    orderkey); customer/supplier/nation/region all broadcast."""
+    t = load_tables(
+        spark, sf_dir, ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    df = (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+        )
+        .join(F.broadcast(t["customer"]), t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(
+            F.broadcast(t["supplier"]),
+            (t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+            & (t["customer"]["c_nationkey"] == t["supplier"]["s_nationkey"]),
+        )
+        .join(F.broadcast(t["nation"]), t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"])
+        .join(F.broadcast(t["region"]), t["nation"]["n_regionkey"] == t["region"]["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return df.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q33_SQL = f"""
+SELECT n_name,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q34_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returns.
+    lineitem filtered to returnflag='R' before the orderkey join (filter
+    below the shuffle); customer+nation broadcast; TakeOrdered top-k."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem", "nation"))
+    df = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(F.broadcast(t["customer"]), t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(t["nation"]), t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"])
+    )
+    per_cust = df.groupBy("c_custkey", "c_name", "n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )
+    return set_ops.top_k(per_cust, [F.col("revenue").desc(), F.col("c_custkey")], 20)
+
+
+_Q34_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q35_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: revenue and volume per brand (lineitem ⋈
+    broadcast part on partkey — the dim fits executor memory at any SF
+    of this schema; no shuffle on the fact side)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part"))
+    df = t["lineitem"].join(
+        F.broadcast(t["part"]), t["lineitem"]["l_partkey"] == t["part"]["p_partkey"]
+    )
+    return df.groupBy("p_brand").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.countDistinct("p_partkey").alias("n_parts"),
+    )
+
+
+_Q35_SQL = f"""
+SELECT p_brand,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  {_dsum('l_quantity')} AS sum_qty,
+  COUNT(DISTINCT p_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q36_supplier_nation_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-flavored: shipped revenue per supplier nation per year —
+    two broadcast dim hops + a two-key hash aggregate."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation"))
+    df = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+        .join(F.broadcast(t["nation"]), t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"])
+    )
+    return df.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q36_SQL = f"""
+SELECT n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
 """
 
 
@@ -943,6 +1078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_sessionize": q30_sessionize,
         "q31_asof_join": q31_asof_join,
         "q32_range_join": q32_range_join,
+        "q33_region_supplier_revenue": q33_region_supplier_revenue,
+        "q34_returned_top_customers": q34_returned_top_customers,
+        "q35_brand_revenue": q35_brand_revenue,
+        "q36_supplier_nation_yearly": q36_supplier_nation_yearly,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -991,4 +1130,8 @@ def oracle_sql() -> dict[str, str]:
         "q30_sessionize": _Q30_SQL,
         "q31_asof_join": _Q31_SQL,
         "q32_range_join": _Q32_SQL,
+        "q33_region_supplier_revenue": _Q33_SQL,
+        "q34_returned_top_customers": _Q34_SQL,
+        "q35_brand_revenue": _Q35_SQL,
+        "q36_supplier_nation_yearly": _Q36_SQL,
     }

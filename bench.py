@@ -47,6 +47,10 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    # Untimed warmup: pay JVM/codegen/parquet-footer startup once so the
+    # per-query numbers measure steady-state execution, not session boot.
+    entrymod.entry(spark).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()

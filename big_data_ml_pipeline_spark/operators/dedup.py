@@ -344,6 +344,13 @@ def jaccard_pairs(
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    # The shingle table feeds three consumers (both self-join sides +
+    # the set sizes); without persist, shingling re-executes per
+    # consumer. MEMORY_AND_DISK: spills instead of OOM at scale — and at
+    # 100 TB you would materialize this narrow table to storage anyway.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("id").agg(F.count("*").alias("setsize"))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))

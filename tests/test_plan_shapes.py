@@ -1,0 +1,70 @@
+"""Physical-plan shape regression tests (the 100 TB guarantees).
+
+Correctness says what a query returns; these tests pin HOW Spark may
+execute it: filters reach the parquet scan, projections prune columns,
+dimension joins broadcast, top-k never globally sorts, aggregates
+combine map-side. A regression here is invisible at sf0.01 and fatal at
+100 TB, which is why it gets its own tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from conftest import SF0001
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF0001)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_partial_plus_final_aggregation(spark):
+    p = plan_of(spark, "q01_pricing_summary")
+    assert p.count("HashAggregate") >= 2  # map-side combine before the shuffle
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "q07_ratio_features")
+    scan_schema = p.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_shipdate" not in scan_schema  # untouched columns never read
+    assert "l_extendedprice" in scan_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in plan_of(spark, "q03_segment_stats")
+    p = plan_of(spark, "q33_region_supplier_revenue")
+    assert p.count("BroadcastHashJoin") >= 4  # customer/supplier/nation/region
+
+
+def test_semi_and_anti_joins_planned_as_such(spark):
+    assert "LeftSemi" in plan_of(spark, "q05_priority_with_shipped")
+    assert "LeftAnti" in plan_of(spark, "q06_customers_without_orders")
+
+
+def test_top_k_takes_ordered_no_global_sort(spark):
+    for q in ("q02_top_revenue_orders", "q28_embedding_topk", "q34_returned_top_customers"):
+        assert "TakeOrderedAndProject" in plan_of(spark, q), q
+
+
+def test_bucketed_range_join_avoids_nested_loop(spark):
+    p = plan_of(spark, "q32_range_join")
+    assert "BroadcastHashJoin" in p and "NestedLoop" not in p
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    # AQE reports isFinalPlan=false (no codegen spans) until an action
+    # runs; execute, then inspect the finalized adaptive plan.
+    df = entrymod.queries()["q01_pricing_summary"](spark, SF0001)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    # codegen stages print as '*(n) Operator' in the simple plan string
+    assert "*(1) HashAggregate" in p or "WholeStageCodegen" in p
