@@ -16,3 +16,8 @@ Design principles (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+from .orchestrator import PipelineOrchestrator, load_config  # noqa: E402
+from .serving import ServingService  # noqa: E402
+
+__all__ = ["PipelineOrchestrator", "ServingService", "load_config"]

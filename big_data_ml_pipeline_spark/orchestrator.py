@@ -1,0 +1,229 @@
+"""Config-driven pipeline orchestrator (SURVEY.md §3 E1).
+
+The reference's primary entry point is a YAML-configured orchestrator
+(reference src/ml_pipeline.py:28-355: load config → build session →
+load data → feature pipeline → train → evaluate → save, plus a CLI).
+This is the same lifecycle, minus its at-scale anti-patterns
+(SURVEY.md §4): no eager count-on-load, single-pass feature stages,
+evaluators run as one job each, tracking is optional and non-blocking.
+
+Config schema mirrors reference config/pipeline_config.yaml sections:
+``spark``, ``data``, ``features``, ``model``, ``tuning``,
+``evaluation``, ``tracking``, ``optimization`` — and actually WIRES the
+optimization knobs the reference only declares (cache/repartition/
+broadcast threshold, reference config/pipeline_config.yaml:129-133).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Any
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame, SparkSession
+
+from .features.pipeline import discover_roles, feature_stages
+from .ml.evaluate import (
+    evaluate_classification,
+    evaluate_clustering,
+    evaluate_regression,
+)
+from .ml.train import train_model
+from .ml.tuning import tune
+from .session import get_session
+from .sources.readers import load_data
+from .sources.writers import write_data
+
+DEFAULT_CONFIG: dict[str, Any] = {
+    "spark": {
+        "app_name": "big-data-ml-pipeline-spark",
+        "master": None,  # None → local[$SPARK_GRAFT_CPUS] or cluster default
+        "shuffle_partitions": None,
+    },
+    "data": {"input_path": None, "format": None, "label_col": "label",
+             "train_split": 0.8, "test_split": 0.2},
+    "features": {"columns": None, "categorical_columns": None,
+                 "numeric_columns": None, "scale": True},
+    "model": {"algorithm": "random_forest", "task": "classification",
+              "params": {}, "save_path": None},
+    "tuning": {"enabled": False, "grid": None, "num_folds": 3, "parallelism": 4},
+    "evaluation": {},
+    "tracking": {"enabled": False, "run_name": None},
+    "optimization": {"cache_data": False, "repartition": None,
+                     "broadcast_threshold": 10 * 1024 * 1024},
+}
+
+
+def _merge(base: dict, override: dict) -> dict:
+    out = dict(base)
+    for k, v in (override or {}).items():
+        out[k] = _merge(base[k], v) if isinstance(v, dict) and isinstance(base.get(k), dict) else v
+    return out
+
+
+def load_config(source: str | dict | None) -> dict:
+    """YAML path / dict / None → full config with defaults filled in
+    (reference loads YAML at src/ml_pipeline.py:35-38)."""
+    if source is None:
+        cfg: dict = {}
+    elif isinstance(source, dict):
+        cfg = source
+    else:
+        import yaml
+
+        with open(source) as fh:
+            cfg = yaml.safe_load(fh) or {}
+    return _merge(DEFAULT_CONFIG, cfg)
+
+
+class PipelineOrchestrator:
+    """End-to-end lifecycle: ``load → features → train[/tune] →
+    evaluate → save`` — the reference's MLPipelineOrchestrator surface
+    re-expressed (ctor at src/ml_pipeline.py:28-38)."""
+
+    def __init__(self, config: str | dict | None = None,
+                 spark: SparkSession | None = None):
+        self.config = load_config(config)
+        self._spark = spark
+
+    # -- session ------------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            sc = self.config["spark"]
+            opt = self.config["optimization"]
+            self._spark = get_session(
+                app_name=sc["app_name"],
+                master=sc["master"],
+                shuffle_partitions=sc["shuffle_partitions"],
+                extra_confs={
+                    "spark.sql.autoBroadcastJoinThreshold": str(opt["broadcast_threshold"]),
+                },
+            )
+        return self._spark
+
+    # -- data ---------------------------------------------------------------
+    def load(self, path: str | None = None, fmt: str | None = None) -> DataFrame:
+        """S1-S3 extension-dispatch load; applies the *wired*
+        optimization knobs (repartition/cache) the reference declares.
+        No eager count (anti-pattern, reference src/ml_pipeline.py:73)."""
+        d = self.config["data"]
+        df = load_data(self.spark, path or d["input_path"], fmt=fmt or d["format"])
+        opt = self.config["optimization"]
+        if opt["repartition"]:
+            df = df.repartition(int(opt["repartition"]))
+        if opt["cache_data"]:
+            df = df.cache()
+        return df
+
+    # -- features -----------------------------------------------------------
+    def build_feature_stages(self, df: DataFrame) -> list:
+        """Config override → schema introspection, like the reference
+        (src/ml_pipeline.py:79-95 with config/pipeline_config.yaml:20-26)."""
+        f = self.config["features"]
+        label = self.config["data"]["label_col"]
+        cat, num = f["categorical_columns"], f["numeric_columns"]
+        if cat is None or num is None:
+            base = df.select(*f["columns"]) if f["columns"] else df
+            d_cat, d_num = discover_roles(base, label_col=label)
+            cat = d_cat if cat is None else cat
+            num = d_num if num is None else num
+        return feature_stages(cat, num, scale=f["scale"])
+
+    # -- train / tune -------------------------------------------------------
+    def train(self, df: DataFrame | None = None,
+              algorithm: str | None = None, task: str | None = None
+              ) -> tuple[PipelineModel, dict[str, float]]:
+        """Fit on the configured split and return (model, metrics);
+        CrossValidator tuning when ``tuning.enabled``."""
+        m = self.config["model"]
+        d = self.config["data"]
+        algorithm = algorithm or m["algorithm"]
+        task = task or m["task"]
+        df = df if df is not None else self.load()
+        stages = self.build_feature_stages(df)
+
+        if self.config["tuning"]["enabled"] and task in ("classification", "regression"):
+            t = self.config["tuning"]
+            model, _ = tune(df, algorithm, task, feature_stages=stages,
+                            grid=t["grid"], num_folds=t["num_folds"],
+                            parallelism=t["parallelism"], label_col=d["label_col"])
+            predictions = model.transform(df)
+        else:
+            model, predictions = train_model(
+                df, algorithm, task, feature_stages=stages,
+                label_col=d["label_col"],
+                split=(d["train_split"], d["test_split"]), **m["params"],
+            )
+
+        metrics = self.evaluate(predictions, task)
+        self._track(algorithm, task, metrics)
+        if m["save_path"]:
+            model.write().overwrite().save(m["save_path"])
+        return model, metrics
+
+    def evaluate(self, predictions: DataFrame, task: str) -> dict[str, float]:
+        label = self.config["data"]["label_col"]
+        if task == "classification":
+            return evaluate_classification(predictions, label_col=label)
+        if task == "regression":
+            return evaluate_regression(predictions, label_col=label)
+        if task == "clustering":
+            return evaluate_clustering(predictions)
+        return {}
+
+    # -- predict ------------------------------------------------------------
+    def predict(self, model: PipelineModel | str, df: DataFrame,
+                output_path: str | None = None) -> DataFrame:
+        """M19 inference; optionally S6-sink the result (distributed
+        write, never collects — reference api/api.py:196-223)."""
+        if isinstance(model, str):
+            model = PipelineModel.load(model)
+        out = model.transform(df)
+        if output_path:
+            write_data(out.drop("features", "features_raw"), output_path)
+        return out
+
+    # -- tracking (optional; mlflow is not a hard dependency) ---------------
+    def _track(self, algorithm: str, task: str, metrics: dict[str, float]) -> None:
+        if not self.config["tracking"]["enabled"]:
+            return
+        try:
+            import mlflow
+
+            with mlflow.start_run(run_name=self.config["tracking"]["run_name"]):
+                mlflow.log_params({"algorithm": algorithm, "task": task})
+                mlflow.log_metrics(metrics)
+        except ImportError:
+            # tracking degrades to a log line — never blocks training
+            print(f"[tracking] mlflow unavailable; metrics={json.dumps(metrics)}")
+
+    def stop(self) -> None:
+        if self._spark is not None:
+            self._spark.stop()
+            self._spark = None
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI mirroring reference src/ml_pipeline.py:319-355."""
+    ap = argparse.ArgumentParser(description="config-driven Spark ML pipeline")
+    ap.add_argument("--config", default=None, help="YAML config path")
+    ap.add_argument("--data", default=None, help="input data path (overrides config)")
+    ap.add_argument("--algorithm", default=None)
+    ap.add_argument("--task", default=None,
+                    choices=["classification", "regression", "clustering"])
+    args = ap.parse_args(argv)
+
+    orch = PipelineOrchestrator(args.config)
+    try:
+        df = orch.load(args.data) if args.data else None
+        _, metrics = orch.train(df, algorithm=args.algorithm, task=args.task)
+        print(json.dumps(metrics, sort_keys=True))
+        return 0
+    finally:
+        orch.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

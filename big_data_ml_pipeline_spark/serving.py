@@ -1,0 +1,167 @@
+"""Model-serving surface (SURVEY.md §3 E2; reference api/api.py).
+
+The reference serves /train /predict /predict/batch /jobs /models via
+FastAPI. Re-expressed as a framework-free ``ServingService`` (testable
+without an HTTP stack — fastapi is optional in this environment) plus a
+``build_app`` factory that mounts the same routes when fastapi is
+importable.
+
+Fixes the reference's serving anti-patterns:
+ - /train blocked the request handler despite accepting BackgroundTasks
+   (reference api/api.py:111-133) → training runs on a worker thread
+   with a real job registry.
+ - row-at-a-time collect stays ONLY at the request/response boundary
+   (reference api/api.py:183-184 is the one legitimate collect).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+import uuid
+from typing import Any
+
+from pyspark.ml import PipelineModel
+from pyspark.sql import DataFrame
+
+from .orchestrator import PipelineOrchestrator
+
+
+class ServingService:
+    """In-process serving core: job registry + model registry +
+    single-row and batch prediction paths."""
+
+    def __init__(self, orchestrator: PipelineOrchestrator | None = None):
+        self.orchestrator = orchestrator or PipelineOrchestrator()
+        self.jobs: dict[str, dict[str, Any]] = {}
+        self.models: dict[str, PipelineModel] = {}
+        self._lock = threading.Lock()
+
+    # -- training jobs ------------------------------------------------------
+    def submit_train(self, data_path: str, algorithm: str, task: str,
+                     blocking: bool = False) -> dict[str, Any]:
+        """Start a training job; returns the job record immediately
+        (async by default — the reference's declared-but-unwired intent,
+        api/api.py:112)."""
+        job_id = uuid.uuid4().hex[:12]
+        job = {"job_id": job_id, "status": "running", "algorithm": algorithm,
+               "task": task, "submitted_at": time.time(), "metrics": None,
+               "error": None}
+        with self._lock:
+            self.jobs[job_id] = job
+
+        def run() -> None:
+            try:
+                df = self.orchestrator.load(data_path)
+                model, metrics = self.orchestrator.train(df, algorithm, task)
+                with self._lock:
+                    self.models[job_id] = model
+                    job.update(status="completed", metrics=metrics)
+            except Exception as exc:  # noqa: BLE001 — job surface reports any failure
+                job.update(status="failed", error=f"{type(exc).__name__}: {exc}")
+
+        if blocking:
+            run()
+        else:
+            threading.Thread(target=run, daemon=True).start()
+        return job
+
+    def job_status(self, job_id: str) -> dict[str, Any]:
+        if job_id not in self.jobs:
+            raise KeyError(f"unknown job {job_id!r}")
+        return self.jobs[job_id]
+
+    def list_jobs(self) -> list[dict[str, Any]]:
+        return sorted(self.jobs.values(), key=lambda j: j["submitted_at"])
+
+    # -- models -------------------------------------------------------------
+    def register_model(self, name: str, model: PipelineModel | str) -> None:
+        if isinstance(model, str):
+            model = PipelineModel.load(model)
+        with self._lock:
+            self.models[name] = model
+
+    def list_models(self) -> list[str]:
+        return sorted(self.models)
+
+    # -- prediction ---------------------------------------------------------
+    def predict_rows(self, model_name: str, rows: list[list[float]],
+                     feature_names: list[str]) -> list[float]:
+        """JSON floats → DataFrame → transform → list (the serving
+        boundary is the only place collect() is allowed — reference
+        api/api.py:176-184)."""
+        model = self.models[model_name]
+        df = self.orchestrator.spark.createDataFrame(
+            [tuple(float(v) for v in r) for r in rows], list(feature_names)
+        )
+        out = model.transform(df)
+        return [float(r["prediction"]) for r in out.select("prediction").collect()]
+
+    def predict_batch(self, model_name: str, input_path: str,
+                      output_path: str) -> dict[str, Any]:
+        """Fully distributed scoring: load → transform → parquet sink;
+        never collects (reference api/api.py:196-223)."""
+        model = self.models[model_name]
+        df = self.orchestrator.load(input_path)
+        out: DataFrame = model.transform(df).drop("features", "features_raw")
+        out.write.mode("overwrite").parquet(output_path)
+        return {"model": model_name, "input": input_path, "output": output_path}
+
+
+def build_app(service: ServingService | None = None):
+    """FastAPI app with the reference's routes; import-gated because
+    fastapi is an optional dependency here."""
+    try:
+        from fastapi import FastAPI, HTTPException
+    except ImportError as exc:  # pragma: no cover - optional dep
+        raise RuntimeError(
+            "fastapi is not installed; use ServingService directly or "
+            "install fastapi+uvicorn for the HTTP surface"
+        ) from exc
+
+    service = service or ServingService()
+    app = FastAPI(title="big-data-ml-pipeline-spark")
+
+    @app.get("/health")
+    def health():
+        return {"status": "ok"}
+
+    @app.post("/train")
+    def train(body: dict):
+        return service.submit_train(
+            body["data_path"], body.get("algorithm", "random_forest"),
+            body.get("task", "classification"),
+        )
+
+    @app.get("/jobs")
+    def jobs():
+        return service.list_jobs()
+
+    @app.get("/jobs/{job_id}")
+    def job(job_id: str):
+        try:
+            return service.job_status(job_id)
+        except KeyError:
+            raise HTTPException(404, "unknown job")
+
+    @app.get("/models")
+    def models():
+        return service.list_models()
+
+    @app.post("/predict")
+    def predict(body: dict):
+        try:
+            preds = service.predict_rows(
+                body["model"], body["features"], body["feature_names"]
+            )
+        except KeyError as exc:
+            raise HTTPException(404, f"unknown model/key: {exc}")
+        return {"predictions": preds}
+
+    @app.post("/predict/batch")
+    def predict_batch(body: dict):
+        return service.predict_batch(
+            body["model"], body["input_path"], body["output_path"]
+        )
+
+    return app

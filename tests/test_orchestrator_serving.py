@@ -1,0 +1,135 @@
+"""End-to-end lifecycle tests: config-driven orchestrator (E1) and the
+serving surface (E2), mirroring the reference's api/pipeline behavior."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.orchestrator import (
+    PipelineOrchestrator,
+    load_config,
+    main,
+)
+from big_data_ml_pipeline_spark.serving import ServingService
+
+
+@pytest.fixture(scope="module")
+def data_path(spark, tmp_path_factory):
+    """Parquet training table: 2 numeric + 1 categorical feature, binary label."""
+    rows = [
+        (float(i % 10), float((i * 3) % 7), ["u", "v"][i % 2],
+         1.0 if (i % 10) > 4 else 0.0)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["f1", "f2", "cat", "label"])
+    path = str(tmp_path_factory.mktemp("data") / "train.parquet")
+    df.write.parquet(path)
+    return path
+
+
+def test_load_config_merges_defaults(tmp_path):
+    cfg = load_config({"model": {"algorithm": "logistic_regression"}})
+    assert cfg["model"]["algorithm"] == "logistic_regression"
+    assert cfg["model"]["task"] == "classification"  # default survives
+    assert cfg["optimization"]["broadcast_threshold"] == 10 * 1024 * 1024
+    yaml_path = tmp_path / "c.yaml"
+    yaml_path.write_text("data:\n  label_col: y\n")
+    assert load_config(str(yaml_path))["data"]["label_col"] == "y"
+
+
+def test_orchestrator_full_lifecycle(spark, data_path, tmp_path):
+    save_path = str(tmp_path / "model")
+    orch = PipelineOrchestrator(
+        {
+            "data": {"input_path": data_path},
+            "model": {"algorithm": "logistic_regression",
+                      "params": {"max_iter": 20}, "save_path": save_path},
+        },
+        spark=spark,
+    )
+    model, metrics = orch.train()
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert metrics["accuracy"] > 0.6
+    # categorical column was auto-discovered and indexed
+    stage_names = [type(s).__name__ for s in model.stages]
+    assert "StringIndexerModel" in stage_names
+
+    # predict from the saved path (round-trip through S7)
+    out = orch.predict(save_path, orch.load(), output_path=str(tmp_path / "preds.parquet"))
+    assert out.count() == 120
+    back = spark.read.parquet(str(tmp_path / "preds.parquet"))
+    assert "prediction" in back.columns
+
+
+def test_orchestrator_tuned_training(spark, data_path):
+    orch = PipelineOrchestrator(
+        {
+            "data": {"input_path": data_path},
+            "model": {"algorithm": "logistic_regression"},
+            "tuning": {"enabled": True, "grid": {"regParam": [0.01, 0.5]},
+                       "num_folds": 2, "parallelism": 2},
+        },
+        spark=spark,
+    )
+    model, metrics = orch.train()
+    assert "accuracy" in metrics
+
+
+def test_cli_main(data_path, tmp_path, capsys, monkeypatch):
+    # main() builds its own orchestrator whose getOrCreate returns THIS
+    # suite's shared session — suppress its shutdown or every later test
+    # sees a stopped SparkContext.
+    monkeypatch.setattr(PipelineOrchestrator, "stop", lambda self: None)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"data:\n  input_path: {data_path}\n"
+        "model:\n  algorithm: logistic_regression\n  params:\n    max_iter: 10\n"
+    )
+    rc = main(["--config", str(cfg)])
+    assert rc == 0
+    assert '"accuracy"' in capsys.readouterr().out
+
+
+def test_serving_train_job_and_predict(spark, data_path):
+    svc = ServingService(PipelineOrchestrator(
+        {"features": {"categorical_columns": [], "numeric_columns": ["f1", "f2"]},
+         "model": {"params": {"num_trees": 10, "max_depth": 4}}}, spark=spark
+    ))
+    job = svc.submit_train(data_path, "random_forest", "classification", blocking=True)
+    assert job["status"] == "completed", job["error"]
+    assert 0.0 <= job["metrics"]["accuracy"] <= 1.0
+    assert svc.job_status(job["job_id"])["status"] == "completed"
+
+    # the reference's predict surface takes bare float rows
+    # (api/api.py:176-184) — numeric-only feature set
+    preds = svc.predict_rows(
+        job["job_id"], [[1.0, 2.0], [9.0, 3.0]], ["f1", "f2"]
+    )
+    assert len(preds) == 2 and all(p in (0.0, 1.0) for p in preds)
+
+
+def test_serving_async_job(spark, data_path):
+    svc = ServingService(PipelineOrchestrator(
+        {"features": {"categorical_columns": [], "numeric_columns": ["f1", "f2"]},
+         "model": {"params": {"max_iter": 10}}}, spark=spark
+    ))
+    job = svc.submit_train(data_path, "logistic_regression", "classification")
+    assert job["status"] in ("running", "completed")
+    for _ in range(120):
+        if svc.job_status(job["job_id"])["status"] != "running":
+            break
+        time.sleep(1)
+    assert svc.job_status(job["job_id"])["status"] == "completed"
+
+
+def test_serving_batch_predict(spark, data_path, tmp_path):
+    svc = ServingService(PipelineOrchestrator({}, spark=spark))
+    job = svc.submit_train(data_path, "logistic_regression", "classification",
+                           blocking=True)
+    out_path = str(tmp_path / "scored.parquet")
+    info = svc.predict_batch(job["job_id"], data_path, out_path)
+    assert info["output"] == out_path
+    assert spark.read.parquet(out_path).count() == 120

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the trickiest custom operators.
+
+Random inputs, independent Python/pandas oracles — these catch boundary
+semantics (ties, tolerance edges, empty partitions) that fixed fixtures
+miss.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.functions import dsum
+from big_data_ml_pipeline_spark.operators.joins import as_of_join
+from big_data_ml_pipeline_spark.operators.dedup import word_shingles
+
+BASE = datetime(2024, 1, 1)
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _cache_spark(spark):
+    # hypothesis re-runs the test body many times; grab the session once
+    global _spark
+    _spark = spark
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left_offsets=st.lists(st.integers(0, 500), min_size=1, max_size=12),
+    right_offsets=st.lists(st.integers(0, 500), min_size=0, max_size=8),
+    tolerance=st.one_of(st.none(), st.integers(1, 300)),
+)
+def test_as_of_join_matches_pandas_merge_asof(left_offsets, right_offsets, tolerance):
+    """as_of_join == pandas.merge_asof (direction='backward') for every
+    random event layout, with and without tolerance."""
+    left = pd.DataFrame({
+        "uid": 1,
+        "ts": [BASE + timedelta(seconds=s) for s in sorted(left_offsets)],
+        "eid": range(len(left_offsets)),
+    })
+    right = pd.DataFrame({
+        "uid": pd.Series([1] * len(right_offsets), dtype="int64"),
+        "ts": pd.to_datetime(
+            [BASE + timedelta(seconds=s) for s in sorted(right_offsets)]
+        ),
+        "px": pd.Series([float(s) for s in sorted(right_offsets)], dtype="float64"),
+    })
+    # merge_asof demands unique ordered keys on the right side
+    right = right.drop_duplicates(subset=["ts"], keep="last")
+
+    want = pd.merge_asof(
+        left, right.drop(columns=["uid"]), on="ts",
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+        direction="backward",
+    )
+
+    sleft = _spark.createDataFrame(left)
+    # explicit schema: an empty right side has no rows to infer from
+    sright = _spark.createDataFrame(right, schema="uid long, ts timestamp, px double")
+    got = (
+        as_of_join(sleft, sright, ["uid"], "ts", ["px"],
+                   tolerance_seconds=tolerance)
+        .orderBy("eid").toPandas()
+    )
+    assert list(got["px_asof"].fillna(-1)) == list(want["px"].fillna(-1))
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.decimals(min_value=-10000, max_value=10000, places=2).map(float),
+    min_size=1, max_size=50,
+))
+def test_dsum_exact_for_two_decimal_values(vals):
+    """dsum == exact decimal sum for any 2-decimal inputs, any
+    partitioning (floats would drift; integer cents cannot)."""
+    df = _spark.createDataFrame([(v,) for v in vals], ["x"]).repartition(3)
+    got = df.select(dsum(F.col("x")).alias("s")).first()["s"]
+    want = round(sum(round(v * 100) for v in vals)) / 100.0
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=12))
+def test_word_shingles_match_python(words):
+    text = " ".join(words)
+    df = _spark.createDataFrame([(text,)], ["text"])
+    got = df.select(word_shingles(F.col("text"), 3).alias("sh")).first()["sh"]
+    toks = [w for w in text.split() if w]
+    want = list(dict.fromkeys(
+        " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+    )) if len(toks) >= 3 else []
+    assert got == want
