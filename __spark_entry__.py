@@ -906,6 +906,53 @@ GROUP BY p_brand
 """
 
 
+def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — the 100 TB path for distincts (exact
+    COUNT(DISTINCT) is a full shuffle). HLL sketches differ per engine,
+    so the hash-checked contract is exact counts + a both-engines
+    within-5%% flag computed from each engine's own sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).cast("int").alias("approx_within_5pct"),
+    )
+
+
+_Q37_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users_exact,
+  CAST(abs(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+       <= 0.05 * COUNT(DISTINCT user_id) AS INTEGER) AS approx_within_5pct
+FROM events
+"""
+
+
+def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join: top-3 cosine neighbours for each of the first 5
+    query vectors (operators/similarity.knn_join — broadcast query
+    batch, one corpus pass, per-query ranking window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+_Q38_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qid, vec_id,
+    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(qe, qe))), 6) AS sim
+  FROM embeddings, q)
+SELECT qid, vec_id, sim, rn FROM (
+  SELECT qid, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
+
 def q36_supplier_nation_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-flavored: shipped revenue per supplier nation per year —
     two broadcast dim hops + a two-key hash aggregate."""
@@ -1026,6 +1073,19 @@ def q49_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", F.col("c_mktsegment_indexed"))
 
 
+def q51_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (2h window, 1h slide) value stats over the
+    replayed event stream — rows-only (streaming/events.py)."""
+    from big_data_ml_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        sliding_value_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(sliding_value_stats(stream), output_mode="append")
+
+
 def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg over the events table
     replayed as a file stream; returns the final micro-batch result
@@ -1082,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_returned_top_customers": q34_returned_top_customers,
         "q35_brand_revenue": q35_brand_revenue,
         "q36_supplier_nation_yearly": q36_supplier_nation_yearly,
+        "q37_approx_distinct": q37_approx_distinct,
+        "q38_knn_join": q38_knn_join,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1093,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ml_kmeans": q48_ml_kmeans,
         "q49_feature_pipeline": q49_feature_pipeline,
         "q50_streaming_hourly": q50_streaming_hourly,
+        "q51_streaming_sliding": q51_streaming_sliding,
     }
 
 
@@ -1134,4 +1197,6 @@ def oracle_sql() -> dict[str, str]:
         "q34_returned_top_customers": _Q34_SQL,
         "q35_brand_revenue": _Q35_SQL,
         "q36_supplier_nation_yearly": _Q36_SQL,
+        "q37_approx_distinct": _Q37_SQL,
+        "q38_knn_join": _Q38_SQL,
     }

@@ -111,6 +111,33 @@ def as_of_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by key salting.
+
+    A hot key (one customer with 1% of a 100 TB fact table) lands its
+    entire partition on one reducer under a plain shuffle join. Salting
+    splits every left key into ``salt`` sub-keys at random and replicates
+    each right row across all ``salt`` sub-keys, so a hot key's rows
+    spread over ``salt`` reducers. Cost: right side × salt — use for
+    fact⋈medium-dim joins where the dim is too big to broadcast but
+    ``salt × |right|`` still shuffles cheaply. (AQE skew-join handles
+    post-hoc splitting; salting is the a-priori version that also works
+    for aggregations and non-AQE engines.)
+    """
+    lsalted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = lsalted.join(rsalted, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -54,6 +54,47 @@ def brute_force_topk(
     )
 
 
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact k-nearest-neighbours JOIN: top-k corpus rows per query row.
+
+    The query set is broadcast (a query batch is small by definition);
+    the corpus streams through one projection computing all query sims,
+    then a per-query ranking window keeps k rows. Shuffle = (qid) keys
+    only — corpus×queries never materializes beyond the map side.
+    Similarity is rounded before ranking so ties break identically on
+    every engine (then by corpus id).
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            to_double_array(F.col(query_vec_col)).alias("__q"),
+        )
+    )
+    sim = F.round(
+        cosine_similarity(to_double_array(F.col(vec_col)), F.col("__q")), round_digits
+    )
+    scored = embeddings.crossJoin(q).select(
+        F.col("qid"), F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure Python, tiny;
     shipped to executors as literals)."""

@@ -1,0 +1,60 @@
+"""Tests for the explicit scale levers: skew salting and bucketed
+shuffle-free joins (SURVEY.md §7 100 TB design rules)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators.joins import salted_join
+from big_data_ml_pipeline_spark.sources.writers import write_bucketed_table
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed left: one hot key with 900 rows, 10 cold keys
+    left = spark.createDataFrame(
+        [(0 if i < 900 else i % 10 + 1, i) for i in range(1000)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(k, f"r{k}") for k in range(11)], ["k", "name"])
+    plain = left.join(right, on=["k"], how="inner")
+    salted = salted_join(left, right, ["k"], salt=4)
+    assert salted.count() == plain.count() == 1000
+    a = sorted((r["k"], r["v"], r["name"]) for r in plain.collect())
+    b = sorted((r["k"], r["v"], r["name"]) for r in salted.collect())
+    assert a == b
+
+
+def test_salted_join_left_outer(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    right = spark.createDataFrame([(1, "x")], ["k", "w"])
+    out = salted_join(left, right, ["k"], salt=3, how="left")
+    got = {r["k"]: r["w"] for r in out.collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key removes the Exchange — the
+    recurring fact-fact join at 100 TB pre-pays its shuffle at write
+    time."""
+    # managed tables land in the session's spark-warehouse; DROP TABLE
+    # in the finally removes the files.
+    n_buckets = 4
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed_table(a, "t_a", ["k"], n_buckets, sort_cols=["k"])
+    write_bucketed_table(b, "t_b", ["k"], n_buckets, sort_cols=["k"])
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (tiny test tables would broadcast);
+        # at real scale both sides are too big to broadcast anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ta, tb = spark.table("t_a"), spark.table("t_b")
+        joined = ta.join(tb, on="k")
+        assert joined.count() == 1000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: bucket layout satisfies the join
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_a")
+        spark.sql("DROP TABLE IF EXISTS t_b")

@@ -67,6 +67,14 @@ def test_catalog_rejects_unknown_table(spark):
         load_table(spark, SF0001, "nope")
 
 
+def test_delta_unavailable_raises_clear_error(spark, tmp_path):
+    # delta-spark is an optional dependency; absence must fail loudly,
+    # not fall through to a wrong-format read
+    with pytest.raises((RuntimeError, Exception)) as exc:
+        load_data(spark, str(tmp_path / "t"), fmt="delta").count()
+    assert "delta" in str(exc.value).lower()
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -181,6 +181,16 @@ def test_lsh_bucketed_pairs_finds_identical(spark):
     assert all(s >= 0.9 for s in pairs.values())
 
 
+def test_knn_join_per_query_topk(spark):
+    emb = _emb_df(spark)
+    out = sim_ops.knn_join(emb, emb.filter(F.col("vec_id") <= 1), k=2)
+    got = {(r["qid"], r["rn"]): r["vec_id"] for r in out.collect()}
+    # queries 0 and 1 are identical vectors; each ranks (0, 1) first
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1
+    assert got[(1, 1)] == 0 and got[(1, 2)] == 1
+    assert len(got) == 4
+
+
 def test_ivf_topk_contains_exact_matches(spark):
     emb = _emb_df(spark)
     out = sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=2, n_cells=2, nprobe=2)
