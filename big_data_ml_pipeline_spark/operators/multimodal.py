@@ -123,6 +123,10 @@ def extract_features(
                 }
             )
 
+    # NB no repartition before mapInPandas: fanning a small input out to
+    # N partitions cold-starts N Python workers, which dominates the
+    # work itself (measured 2s → 9s at sf0.1). Real 100 TB sources have
+    # many splits already; partition count is the caller's lever.
     narrow = media.select("media_id", "modality", "payload")
     return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
 

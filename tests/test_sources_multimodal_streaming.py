@@ -154,6 +154,28 @@ def test_stream_dedup_within_watermark(spark):
     assert got.count() == want
 
 
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState accumulator over the replayed stream must
+    equal the batch per-user aggregate."""
+    from big_data_ml_pipeline_spark.streaming.stateful import running_user_totals
+
+    stream = stream_ops.read_events_stream(spark, SF0001)
+    got = stream_ops.run_to_memory(running_user_totals(stream), output_mode="update")
+    # update mode re-emits a row per trigger; keep the last per user
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    want = (
+        load_table(spark, SF0001, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    g = {r["user_id"]: r["n_events"] for r in final.collect()}
+    w = {r["user_id"]: r["n_events"] for r in want.collect()}
+    assert g == w
+
+
 def test_stream_session_counts_runs(spark):
     stream = stream_ops.read_events_stream(spark, SF0001)
     got = stream_ops.run_to_memory(stream_ops.session_counts(stream))
