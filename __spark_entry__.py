@@ -906,6 +906,59 @@ GROUP BY p_brand
 """
 
 
+def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from lineitems below half their part's
+    average quantity. The per-part average is a fact-table
+    self-aggregation (NOT broadcastable at 100 TB as raw rows — but the
+    aggregate is one row per part, which is); joined back on partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    joined = join_ops.join_back(
+        li.select("l_partkey", "l_quantity", "l_extendedprice"), per_part, ["l_partkey"]
+    )
+    return joined.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty")).select(
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q39_SQL = f"""
+WITH p AS (
+  SELECT l_partkey AS pk, {_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {_dsum('l_extendedprice')} AS total_price, COUNT(*) AS n_items
+FROM lineitem JOIN p ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q53_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame rolling stats: each event's trailing-1h
+    per-user sum/count (operators/windows.rolling_time_features).
+    Exact cents via pre-scaling value before the window sum."""
+    ev = load_table(spark, sf_dir, "events")
+    scaled = ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = win_ops.rolling_time_features(scaled, ["user_id"], "ts", "cents", 3600)
+    return out.select(
+        "event_id",
+        (F.col("cents_tsum_3600s") / 100.0).alias("value_1h_sum"),
+        F.col("cents_tcount_3600s").alias("n_1h"),
+    )
+
+
+_Q53_SQL = f"""
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS value_1h_sum,
+  COUNT(value) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH}
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — the 100 TB path for distincts (exact
     COUNT(DISTINCT) is a full shuffle). HLL sketches differ per engine,
@@ -1158,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_supplier_nation_yearly": q36_supplier_nation_yearly,
         "q37_approx_distinct": q37_approx_distinct,
         "q38_knn_join": q38_knn_join,
+        "q39_small_quantity_revenue": q39_small_quantity_revenue,
+        "q53_time_range_rolling": q53_time_range_rolling,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1214,4 +1269,6 @@ def oracle_sql() -> dict[str, str]:
         "q36_supplier_nation_yearly": _Q36_SQL,
         "q37_approx_distinct": _Q37_SQL,
         "q38_knn_join": _Q38_SQL,
+        "q39_small_quantity_revenue": _Q39_SQL,
+        "q53_time_range_rolling": _Q53_SQL,
     }

@@ -63,6 +63,35 @@ def rolling_features(
     return with_columns(df, exprs)
 
 
+def rolling_time_features(
+    df: DataFrame,
+    partition_cols: list[str],
+    time_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Event-time rolling sum/count over a RANGE frame: all rows within
+    the trailing ``window_seconds`` of each row's timestamp (not a fixed
+    row count — W2's ROWS twin for irregular event spacing).
+
+    The frame is RANGE BETWEEN w PRECEDING AND CURRENT ROW over epoch
+    seconds; rows sharing a timestamp all see the same frame, so the
+    result is deterministic without a tiebreaker column.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(time_col).cast("long"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return with_columns(
+        df,
+        {
+            f"{value_col}_tsum_{window_seconds}s": F.sum(value_col).over(w),
+            f"{value_col}_tcount_{window_seconds}s": F.count(value_col).over(w),
+        },
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     partition_cols: list[str],

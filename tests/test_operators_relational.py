@@ -201,6 +201,18 @@ def test_rolling_features_exact(spark):
     assert got[5] == (12.0, 4.0)
 
 
+def test_rolling_time_features_range_frame(spark):
+    # events at t=0s, 30s, 3600s, 4000s, 8000s; 1h trailing window
+    ts = [0, 30, 3600, 4000, 8000]
+    df = spark.createDataFrame(
+        [("u", datetime.fromtimestamp(t), 1.0) for t in ts], ["uid", "ts", "v"]
+    )
+    out = win_ops.rolling_time_features(df, ["uid"], "ts", "v", 3600)
+    got = {int(r["ts"].timestamp()): r["v_tcount_3600s"] for r in out.collect()}
+    # t=3600 still includes t=0 (RANGE is inclusive); t=4000 drops t=0,30
+    assert got == {0: 1, 30: 2, 3600: 3, 4000: 2, 8000: 1}
+
+
 def test_top_k_per_group(spark):
     df = spark.createDataFrame(
         [("a", i, float(i % 5)) for i in range(10)], ["g", "id", "v"]
