@@ -586,14 +586,8 @@ def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, avg token length, language ID,
     fingerprint — all Catalyst expressions (operators/text.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        text_ops.token_count(t).alias("n_tokens"),
-        text_ops.char_count(t).alias("n_chars_computed"),
-        text_ops.avg_token_length(t).alias("avg_token_len"),
-        text_ops.lang_id(t).alias("lang_pred"),
-        text_ops.fingerprint(t).alias("fp"),
+    return text_ops.text_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_computed", "avg_token_len", "lang_pred", "fp"
     )
 
 

@@ -30,6 +30,35 @@ def test_token_and_char_counts(spark):
     assert (out[1]["n"], out[1]["avg"]) == (0, 0.0)  # guarded empty doc
 
 
+def test_text_stats_exploded_matches_one_pass(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog, of course!"),
+            (2, ""),
+            (3, "le chat et la souris"),
+            (4, "x " * 200),
+        ],
+        ["doc_id", "text"],
+    )
+    cols = [
+        "doc_id", "n_tokens", "n_chars_computed", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality", "lang_pred", "fp",
+    ]
+    fast = {r["doc_id"]: r for r in text_ops.text_stats(df).select(*cols).collect()}
+    slow = {
+        r["doc_id"]: r
+        for r in text_ops.text_stats_exploded(df).select(*cols).collect()
+    }
+    assert fast.keys() == slow.keys()
+    for k in fast:
+        for c in cols:
+            a, b = fast[k][c], slow[k][c]
+            if isinstance(a, float):
+                assert b == pytest.approx(a), (k, c)
+            else:
+                assert a == b, (k, c)
+
+
 def test_punct_and_stopword_ratios(spark):
     df = spark.createDataFrame([("ab!?",), ("the dog of war runs",)], ["text"])
     out = df.select(
