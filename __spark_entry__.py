@@ -1120,6 +1120,159 @@ def q49_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", F.col("c_mktsegment_indexed"))
 
 
+def q54_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top-10 orders by revenue still unshipped at the
+    cutoff, one market segment. Both fact filters (l_shipdate >,
+    o_orderdate <) sit below the orderkey shuffle join; the filtered
+    customer dim is broadcast."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cutoff = "1998-01-01"
+    df = (
+        t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+        )
+        .join(
+            F.broadcast(t["customer"].filter(F.col("c_mktsegment") == "BUILDING")),
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+    )
+    per_order = df.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
+    )
+    return set_ops.top_k(per_order, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
+
+
+_Q54_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q55_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one supplier nation's yearly share of a region's
+    market for one part type. Share = ratio of two integer-cent exact
+    sums (hash-stable). lineitem⋈orders is the only fact-fact shuffle;
+    every dimension (filtered part included) broadcasts."""
+    t = load_tables(
+        spark, sf_dir,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region", "part"),
+    )
+    cust_nation = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    flat = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(F.broadcast(t["customer"]), t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["region"]), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(t["supplier"]), t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+            t["lineitem"]["l_partkey"] == t["part"]["p_partkey"],
+        )
+        .filter(F.col("r_name") == "AMERICA")
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+            F.col("supp_nation"),
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_0", F.col("vol")).otherwise(0.0)
+    return flat.groupBy("yr").agg(
+        (dsum(nation_vol, 4) / dsum(F.col("vol"), 4)).alias("mkt_share"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q55_SQL = f"""
+SELECT year(o_orderdate) AS yr,
+  ({_dsum("CASE WHEN sn.n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS mkt_share,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q56_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: per order priority, how
+    many lineitems shipped >90 days after the order date (the testdata
+    has no l_shipmode/l_receiptdate, so priority is the bucket key and
+    shipdate−orderdate the lateness measure)."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    df = t["lineitem"].join(
+        t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"]
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.when(late, F.lit(1))).alias("n_late"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q56_SQL = """
+SELECT o_orderpriority,
+  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS n_late,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q57_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over documents (doc_id and
+    vec_id are 1:1 aligned in the testdata), blocked by language so the
+    pair join is an equi-join on the block key
+    (operators/similarity.cosine_near_dup_pairs). The synthetic
+    embeddings are near-random (max pairwise cos ≈ 0.51), so the
+    demo threshold is 0.42 to make the oracle check non-trivial; real
+    corpora would use ≥ 0.9."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.select("doc_id", "lang").join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    return sim_ops.cosine_near_dup_pairs(
+        joined, ["lang"], threshold=0.42, id_col="doc_id"
+    )
+
+
+_Q57_SQL = """
+WITH e AS (
+  SELECT d.doc_id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE sim >= 0.42
+"""
+
+
 def q51_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (2h window, 1h slide) value stats over the
     replayed event stream — rows-only (streaming/events.py)."""
@@ -1207,6 +1360,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_knn_join": q38_knn_join,
         "q39_small_quantity_revenue": q39_small_quantity_revenue,
         "q53_time_range_rolling": q53_time_range_rolling,
+        "q54_shipping_priority": q54_shipping_priority,
+        "q55_market_share": q55_market_share,
+        "q56_late_shipments": q56_late_shipments,
+        "q57_embedding_near_dup": q57_embedding_near_dup,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1265,4 +1422,8 @@ def oracle_sql() -> dict[str, str]:
         "q38_knn_join": _Q38_SQL,
         "q39_small_quantity_revenue": _Q39_SQL,
         "q53_time_range_rolling": _Q53_SQL,
+        "q54_shipping_priority": _Q54_SQL,
+        "q55_market_share": _Q55_SQL,
+        "q56_late_shipments": _Q56_SQL,
+        "q57_embedding_near_dup": _Q57_SQL,
     }

@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot, to_double_array
+from ..functions.vector import cosine_similarity, dot, l2_norm, to_double_array
 
 
 def brute_force_topk(
@@ -92,6 +92,55 @@ def knn_join(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", id_col, "sim", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking-key groups.
+
+    All-pairs cosine is O(n²); blocking on ``block_cols`` turns the
+    candidate set into an equi-join keyed on the block, so the shuffle
+    partitions by block key and pairs never form across blocks — the
+    standard near-dup shape at corpus scale (block by language/domain/
+    LSH bucket). Each row's L2 norm is computed ONCE in the projection
+    below the join, so a candidate pair costs a single zip_with dot
+    product. Returns (id_a, id_b, sim) with id_a < id_b and
+    rounded sim >= threshold.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in block_cols],
+        to_double_array(F.col(vec_col)).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = base.select(
+        *block_cols,
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        *block_cols,
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    denom = F.col("__na") * F.col("__nb")
+    sim = F.round(
+        F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(0.0),
+        round_digits,
+    )
+    return (
+        a.join(b, on=list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 

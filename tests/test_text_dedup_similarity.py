@@ -202,6 +202,24 @@ def test_brute_force_topk_exact(spark):
     assert got[2][0] == 3 and math.isclose(got[2][1], round(1 / math.sqrt(2), 6))
 
 
+def test_cosine_near_dup_pairs_blocked(spark):
+    rows = [
+        (1, "en", [1.0, 0.0]),
+        (2, "en", [1.0, 0.0]),     # exact dup of 1, same block
+        (3, "en", [0.0, 1.0]),     # orthogonal → excluded by threshold
+        (4, "de", [1.0, 0.0]),     # dup of 1 but different block → excluded
+        (5, "de", [2.0, 0.02]),    # near-dup of 4 within block
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "lang", "embedding"])
+    out = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in sim_ops.cosine_near_dup_pairs(df, ["lang"], threshold=0.9).collect()
+    }
+    assert set(out) == {(1, 2), (4, 5)}
+    assert out[(1, 2)] == 1.0
+    assert 0.9 <= out[(4, 5)] < 1.0
+
+
 def test_lsh_bucketed_pairs_finds_identical(spark):
     emb = _emb_df(spark)
     pairs = {(r["id_a"], r["id_b"]): r["sim"]
