@@ -1054,9 +1054,13 @@ def q42_lsh_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbours (nprobe cell search)."""
+    """IVF-style approximate nearest neighbours: offline MLlib-KMeans
+    coarse quantizer (fit_ivf_centroids), then an nprobe cell search."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    cents = sim_ops.fit_ivf_centroids(emb, n_cells=16)
+    return sim_ops.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, centroids=cents
+    )
 
 
 def q44_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,6 +1277,32 @@ WHERE sim >= 0.42
 """
 
 
+def q58_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-token accounting + order-sensitive fingerprints: BPE-ish
+    subword count (regex pre-tokenizer) and polynomial rolling hash
+    over tokens (operators/text.py) — both pure codegen expressions,
+    verified bit-identical on DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text_ops.bpe_token_count(t).alias("n_bpe_tokens"),
+        text_ops.rolling_hash_fingerprint(t).alias("roll_fp"),
+    )
+
+
+_Q58_SQL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({_DUCK_TOKENS.format(col='lower(text)')},
+        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {text_ops.ROLLING_HASH_MOD})),
+    (acc, h) -> (acc * {text_ops.ROLLING_HASH_BASE} + h) % {text_ops.ROLLING_HASH_MOD}) AS roll_fp
+FROM documents
+"""
+
+
 def q51_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (2h window, 1h slide) value stats over the
     replayed event stream — rows-only (streaming/events.py)."""
@@ -1364,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_market_share": q55_market_share,
         "q56_late_shipments": q56_late_shipments,
         "q57_embedding_near_dup": q57_embedding_near_dup,
+        "q58_token_fingerprints": q58_token_fingerprints,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1426,4 +1457,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_market_share": _Q55_SQL,
         "q56_late_shipments": _Q56_SQL,
         "q57_embedding_near_dup": _Q57_SQL,
+        "q58_token_fingerprints": _Q58_SQL,
     }

@@ -208,6 +208,29 @@ def lsh_bucketed_pairs(
     )
 
 
+def fit_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Offline IVF coarse quantizer: MLlib KMeans over the embedding
+    column (distributed Lloyd iterations), returning the k cluster
+    centers as plain Python lists — small enough to ship to every
+    executor as literals/broadcast regardless of corpus size. Fit once,
+    reuse across many ``ivf_topk`` calls (the standard IVF build/probe
+    split)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = embeddings.select(
+        array_to_vector(to_double_array(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -217,24 +240,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: centroids = deterministic sample of
-    the corpus; every vector is assigned to its nearest centroid
-    (argmax cosine, computed against the broadcast centroid array);
-    the query searches only its ``nprobe`` closest cells.
+    """IVF-style approximate top-k: every vector is assigned to its
+    nearest centroid (argmax cosine, computed against the broadcast
+    centroid array); the query searches only its ``nprobe`` closest
+    cells.
 
-    At 100 TB the assignment pass is a single broadcast-map job and the
-    search touches nprobe/n_cells of the data. Centroid fitting is
-    pluggable (use MLlib KMeans offline for real workloads).
+    ``centroids`` should come from :func:`fit_ivf_centroids` (real
+    KMeans cells → balanced lists, better recall per probe). When None,
+    falls back to a deterministic corpus sample — cheaper to build,
+    worse cell balance. At 100 TB the assignment pass is a single
+    broadcast-map job and the search touches nprobe/n_cells of the data.
     """
-    cents = (
-        embeddings.select(to_double_array(F.col(vec_col)).alias("c"))
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(n_cells)
-        .collect()
-    )
+    if centroids is None:
+        cents = [
+            row["c"]
+            for row in (
+                embeddings.select(to_double_array(F.col(vec_col)).alias("c"))
+                .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+                .limit(n_cells)
+                .collect()
+            )
+        ]
+    else:
+        cents = centroids
     cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row["c"]]) for row in cents]
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
 
     def nearest_cells(vec, n: int):

@@ -94,6 +94,50 @@ def lang_id(text: Column) -> Column:
     return expr.otherwise(out)
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+#: Java regex and RE2 (no lookahead): contractions, space-prefixed
+#: letter/digit runs, punctuation runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+#: Polynomial rolling-hash parameters. B·M and M² stay far below 2^63,
+#: so the fold never overflows a BIGINT on any engine (DuckDB errors on
+#: BIGINT overflow; Java would silently wrap — both avoided).
+ROLLING_HASH_BASE = 1000003
+ROLLING_HASH_MOD = (1 << 31) - 1
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-ish token count: number of BPE_ISH_PATTERN matches.
+
+    Approximates a BPE pre-tokenizer's fragment count (the unit LLM
+    token budgets are measured in) without a vocab file. Pure
+    `regexp_extract_all` → codegen; oracle: DuckDB
+    ``len(regexp_extract_all(text, pattern))`` (verified identical,
+    incl. unicode + empty docs)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def rolling_hash_fingerprint(text: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over lowered tokens:
+    ``h = fold(acc·B + md5_32(token) mod M) mod M``.
+
+    Unlike `fingerprint` (md5 of the whole normalized text), this is
+    incrementally computable over a token stream and is the building
+    block for content-defined chunking. Token hash = first 8 hex chars
+    of md5 (the one hash both engines compute identically); the fold is
+    a sequential `aggregate`, deterministic on any partitioning since
+    it is per-row."""
+    m = F.lit(ROLLING_HASH_MOD)
+    tok_hash = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), m
+    )
+    return F.aggregate(
+        F.transform(tokens(F.lower(text)), tok_hash),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * ROLLING_HASH_BASE + h, m),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Identical in DuckDB:

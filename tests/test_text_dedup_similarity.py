@@ -83,6 +83,32 @@ def test_lang_id_markers(spark):
         assert r["got"] == r["want"]
 
 
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("Hello world, it's 42 degrees!",), ("",)], ["text"]
+    )
+    out = df.select(text_ops.bpe_token_count(F.col("text")).alias("n")).collect()
+    # Hello | _world | , | _it | 's | _42 | _degrees | !
+    assert out[0]["n"] == 8
+    assert out[1]["n"] == 0
+
+
+def test_rolling_hash_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "A  B   C"), (4, "")], ["id", "text"]
+    )
+    out = {
+        r["id"]: r["h"]
+        for r in df.select(
+            "id", text_ops.rolling_hash_fingerprint(F.col("text")).alias("h")
+        ).collect()
+    }
+    assert out[1] != out[2]  # same bag of tokens, different order
+    assert out[1] == out[3]  # case/whitespace-insensitive
+    assert out[4] == 0
+    assert all(0 <= v < text_ops.ROLLING_HASH_MOD for v in out.values())
+
+
 def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [("Hello   World",), ("  hello world ",), ("different",)], ["text"]
@@ -241,5 +267,16 @@ def test_knn_join_per_query_topk(spark):
 def test_ivf_topk_contains_exact_matches(spark):
     emb = _emb_df(spark)
     out = sim_ops.ivf_topk(emb, emb.filter(F.col("vec_id") == 0), k=2, n_cells=2, nprobe=2)
+    got = [(r["vec_id"], r["sim"]) for r in out.collect()]
+    assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
+
+
+def test_ivf_topk_with_kmeans_centroids(spark):
+    emb = _emb_df(spark)
+    cents = sim_ops.fit_ivf_centroids(emb, n_cells=2, max_iter=5)
+    assert len(cents) == 2 and all(len(c) == len(cents[0]) for c in cents)
+    out = sim_ops.ivf_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=2, n_cells=2, nprobe=2, centroids=cents
+    )
     got = [(r["vec_id"], r["sim"]) for r in out.collect()]
     assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
