@@ -59,6 +59,26 @@ def test_bucketed_range_join_avoids_nested_loop(spark):
     assert "BroadcastHashJoin" in p and "NestedLoop" not in p
 
 
+def test_q54_filters_below_join_and_topk(spark):
+    p = plan_of(spark, "q54_shipping_priority")
+    assert "GreaterThan(l_shipdate" in p  # fact filter at the scan
+    assert "LessThan(o_orderdate" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # dim filter at the scan
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q55_single_fact_scan_all_dims_broadcast(spark):
+    p = plan_of(spark, "q55_market_share")
+    assert p.count("BroadcastHashJoin") >= 6  # orders may shuffle; dims must not
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_q57_near_dup_is_equi_join_on_block_key(spark):
+    p = plan_of(spark, "q57_embedding_near_dup")
+    # the pair join must key on the blocking column, never cross-join
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
 def test_whole_stage_codegen_on_hot_path(spark):
     # AQE reports isFinalPlan=false (no codegen spans) until an action
     # runs; execute, then inspect the finalized adaptive plan.
