@@ -1330,6 +1330,24 @@ def q52_streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(running_user_totals(stream), output_mode="update")
 
 
+def q59_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (`dropDuplicatesWithinWatermark`) on
+    (user_id, event_type): the first event per key within the watermark
+    survives. Rows-only — state-store retention semantics are not
+    SQL-expressible; the batch-equivalence unit test pins the count."""
+    from big_data_ml_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        stream_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream_dedup(stream, ["user_id", "event_type"])
+    return run_to_memory(
+        deduped.select("event_id", "user_id", "event_type"), output_mode="append"
+    )
+
+
 def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg over the events table
     replayed as a file stream; returns the final micro-batch result
@@ -1408,6 +1426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_streaming_hourly": q50_streaming_hourly,
         "q51_streaming_sliding": q51_streaming_sliding,
         "q52_streaming_stateful_totals": q52_streaming_stateful_totals,
+        "q59_streaming_dedup": q59_streaming_dedup,
     }
 
 
