@@ -1277,6 +1277,25 @@ WHERE sim >= 0.42
 """
 
 
+def q60_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact percentiles (median/p90/p99 of value per event
+    type) — operators/aggregates.grouped_percentiles. Exact interpolated
+    percentile matches DuckDB quantile_cont bit-for-bit; the approx
+    t-digest variant is the 100 TB path (same operator, exact=False)."""
+    ev = load_table(spark, sf_dir, "events")
+    return agg_ops.grouped_percentiles(ev, ["event_type"], "value")
+
+
+_Q60_SQL = """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
 def q58_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-token accounting + order-sensitive fingerprints: BPE-ish
     subword count (regex pre-tokenizer) and polynomial rolling hash
@@ -1413,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_late_shipments": q56_late_shipments,
         "q57_embedding_near_dup": q57_embedding_near_dup,
         "q58_token_fingerprints": q58_token_fingerprints,
+        "q60_event_percentiles": q60_event_percentiles,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1477,4 +1497,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_late_shipments": _Q56_SQL,
         "q57_embedding_near_dup": _Q57_SQL,
         "q58_token_fingerprints": _Q58_SQL,
+        "q60_event_percentiles": _Q60_SQL,
     }

@@ -83,3 +83,26 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     """HyperLogLog++ approximate distinct count — the scale path for
     cardinality on 100 TB (exact COUNT(DISTINCT) is a full shuffle)."""
     return df.select(F.approx_count_distinct(col, rsd).alias(f"{col}_approx_distinct"))
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group percentiles, aliased ``p50``/``p90``/…
+
+    ``exact=True`` uses SQL ``percentile`` (interpolated, bit-identical
+    to DuckDB's ``quantile_cont`` — verified) but buffers each group's
+    values; at 100 TB with huge groups switch ``exact=False`` for
+    ``approx_percentile`` (t-digest sketch: bounded memory, mergeable
+    map-side, no full buffer) and accept engine-specific results.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    exprs = [
+        F.expr(f"{fn}({value_col}, {p})").alias(f"p{str(p)[2:].ljust(2, '0')}")
+        for p in percentiles
+    ]
+    return df.groupBy(*group_cols).agg(*exprs)

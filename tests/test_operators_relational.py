@@ -255,3 +255,19 @@ def test_top_k_plan_is_take_ordered(spark):
     df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("v"))
     plan = set_ops.top_k(df, [F.col("v").desc()], 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no full sort at any scale
+
+
+def test_grouped_percentiles_exact(spark):
+    from big_data_ml_pipeline_spark.operators import aggregates as agg_ops
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)],
+        ["g", "value"],
+    )
+    out = {
+        r["g"]: (r["p50"], r["p90"], r["p99"])
+        for r in agg_ops.grouped_percentiles(df, ["g"], "value").collect()
+    }
+    # interpolated: rank = p*(n-1) over sorted values 1..10
+    assert out["a"] == (5.5, pytest.approx(9.1), pytest.approx(9.91))
+    assert out["b"] == (5.0, 5.0, 5.0)
