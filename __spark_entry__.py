@@ -1376,6 +1376,294 @@ def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_counts_batch_replay(spark, sf_dir)
 
 
+def q61_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: per-priority count of orders in one quarter that
+    had at least one line shipped after the order date. EXISTS — a
+    left-semi join on a compound (equi + non-equi) condition; the
+    quarter filter prunes the orders scan before the shuffle."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t["lineitem"]
+    hit = join_ops.semi_join(
+        orders,
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q61_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q62_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by year.
+    Nation membership filters are pushed into the (broadcast) customer
+    and supplier dims BEFORE the fact joins, so the big
+    lineitem⋈orders shuffle only carries surviving rows; the
+    cross-pair predicate is applied post-join."""
+    t = load_tables(spark, sf_dir, ("supplier", "customer", "orders", "lineitem"))
+    n1, n2 = 1, 2
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    cust = t["customer"].filter(F.col("c_nationkey").isin(n1, n2))
+    supp = t["supplier"].filter(F.col("s_nationkey").isin(n1, n2))
+    df = (
+        li.join(t["orders"], li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            ((F.col("s_nationkey") == n1) & (F.col("c_nationkey") == n2))
+            | ((F.col("s_nationkey") == n2) & (F.col("c_nationkey") == n1))
+        )
+    )
+    return df.groupBy(
+        F.col("s_nationkey").alias("supp_nation"),
+        F.col("c_nationkey").alias("cust_nation"),
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+
+
+_Q62_SQL = f"""
+SELECT CAST(s_nationkey AS INTEGER) AS supp_nation,
+  CAST(c_nationkey AS INTEGER) AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+  AND ((s_nationkey = 1 AND c_nationkey = 2)
+    OR (s_nationkey = 2 AND c_nationkey = 1))
+GROUP BY 1, 2, 3
+"""
+
+
+def q63_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: histogram of customers by how many orders they
+    placed. Left outer join keeps 0-order customers (count(o_orderkey)
+    skips the null match); two cascaded hash aggregations."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], t["customer"]["c_custkey"] == t["orders"]["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q63_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q64_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: percentage of one month's revenue from PROMO
+    parts. Conditional aggregation over a broadcast part join; both
+    numerator and denominator are exact integer-cent sums, so the
+    final double ratio is bit-stable across partitionings."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (F.lit(100.0) * dsum(promo, 4) / dsum(disc, 4)).alias("promo_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q64_SQL = f"""
+SELECT
+  100.0 * ({_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS promo_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+def q65_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: top-20 largest-quantity orders with their
+    customers. The per-order quantity agg and the orders join share
+    the l_orderkey/o_orderkey shuffle key (one exchange reused);
+    customer dim is broadcast."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    df = (
+        big.join(t["orders"], big["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+    return set_ops.top_k(df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20)
+
+
+_Q65_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {_dsum('l_quantity')} > 300)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q66_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under three disjunctive brand/size/
+    quantity branches. The part-side OR of the predicate is pre-applied
+    to the broadcast part dim (partition-pruning the build side); the
+    full disjunction re-checks quantity bounds after the join."""
+    t = load_tables(spark, sf_dir, ("part", "lineitem"))
+    part_side = t["part"].filter(
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 30))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(20, 50))
+    )
+    qty = F.col("l_quantity")
+    branches = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15) & qty.between(1, 20))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 30) & qty.between(10, 30))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(20, 50) & qty.between(20, 50))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part_side), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branches)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q66_SQL = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q67_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (adapted to this schema: no receipt/commit
+    dates): suppliers who were the SOLE latest shipper on
+    multi-supplier orders. Per-order max-shipdate + distinct-supplier
+    agg, joined back on the same l_orderkey shuffle key, then a
+    second agg isolates orders with exactly one supplier at the max;
+    top-10 suppliers by such orders."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    li = t["lineitem"]
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") >= 2)
+    )
+    at_max = li.join(
+        per_order.select("l_orderkey", "max_ship"),
+        ["l_orderkey"],
+    ).filter(F.col("l_shipdate") == F.col("max_ship"))
+    sole = (
+        at_max.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_at_max"),
+            F.min("l_suppkey").alias("sole_supp"),
+        )
+        .filter(F.col("n_at_max") == 1)
+    )
+    per_supp = sole.groupBy("sole_supp").agg(F.count("*").alias("numwait"))
+    named = per_supp.join(
+        F.broadcast(t["supplier"]), F.col("sole_supp") == F.col("s_suppkey")
+    ).select("s_name", "numwait")
+    return set_ops.top_k(named, [F.col("numwait").desc(), F.col("s_name")], 10)
+
+
+_Q67_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+), sole AS (
+  SELECT l.l_orderkey, MIN(l.l_suppkey) AS sole_supp
+  FROM lineitem l JOIN per_order p
+    ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
+  GROUP BY l.l_orderkey HAVING COUNT(DISTINCT l.l_suppkey) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier ON sole_supp = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q68_rich_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style (adapted: no phone column): per-nation count and
+    exact total balance of above-average-balance customers with no
+    URGENT orders. The global average is a broadcast scalar (no
+    driver-side collect); NOT EXISTS is a left-anti join against the
+    pre-filtered orders projection."""
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    cust = t["customer"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    quiet = join_ops.anti_join(rich, urgent, rich["c_custkey"] == urgent["o_custkey"])
+    return quiet.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+_Q68_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1433,6 +1721,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_embedding_near_dup": q57_embedding_near_dup,
         "q58_token_fingerprints": q58_token_fingerprints,
         "q60_event_percentiles": q60_event_percentiles,
+        "q61_order_priority_check": q61_order_priority_check,
+        "q62_volume_shipping": q62_volume_shipping,
+        "q63_customer_order_distribution": q63_customer_order_distribution,
+        "q64_promo_revenue": q64_promo_revenue,
+        "q65_large_volume_orders": q65_large_volume_orders,
+        "q66_disjunctive_revenue": q66_disjunctive_revenue,
+        "q67_sole_latest_shipper": q67_sole_latest_shipper,
+        "q68_rich_quiet_customers": q68_rich_quiet_customers,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1498,4 +1794,12 @@ def oracle_sql() -> dict[str, str]:
         "q57_embedding_near_dup": _Q57_SQL,
         "q58_token_fingerprints": _Q58_SQL,
         "q60_event_percentiles": _Q60_SQL,
+        "q61_order_priority_check": _Q61_SQL,
+        "q62_volume_shipping": _Q62_SQL,
+        "q63_customer_order_distribution": _Q63_SQL,
+        "q64_promo_revenue": _Q64_SQL,
+        "q65_large_volume_orders": _Q65_SQL,
+        "q66_disjunctive_revenue": _Q66_SQL,
+        "q67_sole_latest_shipper": _Q67_SQL,
+        "q68_rich_quiet_customers": _Q68_SQL,
     }
