@@ -1253,13 +1253,16 @@ def q57_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.cosine_near_dup_pairs). The synthetic
     embeddings are near-random (max pairwise cos ≈ 0.51), so the
     demo threshold is 0.42 to make the oracle check non-trivial; real
-    corpora would use ≥ 0.9."""
+    corpora would use ≥ 0.9. Within-block compute is one numpy GEMM per
+    block (cosine_near_dup_pairs_gemm, ~5× the zip_with fold); the
+    pure-Catalyst twin stays available as
+    similarity.cosine_near_dup_pairs and is pinned equal in tests."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     joined = docs.select("doc_id", "lang").join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
-    return sim_ops.cosine_near_dup_pairs(
+    return sim_ops.cosine_near_dup_pairs_gemm(
         joined, ["lang"], threshold=0.42, id_col="doc_id"
     )
 

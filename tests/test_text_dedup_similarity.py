@@ -246,6 +246,33 @@ def test_cosine_near_dup_pairs_blocked(spark):
     assert 0.9 <= out[(4, 5)] < 1.0
 
 
+def test_cosine_near_dup_gemm_matches_catalyst(spark):
+    """The GEMM (applyInPandas) path and the pure-Catalyst path must
+    agree pair-for-pair at the rounded-sim level — q57 relies on it."""
+    rows = [
+        (1, "en", [1.0, 0.0]),
+        (2, "en", [1.0, 0.0]),
+        (3, "en", [0.0, 1.0]),
+        (4, "de", [1.0, 0.0]),
+        (5, "de", [2.0, 0.02]),
+        (6, "de", [0.0, 0.0]),    # zero vector: sim 0 with everything
+        (7, "fr", [3.0, 4.0]),    # singleton block → no pairs
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "lang", "embedding"])
+    for threshold in (0.9, 0.0):
+        catalyst = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in sim_ops.cosine_near_dup_pairs(df, ["lang"], threshold=threshold).collect()
+        }
+        gemm = {
+            (r["id_a"], r["id_b"]): r["sim"]
+            for r in sim_ops.cosine_near_dup_pairs_gemm(
+                df, ["lang"], threshold=threshold
+            ).collect()
+        }
+        assert catalyst == gemm
+
+
 def test_lsh_bucketed_pairs_finds_identical(spark):
     emb = _emb_df(spark)
     pairs = {(r["id_a"], r["id_b"]): r["sim"]
