@@ -1370,6 +1370,22 @@ def q59_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window (30-min gap) per-user event counts over the
+    replayed stream — `F.session_window` merges adjacent events into
+    variable-length windows in the state store. Rows-only: gap-merge
+    state semantics are not SQL-expressible (batch twin q30_sessionize
+    IS oracle-checked)."""
+    from big_data_ml_pipeline_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory,
+        session_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_to_memory(session_counts(stream), output_mode="append")
+
+
 def q50_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming tumbling-window agg over the events table
     replayed as a file stream; returns the final micro-batch result
@@ -1746,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_streaming_sliding": q51_streaming_sliding,
         "q52_streaming_stateful_totals": q52_streaming_stateful_totals,
         "q59_streaming_dedup": q59_streaming_dedup,
+        "q69_streaming_sessions": q69_streaming_sessions,
     }
 
 

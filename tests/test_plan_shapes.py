@@ -79,6 +79,40 @@ def test_q57_near_dup_is_equi_join_on_block_key(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
+def test_q61_exists_is_semi_join_with_quarter_pushdown(spark):
+    p = plan_of(spark, "q61_order_priority_check")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # quarter filter at the scan
+
+
+def test_q62_nation_filters_prune_broadcast_dims(spark):
+    p = plan_of(spark, "q62_volume_shipping")
+    assert p.count("BroadcastHashJoin") >= 2  # customer + supplier broadcast
+    # nation membership reaches the dim scans, not just the join output
+    assert "In(c_nationkey" in p and "In(s_nationkey" in p
+
+
+def test_q65_having_reuses_orderkey_exchange(spark):
+    p = plan_of(spark, "q65_large_volume_orders")
+    assert "TakeOrderedAndProject" in p
+    # per-order agg shuffles on l_orderkey; the orders join must not add
+    # a second exchange for the already-clustered agg side
+    assert p.count("Exchange hashpartitioning(l_orderkey") <= 1
+
+
+def test_q66_part_side_or_pushed_to_build_scan(spark):
+    p = plan_of(spark, "q66_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p
+    # the part-only OR branch must reach the part parquet scan
+    assert "Or(And(EqualTo(p_type,SMALL)" in p
+
+
+def test_q68_scalar_subquery_broadcast_no_collect(spark):
+    p = plan_of(spark, "q68_rich_quiet_customers")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_whole_stage_codegen_on_hot_path(spark):
     # AQE reports isFinalPlan=false (no codegen spans) until an action
     # runs; execute, then inspect the finalized adaptive plan.
