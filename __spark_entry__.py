@@ -1370,6 +1370,41 @@ def q59_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_minhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH, fully oracle-checked: md5-derived 32-bit
+    shingle hash + universal (a·h+b) mod P family + string band keys
+    make every step reproducible in DuckDB SQL (operators/dedup.py
+    minhash_dedup_pairs_oracle). Correctness anchor for the xxhash64
+    fast path (q40, rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup_pairs_oracle(docs, min_est=0.4)
+
+
+_MINHASH_MINS = ",\n    ".join(
+    f"MIN(({a} * h + {b}) % {dedup_ops.MINHASH_PRIME})"
+    for a, b in dedup_ops.minhash_params(64)
+)
+_Q70_SQL = f"""
+WITH sh AS (
+  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
+), sig AS (
+  SELECT id, [{_MINHASH_MINS}] AS sig
+  FROM sh GROUP BY id
+), banded AS (
+  SELECT id, sig, bd, array_to_string(sig[(bd*4+1):(bd*4+4)], ',') AS bkey
+  FROM sig, range(16) t(bd)
+)
+SELECT DISTINCT id_a, id_b, est_jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0
+      AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.bkey = b.bkey AND a.id < b.id)
+WHERE est_jaccard >= 0.4
+"""
+
+
 def q69_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window (30-min gap) per-user event counts over the
     replayed stream — `F.session_window` merges adjacent events into
@@ -1748,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_disjunctive_revenue": q66_disjunctive_revenue,
         "q67_sole_latest_shipper": q67_sole_latest_shipper,
         "q68_rich_quiet_customers": q68_rich_quiet_customers,
+        "q70_minhash_oracle_pairs": q70_minhash_oracle_pairs,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1822,4 +1858,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_disjunctive_revenue": _Q66_SQL,
         "q67_sole_latest_shipper": _Q67_SQL,
         "q68_rich_quiet_customers": _Q68_SQL,
+        "q70_minhash_oracle_pairs": _Q70_SQL,
     }

@@ -346,6 +346,104 @@ def simhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Oracle-checkable MinHash (md5-derived hash family, cross-engine exact)
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime for the universal hash family (a·h + b) mod P.
+#: h < 2^32 and a < 2^30 keep a·h + b < 2^63 — no overflow under ANSI
+#: arithmetic on either engine, so results are bit-exact BIGINTs.
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients shared by the Spark operator
+    and the generated oracle SQL."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+
+
+def md5_hash32(col: Column) -> Column:
+    """First 32 bits of md5 as a BIGINT — the one keyed-ish hash both
+    Spark and DuckDB compute identically (cf. text.rolling_hash_
+    fingerprint). Oracle: ``CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_dedup_pairs_oracle(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est: float = 0.4,
+) -> DataFrame:
+    """Banded MinHash LSH whose every step is reproducible in ANSI SQL.
+
+    Same distributed shape as :func:`minhash_dedup_pairs` (explode
+    shingles once → per-seed MIN with map-side partials → band keys →
+    in-bucket pair join), but the hash family is md5_hash32 + universal
+    hashing instead of seeded xxhash64, and the band bucket key is the
+    sub-signature rendered as a string (at scale you'd hash it — the
+    xxhash64 variant does; pair sets are identical absent 64-bit
+    collisions). This is the correctness anchor for the fast path.
+    """
+    params = minhash_params(num_hashes)
+    rows_per_band = num_hashes // bands
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    ).select("id", md5_hash32(F.col("shingle")).alias("h"))
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"))
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.concat_ws(",", F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= min_est)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via explode + equi-join (oracle-checkable)
 # ---------------------------------------------------------------------------
 

@@ -191,6 +191,22 @@ def test_minhash_identical_docs_full_signature_match(spark):
     assert len(got) == 1 and got[0]["est_jaccard"] == 1.0
 
 
+def test_minhash_oracle_variant_finds_near_duplicates(spark):
+    """The md5/universal-hash family (q70) must behave like the
+    xxhash64 fast path: near-dups caught, unrelated docs not."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated text about spark query engines and shuffles " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup_ops.minhash_dedup_pairs_oracle(df).collect()}
+    assert pairs[(1, 4)] == 1.0          # identical docs: full signature match
+    assert pairs.get((1, 2), 0) > 0.5    # near-dup caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
