@@ -1405,6 +1405,58 @@ WHERE est_jaccard >= 0.4
 """
 
 
+def q71_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates, fully oracle-checked: token
+    hash bits from two md5-derived 32-bit halves, signed-BIGINT simhash
+    assembled from per-bit majority votes, 16-bit band keys via
+    arithmetic shift + mask, Hamming = bit_count(xor) — all verified
+    bit-identical in DuckDB (operators/dedup.simhash_dedup_pairs_oracle;
+    anchors the xxhash64 fast path q41)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_dedup_pairs_oracle(docs, max_hamming=8)
+
+
+def _q71_sql() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    weights = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else '(-9223372036854775807 - 1)'}"
+        f" ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2
+  FROM (SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS t
+        FROM documents)
+), votes AS (
+  SELECT id,
+    {votes}
+  FROM tok GROUP BY id
+), sig AS (
+  SELECT id, CAST({weights} AS BIGINT) AS sh FROM votes
+), banded AS (
+  SELECT id, sh, bd, (sh >> (bd * 16)) & 65535 AS key
+  FROM sig, range(4) t(bd)
+)
+SELECT DISTINCT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.key = b.key AND a.id < b.id)
+WHERE hamming <= 8
+"""
+
+
+_Q71_SQL = _q71_sql()
+
+
 def q69_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-window (30-min gap) per-user event counts over the
     replayed stream — `F.session_window` merges adjacent events into
@@ -1784,6 +1836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_sole_latest_shipper": q67_sole_latest_shipper,
         "q68_rich_quiet_customers": q68_rich_quiet_customers,
         "q70_minhash_oracle_pairs": q70_minhash_oracle_pairs,
+        "q71_simhash_oracle_pairs": q71_simhash_oracle_pairs,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -1859,4 +1912,5 @@ def oracle_sql() -> dict[str, str]:
         "q67_sole_latest_shipper": _Q67_SQL,
         "q68_rich_quiet_customers": _Q68_SQL,
         "q70_minhash_oracle_pairs": _Q70_SQL,
+        "q71_simhash_oracle_pairs": _Q71_SQL,
     }

@@ -443,6 +443,91 @@ def minhash_dedup_pairs_oracle(
     )
 
 
+def simhash_dedup_pairs_oracle(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates whose every step is reproducible in
+    ANSI SQL (correctness anchor for the xxhash64 fast path).
+
+    The 64 token-hash bits come from two md5-derived 32-bit halves
+    (bit i < 32 from half 1, else half 2) — verified bit-identical
+    across engines, including arithmetic shift-right + mask on the
+    signed simhash and bit_count(xor) Hamming distance. Same explode →
+    64-SUM-votes → banded self-join shape as
+    :func:`simhash_dedup_pairs`; the ``max_hamming`` filter bounds the
+    in-bucket output (candidates beyond it are LSH noise anyway).
+    """
+    bits = 64
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("t"),
+    ).select(
+        "id",
+        md5_hash32(F.col("t")).alias("h1"),
+        F.conv(F.substring(F.md5(F.col("t")), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h1") if i < 32 else F.col("h2"), i % 32)
+                .bitwiseAND(F.lit(1).cast("long"))
+                == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    sig = (
+        tok.groupBy("id")
+        .agg(*votes)
+        .select(
+            "id",
+            _simhash_from_votes([F.col(f"__v{i}") for i in range(bits)], bits).alias("sh"),
+        )
+    )
+    bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * band_bits)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", "bb.band", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via explode + equi-join (oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -207,6 +207,21 @@ def test_minhash_oracle_variant_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_simhash_oracle_variant_identical_and_near(spark):
+    """md5-half-based simhash (q71): identical docs at Hamming 0,
+    near-identical docs within the band threshold, unrelated docs
+    absent."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words entirely " * 5)],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup_ops.simhash_dedup_pairs_oracle(df).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
