@@ -1048,9 +1048,42 @@ def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_lsh_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed cosine near-dup pairs."""
+    """Random-hyperplane LSH bucketed cosine near-dup pairs — fully
+    oracle-checked: the 8 unit hyperplanes are deterministic Python
+    constants embedded as literals in BOTH the Spark plan and the
+    generated SQL, so bucket ids (signed projections) and rounded
+    cosines reproduce exactly. Demo threshold 0.3 (synthetic
+    embeddings are near-random, in-bucket max cos ~ 0.45) so the
+    check is non-trivial; real corpora would use >= 0.9."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_bucketed_pairs(emb, n_planes=8, threshold=0.5)
+    return sim_ops.lsh_bucketed_pairs(emb, n_planes=8, threshold=0.3)
+
+
+def _q42_sql() -> str:
+    planes = sim_ops.random_hyperplanes(dim=64, n_planes=8, seed=42)
+    bucket = "\n      + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), tagged AS (
+  SELECT id, v,
+    ({bucket}) AS bucket
+  FROM e
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id)
+WHERE sim >= 0.3
+"""
+
+
+_Q42_SQL = _q42_sql()
 
 
 def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,4 +1946,5 @@ def oracle_sql() -> dict[str, str]:
         "q68_rich_quiet_customers": _Q68_SQL,
         "q70_minhash_oracle_pairs": _Q70_SQL,
         "q71_simhash_oracle_pairs": _Q71_SQL,
+        "q42_lsh_embedding_pairs": _Q42_SQL,
     }

@@ -24,14 +24,18 @@ from big_data_ml_pipeline_spark.session import get_session
 #: Queries measured per round: every oracle-checked query plus the
 #: heavier rows-only extension operators (ML training excluded — model
 #: fit time is not query throughput).
-BENCH_QUERIES = [
-    *entrymod.oracle_sql().keys(),
-    "q40_minhash_pairs",
-    "q41_simhash_pairs",
-    "q42_lsh_embedding_pairs",
-    "q44_multimodal_features",
-    "q45_quality_scores",
-]
+BENCH_QUERIES = list(
+    dict.fromkeys(
+        [
+            *entrymod.oracle_sql().keys(),
+            "q40_minhash_pairs",
+            "q41_simhash_pairs",
+            "q42_lsh_embedding_pairs",
+            "q44_multimodal_features",
+            "q45_quality_scores",
+        ]
+    )
+)
 
 
 def main() -> None:
