@@ -1104,6 +1104,22 @@ def q44_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.extract_features(media, dim=8)
 
 
+def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path: image rows → Arrow-batched mapInPandas
+    stride-sampling resize (codec stubbed — no media libs in
+    container); returns metadata + payload length, never the blob.
+    Rows-only (binary transforms have no SQL twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.attach_binary_payload(docs, "text", "doc_id")
+    resized = mm_ops.resize_images(media, target_w=16, target_h=16)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
 def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-quality projection (punct/stopword ratios + composite
     score). Rows-only: regex-class semantics differ subtly across
@@ -1885,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_streaming_stateful_totals": q52_streaming_stateful_totals,
         "q59_streaming_dedup": q59_streaming_dedup,
         "q69_streaming_sessions": q69_streaming_sessions,
+        "q72_multimodal_resize": q72_multimodal_resize,
     }
 
 

@@ -135,6 +135,76 @@ def extract_features(
     return narrow.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, target_w: int, target_h: int, strict: bool = False) -> bytes:
+    """STUB resize codec. Real deployments plug Pillow here.
+
+    Deterministic fake: stride-samples the byte stream down to
+    target_w·target_h bytes (nearest-neighbour over the flat buffer) —
+    output length is exactly the target pixel count, so batch-shape
+    plumbing behaves like a real resize."""
+    if strict:
+        raise NotImplementedError(
+            "image resizing requires image libraries not present in this environment"
+        )
+    n_out = max(1, target_w * target_h)
+    if not payload:
+        return bytes(n_out)
+    import numpy as np
+
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    idx = np.minimum(
+        (np.arange(n_out, dtype=np.float64) * len(arr) / n_out).astype(np.int64),
+        len(arr) - 1,
+    )
+    return arr[idx].tobytes()
+
+
+def resize_images(media: DataFrame, target_w: int = 32, target_h: int = 32) -> DataFrame:
+    """Arrow-batched resize over image rows — same mapInPandas shape as
+    extract_features (narrow select before the transform, blob never
+    re-crosses the shuffle, metadata carries the new dims). Non-image
+    rows are filtered out below the Python stage so only image payload
+    bytes cross the Arrow boundary."""
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def do_resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_stub(p, target_w, target_h)
+                    ),
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    narrow = media.filter(F.col("modality") == "image").select(
+        "media_id", "modality", "payload"
+    )
+    return narrow.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: emits (media_id, frame_ts_ms)
     rows via ``sequence`` + ``explode`` — the decode of each frame is the

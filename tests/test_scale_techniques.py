@@ -32,6 +32,27 @@ def test_salted_join_left_outer(spark):
     assert got == {1: "x", 2: None}
 
 
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-style partitionBy layout + a filter on the partition column
+    must prune at planning time (PartitionFilters), never scan-and-drop
+    — the difference between reading 1 day and 100 TB."""
+    from big_data_ml_pipeline_spark.sources.writers import write_data
+
+    df = spark.range(300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("int").alias("day"),
+    )
+    path = str(tmp_path / "parts")
+    write_data(df, path, partition_by=["day"])
+    got = spark.read.parquet(path).filter(F.col("day") == 1)
+    assert got.count() == 100
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    # the pruned scan must not list a PushedFilter on the data columns —
+    # the partition filter is resolved against directory names alone
+    assert "(day#" in plan.split("PartitionFilters: ")[1].split("]")[0]
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Bucketing both sides on the join key removes the Exchange — the
     recurring fact-fact join at 100 TB pre-pays its shuffle at write

@@ -103,6 +103,27 @@ def test_attach_and_extract_features(spark):
     assert feats.schema == mm_ops.FEATURE_SCHEMA
 
 
+def test_resize_images_stride_samples_to_target_shape(spark):
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdefgh")), (2, "audio", bytearray(b"xy")),
+         (3, "image", bytearray(b""))],
+        ["media_id", "modality", "payload"],
+    )
+    out = {r["media_id"]: r for r in mm_ops.resize_images(media, 2, 2).collect()}
+    assert set(out) == {1, 3}                      # non-image rows never reach Python
+    assert len(out[1]["payload"]) == 4             # target_w * target_h bytes
+    assert out[1]["payload"] == b"aceg"            # stride-2 nearest-neighbour
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[3]["payload"] == bytes(4)           # empty payload → zero bytes
+
+
+def test_resize_stub_strict_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        mm_ops.resize_stub(b"abc", 2, 2, strict=True)
+
+
 def test_sample_frames(spark):
     media = spark.createDataFrame(
         [(1, "video", 3000), (2, "image", None)], ["media_id", "modality", "duration_ms"]
