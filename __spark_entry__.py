@@ -1153,6 +1153,34 @@ def q47_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_predict_embeddings(emb, algorithm="random_forest", task="classification")
 
 
+def q73_ml_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib regression parity (M2, M12, M16, M18-regression): linear
+    model predicting l_extendedprice from quantity/discount/tax on the
+    seeded split; returns per-returnflag test-set counts and rmse/mae/r2
+    (ml/evaluate.evaluate_regression — the metrics the reference's
+    config declares but never computes). Rows-only: iterative LBFGS fit
+    has no SQL twin."""
+    from big_data_ml_pipeline_spark.ml.evaluate import evaluate_regression
+    from big_data_ml_pipeline_spark.ml.train import train_predict_regression
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").alias("f1"),
+        F.col("l_discount").alias("f2"),
+        F.col("l_tax").alias("f3"),
+        F.col("l_extendedprice").alias("label"),
+    )
+    _, preds = train_predict_regression(li, ["f1", "f2", "f3"], "label")
+    metrics = evaluate_regression(preds)
+    return (
+        preds.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n_test"))
+        .withColumn("rmse", F.lit(round(metrics["rmse"], 2)))
+        .withColumn("mae", F.lit(round(metrics["mae"], 2)))
+        .withColumn("r2", F.lit(round(metrics["r2"], 4)))
+    )
+
+
 def q48_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib clustering parity (M14): KMeans k=5 seed=42 cluster sizes."""
     from big_data_ml_pipeline_spark.ml.train import cluster_embeddings
@@ -1902,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_streaming_dedup": q59_streaming_dedup,
         "q69_streaming_sessions": q69_streaming_sessions,
         "q72_multimodal_resize": q72_multimodal_resize,
+        "q73_ml_regression": q73_ml_regression,
     }
 
 

@@ -55,6 +55,26 @@ def train_predict_embeddings(
     )
 
 
+def train_predict_regression(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    algorithm: str = "linear_regression",
+    **params,
+) -> tuple[PipelineModel, DataFrame]:
+    """Tabular regression smoke (M2 + M12/M13): assemble numeric
+    features inside the pipeline so transform works on raw rows; fit on
+    the seeded 80% split, return (model, test predictions)."""
+    from pyspark.ml.feature import VectorAssembler
+
+    va = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features", handleInvalid="skip"
+    )
+    return train_model(
+        df, algorithm, "regression", feature_stages=[va], label_col=label_col, **params
+    )
+
+
 def cluster_embeddings(emb: DataFrame, k: int = 5) -> DataFrame:
     """KMeans (M14) cluster sizes — seeded, deterministic given data."""
     df = embedding_features(emb)
