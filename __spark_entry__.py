@@ -1122,12 +1122,33 @@ def q72_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-quality projection (punct/stopword ratios + composite
-    score). Rows-only: regex-class semantics differ subtly across
-    engines; exact-value coverage lives in unit tests."""
+    score), oracle-checked: the ratios use ASCII-explicit character
+    classes and whitespace tokenization, which Java regex and RE2 agree
+    on bit-exactly (verified over the corpus before upgrading this from
+    a rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.text_stats(docs).select(
         "doc_id", "punct_ratio", "stopword_ratio", "quality"
     )
+
+
+_DUCK_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN"
+    " CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0.0 END"
+)
+_Q45_SQL = f"""
+SELECT doc_id,
+  {_DUCK_PUNCT} AS punct_ratio,
+  CASE WHEN len({_DUCK_TOKENS.format(col='lower(text)')}) > 0
+       THEN CAST(len(list_filter({_DUCK_TOKENS.format(col='lower(text)')},
+                    t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+            / len({_DUCK_TOKENS.format(col='lower(text)')})
+       ELSE 0.0 END AS stopword_ratio,
+  ROUND(0.5 * least(CAST(len({_DUCK_TOKENS.format(col='text')}) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)), 6) AS quality
+FROM documents
+"""
 
 
 def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1993,4 +2014,5 @@ def oracle_sql() -> dict[str, str]:
         "q70_minhash_oracle_pairs": _Q70_SQL,
         "q71_simhash_oracle_pairs": _Q71_SQL,
         "q42_lsh_embedding_pairs": _Q42_SQL,
+        "q45_quality_scores": _Q45_SQL,
     }
