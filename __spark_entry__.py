@@ -1868,6 +1868,74 @@ GROUP BY c_nationkey
 """
 
 
+def q74_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: revenue delta from discount-band lineitems in
+    one year. Pure scan→filter→agg: every predicate (date range,
+    discount band, quantity cap) reaches the parquet scan as a pushed
+    filter, so at 100 TB the job reads only matching row groups —
+    no shuffle at all beyond the final single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q74_SQL = f"""
+SELECT {_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q75_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with maximum quarterly revenue.
+    The revenue "view" is one hash agg on l_suppkey; the max is a
+    broadcast single-row scalar joined back (no second shuffle, no
+    driver-side collect), ties all surface."""
+    t = load_tables(spark, sf_dir, ("supplier", "lineitem"))
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q75_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1935,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_rich_quiet_customers": q68_rich_quiet_customers,
         "q70_minhash_oracle_pairs": q70_minhash_oracle_pairs,
         "q71_simhash_oracle_pairs": q71_simhash_oracle_pairs,
+        "q74_forecast_revenue_change": q74_forecast_revenue_change,
+        "q75_top_supplier": q75_top_supplier,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2015,4 +2085,6 @@ def oracle_sql() -> dict[str, str]:
         "q71_simhash_oracle_pairs": _Q71_SQL,
         "q42_lsh_embedding_pairs": _Q42_SQL,
         "q45_quality_scores": _Q45_SQL,
+        "q74_forecast_revenue_change": _Q74_SQL,
+        "q75_top_supplier": _Q75_SQL,
     }

@@ -17,6 +17,10 @@ from conftest import SF0001
 
 
 def plan_of(spark, name: str) -> str:
+    # long PushedFilters lists get elided at the default 25-field limit,
+    # and FileScan metadata (where PushedFilters lives) at 100 chars
+    spark.conf.set("spark.sql.debug.maxToStringFields", "500")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     df = entrymod.queries()[name](spark, SF0001)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -111,6 +115,19 @@ def test_q68_scalar_subquery_broadcast_no_collect(spark):
     p = plan_of(spark, "q68_rich_quiet_customers")
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_q74_all_predicates_reach_the_scan(spark):
+    p = plan_of(spark, "q74_forecast_revenue_change")
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in p, frag
+    assert "Exchange hashpartitioning" not in p  # scalar agg: partial + single reduce only
 
 
 def test_whole_stage_codegen_on_hot_path(spark):
