@@ -1936,6 +1936,108 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
 """
 
 
+def q76_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking-window suite in ONE window pass: rank, dense_rank,
+    ntile(4), percent_rank and cume_dist share a single
+    (c_mktsegment, ORDER BY c_acctbal, c_custkey) window spec, so Spark
+    plans exactly one sort+Window operator — no repeated exchange per
+    function. The unique c_custkey tiebreaker keeps every function
+    deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).filter(F.col("rnk") <= 50)
+
+
+_Q76_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, quartile, pct_rank, cume
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS drnk,
+    NTILE(4) OVER w AS quartile,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+WHERE rnk <= 50
+"""
+
+
+def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL front-end (the engine's
+    second entry surface besides the DataFrame builders): per
+    (status, priority), per status, and grand total in one pass —
+    Spark expands to a single Expand + hash agg, not three scans.
+    GROUPING() flags disambiguate the null super-aggregate rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+          CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            / CAST(100 AS DOUBLE) AS total_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+_Q77_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+  COUNT(*) AS n,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q78_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function suite over array<float> embeddings:
+    aggregate (fold) for L2 norm and mean, array_max, filter+size for
+    thresholded counts, zip_with-free — everything stays in JVM codegen
+    (functions/vector.py policy: UDFs never touch the dense-vector
+    hot path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    sq = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(total / F.size(v), 6).alias("mean_val"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+_Q78_SQL = """
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS dim,
+  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_norm,
+  ROUND(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
+  ROUND(list_aggregate(v, 'max'), 6) AS max_val,
+  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2005,6 +2107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_simhash_oracle_pairs": q71_simhash_oracle_pairs,
         "q74_forecast_revenue_change": q74_forecast_revenue_change,
         "q75_top_supplier": q75_top_supplier,
+        "q76_rank_suite": q76_rank_suite,
+        "q77_grouping_sets": q77_grouping_sets,
+        "q78_vector_stats": q78_vector_stats,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2087,4 +2192,7 @@ def oracle_sql() -> dict[str, str]:
         "q45_quality_scores": _Q45_SQL,
         "q74_forecast_revenue_change": _Q74_SQL,
         "q75_top_supplier": _Q75_SQL,
+        "q76_rank_suite": _Q76_SQL,
+        "q77_grouping_sets": _Q77_SQL,
+        "q78_vector_stats": _Q78_SQL,
     }
