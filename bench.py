@@ -1,4 +1,4 @@
-"""Benchmark harness — one JSON line on stdout.
+"""Benchmark harness — exactly ONE short JSON line on stdout.
 
 Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Every query is
@@ -6,7 +6,20 @@ materialized with the noop writer (all columns computed, no sink
 cost) so Catalyst can't prune away the work being measured.
 
 Output: {"metric": "total_query_seconds", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1}
+         "queries": {"q01": sec, ...}, "sf": 0.1}
+
+Round-1 lesson (BENCH_r01.json parsed:null): the driver keeps only a
+~2000-char tail of stdout and parses the JSON from it, so the line must
+be SHORT (qNN keys, compact separators) and be the ONLY stdout content.
+We enforce the latter at the fd level: fd 1 is redirected into stderr
+for the whole run (the JVM writes progress/log noise to fd 1 regardless
+of Python-level sys.stdout), and the final JSON goes to a dup of the
+real stdout. Full query names + timings go to stderr for humans.
+
+q70/q71 (md5 oracle anchors, ~8s combined) are correctness-only — the
+driver checks them at sf0.01 via oracle_sql(); benching them measured
+the deliberately-slow cross-engine hash family, not the engine
+(VERDICT r1 #8).
 """
 
 from __future__ import annotations
@@ -18,27 +31,36 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import __spark_entry__ as entrymod
-from big_data_ml_pipeline_spark.session import get_session
-
 #: Queries measured per round: every oracle-checked query plus the
 #: heavier rows-only extension operators (ML training excluded — model
-#: fit time is not query throughput).
-BENCH_QUERIES = list(
-    dict.fromkeys(
-        [
-            *entrymod.oracle_sql().keys(),
-            "q40_minhash_pairs",
-            "q41_simhash_pairs",
-            "q42_lsh_embedding_pairs",
-            "q44_multimodal_features",
-            "q45_quality_scores",
-        ]
-    )
-)
+#: fit time is not query throughput; md5 oracle anchors excluded — they
+#: measure the cross-engine hash family, not the engine).
+EXCLUDE = {"q70_minhash_oracle_pairs", "q71_simhash_oracle_pairs"}
+EXTRA = [
+    "q40_minhash_pairs",
+    "q41_simhash_pairs",
+    "q42_lsh_embedding_pairs",
+    "q44_multimodal_features",
+    "q45_quality_scores",
+]
 
 
 def main() -> None:
+    # Isolate stdout at the fd level: everything written to fd 1 by us,
+    # Spark, or the JVM lands on stderr; only the final JSON line uses
+    # the real stdout.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
+    import __spark_entry__ as entrymod
+    from big_data_ml_pipeline_spark.session import get_session
+
+    bench_queries = list(
+        dict.fromkeys([*entrymod.oracle_sql().keys(), *EXTRA])
+    )
+    bench_queries = [q for q in bench_queries if q not in EXCLUDE]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or 0.1)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -56,25 +78,31 @@ def main() -> None:
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.time() - t0, 2)
         print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(sum(timings.values()), 2)
+    # Short keys: "q01_pricing_summary" -> "q01". Unique by construction
+    # (query ids are qNN-prefixed); guard anyway.
+    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
+    assert len(short) == len(timings), "qNN prefixes must be unique"
+    line = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(f"bench total: {total}s over {len(timings)} queries", file=sys.stderr)
+    print(f"bench json ({len(line)} chars): {line}", file=sys.stderr, flush=True)
+    os.write(real_stdout, (line + "\n").encode())
     spark.stop()
 
 
