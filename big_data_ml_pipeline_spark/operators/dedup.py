@@ -97,6 +97,61 @@ def _ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-bounded bucket pair generation (shared by MinHash / SimHash / LSH)
+# ---------------------------------------------------------------------------
+
+def _bucket_pairs(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    payload_cols: list[str],
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Candidate pairs from per-bucket self-joins, skew-bounded.
+
+    Buckets with ≤ ``max_bucket_size`` members generate exact all-pairs
+    (cost Σ|bucket|²). Oversized buckets — the degenerate-corpus case,
+    e.g. millions of identical docs landing in one band bucket at
+    100 TB — switch to a STAR join: every member links to the bucket's
+    min-id representative, O(|bucket|) instead of O(|bucket|²). For
+    dedup this preserves exactly what matters (every member stays
+    connected to the keeper via the representative) while bounding the
+    worst task; only member↔member links inside an oversized bucket are
+    elided. ``None`` disables the guard (oracle anchors use this so the
+    SQL twin stays expressible).
+
+    Expects an ``id`` column; returns (bucket_cols..., id_a, id_b,
+    {p}_a, {p}_b ...) with id_a < id_b. The bucket-size window shuffles
+    on the same keys as the pair join, so AQE/exchange-reuse keeps the
+    added cost to the window itself, not an extra scan.
+    """
+
+    def side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            *bucket_cols,
+            F.col("id").alias(f"id_{suffix}"),
+            *[F.col(p).alias(f"{p}_{suffix}") for p in payload_cols],
+        )
+
+    if max_bucket_size is None:
+        a, b = side(banded, "a"), side(banded, "b")
+        return a.join(b, on=list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
+
+    w = Window.partitionBy(*bucket_cols)
+    sized = banded.withColumn("__bsize", F.count("*").over(w)).withColumn(
+        "__brank", F.row_number().over(w.orderBy("id"))
+    )
+    small = sized.filter(F.col("__bsize") <= max_bucket_size).drop("__bsize", "__brank")
+    sa, sb = side(small, "a"), side(small, "b")
+    small_pairs = sa.join(sb, on=list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
+    big = sized.filter(F.col("__bsize") > max_bucket_size).drop("__bsize")
+    reps = side(big.filter(F.col("__brank") == 1).drop("__brank"), "a")
+    members = side(big.filter(F.col("__brank") > 1).drop("__brank"), "b")
+    # rep id is the bucket minimum, so id_a < id_b holds by construction.
+    star_pairs = reps.join(members, on=list(bucket_cols))
+    return small_pairs.unionByName(star_pairs)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
@@ -153,14 +208,19 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     rows/bands = 64/16 = 4 rows per band → catches Jaccard ≳ 0.5 with
     high probability. The only shuffle is the groupBy on (band, band
     hash); pairs are generated inside buckets, so cost is Σ|bucket|²,
-    not n². Returns (id_a, id_b, est_jaccard) with id_a < id_b,
-    est_jaccard = matching-signature fraction.
+    not n² — and buckets beyond ``max_bucket_size`` degrade to a linear
+    star join on the min-id representative (see :func:`_bucket_pairs`),
+    so a degenerate corpus (millions of identical docs in one bucket)
+    cannot produce a quadratic straggler task. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b, est_jaccard = matching-signature
+    fraction.
     """
     rows_per_band = num_hashes // bands
     docs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
@@ -183,31 +243,20 @@ def minhash_dedup_pairs(
         ).alias("bb"),
     ).select("id", "sig", "bb.band", "bb.bucket")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    pairs = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                F.size(
-                    F.filter(
-                        F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")),
-                        lambda v: v == 1,
-                    )
-                ).cast("double")
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
+    cand = _bucket_pairs(banded, ["band", "bucket"], ["sig"], max_bucket_size)
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.select("id_a", "id_b", est.alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -303,10 +352,13 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 16,
+    max_bucket_size: int | None = 1024,
 ) -> DataFrame:
     """Near-dup candidates whose 64-bit SimHash agrees on at least one
     16-bit band (Hamming-distance ≤ 3 is guaranteed caught with 4
-    bands). Returns (id_a, id_b, hamming)."""
+    bands). Oversized band buckets degrade to a linear star join (see
+    :func:`_bucket_pairs`) so identical-doc floods cannot go quadratic.
+    Returns (id_a, id_b, hamming)."""
     docs = simhash_signatures(df, text_col, id_col)
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -327,19 +379,12 @@ def simhash_dedup_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
-    a, b = banded.alias("a"), banded.alias("b")
-    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    cand = _bucket_pairs(banded, ["band", "key"], ["sh"], max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(xor).alias("hamming"),
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -539,28 +584,41 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct n-gram shingle sets.
 
-    Shape: explode shingles → self-equi-join on the shingle (this is the
-    shuffle; a shingle is a join key, so common shingles are the skew
-    risk — at scale, drop top-frequency shingles first) → count
-    intersections per pair → Jaccard = |∩| / (|A|+|B|−|∩|).
+    Shape: explode shingles → per-doc set sizes as a window count (same
+    lineage, no cached intermediate) → self-equi-join on the shingle →
+    count intersections per pair → Jaccard = |∩| / (|A|+|B|−|∩|).
     ``block_col`` restricts candidates to equal blocking keys.
+
+    Skew guard: a shingle is a join key, so a shingle appearing in f
+    docs contributes f² candidate rows — one boilerplate phrase shared
+    by millions of docs is a quadratic hot key at 100 TB.
+    ``max_doc_freq`` drops shingles whose document frequency exceeds it
+    *before* the join (sizes are computed over the filtered universe, so
+    the result is exact Jaccard over the low-frequency shingle sets);
+    per-shingle candidate work is then bounded by max_doc_freq². None
+    keeps fully exact semantics (the oracle-checked default).
+
+    Both self-join sides share an identical sub-plan, so Catalyst's
+    exchange reuse computes the shingle table once — no persist, no
+    cache-ownership leak across calls in long-lived sessions.
     """
     sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
-    # The shingle table feeds three consumers (both self-join sides +
-    # the set sizes); without persist, shingling re-executes per
-    # consumer. MEMORY_AND_DISK: spills instead of OOM at scale — and at
-    # 100 TB you would materialize this narrow table to storage anyway.
-    from pyspark import StorageLevel
-
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("setsize"))
+    if max_doc_freq is not None:
+        w_sh = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count("*").over(w_sh))
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    sh = sh.withColumn("setsize", F.count("*").over(Window.partitionBy("id")))
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
     if block_col:
@@ -568,14 +626,14 @@ def jaccard_pairs(
     inter = (
         a.join(b, cond)
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("a.setsize")).alias("size_a"),
+            F.first(F.col("b.setsize")).alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("setsize").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("setsize").alias("size_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .select(
+        inter.select(
             "id_a",
             "id_b",
             (

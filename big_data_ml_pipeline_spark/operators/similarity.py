@@ -111,6 +111,7 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_block_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking-key groups.
 
@@ -120,35 +121,25 @@ def cosine_near_dup_pairs(
     standard near-dup shape at corpus scale (block by language/domain/
     LSH bucket). Each row's L2 norm is computed ONCE in the projection
     below the join, so a candidate pair costs a single zip_with dot
-    product. Returns (id_a, id_b, sim) with id_a < id_b and
-    rounded sim >= threshold.
+    product. Blocks beyond ``max_block_size`` degrade to a linear star
+    join on the min-id representative (dedup._bucket_pairs). Returns
+    (id_a, id_b, sim) with id_a < id_b and rounded sim >= threshold.
     """
+    from .dedup import _bucket_pairs
+
     base = df.select(
-        F.col(id_col).alias("__id"),
+        F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         to_double_array(F.col(vec_col)).alias("__v"),
     ).withColumn("__n", l2_norm(F.col("__v")))
-    a = base.select(
-        *block_cols,
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
-    )
-    b = base.select(
-        *block_cols,
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"),
-    )
-    denom = F.col("__na") * F.col("__nb")
+    cand = _bucket_pairs(base, list(block_cols), ["__v", "__n"], max_block_size)
+    denom = F.col("__n_a") * F.col("__n_b")
     sim = F.round(
-        F.when(denom != 0, dot(F.col("__va"), F.col("__vb")) / denom).otherwise(0.0),
+        F.when(denom != 0, dot(F.col("__v_a"), F.col("__v_b")) / denom).otherwise(0.0),
         round_digits,
     )
     return (
-        a.join(b, on=list(block_cols))
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
+        cand.select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
@@ -160,6 +151,7 @@ def cosine_near_dup_pairs_gemm(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_block_size: int | None = 4096,
 ) -> DataFrame:
     """Blocked near-dup pairs with the within-block compute as one GEMM.
 
@@ -174,7 +166,10 @@ def cosine_near_dup_pairs_gemm(
     At 100 TB the blocking key must keep blocks bounded (lang alone is
     too coarse — compose with an LSH bucket, cf. ``lsh_bucketed_pairs``);
     each task materializes one block's matrix (n·d doubles) plus its
-    upper-triangle sims.
+    upper-triangle sims. Blocks beyond ``max_block_size`` degrade to a
+    linear star comparison against the block's min-id row (same policy
+    as dedup._bucket_pairs) — the n·n sim matrix is never allocated for
+    a degenerate block.
     """
     # Executors may not have this package on PYTHONPATH (the driver
     # harness imports us by file path) — serialize the closure by value.
@@ -186,6 +181,7 @@ def cosine_near_dup_pairs_gemm(
         pass
 
     thr, digits = float(threshold), int(round_digits)
+    max_block = None if max_block_size is None else int(max_block_size)
 
     def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -200,6 +196,19 @@ def cosine_near_dup_pairs_gemm(
         norms = np.linalg.norm(M, axis=1, keepdims=True)
         norms[norms == 0] = 1.0  # zero vectors → sim 0 with everything
         unit = M / norms
+        if max_block is not None and len(ids) > max_block:
+            # Degenerate block: star against the min-id row, O(n·d).
+            order = np.argsort(ids)
+            ids_s, unit_s = ids[order], unit[order]
+            sims = np.round(unit_s[1:] @ unit_s[0], digits)
+            keep = sims >= thr
+            return pd.DataFrame(
+                {
+                    "id_a": np.full(int(keep.sum()), ids_s[0]),
+                    "id_b": ids_s[1:][keep],
+                    "sim": sims[keep],
+                }
+            )
         sims_full = unit @ unit.T
         iu = np.triu_indices(len(ids), k=1)
         sims = np.round(sims_full[iu], digits)
@@ -257,26 +266,27 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = 4096,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     sharing a signed-projection LSH bucket. The self-join is an
     equi-join on the bucket id (one shuffle, Σ|bucket|² work) instead of
-    an n² cross join."""
+    an n² cross join; buckets beyond ``max_bucket_size`` degrade to a
+    linear star join on the min-id representative (dedup._bucket_pairs)
+    so an identical-vector flood cannot go quadratic."""
+    from .dedup import _bucket_pairs
+
     planes = random_hyperplanes(dim, n_planes, seed)
     v = to_double_array(F.col(vec_col))
     tagged = embeddings.select(
         F.col(id_col).alias("id"), v.alias("v"), _bucket_expr(v, planes).alias("bucket")
     )
-    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = _bucket_pairs(tagged, ["bucket"], ["v"], max_bucket_size)
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -1,0 +1,108 @@
+"""Skew guards for bucketed pair generation (VERDICT r1 item #2).
+
+A degenerate corpus — thousands of identical docs/vectors — lands every
+row in ONE LSH band bucket; unguarded in-bucket self-joins then do
+|bucket|² work in a single task. These tests pin the guard behavior:
+
+ - oversized buckets degrade to a linear STAR join on the min-id
+   representative (connectivity preserved, pair count n-1, not n²/2);
+ - buckets under the cap keep exact all-pairs semantics (guarded run
+   == unguarded run on a benign corpus);
+ - jaccard's max_doc_freq drops quadratic hot shingles pre-join.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators import dedup, similarity
+
+N_FLOOD = 5000
+
+
+@pytest.fixture(scope="module")
+def flood_docs(spark):
+    """N_FLOOD identical docs + 4 benign distinct docs."""
+    same = [(i, "the same document text repeated for every single row here") for i in range(N_FLOOD)]
+    extra = [
+        (N_FLOOD + 0, "alpha beta gamma delta epsilon zeta"),
+        (N_FLOOD + 1, "alpha beta gamma delta epsilon eta"),
+        (N_FLOOD + 2, "one two three four five six seven"),
+        (N_FLOOD + 3, "totally different words in this document okay"),
+    ]
+    return spark.createDataFrame(same + extra, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def flood_vecs(spark):
+    same = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(N_FLOOD)]
+    extra = [
+        (N_FLOOD + 0, [-1.0, 5.0, -2.0, 0.5]),
+        (N_FLOOD + 1, [-1.0, 5.0, -2.0, 0.4]),
+    ]
+    return spark.createDataFrame(same + extra, "vec_id long, embedding array<double>")
+
+
+def test_minhash_flood_star_bounded(flood_docs):
+    pairs = dedup.minhash_dedup_pairs(flood_docs, max_bucket_size=100).collect()
+    flood = [p for p in pairs if p.id_a < N_FLOOD and p.id_b < N_FLOOD]
+    # Star, not quadratic: every flood member links to the min id once.
+    assert len(flood) == N_FLOOD - 1
+    assert all(p.id_a == 0 and p.est_jaccard == 1.0 for p in flood)
+    # The two benign near-dup docs still pair exactly.
+    benign = [p for p in pairs if p.id_a >= N_FLOOD]
+    assert (N_FLOOD, N_FLOOD + 1) in {(p.id_a, p.id_b) for p in benign}
+
+
+def test_simhash_flood_star_bounded(flood_docs):
+    pairs = dedup.simhash_dedup_pairs(flood_docs, max_bucket_size=100).collect()
+    flood = [p for p in pairs if p.id_a < N_FLOOD and p.id_b < N_FLOOD]
+    assert len(flood) == N_FLOOD - 1
+    assert all(p.id_a == 0 and p.hamming == 0 for p in flood)
+
+
+def test_lsh_embedding_flood_star_bounded(flood_vecs):
+    pairs = similarity.lsh_bucketed_pairs(
+        flood_vecs, n_planes=8, dim=4, threshold=0.3, max_bucket_size=100
+    ).collect()
+    flood = [p for p in pairs if p.id_a < N_FLOOD and p.id_b < N_FLOOD]
+    assert len(flood) == N_FLOOD - 1
+    assert all(p.id_a == 0 and p.sim == 1.0 for p in flood)
+
+
+def test_gemm_flood_star_bounded(spark, flood_vecs):
+    tagged = flood_vecs.withColumn("blk", F.lit(1))
+    pairs = similarity.cosine_near_dup_pairs_gemm(
+        tagged, ["blk"], threshold=0.99, max_block_size=100
+    ).collect()
+    flood = [p for p in pairs if p.id_a < N_FLOOD and p.id_b < N_FLOOD]
+    assert len(flood) == N_FLOOD - 1
+    assert all(p.id_a == 0 and p.sim == 1.0 for p in flood)
+
+
+def test_guard_inactive_matches_unguarded(spark):
+    """On a benign corpus the cap never triggers: guarded == unguarded."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    capped = dedup.minhash_dedup_pairs(docs, max_bucket_size=1024)
+    uncapped = dedup.minhash_dedup_pairs(docs, max_bucket_size=None)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_jaccard_max_doc_freq_drops_hot_shingle(spark):
+    n = 20
+    docs = [(i, f"spam spam spam u{i} v{i} w{i}") for i in range(n)]
+    docs += [(100, "spam spam spam same tail here also"), (101, "spam spam spam same tail here also")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # Unguarded: the boilerplate shingle links every doc pair.
+    exact = dedup.jaccard_pairs(df, threshold=0.01).collect()
+    assert len(exact) == (n + 2) * (n + 1) // 2
+
+    # Guarded: hot shingle (df=22 > 5) dropped pre-join; only the true
+    # duplicate pair survives, with jaccard 1.0 over remaining shingles.
+    guarded = dedup.jaccard_pairs(df, threshold=0.01, max_doc_freq=5).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in guarded] == [(100, 101, 1.0)]
