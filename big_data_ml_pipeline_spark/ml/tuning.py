@@ -16,6 +16,7 @@ from pyspark.ml.evaluation import (
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
 
+from .evaluate import is_binary_label
 from .models import build_estimator
 
 DEFAULT_GRIDS = {
@@ -33,17 +34,25 @@ def tune(
     num_folds: int = 3,
     parallelism: int = 4,
     label_col: str = "label",
+    binary: bool | None = None,
 ):
-    """Returns (best PipelineModel, avg metric per grid point)."""
+    """Returns (best PipelineModel, avg metric per grid point).
+
+    ``binary`` skips the label-cardinality probe entirely when the
+    caller already knows (the orchestrator does); when None, the probe
+    is the early-stopping ``distinct().limit(3)`` form, not a full
+    count over the label column."""
     est = build_estimator(algorithm, task, label_col=label_col)
     grid = grid if grid is not None else DEFAULT_GRIDS.get(algorithm, {})
     builder = ParamGridBuilder()
     for pname, values in grid.items():
         builder = builder.addGrid(est.getParam(pname), values)
     if task == "classification":
+        if binary is None:
+            binary = is_binary_label(df, label_col)
         evaluator = (
             BinaryClassificationEvaluator(labelCol=label_col)
-            if df.select(label_col).distinct().count() == 2
+            if binary
             else MulticlassClassificationEvaluator(labelCol=label_col, metricName="f1")
         )
     elif task == "regression":

@@ -120,6 +120,59 @@ def test_davies_bouldin_single_cluster_zero(spark):
     assert davies_bouldin(df) == 0.0
 
 
+def _db_reference(points, labels, q):
+    """Driver-side numpy twin of the Davies-Bouldin definition."""
+    import numpy as np
+
+    X, y = np.asarray(points, dtype=float), np.asarray(labels)
+    ks = sorted(set(y))
+    cents = {c: X[y == c].mean(axis=0) for c in ks}
+    if q == 2:
+        s = {c: float(np.sqrt((((X[y == c] - cents[c]) ** 2).sum(axis=1)).mean())) for c in ks}
+    else:
+        s = {c: float(np.sqrt(((X[y == c] - cents[c]) ** 2).sum(axis=1)).mean()) for c in ks}
+    total = 0.0
+    for i in ks:
+        worst = 0.0
+        for j in ks:
+            if i != j:
+                d = float(np.linalg.norm(cents[i] - cents[j]))
+                if d > 0:
+                    worst = max(worst, (s[i] + s[j]) / d)
+        total += worst
+    return total / len(ks)
+
+
+@pytest.mark.parametrize("q", [1, 2])
+def test_davies_bouldin_matches_numpy_twin(spark, q):
+    points = [(0.0, 0.1), (0.2, -0.1), (-0.1, 0.3), (5.0, 5.2), (5.3, 4.9), (4.8, 5.1), (5.1, 5.0)]
+    labels = [0, 0, 0, 1, 1, 1, 1]
+    rows = [(p[0], p[1], l) for p, l in zip(points, labels)]
+    df = _with_features(spark.createDataFrame(rows, ["f1", "f2", "prediction"]))
+    got = davies_bouldin(df, q=q)
+    want = _db_reference(points, labels, q)
+    assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_davies_bouldin_q2_is_one_job(spark):
+    rows = [(float(i), float(-i), i % 3) for i in range(30)]
+    df = _with_features(spark.createDataFrame(rows, ["f1", "f2", "prediction"]))
+    df = df.cache()
+    df.count()
+    sc = spark.sparkContext
+    sc.setJobGroup("db-onejob", "davies_bouldin q=2")
+    try:
+        davies_bouldin(df, q=2)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("db-onejob")
+    # One aggregation = ≤2 Spark jobs under AQE (shuffle-map stage +
+    # result stage). The old 3-pass version (first() for dim, centroid
+    # collect, scatter collect) showed ≥4.
+    assert len(jobs) <= 2, f"expected one aggregation (≤2 AQE jobs), saw {len(jobs)}"
+    df.unpersist()
+
+
 def test_model_registry_constructs_all(spark):
     for (algo, task) in MODEL_REGISTRY:
         est = build_estimator(algo, task)
