@@ -12,15 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: stat name -> aggregate builder. stddev is SAMPLE stddev
-#: (stddev_samp), matching both the reference and DuckDB defaults.
+#: stat name -> aggregate builder. "std" is SAMPLE stddev
+#: (stddev_samp), matching both the reference and DuckDB defaults;
+#: "stddev" is accepted as an alias but emits "{col}_std" so output
+#: names match reference create_aggregation_features exactly.
 STATS = {
     "mean": F.mean,
+    "std": F.stddev_samp,
     "stddev": F.stddev_samp,
     "min": F.min,
     "max": F.max,
     "count": F.count,
 }
+
+#: keys iterated when the caller doesn't pick stats ("stddev" excluded —
+#: it's an input alias for "std", not a distinct stat).
+_DEFAULT_STATS = ["mean", "std", "min", "max", "count"]
 
 
 def grouped_stats(
@@ -29,12 +36,14 @@ def grouped_stats(
     agg_cols: list[str],
     stats: list[str] | None = None,
 ) -> DataFrame:
-    """Per-group mean/stddev/min/max/count for each value column (A1).
+    """Per-group mean/std/min/max/count for each value column (A1).
 
     Output aliases ``{col}_{stat}`` exactly like reference
-    src/feature_engineering.py:36-58, computed as ONE multi-aggregate.
+    src/feature_engineering.py:44-51 (note ``{col}_std``, not
+    ``_stddev`` — API parity for code migrating off
+    create_aggregation_features), computed as ONE multi-aggregate.
     """
-    stats = stats or list(STATS)
+    stats = [("std" if s == "stddev" else s) for s in (stats or _DEFAULT_STATS)]
     exprs = [
         STATS[s](F.col(c)).alias(f"{c}_{s}") for c in agg_cols for s in stats
     ]

@@ -52,6 +52,7 @@ def as_of_join(
     time_col: str,
     right_value_cols: list[str],
     tolerance_seconds: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row at-or-before
     its timestamp within the same partition keys (extension operator —
@@ -62,10 +63,21 @@ def as_of_join(
     ordered by (time, side) per partition key carries the most recent
     right-side values forward onto left rows. One shuffle on the
     partition keys — the same cost as a sort-merge join, skew-safe via AQE.
+
+    ``tiebreak_col`` names a right-side column (typically a unique id)
+    that deterministically resolves two right rows sharing
+    (partition, timestamp): the row with the LARGEST tiebreak value
+    wins. Without it, ties are resolved by partition order — stable for
+    one plan but not across partitionings/engines, so any oracle-checked
+    or repeatable pipeline should pass one.
     """
     lcols = left.columns
+    tb_type = right.schema[tiebreak_col].dataType if tiebreak_col else None
     tagged_left = left.select(
-        *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols]
+        *lcols,
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+        *([F.lit(None).cast(tb_type).alias("__tb")] if tiebreak_col else []),
     )
     tagged_right = right.select(
         *[
@@ -74,12 +86,19 @@ def as_of_join(
         ],
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
     )
     from pyspark.sql import Window
 
+    order = [F.col(time_col).asc(), F.col("__side").asc()]
+    if tiebreak_col:
+        # Right rows at the same timestamp sort ascending by tiebreak,
+        # so last() picks the max; left rows (side 1, null __tb) still
+        # sort after every same-timestamp right row via __side.
+        order.append(F.col("__tb").asc_nulls_first())
     w = (
         Window.partitionBy(*partition_cols)
-        .orderBy(F.col(time_col).asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = tagged_left.unionByName(tagged_right).select(

@@ -128,8 +128,9 @@ def build_app(service: ServingService | None = None):
 
     @app.post("/train")
     def train(body: dict):
+        (data_path,) = _require(body, "data_path")
         return service.submit_train(
-            body["data_path"], body.get("algorithm", "random_forest"),
+            data_path, body.get("algorithm", "random_forest"),
             body.get("task", "classification"),
         )
 
@@ -148,20 +149,34 @@ def build_app(service: ServingService | None = None):
     def models():
         return service.list_models()
 
+    def _require(body: dict, *keys: str) -> list:
+        """Missing request-body keys are a 422 (malformed request), not
+        a 404 — the previous blanket `except KeyError` conflated them
+        with unknown-model lookups (ADVICE r1)."""
+        missing = [k for k in keys if k not in body]
+        if missing:
+            raise HTTPException(422, f"missing request fields: {missing}")
+        return [body[k] for k in keys]
+
     @app.post("/predict")
     def predict(body: dict):
+        model, features, feature_names = _require(
+            body, "model", "features", "feature_names"
+        )
         try:
-            preds = service.predict_rows(
-                body["model"], body["features"], body["feature_names"]
-            )
-        except KeyError as exc:
-            raise HTTPException(404, f"unknown model/key: {exc}")
+            preds = service.predict_rows(model, features, feature_names)
+        except KeyError:
+            raise HTTPException(404, f"unknown model: {model!r}")
         return {"predictions": preds}
 
     @app.post("/predict/batch")
     def predict_batch(body: dict):
-        return service.predict_batch(
-            body["model"], body["input_path"], body["output_path"]
+        model, input_path, output_path = _require(
+            body, "model", "input_path", "output_path"
         )
+        try:
+            return service.predict_batch(model, input_path, output_path)
+        except KeyError:
+            raise HTTPException(404, f"unknown model: {model!r}")
 
     return app
