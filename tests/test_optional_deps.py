@@ -1,0 +1,134 @@
+"""Environment-gated round-trips for optional integrations (VERDICT r1
+item #4): delta-spark, mlflow, and the FastAPI HTTP layer.
+
+None of these packages ship in this container, so each test SKIPS here
+— visibly, with the reason — and runs for real wherever the dependency
+exists. The import-gated code paths they cover:
+
+ - sources/readers.py:44 + sources/writers.py delta branch
+   (reference defaults unknown extensions to Delta,
+   /root/reference/src/ml_pipeline.py:67-71).
+ - orchestrator._track mlflow params/metrics logging
+   (reference /root/reference/src/ml_pipeline.py:198-217).
+ - serving.build_app routes /health /train /jobs /models /predict
+   /predict/batch (reference /root/reference/api/api.py:111-253).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+
+from big_data_ml_pipeline_spark.sources.readers import load_data
+from big_data_ml_pipeline_spark.sources.writers import write_data
+
+
+def _has(mod: str) -> bool:
+    return importlib.util.find_spec(mod) is not None
+
+
+needs_delta = pytest.mark.skipif(
+    not _has("delta"), reason="delta-spark not installed in this environment"
+)
+needs_mlflow = pytest.mark.skipif(
+    not _has("mlflow"), reason="mlflow not installed in this environment"
+)
+needs_fastapi = pytest.mark.skipif(
+    not (_has("fastapi") and _has("httpx")),
+    reason="fastapi/httpx not installed in this environment",
+)
+
+
+@needs_delta
+def test_delta_round_trip(spark, tmp_path):
+    """S3: write delta → read delta → identical rows. NB the session
+    must be built with the Delta session extension + catalog confs;
+    get_session passes extra_confs through."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = str(tmp_path / "t_delta")
+    write_data(df, path, fmt="delta")
+    back = load_data(spark, path, fmt="delta")
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+@needs_delta
+def test_delta_unknown_extension_explicit_fmt(spark, tmp_path):
+    """The reference defaults unknown extensions to Delta; we require
+    fmt='delta' explicitly — pin that contract difference."""
+    df = spark.createDataFrame([(1,)], "id long")
+    path = str(tmp_path / "no_extension_dir")
+    write_data(df, path, fmt="delta")
+    assert load_data(spark, path, fmt="delta").count() == 1
+
+
+@needs_mlflow
+def test_mlflow_tracking_round_trip(tmp_path, monkeypatch):
+    """Enabled-path test of orchestrator._track: params+metrics land in
+    a run under a file-backed tracking store."""
+    import mlflow
+
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    monkeypatch.setenv("MLFLOW_TRACKING_URI", f"file://{tmp_path}/mlruns")
+    orch = PipelineOrchestrator(None)
+    orch.config["tracking"]["enabled"] = True
+    orch.config["tracking"]["run_name"] = "test-run"
+    orch._track("random_forest", "classification", {"accuracy": 0.9})
+
+    runs = mlflow.search_runs(search_all_experiments=True)
+    assert len(runs) == 1
+    row = runs.iloc[0]
+    assert row["params.algorithm"] == "random_forest"
+    assert row["metrics.accuracy"] == 0.9
+
+
+@needs_fastapi
+def test_fastapi_routes(monkeypatch):
+    """Route-level exercise of build_app via the in-process TestClient:
+    health, validation (422 for malformed bodies), and 404 for unknown
+    models — no Spark job needed."""
+    from fastapi.testclient import TestClient
+
+    from big_data_ml_pipeline_spark import serving
+
+    class StubService:
+        models = {}
+
+        def list_jobs(self):
+            return []
+
+        def list_models(self):
+            return []
+
+        def job_status(self, job_id):
+            raise KeyError(job_id)
+
+        def submit_train(self, data_path, algorithm, task):
+            return {"job_id": "j1", "status": "queued"}
+
+        def predict_rows(self, model, features, feature_names):
+            raise KeyError(model)
+
+        def predict_batch(self, model, input_path, output_path):
+            raise KeyError(model)
+
+    client = TestClient(serving.build_app(StubService()))
+    assert client.get("/health").json() == {"status": "ok"}
+    assert client.get("/jobs").json() == []
+    assert client.get("/models").json() == []
+    assert client.get("/jobs/nope").status_code == 404
+    # malformed bodies → 422, never 404
+    assert client.post("/train", json={}).status_code == 422
+    assert client.post("/predict", json={"model": "m"}).status_code == 422
+    assert client.post("/predict/batch", json={}).status_code == 422
+    # well-formed but unknown model → 404
+    r = client.post(
+        "/predict",
+        json={"model": "nope", "features": [[1.0]], "feature_names": ["f1"]},
+    )
+    assert r.status_code == 404
+    # train accepts a minimal valid body
+    assert client.post("/train", json={"data_path": "/tmp/x.parquet"}).json()[
+        "status"
+    ] == "queued"
