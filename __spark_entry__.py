@@ -1090,13 +1090,72 @@ _Q42_SQL = _q42_sql()
 
 
 def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate nearest neighbours: offline MLlib-KMeans
-    coarse quantizer (fit_ivf_centroids), then an nprobe cell search."""
+    """IVF-style approximate nearest neighbours, fully oracle-checked:
+    centroids are seeded-generator literals shared with the SQL twin
+    (similarity.deterministic_ivf_centroids — the same shared-literal
+    trick as q42's hyperplanes), assignment cosines are rounded to 6
+    digits and ties break toward the lower cell index in BOTH engines,
+    so cell assignment, probe-cell choice, and the final top-k are
+    bit-identical. The KMeans-fitted quantizer (fit_ivf_centroids) has
+    better recall but is partitioning-dependent — exercised in pytest
+    instead (tests/test_text_dedup_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim_ops.fit_ivf_centroids(emb, n_cells=16)
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
     return sim_ops.ivf_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=10, centroids=cents
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        nprobe=4,
+        centroids=cents,
+        round_assign_digits=6,
     )
+
+
+def _q43_sql() -> str:
+    """Oracle twin of q43: identical IVF from the same centroid
+    literals (cells by rounded argmax cosine with ASC index ties, 4
+    probe cells, exact cosine top-10 within them)."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+    )
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qcells AS (
+  SELECT cell FROM sims WHERE vec_id = 0 ORDER BY csim DESC, cell ASC LIMIT 4
+)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.v, q.qv) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+FROM assigned a CROSS JOIN q
+WHERE a.cell IN (SELECT cell FROM qcells)
+ORDER BY sim DESC, a.vec_id LIMIT 10
+"""
+
+
+_Q43_SQL = _q43_sql()
 
 
 def q44_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1155,10 +1214,14 @@ FROM documents
 
 
 def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded randomSplit (the reference's only sampler,
-    src/ml_pipeline.py:186) — split sizes as a 2-row frame."""
+    """Content-deterministic 80/20 split (operators/setops.hash_split):
+    a row's bucket is md5(key)%100, a pure function of its key — the
+    split survives repartitioning/cluster resizes, unlike randomSplit
+    (whose per-partition sampling is pinned in pytest instead,
+    tests/test_operators_relational.py). Fully oracle-checked since the
+    md5 bucket is reproducible in ANSI SQL."""
     li = load_table(spark, sf_dir, "lineitem")
-    train, test = set_ops.random_split(li, [0.8, 0.2], seed=42)
+    train, test = set_ops.hash_split(li, ["l_orderkey", "l_linenumber"])
     return train.select(F.lit("train").alias("split")).groupBy("split").agg(
         F.count("*").alias("n")
     ).unionByName(
@@ -1166,6 +1229,20 @@ def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n")
         )
     )
+
+
+_Q46_SQL = """
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+           CAST(l_linenumber AS VARCHAR) || '|' || 'split-42'), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+  FROM lineitem
+)
+SELECT 'train' AS split, COUNT(*) AS n FROM b WHERE bucket < 80
+UNION ALL
+SELECT 'test' AS split, COUNT(*) AS n FROM b WHERE bucket >= 80
+"""
 
 
 def q47_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2192,7 +2269,9 @@ def oracle_sql() -> dict[str, str]:
         "q70_minhash_oracle_pairs": _Q70_SQL,
         "q71_simhash_oracle_pairs": _Q71_SQL,
         "q42_lsh_embedding_pairs": _Q42_SQL,
+        "q43_ivf_topk": _Q43_SQL,
         "q45_quality_scores": _Q45_SQL,
+        "q46_random_split": _Q46_SQL,
         "q74_forecast_revenue_change": _Q74_SQL,
         "q75_top_supplier": _Q75_SQL,
         "q76_rank_suite": _Q76_SQL,

@@ -8,6 +8,7 @@ surface the engine exposes because real query workloads need it.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def union_all(*dfs: DataFrame) -> DataFrame:
@@ -35,8 +36,33 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
 def random_split(
     df: DataFrame, weights: list[float] = (0.8, 0.2), seed: int = 42
 ) -> list[DataFrame]:
-    """Reference train/test split (src/ml_pipeline.py:186), seed pinned."""
+    """Reference train/test split (src/ml_pipeline.py:186), seed pinned.
+
+    NB randomSplit samples per input partition, so the exact membership
+    depends on how the scan was split — fine for ML sampling, wrong for
+    anything that must be reproducible across cluster sizes or reruns
+    over re-partitioned data. For that, use :func:`hash_split`."""
     return df.randomSplit(list(weights), seed=seed)
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    train_pct: int = 80,
+    salt: str = "split-42",
+) -> list[DataFrame]:
+    """Content-deterministic train/test split: a row's bucket is
+    ``md5(key || salt) % 100`` — a pure function of its key, so the
+    split is identical on any partitioning, cluster size, or engine
+    (the md5-derived hash is reproducible in ANSI SQL, cf.
+    dedup.md5_hash32). This is the split a 100 TB training pipeline
+    should use: adding executors or compacting files never moves a row
+    across the boundary, unlike :func:`random_split`."""
+    from ..operators.dedup import md5_hash32
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt))
+    bucket = F.pmod(md5_hash32(key), F.lit(100))
+    return [df.filter(bucket < train_pct), df.filter(bucket >= train_pct)]
 
 
 def top_k(df: DataFrame, order_exprs: list, k: int) -> DataFrame:

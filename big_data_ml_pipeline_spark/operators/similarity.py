@@ -292,6 +292,20 @@ def lsh_bucketed_pairs(
     )
 
 
+def deterministic_ivf_centroids(
+    dim: int, n_cells: int = 16, seed: int = 42
+) -> list[list[float]]:
+    """Pseudo-random gaussian centroids from a seeded generator — pure
+    Python literals, identical on every engine/partitioning (the same
+    shared-literal trick as :func:`random_hyperplanes`). Worse recall
+    per probe than KMeans cells, but exactly reproducible in an ANSI
+    SQL twin — the oracle anchor for the IVF machinery."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_cells)]
+
+
 def fit_ivf_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -325,6 +339,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    round_assign_digits: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: every vector is assigned to its
     nearest centroid (argmax cosine, computed against the broadcast
@@ -332,10 +347,17 @@ def ivf_topk(
     cells.
 
     ``centroids`` should come from :func:`fit_ivf_centroids` (real
-    KMeans cells → balanced lists, better recall per probe). When None,
-    falls back to a deterministic corpus sample — cheaper to build,
-    worse cell balance. At 100 TB the assignment pass is a single
-    broadcast-map job and the search touches nprobe/n_cells of the data.
+    KMeans cells → balanced lists, better recall per probe) or
+    :func:`deterministic_ivf_centroids` (cross-engine reproducible).
+    When None, falls back to a deterministic corpus sample — cheaper to
+    build, worse cell balance. At 100 TB the assignment pass is a
+    single broadcast-map job and the search touches nprobe/n_cells of
+    the data.
+
+    Ties in cell ranking break toward the LOWER cell index, and
+    ``round_assign_digits`` rounds assignment cosines first — together
+    these make cell assignment bit-stable across engines so an ANSI SQL
+    twin (ORDER BY sim DESC, cell ASC) computes the identical IVF.
     """
     if centroids is None:
         cents = [
@@ -355,13 +377,20 @@ def ivf_topk(
 
     def nearest_cells(vec, n: int):
         sims = F.transform(cent_lit, lambda c: cosine_similarity(vec, c))
+        if round_assign_digits is not None:
+            sims = F.transform(sims, lambda s: F.round(s, round_assign_digits))
+        # sort key (s, -i) ascending, reversed → (s desc, i asc): equal
+        # sims resolve to the smallest cell index, like SQL's
+        # ORDER BY sim DESC, cell ASC.
         idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
         ranked = F.reverse(
             F.array_sort(
-                F.zip_with(sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+                F.zip_with(
+                    sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+                )
             )
         )
-        return F.transform(F.slice(ranked, 1, n), lambda p: p["i"])
+        return F.transform(F.slice(ranked, 1, n), lambda p: -p["ni"])
 
     v = to_double_array(F.col(vec_col))
     assigned = embeddings.select(

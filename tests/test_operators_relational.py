@@ -258,6 +258,20 @@ def test_set_operations(spark):
     assert sorted(r["k"] for r in set_ops.except_all(a, b).collect()) == [1, 2]
 
 
+def test_hash_split_partition_invariant(spark):
+    """hash_split membership is a pure function of the key: identical
+    under any repartitioning (randomSplit is not — that's the point)."""
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    train1, test1 = set_ops.hash_split(df, ["k"])
+    train2, test2 = set_ops.hash_split(df.repartition(13), ["k"])
+    a = sorted(r["k"] for r in train1.collect())
+    b = sorted(r["k"] for r in train2.collect())
+    assert a == b
+    assert train1.count() + test1.count() == 1000
+    # roughly 80/20
+    assert 700 < len(a) < 900
+
+
 def test_random_split_seeded_partition(spark):
     df = spark.range(1000)
     tr1, te1 = set_ops.random_split(df, [0.8, 0.2], seed=42)
