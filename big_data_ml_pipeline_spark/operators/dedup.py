@@ -136,18 +136,42 @@ def _bucket_pairs(
         a, b = side(banded, "a"), side(banded, "b")
         return a.join(b, on=list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
 
+    # All guard columns come from UNORDERED window aggregates over the
+    # bucket key (count / min / min_by) — one WindowExec pass that sorts
+    # by the partition key only (no row_number ordering), inside the
+    # same job as the pair join so the expensive signature computation
+    # below the exchange is computed once and reused. (A broadcast-agg
+    # variant — aggregate oversized keys, broadcast anti-join — was
+    # A/B'd SLOWER at sf0.1, 8.0s vs 4.8s warm: materializing the
+    # broadcast runs a separate job that recomputes the signatures.)
+    # min_by carries the representative's payload onto every row, so
+    # the star path is a plain projection: no reps×members join.
     w = Window.partitionBy(*bucket_cols)
-    sized = banded.withColumn("__bsize", F.count("*").over(w)).withColumn(
-        "__brank", F.row_number().over(w.orderBy("id"))
+    sized = (
+        banded.withColumn("__bsize", F.count("*").over(w))
+        .withColumn("__repid", F.min("id").over(w))
+        .withColumns(
+            {f"__rep_{p}": F.min_by(p, "id").over(w) for p in payload_cols}
+        )
     )
-    small = sized.filter(F.col("__bsize") <= max_bucket_size).drop("__bsize", "__brank")
+    small = sized.filter(F.col("__bsize") <= max_bucket_size).drop(
+        "__bsize", "__repid", *[f"__rep_{p}" for p in payload_cols]
+    )
     sa, sb = side(small, "a"), side(small, "b")
     small_pairs = sa.join(sb, on=list(bucket_cols)).filter(F.col("id_a") < F.col("id_b"))
-    big = sized.filter(F.col("__bsize") > max_bucket_size).drop("__bsize")
-    reps = side(big.filter(F.col("__brank") == 1).drop("__brank"), "a")
-    members = side(big.filter(F.col("__brank") > 1).drop("__brank"), "b")
     # rep id is the bucket minimum, so id_a < id_b holds by construction.
-    star_pairs = reps.join(members, on=list(bucket_cols))
+    star_pairs = (
+        sized.filter(
+            (F.col("__bsize") > max_bucket_size) & (F.col("id") != F.col("__repid"))
+        )
+        .select(
+            *bucket_cols,
+            F.col("__repid").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"__rep_{p}").alias(f"{p}_a") for p in payload_cols],
+            *[F.col(p).alias(f"{p}_b") for p in payload_cols],
+        )
+    )
     return small_pairs.unionByName(star_pairs)
 
 
