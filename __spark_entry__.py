@@ -2118,6 +2118,211 @@ FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 """
 
 
+def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style (adapted: no partsupp table in the schema, so the
+    per-(part, supplier) offer price is MIN(l_extendedprice) observed in
+    lineitem): for each EUROPE-supplied part of one size, the cheapest
+    supplier. Per-part argmin via one ranking window (ties by suppkey);
+    supplier/nation/region dims broadcast; the only big shuffle is the
+    (partkey, suppkey) aggregation."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    offers = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (F.min(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)).alias(
+                "offer"
+            )
+        )
+    )
+    eu = (
+        offers.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(F.col("offer").asc(), F.col("s_suppkey").asc())
+    best = eu.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.join(
+            F.broadcast(t["part"].filter(F.col("p_size") == 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("p_partkey", "p_brand", "n_name", "s_name", "s_acctbal", "offer")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc())
+        .limit(30)
+    )
+
+
+_Q79_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS offer
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT o.*, s_name, s_acctbal, n_name,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY offer ASC, l_suppkey ASC) AS rn
+  FROM offers o
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT p_partkey, p_brand, n_name, s_name, s_acctbal, offer
+FROM eu JOIN part ON l_partkey = p_partkey
+WHERE rn = 1 AND p_size = 15
+ORDER BY s_acctbal DESC, p_partkey ASC LIMIT 30
+"""
+
+
+def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: per-part shipped value from ASIA suppliers,
+    keeping parts whose value exceeds a fraction of the total (scalar
+    subquery against the same aggregate). Two-level aggregation over
+    one shuffle + a broadcast of the 1-row total; value sums are
+    integer-cents exact so the threshold compare is bit-stable."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    asia = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    per_part = asia.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("part_value")
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.002) * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+_Q80_SQL = f"""
+WITH asia AS (
+  SELECT l_partkey, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+per_part AS (
+  SELECT l_partkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+  FROM asia GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.002 * (SELECT SUM(part_value) FROM per_part)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q81_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style (adapted: supplier participation read from
+    lineitem instead of partsupp): distinct shipping suppliers per
+    (brand, type, size) for mid-size non-ECONOMY parts, excluding
+    negative-balance suppliers via an anti-join (the Q16 NOT IN).
+    Grouped COUNT(DISTINCT) = two-phase hash aggregate, no extra
+    shuffle beyond the grouping keys."""
+    t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier"))
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        t["lineitem"]
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(
+                t["part"].filter(
+                    (F.col("p_type") != "ECONOMY") & F.col("p_size").between(5, 20)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(40)
+    )
+
+
+_Q81_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'ECONOMY' AND p_size BETWEEN 5 AND 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT 40
+"""
+
+
+def q82_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavoured correlated-threshold semi-join (adapted to
+    the schema): suppliers in one region that shipped more than twice
+    as much quantity in 1997 as in 1996 for at least one part. The
+    per-(supp, part) year pivot is one conditional aggregation; the
+    supplier list arrives via a semi-join, dims broadcast. Quantity
+    sums are integer-exact."""
+    t = load_tables(spark, sf_dir, ("lineitem", "supplier", "nation", "region"))
+    y = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_shipdate") < "1997-01-01", F.col("l_quantity")).otherwise(0)
+            ).cast("long").alias("qty96"),
+            F.sum(
+                F.when(F.col("l_shipdate") >= "1997-01-01", F.col("l_quantity")).otherwise(0)
+            ).cast("long").alias("qty97"),
+        )
+    )
+    surging = y.filter((F.col("qty96") > 0) & (F.col("qty97") > 2 * F.col("qty96"))).select(
+        "l_suppkey"
+    )
+    named = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+    )
+    return (
+        named.join(surging, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q82_SQL = """
+WITH y AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty96,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty97
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (SELECT l_suppkey FROM y WHERE qty96 > 0 AND qty97 > 2 * qty96)
+ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2190,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_rank_suite": q76_rank_suite,
         "q77_grouping_sets": q77_grouping_sets,
         "q78_vector_stats": q78_vector_stats,
+        "q79_min_cost_supplier": q79_min_cost_supplier,
+        "q80_important_parts": q80_important_parts,
+        "q81_supplier_part_counts": q81_supplier_part_counts,
+        "q82_surging_suppliers": q82_surging_suppliers,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2277,4 +2486,8 @@ def oracle_sql() -> dict[str, str]:
         "q76_rank_suite": _Q76_SQL,
         "q77_grouping_sets": _Q77_SQL,
         "q78_vector_stats": _Q78_SQL,
+        "q79_min_cost_supplier": _Q79_SQL,
+        "q80_important_parts": _Q80_SQL,
+        "q81_supplier_part_counts": _Q81_SQL,
+        "q82_surging_suppliers": _Q82_SQL,
     }
