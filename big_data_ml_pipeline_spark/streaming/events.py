@@ -123,6 +123,31 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFram
     return spark.table(name)
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Execute a streaming plan to completion (Trigger.AvailableNow)
+    into a partitioned parquet sink — the production-shaped sink twin of
+    :func:`run_to_memory`. The checkpoint directory carries offsets +
+    sink metadata, so a rerun with the same checkpoint is exactly-once
+    (no duplicate files); partitioning keeps the 100 TB output prunable
+    the same way the batch writer does (sources/writers.py)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def hourly_counts_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing rows-only query: replay events as a stream, run the
     watermarked tumbling agg, return the materialized result."""

@@ -311,3 +311,39 @@ def test_watermark_drops_late_events(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_parquet_sink_round_trip(spark, tmp_path):
+    """Stream → partitioned parquet sink → read back. The raw replay
+    (stateless append) must land every event exactly once; re-running
+    with the same checkpoint must be a no-op (exactly-once sink
+    metadata), and the partition column must be prunable on read."""
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    stream = stream_ops.read_events_stream(spark, SF0001).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    stream_ops.run_to_parquet(stream, out, cp, partition_by=["event_type"])
+
+    back = spark.read.parquet(out)
+    want = load_table(spark, SF0001, "events")
+    assert back.count() == want.count()
+    assert sorted(r["event_id"] for r in back.select("event_id").collect()) == sorted(
+        r["event_id"] for r in want.select("event_id").collect()
+    )
+
+    # exactly-once: same checkpoint, no new input → no duplicates
+    stream2 = stream_ops.read_events_stream(spark, SF0001).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    stream_ops.run_to_parquet(stream2, out, cp, partition_by=["event_type"])
+    assert spark.read.parquet(out).count() == want.count()
+
+    # partition pruning reaches the scan
+    one_type = back.select("event_type").first()["event_type"]
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == one_type)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
