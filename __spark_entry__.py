@@ -2323,6 +2323,75 @@ ORDER BY s_suppkey
 """
 
 
+def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP resolution: union exact-fingerprint star edges with
+    Jaccard near-dup pairs, then resolve connected components
+    (operators/dedup.connected_components — iterative min-label
+    propagation with per-round localCheckpoint) into (keeper id, group
+    size). This is the step that turns pairwise dedup output into an
+    actionable keep-list at 100 TB. Oracle: DuckDB WITH RECURSIVE
+    reachability + MIN label over the identical edge set."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_ids = docs.select(dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id")
+    groups = fp_ids.groupBy("fp").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
+    )
+    exact_edges = (
+        fp_ids.join(F.broadcast(groups.filter(F.col("n_dups") > 1)), "fp")
+        .filter(F.col("doc_id") != F.col("first_id"))
+        .select(F.col("first_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jac = dedup_ops.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, block_col="source"
+    ).select("id_a", "id_b")
+    labels = dedup_ops.connected_components(exact_edges.unionByName(jac).distinct())
+    return (
+        labels.groupBy("comp")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("comp")
+    )
+
+
+_Q83_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
+), exact_edges AS (
+  SELECT g.first_id AS id_a, f.doc_id AS id_b
+  FROM fp f JOIN grp g USING (fp)
+  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
+), edges0 AS (
+  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT comp, COUNT(*) AS n_members
+FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+GROUP BY comp ORDER BY comp
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2399,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_important_parts": q80_important_parts,
         "q81_supplier_part_counts": q81_supplier_part_counts,
         "q82_surging_suppliers": q82_surging_suppliers,
+        "q83_dedup_components": q83_dedup_components,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2490,4 +2560,5 @@ def oracle_sql() -> dict[str, str]:
         "q80_important_parts": _Q80_SQL,
         "q81_supplier_part_counts": _Q81_SQL,
         "q82_surging_suppliers": _Q82_SQL,
+        "q83_dedup_components": _Q83_SQL,
     }

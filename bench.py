@@ -35,7 +35,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 #: heavier rows-only extension operators (ML training excluded — model
 #: fit time is not query throughput; md5 oracle anchors excluded — they
 #: measure the cross-engine hash family, not the engine).
-EXCLUDE = {"q70_minhash_oracle_pairs", "q71_simhash_oracle_pairs"}
+#: q70/q71: md5 oracle anchors — they measure the deliberately-slow
+#: cross-engine hash family. q83: iterative connected components — at
+#: bench scale its cost is ~5 driver-paced rounds of fixed job latency
+#: (localCheckpoint + convergence count), not engine throughput. All
+#: three stay correctness-gated at sf0.01 via oracle_sql().
+EXCLUDE = {
+    "q70_minhash_oracle_pairs",
+    "q71_simhash_oracle_pairs",
+    "q83_dedup_components",
+}
 EXTRA = [
     "q40_minhash_pairs",
     "q41_simhash_pairs",

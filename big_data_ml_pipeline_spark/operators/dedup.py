@@ -598,6 +598,68 @@ def simhash_dedup_pairs_oracle(
 
 
 # ---------------------------------------------------------------------------
+# Connected components (pair sets → duplicate groups)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS: returns
+    (id, comp) where ``comp`` is the minimum id reachable in the pair
+    graph — the canonical keeper for every document in the cluster.
+    Vertices are the ids appearing in ``pairs`` (documents with no
+    duplicate pair are their own trivial group and are omitted).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbours' labels (one shuffle join +
+    one aggregation per round), converging in O(component diameter)
+    rounds — dedup clusters are near-cliques from LSH banding, so this
+    is 2-3 rounds in practice. Each round ends in ``localCheckpoint``
+    to truncate the growing lineage (an iterative plan would otherwise
+    recompile/replay from scratch every round), and the loop exits on a
+    converged round (no label changed). For adversarial high-diameter
+    graphs at 100 TB, upgrade to the large-star/small-star contraction
+    of Kiveris et al. (MapReduce CC) — same building blocks, O(log n)
+    rounds.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "dst"), on="dst"
+        ).select(F.col("src").alias("id"), F.col("comp"))
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via explode + equi-join (oracle-checkable)
 # ---------------------------------------------------------------------------
 

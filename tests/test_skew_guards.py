@@ -106,3 +106,23 @@ def test_jaccard_max_doc_freq_drops_hot_shingle(spark):
     # duplicate pair survives, with jaccard 1.0 over remaining shingles.
     guarded = dedup.jaccard_pairs(df, threshold=0.01, max_doc_freq=5).collect()
     assert [(p.id_a, p.id_b, p.jaccard) for p in guarded] == [(100, 101, 1.0)]
+
+
+def test_connected_components_resolves_groups(spark):
+    """Chain 1-2-3, pair (10,11), triangle (20,21,22) + singleton edge
+    endpoints: every vertex labels to the component's min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
