@@ -46,7 +46,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "features": {"columns": None, "categorical_columns": None,
                  "numeric_columns": None, "scale": True},
     "model": {"algorithm": "random_forest", "task": "classification",
-              "params": {}, "save_path": None},
+              "params": {}, "save_path": None,
+              # None → probe the label column (distinct().limit(3));
+              # set True/False to skip even that job.
+              "binary_label": None},
     "tuning": {"enabled": False, "grid": None, "num_folds": 3, "parallelism": 4},
     "evaluation": {},
     "tracking": {"enabled": False, "run_name": None},
@@ -148,7 +151,8 @@ class PipelineOrchestrator:
             t = self.config["tuning"]
             model, _ = tune(df, algorithm, task, feature_stages=stages,
                             grid=t["grid"], num_folds=t["num_folds"],
-                            parallelism=t["parallelism"], label_col=d["label_col"])
+                            parallelism=t["parallelism"], label_col=d["label_col"],
+                            binary=m["binary_label"])
             predictions = model.transform(df)
         else:
             model, predictions = train_model(
@@ -166,7 +170,10 @@ class PipelineOrchestrator:
     def evaluate(self, predictions: DataFrame, task: str) -> dict[str, float]:
         label = self.config["data"]["label_col"]
         if task == "classification":
-            return evaluate_classification(predictions, label_col=label)
+            return evaluate_classification(
+                predictions, label_col=label,
+                binary=self.config["model"]["binary_label"],
+            )
         if task == "regression":
             return evaluate_regression(predictions, label_col=label)
         if task == "clustering":
