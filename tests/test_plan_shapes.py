@@ -139,3 +139,34 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "isFinalPlan=true" in p
     # codegen stages print as '*(n) Operator' in the simple plan string
     assert "*(1) HashAggregate" in p or "WholeStageCodegen" in p
+
+
+def test_q79_argmin_single_window_dims_broadcast(spark):
+    p = plan_of(spark, "q79_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 3  # supplier/nation/region(+part)
+    assert p.count("Window [") == 1           # one ranking pass, not per-column
+    # Spark pushes the rn=1 filter into the sort (partial + final):
+    # only the per-partition top row ever reaches the Window exchange.
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q80_scalar_total_broadcast(spark):
+    p = plan_of(spark, "q80_important_parts")
+    # the 1-row total joins the per-part agg via broadcast, never shuffle
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2      # map-side partials
+
+
+def test_q81_anti_join_broadcast_and_two_phase_distinct(spark):
+    p = plan_of(spark, "q81_supplier_part_counts")
+    assert "LeftAnti" in p
+    # grouped COUNT(DISTINCT) = expand + two-phase aggregate, keyed once
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q82_semi_join_year_pivot(spark):
+    p = plan_of(spark, "q82_surging_suppliers")
+    assert "LeftSemi" in p
+    # the shipdate range reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
