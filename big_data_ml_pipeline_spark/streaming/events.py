@@ -148,6 +148,41 @@ def run_to_parquet(
     query.awaitTermination()
 
 
+def run_foreach_batch_overwrite(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str,
+) -> None:
+    """foreachBatch sink with DYNAMIC partition overwrite — the
+    idempotent integration pattern for sinks without streaming
+    transactions (JDBC, object stores without a commit protocol, …).
+
+    Each micro-batch rewrites exactly the ``partition_col`` partitions
+    it touches, so replaying a batch after a checkpoint loss or retry
+    converges to the same files instead of appending duplicates —
+    at-least-once delivery plus an idempotent write = effectively-once
+    output. The batch function runs on the driver and uses the normal
+    batch writer, so everything the batch sink can do (bucketing,
+    compression, stats) is available mid-stream."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    query = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def hourly_counts_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing rows-only query: replay events as a stream, run the
     watermarked tumbling agg, return the materialized result."""

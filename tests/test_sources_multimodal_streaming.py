@@ -347,3 +347,18 @@ def test_stream_parquet_sink_round_trip(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_foreach_batch_overwrite_idempotent(spark, tmp_path):
+    """Replaying the stream with a FRESH checkpoint (simulating
+    checkpoint loss / retry) must converge to the same output, not
+    append duplicates — dynamic partition overwrite per micro-batch."""
+    out = str(tmp_path / "out")
+    want = load_table(spark, SF0001, "events").count()
+
+    for attempt in range(2):
+        stream = stream_ops.read_events_stream(spark, SF0001)
+        stream_ops.run_foreach_batch_overwrite(
+            stream, out, str(tmp_path / f"cp{attempt}"), "event_type"
+        )
+        assert spark.read.parquet(out).count() == want, f"attempt {attempt}"
