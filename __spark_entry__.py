@@ -2392,6 +2392,77 @@ GROUP BY comp ORDER BY comp
 """
 
 
+def q84_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function suite (§2g surface beyond the reference's
+    casts/when): levenshtein, lpad, translate, repeat, reverse, ascii,
+    instr, substring, concat_ws — one narrow codegen projection, every
+    function verified bit-identical against DuckDB."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.col("p_name"), F.lit("red widget")).cast("long").alias("lev"),
+        F.lpad(F.col("p_brand"), 12, "_").alias("padded"),
+        F.translate(F.col("p_name"), "aeiou", "AEIOU").alias("xlated"),
+        F.repeat(F.substring(F.col("p_type"), 1, 2), 2).alias("rep2"),
+        F.reverse(F.col("p_name")).alias("rname"),
+        F.ascii(F.col("p_brand")).cast("long").alias("first_byte"),
+        F.instr(F.col("p_name"), "e").cast("long").alias("e_pos"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.trim(F.col("p_name"))).cast("long").alias("nchars"),
+    )
+
+
+_Q84_SQL = """
+SELECT p_partkey,
+  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev,
+  lpad(p_brand, 12, '_') AS padded,
+  translate(p_name, 'aeiou', 'AEIOU') AS xlated,
+  repeat(substr(p_type, 1, 2), 2) AS rep2,
+  reverse(p_name) AS rname,
+  CAST(ascii(p_brand) AS BIGINT) AS first_byte,
+  CAST(instr(p_name, 'e') AS BIGINT) AS e_pos,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  CAST(length(trim(p_name)) AS BIGINT) AS nchars
+FROM part
+"""
+
+
+def q85_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar suite over o_orderdate: extraction fields,
+    ISO week, truncation, month-end, day arithmetic — engines agree on
+    all of these (dayofweek differs by base: Spark is 1-origin Sunday,
+    DuckDB 0-origin, aligned with +1 in the oracle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.month(d).cast("long").alias("mo"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofmonth(d).cast("long").alias("dom"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.weekofyear(d).cast("long").alias("isoweek"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+_Q85_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2469,6 +2540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_supplier_part_counts": q81_supplier_part_counts,
         "q82_surging_suppliers": q82_surging_suppliers,
         "q83_dedup_components": q83_dedup_components,
+        "q84_string_suite": q84_string_suite,
+        "q85_date_suite": q85_date_suite,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2561,4 +2634,6 @@ def oracle_sql() -> dict[str, str]:
         "q81_supplier_part_counts": _Q81_SQL,
         "q82_surging_suppliers": _Q82_SQL,
         "q83_dedup_components": _Q83_SQL,
+        "q84_string_suite": _Q84_SQL,
+        "q85_date_suite": _Q85_SQL,
     }
