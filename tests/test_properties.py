@@ -100,3 +100,95 @@ def test_word_shingles_match_python(words):
         " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
     )) if len(toks) >= 3 else []
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    left_offsets=st.lists(st.integers(0, 100), min_size=1, max_size=10),
+    right_rows=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(0, 50)),  # (ts, tiebreak id)
+        min_size=1, max_size=12, unique_by=lambda t: t[1],
+    ),
+)
+def test_as_of_join_tiebreak_picks_max_id(left_offsets, right_rows):
+    """With duplicate right timestamps, tiebreak_col must make the row
+    with the LARGEST id win — checked against a per-row Python oracle."""
+    from big_data_ml_pipeline_spark.operators.joins import as_of_join as aoj
+
+    left = [(1, BASE + timedelta(seconds=s), i) for i, s in enumerate(sorted(left_offsets))]
+    right = [(1, BASE + timedelta(seconds=s), float(tb), tb) for s, tb in right_rows]
+
+    sleft = _spark.createDataFrame(left, "uid long, ts timestamp, eid long")
+    sright = _spark.createDataFrame(right, "uid long, ts timestamp, px double, rid long")
+    got = (
+        aoj(sleft, sright, ["uid"], "ts", ["px"], tiebreak_col="rid")
+        .orderBy("eid").toPandas()
+    )
+
+    def oracle(lts):
+        cands = [(ts, tb) for (_, ts, _, tb) in right if ts <= lts]
+        if not cands:
+            return -1.0
+        return float(max(cands)[1])
+
+    want = [oracle(ts) for (_, ts, _) in left]
+    assert list(got["px_asof"].fillna(-1)) == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(keys=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=50, unique=True),
+       parts=st.integers(1, 7))
+def test_hash_split_matches_python_md5(keys, parts):
+    """hash_split membership == a pure-Python md5 computation, for any
+    repartitioning — the content-determinism contract."""
+    import hashlib
+
+    from big_data_ml_pipeline_spark.operators.setops import hash_split
+
+    df = _spark.createDataFrame([(k,) for k in keys], "k long").repartition(parts)
+    train, test = hash_split(df, ["k"])
+    got_train = sorted(r["k"] for r in train.collect())
+    got_test = sorted(r["k"] for r in test.collect())
+
+    def bucket(k):
+        h = hashlib.md5(f"{k}|split-42".encode()).hexdigest()[:8]
+        return int(h, 16) % 100
+
+    want_train = sorted(k for k in keys if bucket(k) < 80)
+    want_test = sorted(k for k in keys if bucket(k) >= 80)
+    assert got_train == want_train and got_test == want_test
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda t: t[0] != t[1]),
+    min_size=1, max_size=25,
+))
+def test_connected_components_match_union_find(edges):
+    """Label propagation == a driver-side union-find on random graphs."""
+    from big_data_ml_pipeline_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+
+    df = _spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want
