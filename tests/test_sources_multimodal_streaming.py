@@ -362,3 +362,47 @@ def test_foreach_batch_overwrite_idempotent(spark, tmp_path):
             stream, out, str(tmp_path / f"cp{attempt}"), "event_type"
         )
         assert spark.read.parquet(out).count() == want, f"attempt {attempt}"
+
+
+def test_json_corrupt_record_modes(spark, tmp_path):
+    """Dirty-input contract for the JSON source: PERMISSIVE captures the
+    broken line in a corrupt-record column; DROPMALFORMED drops it —
+    the knobs a 100 TB ingest of scraped data lives on."""
+    p = tmp_path / "dirty.json"
+    p.write_text('{"k": 1, "v": "a"}\n{"k": broken!!\n{"k": 3, "v": "c"}\n')
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", StringType()),
+        StructField("_bad", StringType()),
+    ])
+    permissive = load_data(
+        spark, str(p), fmt="json", schema=schema,
+        mode="PERMISSIVE", columnNameOfCorruptRecord="_bad",
+    )
+    rows = permissive.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert len(bad) == 1 and "broken" in bad[0]["_bad"]
+
+    dropped = load_data(
+        spark, str(p), fmt="json",
+        schema=StructType(schema.fields[:2]), mode="DROPMALFORMED",
+    )
+    assert sorted(r["k"] for r in dropped.collect()) == [1, 3]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution across parquet files: mergeSchema unifies old
+    (k) and new (k, extra) file schemas, nulling the missing column —
+    how a long-lived 100 TB table gains columns without rewrites."""
+    base = tmp_path / "evolving.parquet"
+    spark.createDataFrame([(1,)], "k long").write.parquet(str(base / "gen=1"))
+    spark.createDataFrame([(2, "new")], "k long, extra string").write.parquet(
+        str(base / "gen=2")
+    )
+    merged = load_data(spark, str(base), fmt="parquet", mergeSchema="true")
+    got = {r["k"]: r["extra"] for r in merged.select("k", "extra").collect()}
+    assert got == {1: None, 2: "new"}
