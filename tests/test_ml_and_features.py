@@ -246,3 +246,21 @@ def test_polynomial_and_pca(spark):
     assert len(poly.first()["poly_features"]) == 5  # (n+d choose d)-1 for n=2,d=2
     pca = fe.create_pca_features(df, k=1)
     assert len(pca.first()["pca_features"]) == 1
+
+
+def test_new_registry_algorithms_fit_and_predict(spark):
+    """Fit smoke for the round-2 registry additions on a tiny separable
+    binary problem; every estimator must produce a prediction column."""
+    rows = [(float(i % 10), float((i * 7) % 10), float(i % 2)) for i in range(60)]
+    df = _with_features(spark.createDataFrame(rows, ["f1", "f2", "label"]))
+    for algo, task, params in [
+        ("decision_tree", "classification", {}),
+        ("linear_svc", "classification", {}),
+        ("one_vs_rest", "classification", {}),
+        ("mlp", "classification", {"layers": [2, 5, 2]}),
+        ("decision_tree", "regression", {}),
+        ("isotonic", "regression", {}),
+    ]:
+        est = build_estimator(algo, task, **params)
+        preds = est.fit(df).transform(df)
+        assert preds.select("prediction").count() == 60, (algo, task)
