@@ -79,3 +79,52 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS t_a")
         spark.sql("DROP TABLE IF EXISTS t_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime half of the skew story (the operator-level guards live in
+    test_skew_guards.py): flood one join key so 99% of rows hash to a
+    single shuffle partition, and assert AQE's OptimizeSkewedJoin
+    actually splits it — the final adaptive plan must show
+    SortMergeJoin(skew=true) reading from 'AQEShuffleRead skewed'.
+    Thresholds are lowered so toy data crosses them; results must be
+    unchanged by the split."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",   # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 100 < 99, 7).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # executes THIS plan (count() would plan its own)
+        # 198k left rows flood k=7 (matches right); the 1% non-flood
+        # keys are 99,199,… — all ≥ 50, so they never match.
+        assert len(rows) == 198_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
