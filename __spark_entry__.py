@@ -2463,6 +2463,36 @@ FROM orders
 """
 
 
+def q86_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic class rebalancing
+    (operators/setops.deterministic_class_cap): cap documents per
+    source at 100, membership chosen by md5 of the doc key so the same
+    rows survive on any partitioning/engine. Output proves identical
+    membership, not just counts: per-source size + doc_id checksum."""
+    docs = load_table(spark, sf_dir, "documents")
+    capped = set_ops.deterministic_class_cap(docs, "source", ["doc_id"], 100)
+    return (
+        capped.groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("source")
+    )
+
+
+_Q86_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'cap-42'), 1, 8)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 100
+GROUP BY source ORDER BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2542,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_dedup_components": q83_dedup_components,
         "q84_string_suite": q84_string_suite,
         "q85_date_suite": q85_date_suite,
+        "q86_class_rebalance": q86_class_rebalance,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2636,4 +2667,5 @@ def oracle_sql() -> dict[str, str]:
         "q83_dedup_components": _Q83_SQL,
         "q84_string_suite": _Q84_SQL,
         "q85_date_suite": _Q85_SQL,
+        "q86_class_rebalance": _Q86_SQL,
     }

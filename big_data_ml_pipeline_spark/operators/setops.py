@@ -65,6 +65,47 @@ def hash_split(
     return [df.filter(bucket < train_pct), df.filter(bucket >= train_pct)]
 
 
+def stratified_sample(
+    df: DataFrame, col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-class Bernoulli sampling (``DataFrame.sampleBy``) — the
+    quick way to rebalance skewed classes/languages/domains. Membership
+    depends on partitioning (per-partition RNG streams), so use
+    :func:`deterministic_class_cap` when the sample must be
+    reproducible across cluster layouts."""
+    return df.sampleBy(col, fractions, seed)
+
+
+def deterministic_class_cap(
+    df: DataFrame,
+    class_col: str,
+    key_cols: list[str],
+    max_per_class: int,
+    salt: str = "cap-42",
+) -> DataFrame:
+    """Cap each class at ``max_per_class`` rows, chosen by md5 hash of
+    the row key — a pure function of content, so the SAME rows survive
+    on any partitioning, cluster size, or engine (cf. hash_split).
+    This is how a 100 TB training mix caps over-represented sources
+    without a bias toward storage order: one ranking window per class,
+    and Spark's WindowGroupLimit pushes the rank bound below the
+    exchange so only ``max_per_class`` rows per class are ever sorted.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash32
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt))
+    w = Window.partitionBy(class_col).orderBy(
+        md5_hash32(key).asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_per_class)
+        .drop("__rn")
+    )
+
+
 def top_k(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
     """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     which keeps only k rows per partition then k overall (no full sort)."""

@@ -307,3 +307,24 @@ def test_grouped_percentiles_exact(spark):
     # interpolated: rank = p*(n-1) over sorted values 1..10
     assert out["a"] == (5.5, pytest.approx(9.1), pytest.approx(9.91))
     assert out["b"] == (5.0, 5.0, 5.0)
+
+
+def test_stratified_sample_rebalances(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = set_ops.stratified_sample(df, "cls", {"big": 0.1, "small": 1.0})
+    got = {r["cls"]: r["n"] for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert got["small"] == 100           # fraction 1.0 keeps everything
+    assert 40 <= got["big"] <= 160       # ~90 expected, Bernoulli spread
+
+
+def test_deterministic_class_cap_partition_invariant(spark):
+    rows = [(i, f"c{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    a = set_ops.deterministic_class_cap(df, "cls", ["id"], 20)
+    b = set_ops.deterministic_class_cap(df.repartition(11), "cls", ["id"], 20)
+    ka = sorted((r["cls"], r["id"]) for r in a.collect())
+    kb = sorted((r["cls"], r["id"]) for r in b.collect())
+    assert ka == kb
+    from collections import Counter
+    assert Counter(c for c, _ in ka) == {"c0": 20, "c1": 20, "c2": 20}
