@@ -2493,6 +2493,57 @@ GROUP BY source ORDER BY source
 """
 
 
+def q87_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot (operators/aggregates.pivot_agg): yearly revenue per
+    l_returnflag as columns. Values passed explicitly so no discovery
+    distinct() job runs; Spark compiles it to conditional aggregates in
+    ONE hash aggregation — exactly the CASE-sum form of the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        F.year("l_shipdate").cast("long").alias("yr"),
+        "l_returnflag",
+        (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")).alias("cents"),
+    )
+    out = agg_ops.pivot_agg(df, ["yr"], "l_returnflag", ["A", "N", "R"], F.sum("cents"))
+    return out.select(
+        "yr",
+        *[(F.coalesce(F.col(c), F.lit(0)) / F.lit(10000.0)).alias(f"rev_{c}") for c in ("A", "N", "R")],
+    ).orderBy("yr")
+
+
+_Q87_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_A,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_N,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_R
+FROM lineitem
+GROUP BY year(l_shipdate) ORDER BY yr
+"""
+
+
+def q88_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long melt (operators/aggregates.unpivot → native UNPIVOT/Expand,
+    zero shuffle and a single scan — never a UNION of re-scans):
+    part's numeric attributes to (partkey, variable, value) rows."""
+    part = load_table(spark, sf_dir, "part")
+    wide = part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return agg_ops.unpivot(wide, ["p_partkey"], ["retailprice", "size"])
+
+
+_Q88_SQL = """
+SELECT p_partkey, 'retailprice' AS variable, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2573,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_string_suite": q84_string_suite,
         "q85_date_suite": q85_date_suite,
         "q86_class_rebalance": q86_class_rebalance,
+        "q87_pivot_returnflag": q87_pivot_returnflag,
+        "q88_unpivot_part": q88_unpivot_part,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2668,4 +2721,6 @@ def oracle_sql() -> dict[str, str]:
         "q84_string_suite": _Q84_SQL,
         "q85_date_suite": _Q85_SQL,
         "q86_class_rebalance": _Q86_SQL,
+        "q87_pivot_returnflag": _Q87_SQL,
+        "q88_unpivot_part": _Q88_SQL,
     }

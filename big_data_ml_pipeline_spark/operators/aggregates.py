@@ -94,6 +94,36 @@ def approx_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
     return df.select(F.approx_count_distinct(col, rsd).alias(f"{col}_approx_distinct"))
 
 
+def pivot_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    pivot_col: str,
+    values: list,
+    agg_expr,
+) -> DataFrame:
+    """Wide pivot: one output column per pivot value, computed as a
+    single hash aggregation (Spark rewrites pivot into conditional
+    aggregates — no extra shuffle vs a plain groupBy). Passing
+    ``values`` explicitly matters at scale: without it Spark first runs
+    a distinct() job over the pivot column to discover them."""
+    return df.groupBy(*group_cols).pivot(pivot_col, values).agg(agg_expr)
+
+
+def unpivot(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Long melt of ``value_cols`` via the native ``unpivot`` operator
+    (a zero-shuffle Expand: each input row emits len(value_cols) rows
+    in place — never a UNION of re-scans)."""
+    return df.unpivot(
+        list(id_cols), list(value_cols), var_name, value_name
+    )
+
+
 def grouped_percentiles(
     df: DataFrame,
     group_cols: list[str],

@@ -328,3 +328,39 @@ def test_deterministic_class_cap_partition_invariant(spark):
     assert ka == kb
     from collections import Counter
     assert Counter(c for c, _ in ka) == {"c0": 20, "c1": 20, "c2": 20}
+
+
+def test_pivot_agg_no_discovery_job_and_values(spark):
+    df = spark.createDataFrame(
+        [("x", "a", 1), ("x", "b", 2), ("y", "a", 3)], "g string, p string, v long"
+    )
+    sc = spark.sparkContext
+
+    def run_in_group(name, fn):
+        sc.setJobGroup(name, name)
+        try:
+            return fn(), len(sc.statusTracker().getJobIdsForGroup(name))
+        finally:
+            sc.setJobGroup(None, None)
+
+    out, jobs_explicit = run_in_group(
+        "pivot-explicit",
+        lambda: {r["g"]: (r["a"], r["b"]) for r in
+                 agg_ops.pivot_agg(df, ["g"], "p", ["a", "b"], F.sum("v")).collect()},
+    )
+    _, jobs_discovery = run_in_group(
+        "pivot-discovery",
+        lambda: df.groupBy("g").pivot("p").agg(F.sum("v")).collect(),
+    )
+    assert out == {"x": (1, 2), "y": (3, None)}
+    # explicit values skip the distinct() discovery pass entirely
+    assert jobs_explicit < jobs_discovery
+
+
+def test_unpivot_is_expand_not_union(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "k long, a double, b double")
+    out = agg_ops.unpivot(df, ["k"], ["a", "b"])
+    rows = sorted((r["variable"], r["value"]) for r in out.collect())
+    assert rows == [("a", 10.0), ("b", 20.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan and "Union" not in plan
