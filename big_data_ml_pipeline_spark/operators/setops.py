@@ -106,6 +106,39 @@ def deterministic_class_cap(
     )
 
 
+def weighted_class_sample(
+    df: DataFrame,
+    class_col: str,
+    key_cols: list[str],
+    weight_col: str,
+    k_per_class: int,
+    salt: str = "wsample-42",
+) -> DataFrame:
+    """Weighted sampling without replacement, k rows per class, via the
+    Efraimidis-Spirakis A-res scheme: rank rows by u^(1/w) where u is a
+    uniform derived from md5 of the row key — so, like
+    :func:`deterministic_class_cap`, the SAME rows are chosen on any
+    partitioning or cluster size, but selection probability scales with
+    ``weight_col`` (e.g. a quality score: better documents sampled
+    more). One ranking window per class; WindowGroupLimit bounds the
+    per-class sort at k. Zero-or-negative weights never win against any
+    positive weight (their sort key is forced to -inf)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash32
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt))
+    # md5_hash32 ∈ [0, 2^32): shift to (0, 1] so ln(u) is finite.
+    u = (md5_hash32(key) + F.lit(1.0)) / F.lit(float(1 << 32))
+    w = F.col(weight_col).cast("double")
+    # rank key: u^(1/w), computed as ln(u)/w for numerical range; larger
+    # is better. Monotone transform → same order as u^(1/w).
+    score = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    order = [score.desc(), *[F.col(c).asc() for c in key_cols]]
+    rn = F.row_number().over(Window.partitionBy(class_col).orderBy(*order))
+    return df.withColumn("__rn", rn).filter(F.col("__rn") <= k_per_class).drop("__rn")
+
+
 def top_k(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
     """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     which keeps only k rows per partition then k overall (no full sort)."""

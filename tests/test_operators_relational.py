@@ -364,3 +364,32 @@ def test_unpivot_is_expand_not_union(spark):
     assert rows == [("a", 10.0), ("b", 20.0)]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan and "Union" not in plan
+
+
+def test_weighted_class_sample_deterministic_and_biased(spark):
+    """E-S weighted sampling: membership invariant under repartitioning,
+    and across many disjoint salts the high-weight stratum must win
+    selection far more often than the low-weight one (10x weights)."""
+    rows = [(i, "c", 10.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, cls string, w double")
+
+    a = set_ops.weighted_class_sample(df, "cls", ["id"], "w", 20)
+    b = set_ops.weighted_class_sample(df.repartition(13), "cls", ["id"], "w", 20)
+    ids_a = sorted(r["id"] for r in a.collect())
+    assert ids_a == sorted(r["id"] for r in b.collect())
+    assert len(ids_a) == 20
+
+    heavy = 0
+    for s in range(8):  # disjoint pseudo-random draws via the salt
+        sel = set_ops.weighted_class_sample(df, "cls", ["id"], "w", 20, salt=f"s{s}")
+        heavy += sum(1 for r in sel.collect() if r["id"] < 100)
+    # 10x weight → expected ~86% of picks from the heavy stratum;
+    # 8 draws x 20 picks = 160, mean ~138, require a wide-margin majority.
+    assert heavy > 110, heavy
+
+
+def test_weighted_class_sample_zero_weight_never_wins(spark):
+    rows = [(i, "c", 0.0 if i < 5 else 1.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, cls string, w double")
+    sel = sorted(r["id"] for r in set_ops.weighted_class_sample(df, "cls", ["id"], "w", 5).collect())
+    assert sel == [5, 6, 7, 8, 9]
