@@ -123,6 +123,47 @@ def run_to_memory(stream_df: DataFrame, output_mode: str = "append") -> DataFram
     return spark.table(name)
 
 
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich each micro-batch with a (small)
+    dimension table. The static side is re-planned per trigger, so a
+    refreshed dim view is picked up without restarting the query;
+    broadcast keeps it shuffle-free on the stream side."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    max_delay_seconds: int = 3600,
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: rows match on ``key`` when
+    the right event lands within [left_ts, left_ts + max_delay].
+    Both sides are watermarked so the join state is bounded — Spark
+    evicts buffered rows once the watermark passes the interval bound;
+    without the time-range condition state would grow forever."""
+    from pyspark.sql import functions as F
+
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay_seconds} SECONDS")
+        )
+    )
+    return l.join(r, cond)
+
+
 def run_to_parquet(
     stream_df: DataFrame,
     path: str,

@@ -406,3 +406,64 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     merged = load_data(spark, str(base), fmt="parquet", mergeSchema="true")
     got = {r["k"]: r["extra"] for r in merged.select("k", "extra").collect()}
     assert got == {1: None, 2: "new"}
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast join must reproduce the batch join."""
+    dim = spark.createDataFrame(
+        [(i, f"segment_{i % 3}") for i in range(200)], "user_id long, segment string"
+    )
+    stream = stream_ops.read_events_stream(spark, SF0001)
+    got = stream_ops.run_to_memory(
+        stream_ops.enrich_with_dim(stream, dim, "user_id").select(
+            "event_id", "segment"
+        )
+    )
+    want = (
+        load_table(spark, SF0001, "events")
+        .join(dim, "user_id", "left")
+        .select("event_id", "segment")
+    )
+    g = sorted((r["event_id"], r["segment"]) for r in got.collect())
+    w = sorted((r["event_id"], r["segment"]) for r in want.collect())
+    assert g == w and len(g) > 0
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    """Watermarked stream-stream interval join == the batch join with
+    the identical time-bound condition (in-order replay → nothing is
+    dropped, so results must match exactly)."""
+    ev = stream_ops.read_events_stream(spark, SF0001)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = stream_ops.stream_stream_join(
+        purchases, clicks.withColumnRenamed("c_user", "user_id"),
+        key="user_id", left_ts="p_ts", right_ts="c_ts", max_delay_seconds=1800,
+    ).select("p_id", "c_id")
+    got = sorted(
+        (r["p_id"], r["c_id"]) for r in stream_ops.run_to_memory(joined).collect()
+    )
+
+    bev = load_table(spark, SF0001, "events")
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    bc = bev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    want = sorted(
+        (r["p_id"], r["c_id"])
+        for r in bp.join(
+            bc,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts"))
+            & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 1800 SECONDS")),
+        ).select("p_id", "c_id").collect()
+    )
+    assert got == want and len(got) > 0
