@@ -467,3 +467,30 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
         ).select("p_id", "c_id").collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_checkpoint_incremental_resume(spark, tmp_path):
+    """Restarting against the same checkpoint processes ONLY files that
+    arrived since the last run — offsets carry across process
+    lifetimes, so a nightly availableNow run is an incremental ingest,
+    not a re-read of the lake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src, out, cp = tmp_path / "src", str(tmp_path / "out"), str(tmp_path / "cp")
+    src.mkdir()
+
+    def add_file(name, ids):
+        pq.write_table(pa.table({"event_id": pa.array(ids, pa.int64())}), str(src / name))
+
+    def run():
+        stream = spark.readStream.schema("event_id long").parquet(str(src))
+        stream_ops.run_to_parquet(stream, out, cp)
+
+    add_file("f1.parquet", [1, 2, 3])
+    run()
+    assert sorted(r["event_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+    add_file("f2.parquet", [4, 5])
+    run()
+    assert sorted(r["event_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
