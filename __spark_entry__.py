@@ -2544,6 +2544,38 @@ SELECT p_partkey, 'size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
 """
 
 
+def q89_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window suite complementing q76's rank family: first_value,
+    last_value and nth_value over an explicit running frame, plus lead
+    with a default — all sharing ONE (user, ORDER BY ts, event_id)
+    window spec so Spark plans a single sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(running).alias("first_type"),
+        F.last("event_type").over(running).alias("latest_type"),
+        F.nth_value("event_type", 2).over(running).alias("second_type"),
+        F.lead("event_type", 1, "END").over(w).alias("next_type"),
+    )
+
+
+_Q89_SQL = """
+SELECT user_id, event_id,
+  FIRST_VALUE(event_type) OVER w_run AS first_type,
+  LAST_VALUE(event_type) OVER w_run AS latest_type,
+  NTH_VALUE(event_type, 2) OVER w_run AS second_type,
+  LEAD(event_type, 1, 'END') OVER w_ord AS next_type
+FROM events
+WINDOW
+  w_run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2626,6 +2658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_class_rebalance": q86_class_rebalance,
         "q87_pivot_returnflag": q87_pivot_returnflag,
         "q88_unpivot_part": q88_unpivot_part,
+        "q89_value_windows": q89_value_windows,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2723,4 +2756,5 @@ def oracle_sql() -> dict[str, str]:
         "q86_class_rebalance": _Q86_SQL,
         "q87_pivot_returnflag": _Q87_SQL,
         "q88_unpivot_part": _Q88_SQL,
+        "q89_value_windows": _Q89_SQL,
     }

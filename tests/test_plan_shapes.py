@@ -170,3 +170,11 @@ def test_q82_semi_join_year_pivot(spark):
     assert "LeftSemi" in p
     # the shipdate range reaches the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+
+
+def test_q89_value_windows_single_sort_and_exchange(spark):
+    p = plan_of(spark, "q89_value_windows")
+    # both frame variants share the (user, ts, id) spec: Spark fuses
+    # them into ONE Window over one exchange and one sort
+    assert p.count("Window [") == 1
+    assert p.count("Exchange hashpartitioning") == 1
