@@ -2576,6 +2576,34 @@ WINDOW
 """
 
 
+def q90_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-directed JSON parsing (§2g beyond q22's string-path
+    extraction): from_json parses props into a typed STRUCT once, the
+    nested field drives a grouped aggregate — the parse stays in the
+    projection, so Catalyst prunes it to the single accessed field."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json(F.col("props"), "k INT").alias("p"), F.col("value")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+_Q90_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+GROUP BY 1 ORDER BY k_bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2659,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_pivot_returnflag": q87_pivot_returnflag,
         "q88_unpivot_part": q88_unpivot_part,
         "q89_value_windows": q89_value_windows,
+        "q90_json_struct_agg": q90_json_struct_agg,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2757,4 +2786,5 @@ def oracle_sql() -> dict[str, str]:
         "q87_pivot_returnflag": _Q87_SQL,
         "q88_unpivot_part": _Q88_SQL,
         "q89_value_windows": _Q89_SQL,
+        "q90_json_struct_agg": _Q90_SQL,
     }
