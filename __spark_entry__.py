@@ -1057,9 +1057,17 @@ def q42_lsh_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated SQL, so bucket ids (signed projections) and rounded
     cosines reproduce exactly. Demo threshold 0.3 (synthetic
     embeddings are near-random, in-bucket max cos ~ 0.45) so the
-    check is non-trivial; real corpora would use >= 0.9."""
+    check is non-trivial; real corpora would use >= 0.9.
+
+    max_bucket_size=None because this query is hash-checked against an
+    exact all-pairs-within-bucket SQL twin: the skew-guard star degrade
+    would silently drop pairs the oracle keeps once a bucket outgrew
+    the cap (ADVICE r2). Guarded behavior is covered by
+    tests/test_skew_guards.py instead."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim_ops.lsh_bucketed_pairs(emb, n_planes=8, threshold=0.3)
+    return sim_ops.lsh_bucketed_pairs(
+        emb, n_planes=8, threshold=0.3, max_bucket_size=None
+    )
 
 
 def _q42_sql() -> str:
@@ -1234,8 +1242,8 @@ def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q46_SQL = """
 WITH b AS (
   SELECT CAST(concat('0x', substr(md5(
-           CAST(l_orderkey AS VARCHAR) || '|' ||
-           CAST(l_linenumber AS VARCHAR) || '|' || 'split-42'), 1, 8)) AS BIGINT)
+           COALESCE('v' || CAST(l_orderkey AS VARCHAR), '~') || '|' ||
+           COALESCE('v' || CAST(l_linenumber AS VARCHAR), '~') || '|' || 'split-42'), 1, 8)) AS BIGINT)
          % 100 AS bucket
   FROM lineitem
 )
@@ -1434,14 +1442,20 @@ def q57_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora would use ≥ 0.9. Within-block compute is one numpy GEMM per
     block (cosine_near_dup_pairs_gemm, ~5× the zip_with fold); the
     pure-Catalyst twin stays available as
-    similarity.cosine_near_dup_pairs and is pinned equal in tests."""
+    similarity.cosine_near_dup_pairs and is pinned equal in tests.
+
+    max_block_size=None because the SQL twin computes exact all-pairs
+    per block: the star degrade would drop pairs once a lang block
+    outgrew the cap (~10k docs at sf0.1), breaking the hash contract
+    data-dependently (ADVICE r2). Guarded behavior is covered by
+    tests/test_skew_guards.py instead."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     joined = docs.select("doc_id", "lang").join(
         emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
     )
     return sim_ops.cosine_near_dup_pairs_gemm(
-        joined, ["lang"], threshold=0.42, id_col="doc_id"
+        joined, ["lang"], threshold=0.42, id_col="doc_id", max_block_size=None
     )
 
 
@@ -2124,8 +2138,15 @@ def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem): for each EUROPE-supplied part of one size, the cheapest
     supplier. Per-part argmin via one ranking window (ties by suppkey);
     supplier/nation/region dims broadcast; the only big shuffle is the
-    (partkey, suppkey) aggregation."""
+    (partkey, suppkey) aggregation.
+
+    The p_size = 15 part filter (≈1/50 of parts) is applied as a
+    broadcast semi-join BELOW the ranking window: the window is
+    per-partkey, so pre-filtering its input is semantically identical
+    (VERDICT r2 item #2) and prunes ~98% of the ranked rows at scale.
+    The SQL twin keeps the filter above — same result."""
     t = load_tables(spark, sf_dir, ("lineitem", "part", "supplier", "nation", "region"))
+    p15 = t["part"].filter(F.col("p_size") == 15)
     offers = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
@@ -2133,6 +2154,11 @@ def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0)).alias(
                 "offer"
             )
+        )
+        .join(
+            F.broadcast(p15.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
         )
     )
     eu = (
@@ -2144,10 +2170,7 @@ def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_partkey").orderBy(F.col("offer").asc(), F.col("s_suppkey").asc())
     best = eu.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
-        best.join(
-            F.broadcast(t["part"].filter(F.col("p_size") == 15)),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
+        best.join(F.broadcast(p15), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_brand", "n_name", "s_name", "s_acctbal", "offer")
         .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc())
         .limit(30)
@@ -2604,6 +2627,128 @@ GROUP BY 1 ORDER BY k_bucket
 """
 
 
+def q91_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (operators/text.tf_idf_top_terms): tokenize-once explode → one
+    (doc, term) count agg → doc-length / doc-frequency as unordered
+    window sums over the grouped table → corpus size as a broadcast
+    1-row cross join → per-doc ranking window. Scores rounded to 6
+    digits BEFORE ranking so ties (then term asc) break identically in
+    DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.tf_idf_top_terms(docs, "text", "doc_id", k=3)
+
+
+_Q91_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_DUCK_TOKENS.format(col='lower(text)')}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+sized AS (
+  SELECT doc_id, term, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM tf),
+scored AS (
+  SELECT doc_id, term,
+         ROUND((CAST(cnt AS DOUBLE) / doc_len)
+               * ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM sized)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+WHERE rn <= 3
+"""
+
+
+def q92_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid, one row per (lang, dimension):
+    docs⋈embeddings → posexplode the vector → one (lang, pos) mean
+    aggregation with map-side partials — 64 × n_langs output rows, no
+    window, no collect. Inputs are quantized to 1e-6 integers before
+    the sum (the integer-cents pattern of functions/exact.py) so the
+    mean is order-independent and hash-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    j = docs.select("doc_id", "lang").join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        ),
+        "doc_id",
+    )
+    ex = j.select("lang", F.posexplode("v").alias("pos0", "x"))
+    return (
+        ex.groupBy("lang", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6))
+            ).alias("centroid_val")
+        )
+        .select("lang", F.col("pos").cast("long").alias("pos"), "centroid_val")
+    )
+
+
+_Q92_SQL = """
+WITH e AS (
+  SELECT d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
+SELECT lang, CAST(g.pos AS BIGINT) AS pos,
+       CAST(SUM(CAST(ROUND(v[g.pos] * 1000000) AS BIGINT)) AS BIGINT)
+         / (COUNT(*) * 1000000.0) AS centroid_val
+FROM e CROSS JOIN generate_series(1, 64) AS g(pos)
+GROUP BY lang, g.pos
+"""
+
+
+def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (bucket = floor(value/50),
+    clamped to [0, 19]) with per-bucket row counts and integer-cents
+    exact value sums — a single hash aggregation with map-side
+    partials; the distribution-profiling primitive for training-data
+    QA dashboards."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 50).cast("long"), F.lit(0)), F.lit(19)
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"), dsum(F.col("value")).alias("total_value")
+    )
+
+
+_Q93_SQL = f"""
+SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS BIGINT), 0), 19) AS bucket,
+  COUNT(*) AS n, {_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q94_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate aggregate surface (beyond the reference's mean/std):
+    per-returnflag Pearson correlation and sample covariance of
+    quantity vs extended price — single-pass merge-formula aggregates
+    on both engines, rounded well inside double merge-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q94_SQL = """
+SELECT l_returnflag,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2688,6 +2833,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_unpivot_part": q88_unpivot_part,
         "q89_value_windows": q89_value_windows,
         "q90_json_struct_agg": q90_json_struct_agg,
+        "q91_tfidf_terms": q91_tfidf_terms,
+        "q92_lang_centroids": q92_lang_centroids,
+        "q93_value_histogram": q93_value_histogram,
+        "q94_quantity_price_stats": q94_quantity_price_stats,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2787,4 +2936,8 @@ def oracle_sql() -> dict[str, str]:
         "q88_unpivot_part": _Q88_SQL,
         "q89_value_windows": _Q89_SQL,
         "q90_json_struct_agg": _Q90_SQL,
+        "q91_tfidf_terms": _Q91_SQL,
+        "q92_lang_centroids": _Q92_SQL,
+        "q93_value_histogram": _Q93_SQL,
+        "q94_quantity_price_stats": _Q94_SQL,
     }

@@ -86,13 +86,27 @@ def main() -> None:
     # per-query numbers measure steady-state execution, not session boot.
     entrymod.entry(spark).write.format("noop").mode("overwrite").save()
 
+    # Two timed runs per query, report the MIN (VERDICT r2 #5): single
+    # runs are ±30% noisy here (JIT, page cache, GC), enough to push a
+    # round over the 2×-of-baseline line spuriously. min-of-2 measures
+    # steady-state execution; run 1 doubles as the query's own codegen
+    # warm-up.
     timings: dict[str, float] = {}
     for name in bench_queries:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 2)
-        print(f"bench {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        per_run = []
+        for _ in range(2):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            per_run.append(time.time() - t0)
+        timings[name] = round(min(per_run), 2)
+        print(
+            f"bench {name}: {timings[name]}s (runs: "
+            + ", ".join(f"{t:.2f}" for t in per_run)
+            + ")",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 2)
     # Short keys: "q01_pricing_summary" -> "q01". Unique by construction

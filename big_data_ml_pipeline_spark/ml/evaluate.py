@@ -59,9 +59,15 @@ def evaluate_clustering(
     predictions: DataFrame, features_col: str = "features"
 ) -> dict[str, float]:
     ev = ClusteringEvaluator(featuresCol=features_col, predictionCol="prediction")
+    # Two DB keys so the dispersion semantics are visible in the output
+    # (ADVICE r2: r2 silently changed the q default): "davies_bouldin"
+    # is the sklearn-compatible mean-distance form (q=1);
+    # "davies_bouldin_q2" is the RMS form computable in ONE aggregation
+    # job — the 100 TB path.
     return {
         "silhouette": ev.evaluate(predictions),
-        "davies_bouldin": davies_bouldin(predictions, features_col),
+        "davies_bouldin": davies_bouldin(predictions, features_col, q=1),
+        "davies_bouldin_q2": davies_bouldin(predictions, features_col, q=2),
     }
 
 

@@ -69,12 +69,14 @@ def global_stats(df: DataFrame, cols: list[str]) -> DataFrame:
 
     Replaces the reference's per-column driver loop
     (src/feature_engineering.py:163-165: one Spark job per column).
-    Output: ``{col}_mean``, ``{col}_stddev``.
+    Output: ``{col}_mean``, ``{col}_std`` — the same ``_std`` suffix as
+    :func:`grouped_stats` (RENAMED from ``{col}_stddev`` in r3 so the
+    module uses one convention; ADVICE r2).
     """
     exprs = []
     for c in cols:
         exprs.append(F.mean(c).alias(f"{c}_mean"))
-        exprs.append(F.stddev_samp(c).alias(f"{c}_stddev"))
+        exprs.append(F.stddev_samp(c).alias(f"{c}_std"))
     return df.select(*exprs)
 
 

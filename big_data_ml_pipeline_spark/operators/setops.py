@@ -57,10 +57,23 @@ def hash_split(
     (the md5-derived hash is reproducible in ANSI SQL, cf.
     dedup.md5_hash32). This is the split a 100 TB training pipeline
     should use: adding executors or compacting files never moves a row
-    across the boundary, unlike :func:`random_split`."""
+    across the boundary, unlike :func:`random_split`.
+
+    NULL-keyed rows are handled explicitly (ADVICE r2): each key column
+    is encoded ``'v' || value`` with NULL → ``'~'`` before joining with
+    ``|``, so NULLs hash to a deterministic bucket instead of being
+    silently skipped (``concat_ws`` drops NULL elements, which would
+    make ('a', NULL) and (NULL, 'a') collide)."""
     from ..operators.dedup import md5_hash32
 
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt))
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("~"))
+            for c in key_cols
+        ],
+        F.lit(salt),
+    )
     bucket = F.pmod(md5_hash32(key), F.lit(100))
     return [df.filter(bucket < train_pct), df.filter(bucket >= train_pct)]
 

@@ -54,7 +54,17 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "evaluation": {},
     "tracking": {"enabled": False, "run_name": None},
     "optimization": {"cache_data": False, "repartition": None,
-                     "broadcast_threshold": 10 * 1024 * 1024},
+                     "broadcast_threshold": 10 * 1024 * 1024,
+                     # Skew guards for the dedup/similarity operators
+                     # (VERDICT r2 #7: knobs existed only as function
+                     # kwargs; config-driven pipelines couldn't reach
+                     # them). max_bucket_size bounds LSH band-bucket
+                     # self-joins (None = exact all-pairs, no guard);
+                     # max_doc_freq drops shingles seen in more
+                     # documents than this before the jaccard join
+                     # (None = keep all).
+                     "max_bucket_size": 1024,
+                     "max_doc_freq": None},
 }
 
 
@@ -179,6 +189,33 @@ class PipelineOrchestrator:
         if task == "clustering":
             return evaluate_clustering(predictions)
         return {}
+
+    # -- dedup (north-star operators, guard knobs from config) --------------
+    def dedup_pairs(self, df: DataFrame, strategy: str = "minhash",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    **kwargs: Any) -> DataFrame:
+        """Near-duplicate candidate pairs with the skew guards wired
+        from ``optimization.max_bucket_size`` / ``optimization.
+        max_doc_freq`` (explicit kwargs still win, so an oracle-anchored
+        caller can pass ``max_bucket_size=None`` for exact semantics)."""
+        from .operators import dedup as dedup_ops
+
+        opt = self.config["optimization"]
+        if strategy == "exact":
+            return dedup_ops.duplicate_groups(df, text_col, id_col)
+        if strategy == "minhash":
+            kwargs.setdefault("max_bucket_size", opt["max_bucket_size"])
+            return dedup_ops.minhash_dedup_pairs(df, text_col, id_col, **kwargs)
+        if strategy == "simhash":
+            kwargs.setdefault("max_bucket_size", opt["max_bucket_size"])
+            return dedup_ops.simhash_dedup_pairs(df, text_col, id_col, **kwargs)
+        if strategy == "jaccard":
+            kwargs.setdefault("max_doc_freq", opt["max_doc_freq"])
+            return dedup_ops.jaccard_pairs(df, text_col, id_col, **kwargs)
+        raise ValueError(
+            f"unknown dedup strategy {strategy!r}; "
+            "expected exact | minhash | simhash | jaccard"
+        )
 
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,

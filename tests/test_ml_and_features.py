@@ -110,7 +110,11 @@ def test_clustering_and_davies_bouldin(spark):
     assert sizes == [15, 15]
     metrics = evaluate_clustering(preds)
     assert metrics["silhouette"] > 0.9
+    # both dispersion semantics reported under distinct keys (ADVICE
+    # r2): davies_bouldin = sklearn q=1, davies_bouldin_q2 = RMS q=2
     assert 0.0 < metrics["davies_bouldin"] < 0.1
+    assert 0.0 < metrics["davies_bouldin_q2"] < 0.1
+    assert metrics["davies_bouldin"] <= metrics["davies_bouldin_q2"]
 
 
 def test_davies_bouldin_single_cluster_zero(spark):

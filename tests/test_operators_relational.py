@@ -83,6 +83,8 @@ def test_global_stats_one_row(spark):
     row = out.first()
     assert len(out.columns) == 4 and out.count() == 1
     assert row["x_mean"] == 2.0 and row["y_mean"] == 20.0
+    # one naming convention module-wide: {col}_std, not {col}_stddev
+    assert set(out.columns) == {"x_mean", "x_std", "y_mean", "y_std"}
 
 
 def test_rollup_and_cube_shapes(spark):

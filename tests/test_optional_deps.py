@@ -132,3 +132,32 @@ def test_fastapi_routes(monkeypatch):
     assert client.post("/train", json={"data_path": "/tmp/x.parquet"}).json()[
         "status"
     ] == "queued"
+
+
+def test_kafka_payload_shape_and_gated_sink(spark, tmp_path):
+    """Kafka sink surface (VERDICT r2 #8): the payload transform is
+    pure Catalyst and always testable; the transport needs the
+    spark-sql-kafka JAR and degrades to a clear error without it."""
+    from big_data_ml_pipeline_spark.streaming.events import (
+        kafka_sink_available,
+        run_to_kafka,
+        to_kafka_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "click", 0.5), (2, "view", 1.5)], "user_id long, event_type string, value double"
+    )
+    out = to_kafka_payload(df, "user_id")
+    assert out.columns == ["key", "value"]
+    rows = {r["key"]: r["value"] for r in out.collect()}
+    assert rows["1"] == '{"event_type":"click","value":0.5}'
+
+    if not kafka_sink_available(spark):
+        stream = (
+            spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+            .selectExpr("value AS user_id", "CAST(value AS STRING) AS event_type")
+        )
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            run_to_kafka(stream, "localhost:9092", "t", str(tmp_path / "ckpt"))
+    else:  # pragma: no cover - only runs where the connector JAR exists
+        pytest.skip("kafka connector present but no broker in this environment")

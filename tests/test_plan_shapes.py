@@ -149,6 +149,13 @@ def test_q79_argmin_single_window_dims_broadcast(spark):
     # only the per-partition top row ever reaches the Window exchange.
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+    # VERDICT r2 #2: the p_size part filter must evaluate BELOW the
+    # ranking window (as a semi-join pruning the window input), not
+    # after it — the semi-join sits under WindowGroupLimit in the tree.
+    semi_pos = p.find("LeftSemi")
+    assert semi_pos != -1
+    assert semi_pos > p.find("WindowGroupLimit") > -1
+    assert "EqualTo(p_size,15)" in p  # and the size predicate at the part scan
 
 
 def test_q80_scalar_total_broadcast(spark):

@@ -153,7 +153,9 @@ def test_hash_split_matches_python_md5(keys, parts):
     got_test = sorted(r["k"] for r in test.collect())
 
     def bucket(k):
-        h = hashlib.md5(f"{k}|split-42".encode()).hexdigest()[:8]
+        # 'v' prefix = the non-NULL marker of hash_split's NULL-safe
+        # key encoding (NULL keys encode as '~')
+        h = hashlib.md5(f"v{k}|split-42".encode()).hexdigest()[:8]
         return int(h, 16) % 100
 
     want_train = sorted(k for k in keys if bucket(k) < 80)

@@ -128,6 +128,56 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_raises_on_exhausted_iterations(spark):
+    """ADVICE r2: exhausting max_iter must raise, not return partial
+    (wrong) labels that would drive deletion decisions."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=2)
+
+
+def test_alternating_cc_path_graph_logarithmic_rounds(spark):
+    """VERDICT r2 #6: a 1000-node path (diameter 1000) must converge in
+    O(log n) rounds — max_iter=12 would take min-label propagation to
+    only ~1% of the chain, so passing under it pins the large-star/
+    small-star contraction actually working."""
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    labels = dedup.connected_components_alternating(pairs, max_iter=12)
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_alternating_cc_matches_label_propagation(spark):
+    """Same (id, comp) output as min-label propagation on a seeded
+    random graph (mixed component shapes, shuffled ids)."""
+    import random
+
+    rng = random.Random(7)
+    ids = list(range(0, 500, 3))
+    rng.shuffle(ids)
+    pairs = []
+    # chunk shuffled ids into components of size 2..8, wired randomly
+    i = 0
+    while i < len(ids) - 1:
+        k = min(rng.randint(2, 8), len(ids) - i)
+        comp = ids[i : i + k]
+        for j in range(1, k):
+            pairs.append((comp[rng.randrange(j)], comp[j]))
+        i += k
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    base = {(r["id"], r["comp"]) for r in dedup.connected_components(df).collect()}
+    alt = {
+        (r["id"], r["comp"])
+        for r in dedup.connected_components_alternating(df).collect()
+    }
+    assert alt == base
+
+
 def test_minhash_recall_on_planted_near_dups(spark):
     """Semantic quality, not just mechanics: plant 40 near-duplicate
     pairs (5% word perturbation → ~9 of ~58 3-shingles change, Jaccard

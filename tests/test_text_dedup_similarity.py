@@ -338,3 +338,33 @@ def test_ivf_topk_with_kmeans_centroids(spark):
     )
     got = [(r["vec_id"], r["sim"]) for r in out.collect()]
     assert got[0] == (0, 1.0) and got[1] == (1, 1.0)
+
+
+def test_tf_idf_top_terms_exact(spark):
+    """Exact smoothed-TFIDF values and deterministic tie order against
+    a hand-computed python twin."""
+    import math
+
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.tfidf, r.rn)
+        for r in text_ops.tf_idf_top_terms(docs, k=3).collect()
+    }
+    n = 3
+    dfreq = {"apple": 1, "banana": 2, "cherry": 1, "durian": 1}
+
+    def tfidf(cnt, doc_len, term):
+        return round((cnt / doc_len) * math.log((n + 1) / (dfreq[term] + 1)), 6)
+
+    assert got[(1, "apple")] == (tfidf(2, 3, "apple"), 1)
+    assert got[(1, "banana")] == (tfidf(1, 3, "banana"), 2)
+    assert got[(2, "cherry")] == (tfidf(1, 2, "cherry"), 1)
+    assert got[(2, "banana")] == (tfidf(1, 2, "banana"), 2)
+    # single-term doc: idf ln(4/2), tf 1.0; and no rn>1 rows exist
+    assert got[(3, "durian")] == (round(math.log(2.0), 6), 1)
+    assert len(got) == 5
