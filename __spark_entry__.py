@@ -2749,6 +2749,235 @@ GROUP BY l_returnflag
 """
 
 
+def q95_components_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard near-dup graph via the
+    ALTERNATING large-star/small-star contraction
+    (dedup.connected_components_alternating, Kiveris et al.) — the
+    O(log² n)-round 100 TB path that q83's min-label propagation
+    cannot take on high-diameter graphs. Emits the full (id, comp)
+    keep-list; oracle is DuckDB WITH RECURSIVE reachability with MIN
+    labels over the identical edge set, so the star fixed point is
+    value-checked, not just round-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    jac = dedup_ops.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, block_col="source"
+    ).select("id_a", "id_b")
+    labels = dedup_ops.connected_components_alternating(jac)
+    return labels.select(
+        F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
+    )
+
+
+_Q95_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac
+  UNION SELECT id_b, id_a FROM jac
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+"""
+
+
+def q96_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per user, the earliest view,
+    the earliest click strictly after it, the earliest purchase
+    strictly after that — three chained conditional-min window passes
+    over ONE user_id exchange (each window reuses the partitioning the
+    previous one established), then a groupBy on the same key (no new
+    shuffle) and a tiny stage histogram. The standard product-analytics
+    primitive, expressed with zero self-joins — at 100 TB the naive
+    3-way events self-join is the plan to avoid."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias("t_view"),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_Q96_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2),
+pu AS (
+  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+         MAX(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id)
+SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM pu GROUP BY 1
+"""
+
+
+def q97_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: cohort = each user's first active day
+    (min-date window over the user_id exchange), activity bucketed into
+    whole weeks since the cohort day, distinct active users per
+    (cohort_day, week_offset) cell. The (user, day) projection is
+    deduped BEFORE the distinct-count aggregation so the expand for
+    COUNT(DISTINCT) sees days, not raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    s = days.select(
+        "user_id", "d", F.min("d").over(w).alias("cohort_d")
+    )
+    return (
+        s.groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff(F.col("d"), F.col("cohort_d")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_Q97_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+s AS (
+  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+  FROM days)
+SELECT strftime(CAST(cohort_d AS DATE), '%Y-%m-%d') AS cohort_day,
+       CAST(FLOOR(date_diff('day', CAST(cohort_d AS DATE), d) / 7.0) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM s GROUP BY 1, 2
+"""
+
+
+def q98_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data integrity audit via FULL OUTER join (the one join
+    type the rest of the surface didn't exercise): English documents vs
+    the embedding store, bucketed into matched / text-without-embedding
+    / embedding-without-text with row counts. At scale this is one
+    shuffle on the id; the audit never materializes payloads, only
+    ids."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = docs.filter(F.col("lang") == "en").select("doc_id")
+    e = emb.select(F.col("vec_id"))
+    j = d.join(e, d["doc_id"] == e["vec_id"], "full_outer")
+    status = (
+        F.when(F.col("doc_id").isNotNull() & F.col("vec_id").isNotNull(), "both")
+        .when(F.col("doc_id").isNull(), "embedding_only")
+        .otherwise("doc_only")
+    )
+    return j.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+_Q98_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+j AS (
+  SELECT d.doc_id, e.vec_id
+  FROM d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
+            WHEN doc_id IS NULL THEN 'embedding_only'
+            ELSE 'doc_only' END AS status,
+       COUNT(*) AS n
+FROM j GROUP BY 1
+"""
+
+
+def q99_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation surface (SURVEY 2g map functions): per
+    user, a map of event_type → count serialized as canonical JSON.
+    collect_list's arrival order is partitioning-dependent, so the
+    entries are array_sort'ed by key BEFORE map_from_entries — the JSON
+    string is then bit-stable across engines and partitionings (the
+    determinism policy applied to map types)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return counts.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "cnt")))
+            )
+        ).alias("type_counts")
+    )
+
+
+_Q99_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       '{' || string_agg(format('"{}":{}', event_type, cnt), ','
+                         ORDER BY event_type) || '}' AS type_counts
+FROM c GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2837,6 +3066,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_lang_centroids": q92_lang_centroids,
         "q93_value_histogram": q93_value_histogram,
         "q94_quantity_price_stats": q94_quantity_price_stats,
+        "q95_components_alternating": q95_components_alternating,
+        "q96_event_funnel": q96_event_funnel,
+        "q97_cohort_retention": q97_cohort_retention,
+        "q98_embedding_coverage": q98_embedding_coverage,
+        "q99_event_type_map": q99_event_type_map,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -2940,4 +3174,9 @@ def oracle_sql() -> dict[str, str]:
         "q92_lang_centroids": _Q92_SQL,
         "q93_value_histogram": _Q93_SQL,
         "q94_quantity_price_stats": _Q94_SQL,
+        "q95_components_alternating": _Q95_SQL,
+        "q96_event_funnel": _Q96_SQL,
+        "q97_cohort_retention": _Q97_SQL,
+        "q98_embedding_coverage": _Q98_SQL,
+        "q99_event_type_map": _Q99_SQL,
     }

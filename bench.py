@@ -44,6 +44,9 @@ EXCLUDE = {
     "q70_minhash_oracle_pairs",
     "q71_simhash_oracle_pairs",
     "q83_dedup_components",
+    # Iterative CC fixed-point (like q83): per-round job overhead
+    # dominates at bench SF and measures the scheduler, not the engine.
+    "q95_components_alternating",
 }
 EXTRA = [
     "q40_minhash_pairs",

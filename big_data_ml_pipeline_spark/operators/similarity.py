@@ -374,11 +374,34 @@ def ivf_topk(
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
     )
+    # Centroid norms precomputed driver-side: sqrt of the same sequential
+    # double fold DuckDB's sqrt(list_dot_product(c,c)) and Spark's
+    # l2_norm both run, so the literal is bit-identical to computing it
+    # per row — which Catalyst otherwise does (a literal inside a HOF
+    # lambda referencing the lambda variable cannot constant-fold).
+    cnorm_lit = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents]
+    )
 
-    def nearest_cells(vec, n: int):
-        sims = F.transform(cent_lit, lambda c: cosine_similarity(vec, c))
+    def cell_sims(vec, vnorm):
+        """array<double> of per-cell cosines. The row's norm is passed
+        in as a column computed ONCE (the naive per-cell
+        cosine_similarity re-folds it n_cells times — the dominant cost
+        of the assignment pass); per-cell work is just the dot product.
+        Bit-identical to dot/(sqrt*sqrt) in the SQL twin: double
+        multiply is commutative and the fold orders match."""
+        sims = F.zip_with(
+            cent_lit,
+            cnorm_lit,
+            lambda c, nc: F.when(
+                (vnorm * nc) != 0, dot(vec, c) / (vnorm * nc)
+            ).otherwise(F.lit(0.0)),
+        )
         if round_assign_digits is not None:
             sims = F.transform(sims, lambda s: F.round(s, round_assign_digits))
+        return sims
+
+    def top_cells(sims, n: int):
         # sort key (s, -i) ascending, reversed → (s desc, i asc): equal
         # sims resolve to the smallest cell index, like SQL's
         # ORDER BY sim DESC, cell ASC.
@@ -392,16 +415,34 @@ def ivf_topk(
         )
         return F.transform(F.slice(ranked, 1, n), lambda p: -p["ni"])
 
-    v = to_double_array(F.col(vec_col))
-    assigned = embeddings.select(
-        F.col(id_col),
-        v.alias("v"),
-        nearest_cells(v, 1)[0].alias("cell"),
+    assigned = (
+        embeddings.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+        )
+        .withColumn("__vnorm", l2_norm(F.col("v")))
+        .withColumn("__sims", cell_sims(F.col("v"), F.col("__vnorm")))
+        .select(
+            F.col(id_col),
+            "v",
+            # argmax with first-occurrence (= lowest-index) tie-break:
+            # cheaper than the struct sort when only the top cell is
+            # needed. __sims is a materialized column (referenced twice;
+            # CollapseProject keeps non-cheap aliases un-inlined, so the
+            # 16 dot folds run once per row).
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
     )
     q = F.broadcast(
-        query_df.select(
-            to_double_array(F.col(vec_col)).alias("qv"),
-        ).select("qv", F.explode(nearest_cells(F.col("qv"), nprobe)).alias("cell"))
+        query_df.select(to_double_array(F.col(vec_col)).alias("qv"))
+        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .select(
+            "qv",
+            F.explode(
+                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+            ).alias("cell"),
+        )
     )
     return (
         assigned.join(q, on="cell")

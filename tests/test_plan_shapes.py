@@ -185,3 +185,15 @@ def test_q89_value_windows_single_sort_and_exchange(spark):
     # them into ONE Window over one exchange and one sort
     assert p.count("Window [") == 1
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_q96_funnel_single_user_exchange(spark):
+    p = plan_of(spark, "q96_event_funnel")
+    # Three chained conditional-min windows and the per-user agg all run
+    # on ONE user_id exchange + one sort; the only other exchange is the
+    # tiny final stage histogram. A second user_id shuffle (or a
+    # self-join) here is the classic funnel anti-pattern at 100 TB.
+    assert p.count("Window [") == 3
+    assert p.count("Exchange hashpartitioning") == 2
+    assert p.count("Sort [") == 1
+    assert "Join" not in p
