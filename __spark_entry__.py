@@ -2978,6 +2978,124 @@ FROM c GROUP BY user_id
 """
 
 
+def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.scrub_pii): emails, phone numbers
+    and IPv4 addresses replaced with typed placeholders — the cleaning
+    pass every training corpus needs, as a chain of global
+    regexp_replace (pure codegen, map-only at 100 TB). The synthetic
+    corpus contains no PII, so each doc is deterministically augmented
+    with an email/phone/IP derived from its id BEFORE scrubbing — the
+    oracle check then verifies actual replacements, not a no-op. Both
+    engines count matches first and hash the scrubbed text."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-867-530"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    out = docs.select("doc_id", aug.alias("__aug"))
+    for i, (pat, _) in enumerate(text_ops.PII_PATTERNS):
+        out = out.withColumn(
+            ["n_emails", "n_phones", "n_ips"][i],
+            F.regexp_count(F.col("__aug"), F.lit(pat)).cast("long"),
+        )
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5(text_ops.scrub_pii(F.col("__aug"))).alias("scrubbed_fp"),
+    )
+
+
+def _q100_sql() -> str:
+    email, phone, ip = (p for p, _ in text_ops.PII_PATTERNS)
+    aug = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '{phone}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(aug, '{ip}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      '{email}', '<EMAIL>', 'g'),
+      '{phone}', '<PHONE>', 'g'),
+      '{ip}', '<IP>', 'g')) AS scrubbed_fp
+FROM a
+"""
+
+
+_Q100_SQL = _q100_sql()
+
+
+def q101_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/text.chunk_tokens): 64-token
+    chunks with 16-token overlap — tokenize once, derive chunk starts
+    with `sequence`, one `posexplode`; a map-only generator plan with
+    no shuffle and no Python, so packing 100 TB into training windows
+    is embarrassingly parallel. Chunk text is hashed so the compare
+    stays small; count and coverage are value-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text_ops.chunk_tokens(docs, chunk_size=64, overlap=16)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
+_Q101_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
+  FROM t)
+SELECT doc_id,
+  CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS chunk_fp
+FROM s
+WHERE len(list_slice(toks, start, start + 63)) > 0
+"""
+
+
+def q102_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget corpus assembly
+    (operators/text.token_budget_sample): walk each language's docs in
+    id order, keep every doc that STARTS within a 5k-token budget (the
+    first overshooter included, so the budget is reached). One window
+    cumsum per group — a single shuffle regardless of corpus size, with
+    per-group ordering only (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_budget_sample(docs, budget_tokens=5000)
+
+
+_Q102_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT * FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM t)
+WHERE running_total - n_tokens < 5000
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3071,6 +3189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_cohort_retention": q97_cohort_retention,
         "q98_embedding_coverage": q98_embedding_coverage,
         "q99_event_type_map": q99_event_type_map,
+        "q100_pii_scrub": q100_pii_scrub,
+        "q101_token_chunks": q101_token_chunks,
+        "q102_token_budget_sample": q102_token_budget_sample,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -3179,4 +3300,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_cohort_retention": _Q97_SQL,
         "q98_embedding_coverage": _Q98_SQL,
         "q99_event_type_map": _Q99_SQL,
+        "q100_pii_scrub": _Q100_SQL,
+        "q101_token_chunks": _Q101_SQL,
+        "q102_token_budget_sample": _Q102_SQL,
     }

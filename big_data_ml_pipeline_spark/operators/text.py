@@ -138,6 +138,106 @@ def rolling_hash_fingerprint(text: Column) -> Column:
     )
 
 
+#: (pattern, replacement) pairs for PII scrubbing. Kept to constructs
+#: Java regex and RE2 (DuckDB) interpret identically: character
+#: classes, non-capturing groups, bounded repetition, ASCII \b.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\+?[0-9]{1,2}[ .-]?)?(?:\([0-9]{3}\)|[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b",
+     "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    text: Column, patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Redact PII-shaped spans (emails, phone numbers, IPv4 addresses)
+    with typed placeholders — the mandatory cleaning pass before text
+    enters a training corpus. A chain of global `regexp_replace`
+    (pure codegen, zero Python); order matters (emails first, so the
+    phone pattern never sees user@host digits)."""
+    out = text
+    for pat, repl in patterns:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window packing primitive of an LLM training pipeline.
+
+    Tokenizes once, derives the 1-based chunk start positions
+    ``sequence(1, greatest(n_tokens - overlap, 1), chunk_size -
+    overlap)`` (every token is covered; the final chunk absorbs the
+    tail instead of emitting a sub-overlap fragment), then
+    ``posexplode`` — the whole thing is one narrow projection + one
+    generator, NO shuffle and no Python: chunking 100 TB is a map-only
+    job. Returns (id, chunk_id, n_chunk_tokens, chunk_text)."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        .select(
+            F.col(id_col),
+            F.posexplode("__starts").alias("chunk_id", "__start"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.slice("__toks", F.col("__start"), chunk_size))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice("__toks", F.col("__start"), chunk_size), " "
+            ).alias("chunk_text"),
+        )
+        .filter(F.col("n_chunk_tokens") > 0)
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Deterministic per-group token-budget sampling: walk each group's
+    documents in ``id_col`` order and keep every document that STARTS
+    within the budget (the first overshooting document is kept, so the
+    budget is always reached when the corpus allows). The running total
+    is one window cumsum per group — a single shuffle at any scale, and
+    the orderBy is per-group inside the window, never global. This is
+    the "cap each language at N tokens" mixing step of corpus
+    assembly."""
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = token_count(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
+        )
+        .withColumn("running_total", F.sum("n_tokens").over(w))
+        .filter(F.col("running_total") - F.col("n_tokens") < budget_tokens)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Identical in DuckDB:

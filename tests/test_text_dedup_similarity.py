@@ -368,3 +368,85 @@ def test_tf_idf_top_terms_exact(spark):
     # single-term doc: idf ln(4/2), tf 1.0; and no rn>1 rows exist
     assert got[(3, "durian")] == (round(math.log(2.0), 6), 1)
     assert len(got) == 5
+
+
+# ---------------------------------------------------------------------------
+# PII scrub / chunking / token-budget sampling (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+def test_scrub_pii_replaces_all_three_kinds(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 555-123-4567 at 192.168.0.1 ok")],
+        ["id", "text"],
+    )
+    out = df.select(text_ops.scrub_pii(F.col("text")).alias("t")).first()["t"]
+    assert out == "mail <EMAIL> or <PHONE> at <IP> ok"
+
+
+def test_scrub_pii_leaves_clean_text_untouched(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    txt = "plain words 12 and punctuation! no pii here."
+    df = spark.createDataFrame([(1, txt)], ["id", "text"])
+    assert df.select(text_ops.scrub_pii(F.col("text")).alias("t")).first()["t"] == txt
+
+
+def test_chunk_tokens_covers_every_token_with_overlap(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    n, size, overlap = 150, 64, 16
+    words = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    rows = (
+        text_ops.chunk_tokens(df, chunk_size=size, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # starts at 1, 49, 97 (stride 48); last chunk absorbs the tail
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_chunk_tokens"] for r in rows] == [64, 64, 54]
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split(" "))
+    assert len(seen) == n  # full coverage, no token dropped
+    # consecutive chunks share exactly `overlap` tokens
+    a, b = rows[0]["chunk_text"].split(" "), rows[1]["chunk_text"].split(" ")
+    assert a[-overlap:] == b[:overlap]
+
+
+def test_chunk_tokens_short_and_empty_docs(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "only three tokens"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    rows = text_ops.chunk_tokens(df, chunk_size=8, overlap=2).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id) == {1}  # empty/whitespace docs emit no chunks
+    assert by_id[1]["n_chunk_tokens"] == 3
+
+
+def test_chunk_tokens_rejects_bad_overlap(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    with pytest.raises(ValueError):
+        text_ops.chunk_tokens(spark.range(1), chunk_size=8, overlap=8)
+
+
+def test_token_budget_sample_keeps_first_overshooter(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    # lang a: docs of 4 tokens each, budget 10 -> docs starting at
+    # 0, 4, 8 kept (8 < 10), doc starting at 12 dropped.
+    docs = [(i, "a", "w w w w") for i in range(4)] + [(10, "b", "x x")]
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    kept = text_ops.token_budget_sample(df, budget_tokens=10).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    assert sorted(by_lang["a"]) == [0, 1, 2]
+    assert by_lang["b"] == [10]
+    totals = {r["doc_id"]: r["running_total"] for r in kept}
+    assert totals[2] == 12  # overshooter included, budget reached
