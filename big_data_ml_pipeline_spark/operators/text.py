@@ -183,12 +183,19 @@ def chunk_tokens(
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
-    toks = tokens(F.col(text_col))
+    # Tokenize in its own projection; deriving `starts` from the raw
+    # tokenizer expression instead of the aliased column would
+    # re-tokenize every document (same CSE trap as tf_idf_top_terms).
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks) - overlap, F.lit(1)), F.lit(stride)
+        F.lit(1),
+        F.greatest(F.size("__toks") - overlap, F.lit(1)),
+        F.lit(stride),
     )
     return (
-        df.select(F.col(id_col), toks.alias("__toks"), starts.alias("__starts"))
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(F.col(id_col), "__toks", starts.alias("__starts"))
         .select(
             F.col(id_col),
             F.posexplode("__starts").alias("chunk_id", "__start"),
@@ -350,22 +357,33 @@ def tf_idf_top_terms(
     BEFORE ranking so ties resolve identically on every engine (then by
     term ascending). Returns (id, term, tfidf, rn).
 
-    Distributed shape, scale-safe at 100 TB: tokenize-once explode →
-    one (id, term) count aggregation (map-side partials), document
-    length and document frequency as UNORDERED window sums over that
-    already-small grouped table (two WindowExecs sharing the grouped
-    input, keyed on id resp. term), corpus size N as a broadcast 1-row
+    Distributed shape, scale-safe at 100 TB: tokenize-once explode —
+    carrying the document length along from the token array itself
+    (``size(tokens)``; identical to the window-sum of per-term counts,
+    but computed in the map phase for free, saving a whole shuffle +
+    WindowExec over the grouped table) → one (id, term) count
+    aggregation (map-side partials), document frequency as an UNORDERED
+    window count keyed on term, corpus size N as a broadcast 1-row
     cross join, top-k as a per-id ranking window. No collect, no
     all-pairs anything; the only wide rows are (id, term, cnt).
     """
-    tok = df.select(
+    # The token array gets its own projection so `size` and `explode`
+    # share ONE evaluation — inlining the tokenizer expression into both
+    # consumers re-tokenizes every document twice (measured 3× slower
+    # at sf0.1).
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
-    tf = tok.groupBy("id", "term").agg(F.count("*").alias("cnt"))
-    sized = tf.withColumn(
-        "doc_len", F.sum("cnt").over(Window.partitionBy("id"))
-    ).withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    tok = base.select(
+        "id",
+        F.size("__toks").cast("long").alias("__doc_len"),
+        F.explode("__toks").alias("term"),
+    )
+    tf = tok.groupBy("id", "term").agg(
+        F.count("*").alias("cnt"), F.max("__doc_len").alias("doc_len")
+    )
+    sized = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = sized.crossJoin(F.broadcast(n_docs)).select(
         "id",
