@@ -50,13 +50,25 @@ def brute_force_topk(
     at any scale.
     """
     q = F.broadcast(
-        query_df.select(to_double_array(F.col(query_vec_col)).alias("__q"))
+        query_df.select(
+            to_double_array(F.col(query_vec_col)).alias("__q")
+        ).withColumn("__qn", l2_norm(F.col("__q")))
     )
-    sim = cosine_similarity(to_double_array(F.col(vec_col)), F.col("__q"))
+    # Norms aliased once per side (cosine_similarity inline would
+    # re-fold each norm per consumer — the CSE trap, see NOTES); same
+    # fold order as the naive form, so results are bit-identical.
+    denom = F.col("__n") * F.col("__qn")
+    sim = F.when(denom != 0, dot(F.col("__v"), F.col("__q")) / denom).otherwise(
+        F.lit(0.0)
+    )
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
-        embeddings.crossJoin(q)
+        embeddings.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .crossJoin(q)
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -88,13 +100,24 @@ def knn_join(
         queries.select(
             F.col(query_id_col).alias("qid"),
             to_double_array(F.col(query_vec_col)).alias("__q"),
-        )
+        ).withColumn("__qn", l2_norm(F.col("__q")))
     )
+    # Norms once per side (see brute_force_topk); bit-identical to the
+    # inline cosine, just not re-folded per consumer.
+    denom = F.col("__n") * F.col("__qn")
     sim = F.round(
-        cosine_similarity(to_double_array(F.col(vec_col)), F.col("__q")), round_digits
+        F.when(denom != 0, dot(F.col("__v"), F.col("__q")) / denom).otherwise(
+            F.lit(0.0)
+        ),
+        round_digits,
     )
-    scored = embeddings.crossJoin(q).select(
-        F.col("qid"), F.col(id_col), sim.alias("sim")
+    scored = (
+        embeddings.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__n", l2_norm(F.col("__v")))
+        .crossJoin(q)
+        .select(F.col("qid"), F.col(id_col), sim.alias("sim"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -277,10 +300,12 @@ def lsh_bucketed_pairs(
     from .dedup import _bucket_pairs
 
     planes = random_hyperplanes(dim, n_planes, seed)
-    v = to_double_array(F.col(vec_col))
+    # Materialize the double-cast vector once; feeding the raw
+    # to_double_array expression into _bucket_expr would re-cast the
+    # array once per plane (the two-consumer CSE trap, see NOTES).
     tagged = embeddings.select(
-        F.col(id_col).alias("id"), v.alias("v"), _bucket_expr(v, planes).alias("bucket")
-    )
+        F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
+    ).select("id", "v", _bucket_expr(F.col("v"), planes).alias("bucket"))
     cand = _bucket_pairs(tagged, ["bucket"], ["v"], max_bucket_size)
     return (
         cand.select(
