@@ -65,6 +65,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
                      # (None = keep all).
                      "max_bucket_size": 1024,
                      "max_doc_freq": None},
+    # Text-corpus preparation (the training-data path): applied by
+    # prepare_text_corpus in this order — scrub → quality gates →
+    # per-group token budget → chunking. None disables a step.
+    "corpus": {"scrub_pii": False, "min_tokens": None, "max_tokens": None,
+               "min_quality": None, "budget_tokens": None,
+               "budget_group_col": "lang", "chunk_size": None,
+               "chunk_overlap": 16},
 }
 
 
@@ -216,6 +223,48 @@ class PipelineOrchestrator:
             f"unknown dedup strategy {strategy!r}; "
             "expected exact | minhash | simhash | jaccard"
         )
+
+    def prepare_text_corpus(self, df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+        """Config-driven corpus preparation: PII scrub → quality gates
+        (token-count bounds, heuristic quality floor, ONE combined
+        filter over a single narrow projection) → per-group token
+        budget (left-semi against the budget keep-list) → context-
+        window chunking. Every step is pure Catalyst; a disabled step
+        (None) adds nothing to the plan, so the default config is a
+        no-op passthrough."""
+        from pyspark.sql import functions as F
+
+        from .operators import text as text_ops
+
+        c = self.config["corpus"]
+        out = df
+        if c["scrub_pii"]:
+            out = out.withColumn(text_col, text_ops.scrub_pii(F.col(text_col)))
+        conds = []
+        if c["min_tokens"] is not None:
+            conds.append(text_ops.token_count(F.col(text_col)) >= c["min_tokens"])
+        if c["max_tokens"] is not None:
+            conds.append(text_ops.token_count(F.col(text_col)) <= c["max_tokens"])
+        if c["min_quality"] is not None:
+            conds.append(text_ops.quality_score(F.col(text_col)) >= c["min_quality"])
+        if conds:
+            cond = conds[0]
+            for extra in conds[1:]:
+                cond = cond & extra
+            out = out.filter(cond)
+        if c["budget_tokens"] is not None:
+            keep = text_ops.token_budget_sample(
+                out, c["budget_tokens"], text_col=text_col, id_col=id_col,
+                group_col=c["budget_group_col"],
+            ).select(id_col)
+            out = out.join(keep, on=id_col, how="left_semi")
+        if c["chunk_size"] is not None:
+            out = text_ops.chunk_tokens(
+                out, text_col=text_col, id_col=id_col,
+                chunk_size=c["chunk_size"], overlap=c["chunk_overlap"],
+            )
+        return out
 
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,

@@ -175,3 +175,60 @@ def test_optimization_config_reaches_dedup_guards(spark):
 
     with pytest.raises(ValueError, match="unknown dedup strategy"):
         orch.dedup_pairs(docs, "bogus")
+
+
+def test_prepare_text_corpus_default_is_passthrough(spark):
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    orch = PipelineOrchestrator(spark=spark)
+    df = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "de", "ok")], ["doc_id", "lang", "text"]
+    )
+    out = orch.prepare_text_corpus(df)
+    assert out.collect() == df.collect()
+
+
+def test_prepare_text_corpus_full_pipeline(spark):
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = [
+        (1, "en", "reach me at a.b@example.com " + "useful words " * 10),
+        (2, "en", "tiny"),  # dropped by min_tokens
+        (3, "en", "word " * 30),
+        (4, "de", "wort " * 30),
+    ]
+    orch = PipelineOrchestrator(
+        config={
+            "corpus": {
+                "scrub_pii": True,
+                "min_tokens": 5,
+                "budget_tokens": 100,
+                "chunk_size": 16,
+                "chunk_overlap": 4,
+            }
+        },
+        spark=spark,
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = orch.prepare_text_corpus(df).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 2 not in ids  # quality gate
+    assert {1, 3, 4} <= ids  # budget keeps all (under 100 tokens/lang)
+    # chunked output schema with scrubbed text
+    chunk1 = [r for r in out if r["doc_id"] == 1][0]
+    assert chunk1["chunk_text"].startswith("reach me at <EMAIL>")
+    for r in out:
+        assert r["n_chunk_tokens"] <= 16
+
+
+def test_prepare_text_corpus_budget_caps_group(spark):
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    # 5 docs x 4 tokens in lang a, budget 10 -> first overshooter kept
+    rows = [(i, "a", "w w w w") for i in range(5)]
+    orch = PipelineOrchestrator(
+        config={"corpus": {"budget_tokens": 10}}, spark=spark
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    kept = sorted(r["doc_id"] for r in orch.prepare_text_corpus(df).collect())
+    assert kept == [0, 1, 2]
