@@ -405,3 +405,113 @@ def tf_idf_top_terms(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """distinct tokens / total tokens — low values flag boilerplate or
+    keyword-stuffed documents (Gopher-style repetition signal)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_share(text: Column) -> Column:
+    """Share of the single most frequent token.
+
+    Row-local O(distinct × tokens) higher-order scan — no shuffle, no
+    Python; web documents have bounded distinct-token counts so this
+    stays cheap per row and embarrassingly parallel at corpus scale."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_tokens: int = 50_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 10.0,
+    min_stopword_ratio: float = 0.01,
+    min_distinct_ratio: float = 0.30,
+    max_top_token_share: float = 0.20,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter (one map-only pass).
+
+    Emits the per-document signals and a ``keep`` verdict: token-count
+    bounds, mean-token-length bounds, stopword presence, repetition
+    (distinct-token ratio, top-token dominance). Every signal is a
+    single division of exactly-computed integers, so the doubles are
+    bit-identical across engines and the filter is oracle-checkable.
+
+    Scale: pure Catalyst projection — predicate-pushdown friendly, no
+    shuffle, no UDFs; at 100 TB this is a straight map over the scan.
+    """
+    t = F.col(text_col)
+    out = with_columns(
+        df,
+        {
+            "n_tokens": token_count(t),
+            "mean_token_len": avg_token_length(t),
+            "stopword_frac": stopword_ratio(t),
+            "distinct_ratio": distinct_token_ratio(t),
+            "top_token_frac": top_token_share(t),
+        },
+    )
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_token_len").between(min_avg_token_len, max_avg_token_len)
+        & (F.col("stopword_frac") >= min_stopword_ratio)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("top_token_frac") <= max_top_token_share)
+    )
+    return out.withColumn("keep", keep)
+
+
+def ngram_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Duplicate word-n-gram fraction per document.
+
+    ``dup_frac = (total n-grams − distinct n-grams) / total`` — the
+    Gopher "duplicate n-gram" repetition signal. The n-gram list is
+    built row-locally with sequence + element_at (no slice-copying —
+    see dedup.word_shingles note) and never exploded: total and
+    distinct counts are array ops, so the whole operator is a map-only
+    projection with no shuffle at any corpus size."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    k = F.size(toks) - (n - 1)
+
+    def gram_at(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
+    grams = F.when(
+        k >= 1, F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram_at)
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col), grams.alias("__grams")
+    )
+    total = F.size("__grams").cast("long")
+    distinct = F.size(F.array_distinct("__grams")).cast("long")
+    return base.select(
+        F.col(id_col),
+        total.alias("n_ngrams"),
+        distinct.alias("n_distinct"),
+        F.when(total > 0, (total - distinct).cast("double") / total)
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -42,18 +42,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it reads
-    as a nanos BIGINT. Convert to a µs TimestampType via exact integer
-    division (ts DIV 1000 — double division would round 19-digit nanos).
-    DuckDB performs the same ns→µs truncation on read, so both engines
-    see identical microsecond instants."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+def normalize_wallclock_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a file timestamp column to a µs TimestampType whose
+    instant equals the file's wall clock read as UTC, matching DuckDB's
+    naive read of the same parquet.
 
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    Two generator vintages exist:
+    - parquet TIMESTAMP(NANOS): with nanosAsLong it reads as a nanos
+      BIGINT; convert via exact integer division (DIV 1000 — double
+      division would round 19-digit nanos).
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): reads as
+      TIMESTAMP_NTZ. Convert wall-clock → epoch µs with timestampdiff
+      over NTZ operands (timezone-independent — a cast to TIMESTAMP
+      would re-interpret through the session zone, and to_utc_timestamp
+      coerces NTZ through the session zone before shifting), then
+      rebuild the instant with timestamp_micros."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(
+            col,
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+                )
+            ),
+        )
     return df
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    return normalize_wallclock_ts(df, "ts")
 
 
 def load_tables(

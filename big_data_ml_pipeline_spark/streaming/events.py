@@ -24,16 +24,19 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from ..session import apply_runtime_confs
+from ..sources.catalog import normalize_wallclock_ts
 
-#: events.parquet physical schema (ts read as nanos BIGINT — see
-#: sources/catalog.py; the stream normalizes it to TimestampType).
+#: events.parquet physical schema (ts is TIMESTAMP(MICROS,
+#: isAdjustedToUTC=false) → TIMESTAMP_NTZ; the stream normalizes it to
+#: a µs TimestampType — see sources/catalog.normalize_wallclock_ts).
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -55,7 +58,7 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_wallclock_ts(stream, "ts")
 
 
 def tumbling_counts(
