@@ -3096,6 +3096,95 @@ WHERE running_total - n_tokens < 5000
 """
 
 
+def q103_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality gate
+    (operators/text.quality_rules): per-document token count, mean
+    token length, stopword fraction, distinct-token ratio, top-token
+    dominance, and the combined ``keep`` verdict. Every signal is a
+    division of exactly-computed integers (bit-identical doubles in
+    both engines); ``keep`` is emitted as BIGINT 0/1 for hash
+    stability. Map-only Catalyst projection — no shuffle at any corpus
+    size; at 100 TB this is a straight scan+project. min_tokens=30
+    rejects ~a quarter of the synthetic corpus, so both verdicts appear
+    in the checked output."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.quality_rules(docs, text_col="text", min_tokens=30)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_frac",
+        "distinct_ratio",
+        "top_token_frac",
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+_DUCK_LTOKS = _DUCK_TOKENS.format(col="lower(text)")
+_Q103_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t)
+SELECT doc_id, n_tokens, mean_token_len, stopword_frac, distinct_ratio,
+  top_token_frac,
+  CAST(n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20 AS BIGINT) AS keep
+FROM s
+"""
+
+
+def q104_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-trigram fraction per document
+    (operators/text.ngram_repetition) — the Gopher duplicate-n-gram
+    repetition signal. The trigram list is built row-locally
+    (sequence + element_at, no slice-copying, never exploded); total
+    and distinct counts are array ops, so the whole operator is a
+    map-only projection with no shuffle at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.ngram_repetition(docs, text_col="text", id_col="doc_id", n=3)
+
+
+_Q104_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+  FROM t)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+  CASE WHEN len(grams) > 0 THEN
+    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+  ELSE 0.0 END AS dup_frac
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3192,6 +3281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_pii_scrub": q100_pii_scrub,
         "q101_token_chunks": q101_token_chunks,
         "q102_token_budget_sample": q102_token_budget_sample,
+        "q103_quality_rules": q103_quality_rules,
+        "q104_ngram_repetition": q104_ngram_repetition,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -3303,4 +3394,6 @@ def oracle_sql() -> dict[str, str]:
         "q100_pii_scrub": _Q100_SQL,
         "q101_token_chunks": _Q101_SQL,
         "q102_token_budget_sample": _Q102_SQL,
+        "q103_quality_rules": _Q103_SQL,
+        "q104_ngram_repetition": _Q104_SQL,
     }

@@ -409,8 +409,10 @@ def tf_idf_top_terms(
 
 def distinct_token_ratio(text: Column) -> Column:
     """distinct tokens / total tokens — low values flag boilerplate or
-    keyword-stuffed documents (Gopher-style repetition signal)."""
-    toks = tokens(text)
+    keyword-stuffed documents (Gopher-style repetition signal).
+    Case-folded so it agrees with top_token_share / stopword_ratio on
+    what a repeated token is ('The the THE' → ratio 1/3, not 1.0)."""
+    toks = tokens(F.lower(text))
     n = F.size(toks)
     return F.when(
         n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -418,19 +420,35 @@ def distinct_token_ratio(text: Column) -> Column:
 
 
 def top_token_share(text: Column) -> Column:
-    """Share of the single most frequent token.
+    """Share of the single most frequent token (case-folded).
 
-    Row-local O(distinct × tokens) higher-order scan — no shuffle, no
-    Python; web documents have bounded distinct-token counts so this
-    stays cheap per row and embarrassingly parallel at corpus scale."""
-    toks = tokens(F.lower(text))
+    Computed as the longest equal-run over the sorted token array: one
+    array_sort plus a single linear fold — O(n log n) per row instead
+    of the naive O(distinct × tokens) nested scan, so adversarial
+    token-soup documents (50k distinct tokens) cost a per-row sort, not
+    ~10^9 string compares. No shuffle, no Python; embarrassingly
+    parallel at corpus scale."""
+    toks = F.array_sort(tokens(F.lower(text)))
     n = F.size(toks)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
     )
+
+    def step(acc: Column, t: Column) -> Column:
+        # prev == t is NULL for the first token → otherwise(1) starts
+        # the first run without an explicit isNotNull guard.
+        run = F.when(acc["prev"] == t, acc["run"] + F.lit(1).cast("long")).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(toks, zero, step, lambda acc: acc["best"])
     return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
 
 

@@ -68,8 +68,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # Text-corpus preparation (the training-data path): applied by
     # prepare_text_corpus in this order — scrub → quality gates →
     # per-group token budget → chunking. None disables a step.
+    # quality_rules: None disables the Gopher/C4 rule filter; a dict
+    # (possibly empty) enables operators/text.quality_rules with the
+    # dict entries as threshold overrides (min_tokens, max_tokens,
+    # min_avg_token_len, max_avg_token_len, min_stopword_ratio,
+    # min_distinct_ratio, max_top_token_share).
     "corpus": {"scrub_pii": False, "min_tokens": None, "max_tokens": None,
-               "min_quality": None, "budget_tokens": None,
+               "min_quality": None, "quality_rules": None,
+               "budget_tokens": None,
                "budget_group_col": "lang", "chunk_size": None,
                "chunk_overlap": 16},
 }
@@ -228,11 +234,13 @@ class PipelineOrchestrator:
                             id_col: str = "doc_id") -> DataFrame:
         """Config-driven corpus preparation: PII scrub → quality gates
         (token-count bounds, heuristic quality floor, ONE combined
-        filter over a single narrow projection) → per-group token
-        budget (left-semi against the budget keep-list) → context-
-        window chunking. Every step is pure Catalyst; a disabled step
-        (None) adds nothing to the plan, so the default config is a
-        no-op passthrough."""
+        filter over a single narrow projection) → Gopher/C4 rule filter
+        (``corpus.quality_rules`` threshold dict → quality_rules keep
+        verdict, signal columns dropped) → per-group token budget
+        (left-semi against the budget keep-list) → context-window
+        chunking. Every step is pure Catalyst; a disabled step (None)
+        adds nothing to the plan, so the default config is a no-op
+        passthrough."""
         from pyspark.sql import functions as F
 
         from .operators import text as text_ops
@@ -253,6 +261,16 @@ class PipelineOrchestrator:
             for extra in conds[1:]:
                 cond = cond & extra
             out = out.filter(cond)
+        if c["quality_rules"] is not None:
+            # Gopher/C4 rule filter: score, keep, then drop the signal
+            # columns so downstream steps see the caller's schema.
+            scored = text_ops.quality_rules(
+                out, text_col=text_col, **c["quality_rules"]
+            )
+            out = scored.filter(F.col("keep")).drop(
+                "n_tokens", "mean_token_len", "stopword_frac",
+                "distinct_ratio", "top_token_frac", "keep",
+            )
         if c["budget_tokens"] is not None:
             keep = text_ops.token_budget_sample(
                 out, c["budget_tokens"], text_col=text_col, id_col=id_col,

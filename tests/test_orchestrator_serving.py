@@ -221,6 +221,40 @@ def test_prepare_text_corpus_full_pipeline(spark):
         assert r["n_chunk_tokens"] <= 16
 
 
+def test_corpus_config_reaches_quality_rules(spark):
+    """VERDICT r4 #5 round-trip: corpus.quality_rules thresholds flow
+    from config into operators/text.quality_rules, filter on keep, and
+    leave the caller's schema unchanged (signal columns dropped)."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = [
+        (1, "en", "the cat and a dog ran to of the barn fast"),  # natural
+        (2, "en", "spam " * 20),  # top-token dominance reject
+        (3, "en", "tiny doc"),  # min_tokens reject
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    orch = PipelineOrchestrator(
+        config={"corpus": {"quality_rules": {"min_tokens": 5}}}, spark=spark
+    )
+    out = orch.prepare_text_corpus(df)
+    assert out.columns == df.columns  # signal columns dropped
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # Disabled by default: passthrough.
+    assert PipelineOrchestrator(spark=spark).prepare_text_corpus(df).count() == 3
+    # Threshold override reaches the operator: loosen dominance cap so
+    # the spam doc survives.
+    loose = PipelineOrchestrator(
+        config={"corpus": {"quality_rules": {
+            "min_tokens": 5, "max_top_token_share": 1.0,
+            "min_distinct_ratio": 0.0, "min_stopword_ratio": 0.0,
+        }}},
+        spark=spark,
+    )
+    assert sorted(
+        r["doc_id"] for r in loose.prepare_text_corpus(df).collect()
+    ) == [1, 2]
+
+
 def test_prepare_text_corpus_budget_caps_group(spark):
     from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
 

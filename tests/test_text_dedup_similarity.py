@@ -127,6 +127,85 @@ def test_quality_score_range_and_order(spark):
     assert got[0] > got[1]
 
 
+def test_quality_rules_signals_and_keep(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The the THE quick fox"),  # case-folded repetition
+            (2, ""),  # empty doc: every guard fires
+            (3, "the cat and a dog ran to of the barn fast"),  # passes all
+            (4, "spam " * 20),  # one token repeated: repetition reject
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.quality_rules(df, min_tokens=5).collect()
+    }
+    # Case consistency: distinct_ratio and top_token_frac agree on what
+    # a repeated token is ('The the THE' is ONE token thrice).
+    assert out[1]["distinct_ratio"] == pytest.approx(3 / 5)
+    assert out[1]["top_token_frac"] == pytest.approx(3 / 5)
+    assert out[1]["keep"] is False  # top-token dominance
+    # Empty doc: all signals guarded to 0.0, rejected.
+    r2 = out[2]
+    assert (r2["n_tokens"], r2["mean_token_len"], r2["stopword_frac"]) == (0, 0.0, 0.0)
+    assert (r2["distinct_ratio"], r2["top_token_frac"], r2["keep"]) == (0.0, 0.0, False)
+    # A natural sentence passes every gate.
+    assert out[3]["keep"] is True
+    assert out[3]["stopword_frac"] > 0.01
+    # Token soup: n_tokens fine but distinct_ratio/top_token_frac reject.
+    assert out[4]["distinct_ratio"] == pytest.approx(1 / 20)
+    assert out[4]["top_token_frac"] == 1.0
+    assert out[4]["keep"] is False
+
+
+def test_top_token_share_matches_bruteforce(spark):
+    from collections import Counter
+
+    texts = [
+        "a b c a b a",
+        "x",
+        "Mixed CASE mixed case MIXED",
+        " ".join(f"tok{i}" for i in range(5000)),  # all-distinct soup
+        " ".join(f"tok{i % 7}" for i in range(5000)),  # 7 hot tokens
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    got = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", text_ops.top_token_share(F.col("text")).alias("s")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        want = Counter(toks).most_common(1)[0][1] / len(toks)
+        assert got[i] == pytest.approx(want), i
+
+
+def test_ngram_repetition_short_and_repeated_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ""),  # 0 tokens
+            (2, "one two"),  # fewer tokens than n
+            (3, "one two three"),  # exactly one trigram
+            (4, "a b " * 4),  # trigrams alternate: 6 total, 2 distinct
+            (5, "w x y z"),  # 2 distinct trigrams, no dup
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.ngram_repetition(df, n=3).collect()
+    }
+    assert (out[1]["n_ngrams"], out[1]["dup_frac"]) == (0, 0.0)
+    assert (out[2]["n_ngrams"], out[2]["dup_frac"]) == (0, 0.0)
+    assert (out[3]["n_ngrams"], out[3]["n_distinct"]) == (1, 1)
+    assert out[3]["dup_frac"] == 0.0
+    assert (out[4]["n_ngrams"], out[4]["n_distinct"]) == (6, 2)
+    assert out[4]["dup_frac"] == pytest.approx(4 / 6)
+    assert (out[5]["n_ngrams"], out[5]["n_distinct"], out[5]["dup_frac"]) == (2, 2, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Dedup
 # ---------------------------------------------------------------------------
