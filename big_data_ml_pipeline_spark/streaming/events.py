@@ -14,6 +14,7 @@ stream==batch on the replayed file.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,9 +31,14 @@ from pyspark.sql.types import (
 from ..session import apply_runtime_confs
 from ..sources.catalog import normalize_wallclock_ts
 
-#: events.parquet physical schema (ts is TIMESTAMP(MICROS,
-#: isAdjustedToUTC=false) → TIMESTAMP_NTZ; the stream normalizes it to
-#: a µs TimestampType — see sources/catalog.normalize_wallclock_ts).
+#: events.parquet logical schema for the CURRENT generator vintage
+#: (ts is TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; the
+#: stream normalizes it to a µs TimestampType — see
+#: sources/catalog.normalize_wallclock_ts). A TIMESTAMP(NANOS) vintage
+#: instead surfaces ts as BIGINT under nanosAsLong —
+#: ``events_file_schema`` probes the actual file and swaps the ts field
+#: accordingly, so a testdata regeneration can't silently mismatch a
+#: hard-coded schema.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -45,6 +51,25 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
+def events_file_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Vintage-probe the events parquet: a driver-side batch schema
+    read (parquet footer only, no job) resolves how this Spark session
+    surfaces the ts physical type — BIGINT for TIMESTAMP(NANOS) files
+    under nanosAsLong, TIMESTAMP_NTZ for TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) — and the streaming schema adopts it.
+    normalize_wallclock_ts dispatches on the same type, so both
+    vintages reach the identical µs TimestampType downstream."""
+    apply_runtime_confs(spark)
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = probed["ts"].dataType
+    return StructType(
+        [
+            f if f.name != "ts" else StructField("ts", ts_type, f.nullable)
+            for f in EVENTS_FILE_SCHEMA.fields
+        ]
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -53,7 +78,7 @@ def read_events_stream(
     # The file source requires a directory; glob-filter to the events
     # file so sibling tables with other schemas aren't picked up.
     stream = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(events_file_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
