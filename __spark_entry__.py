@@ -3185,6 +3185,95 @@ FROM g
 """
 
 
+def q105_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (operators/dedup.ngram_contamination,
+    GPT-3/PaLM-style): flag training documents sharing word n-grams
+    with an eval corpus. Here the eval set is the deterministic
+    doc_id % 20 == 0 slice of the corpus (so hits are guaranteed and
+    both verdicts appear); 5-grams instead of the 13-gram production
+    default because the synthetic docs are 10-99 tokens. Scale shape:
+    eval side collapses to DISTINCT n-grams and is broadcast — the
+    100 TB training side is explode → broadcast match → one id-partial
+    shuffle; no skew surface (eval grams are distinct)."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    out = dedup_ops.ngram_contamination(docs, eval_df, n=5, min_hits=1)
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "hit_grams",
+        "hit_frac",
+        F.col("contaminated").cast("long").alias("contaminated"),
+    )
+
+
+_DUCK_5GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(ltoks) - 4, 0)),"
+    " i -> ltoks[i] || ' ' || ltoks[i + 1] || ' ' || ltoks[i + 2]"
+    " || ' ' || ltoks[i + 3] || ' ' || ltoks[i + 4]))"
+)
+_Q105_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+g AS (
+  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT doc_id, COUNT(*) AS hit_grams FROM tg JOIN ev USING (gram)
+  GROUP BY doc_id)
+SELECT g.doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
+  CASE WHEN len(grams) > 0 THEN
+    CAST(COALESCE(hit_grams, 0) AS DOUBLE) / len(grams)
+  ELSE 0.0 END AS hit_frac,
+  CAST(COALESCE(hit_grams, 0) >= 1 AS BIGINT) AS contaminated
+FROM g LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q106_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality proxy
+    (operators/text.unigram_loglik): per-document mean log10 token
+    probability under the corpus's own unigram distribution. Log-probs
+    quantized to integer micro-units so the per-doc sum is exact
+    integer arithmetic (bit-identical across engines/partitionings);
+    one vocab shuffle + one id shuffle, vocab broadcast back onto the
+    token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_loglik(docs)
+
+
+_Q106_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ltoks) AS token FROM t),
+v AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT SUM(cnt) AS n_total FROM v),
+vq AS (
+  SELECT token,
+         CAST(ROUND(log10(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS logp_q
+  FROM v, tot),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp_q) AS sum_q
+  FROM tok JOIN vq USING (token) GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+    CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+  ELSE 0.0 END AS mean_logp
+FROM t LEFT JOIN pd USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3283,6 +3372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_token_budget_sample": q102_token_budget_sample,
         "q103_quality_rules": q103_quality_rules,
         "q104_ngram_repetition": q104_ngram_repetition,
+        "q105_decontamination": q105_decontamination,
+        "q106_unigram_loglik": q106_unigram_loglik,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -3396,4 +3487,6 @@ def oracle_sql() -> dict[str, str]:
         "q102_token_budget_sample": _Q102_SQL,
         "q103_quality_rules": _Q103_SQL,
         "q104_ngram_repetition": _Q104_SQL,
+        "q105_decontamination": _Q105_SQL,
+        "q106_unigram_loglik": _Q106_SQL,
     }

@@ -54,32 +54,30 @@ def duplicate_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # Shingling (shared by MinHash / Jaccard)
 # ---------------------------------------------------------------------------
 
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct) from a MATERIALIZED token-array
+    column — see text.gram_array for why ``toks`` must be a plain
+    column reference, not an inline tokenize expression (re-evaluation
+    per element_at reference inside the lambda). Shingles are assembled
+    with ``element_at`` + ``concat`` — measured 2.6× faster than
+    ``concat_ws(slice(...))``, which copies a sub-array per shingle.
+    Documents shorter than ``n`` tokens yield an empty set."""
+    from .text import gram_array
+
+    return F.array_distinct(gram_array(toks, n))
+
+
+def _lower_tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles as an array of distinct strings.
-
-    Documents shorter than ``n`` tokens yield an empty set. NB
-    ``sequence(a, b)`` DESCENDS when b < a, so the upper bound is
-    clamped to ≥1 and the short-doc case masked out by the CASE.
-    Shingles are assembled with ``element_at`` + ``concat`` — measured
-    2.6× faster than ``concat_ws(slice(...))``, which copies a sub-array
-    per shingle."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    k = F.size(toks) - (n - 1)  # number of shingles when positive
-
-    def shingle_at(i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + j))
-        return F.concat(*parts)
-
-    shingles = F.array_distinct(
-        F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), shingle_at)
-    )
-    return F.when(k >= 1, shingles).otherwise(
-        F.array().cast("array<string>")
-    )
+    """n-word shingles as an array of distinct strings, tokenizing
+    inline. ONLY for single-consumer expressions over short docs (unit
+    tests, oracle anchors): the inline tokenizer is re-evaluated at
+    every element_at reference — engine operators must materialize the
+    token array first and call shingles_from_tokens."""
+    return shingles_from_tokens(_lower_tokens(text), n)
 
 
 def _ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
@@ -214,9 +212,18 @@ def minhash_signatures(
     map-side partial aggregation — one shuffle of 8·num_hashes bytes
     per doc. Docs with no shingles get an all-null signature and are
     dropped (they cannot be near anything under Jaccard)."""
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    sh = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            _lower_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "id",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"__m{i}")
@@ -787,10 +794,20 @@ def jaccard_pairs(
     exchange reuse computes the shingle table once — no persist, no
     cache-ownership leak across calls in long-lived sessions.
     """
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("blk")] if block_col else [] ),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    sh = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            *([F.col(block_col).alias("blk")] if block_col else []),
+            _lower_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "id",
+            *(["blk"] if block_col else []),
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     if max_doc_freq is not None:
         w_sh = Window.partitionBy("shingle")
@@ -823,4 +840,80 @@ def jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share word n-grams with an eval set
+    (GPT-3/PaLM-style benchmark decontamination; default 13-grams).
+
+    Per training document emits the distinct-n-gram count, how many of
+    those n-grams also occur anywhere in the eval corpus, the
+    contaminated fraction, and a ``contaminated`` verdict
+    (``hit_grams >= min_hits``).
+
+    Scale shape: the eval side collapses to DISTINCT n-grams and is
+    broadcast (benchmark suites are MBs against a 100 TB training
+    corpus), so the training side is a map-only explode → broadcast
+    semi-match → re-aggregate on the id — ONE shuffle of only the id
+    partials, no shuffle of the exploded n-gram stream and no skew
+    surface (a hot n-gram multiplies rows only by its eval-side
+    presence, which is 1 after DISTINCT). For an eval side too large to
+    broadcast, drop the hint and the same plan degrades to a shuffled
+    equi-join on the n-gram.
+
+    Reference parity: none — the reference has no dedup surface at all;
+    this extends SURVEY.md §2's north-star dedup family.
+    """
+    ev_grams = (
+        eval_df.select(_lower_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1).cast("long"))
+    )
+    # Single pass over the training side: tokenize once, materialize the
+    # gram array once, carry its size through explode_outer (empty/short
+    # docs survive as a null gram), broadcast-match, re-aggregate on id.
+    exploded = (
+        _ensure_parallelism(train)
+        .select(
+            F.col(id_col).alias("id"),
+            _lower_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select("id", shingles_from_tokens(F.col("__toks"), n).alias("__grams"))
+        .select(
+            "id",
+            F.size("__grams").cast("long").alias("n_grams"),
+            F.explode_outer("__grams").alias("gram"),
+        )
+    )
+    per_doc = (
+        exploded.join(F.broadcast(ev_grams), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("hit_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        "hit_grams",
+        F.when(
+            F.col("n_grams") > 0, F.col("hit_grams").cast("double") / F.col("n_grams")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hit_frac"),
+        (F.col("hit_grams") >= min_hits).alias("contaminated"),
     )

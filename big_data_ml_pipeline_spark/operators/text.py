@@ -27,6 +27,32 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
+def gram_array(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined, duplicates KEPT) from a MATERIALIZED
+    token-array column.
+
+    ``toks`` must be a plain column reference (the token array aliased
+    in its own upstream select), never an inline tokenize expression:
+    the assembly references ``toks`` n times per gram via element_at,
+    and Spark re-evaluates an inline subtree at every reference inside
+    a higher-order lambda — measured 7-60× slowdowns on the ngram
+    queries (q104/q105, sf0.1) before this rule. ``sequence(a, b)``
+    DESCENDS when b < a, so the upper bound is clamped to ≥1 and the
+    short-doc case masked to an empty array."""
+    k = F.size(toks) - (n - 1)
+
+    def gram_at(i: Column) -> Column:
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram_at)
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("long")
 
@@ -407,6 +433,68 @@ def tf_idf_top_terms(
     )
 
 
+def unigram_loglik(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    log10 probability of its tokens under the corpus's OWN unigram
+    distribution. Low scores flag gibberish / rare-token soup; high
+    scores flag natural, common-word text — the standard cheap LM
+    filter when a real perplexity model isn't available.
+
+    Determinism (oracle-checkable): per-token log-probs are quantized
+    to integer micro-units (ROUND(log10(cnt/N)·1e6) AS BIGINT, the
+    q92 quantized-mean pattern), so the per-document SUM is exact
+    integer arithmetic — bit-identical across partitionings and
+    engines; the final mean divides once.
+
+    Scale shape: tokenize once → explode_outer (empty docs survive) →
+    ONE token-key shuffle builds the vocabulary (output bounded by
+    vocab size, not corpus size) → vocab broadcast back onto the token
+    stream (map-side, no second shuffle of the stream) → ONE id-key
+    shuffle of a single integer partial per doc. At 100 TB the vocab
+    for whitespace tokens is millions of rows — still broadcastable;
+    beyond that, drop the hint and AQE picks a shuffled join.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    tok = base.select("id", F.explode_outer("__toks").alias("token"))
+    vocab = (
+        tok.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = vocab.select(F.sum("cnt").alias("n_total"))
+    vocab_q = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log10(F.col("cnt").cast("double") / F.col("n_total")) * 1_000_000.0
+        )
+        .cast("long")
+        .alias("__logp_q"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab_q), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.count("token").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("__logp_q"), F.lit(0)).cast("long").alias("__sum_q"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("__sum_q").cast("double") / 1_000_000.0 / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logp"),
+    )
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """distinct tokens / total tokens — low values flag boilerplate or
     keyword-stuffed documents (Gopher-style repetition signal).
@@ -419,17 +507,12 @@ def distinct_token_ratio(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_token_share(text: Column) -> Column:
-    """Share of the single most frequent token (case-folded).
-
-    Computed as the longest equal-run over the sorted token array: one
-    array_sort plus a single linear fold — O(n log n) per row instead
-    of the naive O(distinct × tokens) nested scan, so adversarial
-    token-soup documents (50k distinct tokens) cost a per-row sort, not
-    ~10^9 string compares. No shuffle, no Python; embarrassingly
-    parallel at corpus scale."""
-    toks = F.array_sort(tokens(F.lower(text)))
-    n = F.size(toks)
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest equal-element run in a SORTED array, via a single linear
+    fold (equal values are adjacent after the sort, so max run length ==
+    max element frequency). The fold's lambda only touches its
+    accumulator and the current element, so the array argument is
+    evaluated exactly once however it was produced."""
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
@@ -448,7 +531,21 @@ def top_token_share(text: Column) -> Column:
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    top = F.aggregate(toks, zero, step, lambda acc: acc["best"])
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def top_token_share(text: Column) -> Column:
+    """Share of the single most frequent token (case-folded).
+
+    Computed as the longest equal-run over the sorted token array: one
+    array_sort plus a single linear fold — O(n log n) per row instead
+    of the naive O(distinct × tokens) nested scan, so adversarial
+    token-soup documents (50k distinct tokens) cost a per-row sort, not
+    ~10^9 string compares. No shuffle, no Python; embarrassingly
+    parallel at corpus scale."""
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    top = _max_run_length(F.array_sort(toks))
     return F.when(n > 0, top.cast("double") / n).otherwise(F.lit(0.0))
 
 
@@ -471,19 +568,44 @@ def quality_rules(
     single division of exactly-computed integers, so the doubles are
     bit-identical across engines and the filter is oracle-checkable.
 
-    Scale: pure Catalyst projection — predicate-pushdown friendly, no
+    Scale: pure Catalyst projections — predicate-pushdown friendly, no
     shuffle, no UDFs; at 100 TB this is a straight map over the scan.
+    Tokenizes ONCE per case-form (raw + lowered arrays materialized in
+    their own select); the five signals then read the arrays — the
+    helper-per-signal form re-tokenized the document five times.
     """
     t = F.col(text_col)
-    out = with_columns(
-        df,
-        {
-            "n_tokens": token_count(t),
-            "mean_token_len": avg_token_length(t),
-            "stopword_frac": stopword_ratio(t),
-            "distinct_ratio": distinct_token_ratio(t),
-            "top_token_frac": top_token_share(t),
-        },
+    base = df.select(
+        "*", tokens(t).alias("__toks"), tokens(F.lower(t)).alias("__ltoks")
+    )
+    toks, ltoks = F.col("__toks"), F.col("__ltoks")
+    n = F.size(toks)
+    nl = F.size(ltoks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    stop_hits = F.size(
+        F.filter(ltoks, lambda x: x.isin("the", "a", "and", "of", "to"))
+    )
+    signals = {
+        "n_tokens": n.cast("long"),
+        "mean_token_len": F.when(n > 0, total_len.cast("double") / n).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_frac": F.when(nl > 0, stop_hits.cast("double") / nl).otherwise(
+            F.lit(0.0)
+        ),
+        "distinct_ratio": F.when(
+            nl > 0, F.size(F.array_distinct(ltoks)).cast("double") / nl
+        ).otherwise(F.lit(0.0)),
+        "top_token_frac": F.when(
+            nl > 0, _max_run_length(F.array_sort(ltoks)).cast("double") / nl
+        ).otherwise(F.lit(0.0)),
+    }
+    out = base.select(
+        *df.columns, *[expr.alias(name) for name, expr in signals.items()]
     )
     keep = (
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -501,27 +623,18 @@ def ngram_repetition(
     """Duplicate word-n-gram fraction per document.
 
     ``dup_frac = (total n-grams − distinct n-grams) / total`` — the
-    Gopher "duplicate n-gram" repetition signal. The n-gram list is
-    built row-locally with sequence + element_at (no slice-copying —
-    see dedup.word_shingles note) and never exploded: total and
-    distinct counts are array ops, so the whole operator is a map-only
-    projection with no shuffle at any corpus size."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    k = F.size(toks) - (n - 1)
-
-    def gram_at(i: Column) -> Column:
-        parts: list[Column] = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + j))
-        return F.concat(*parts)
-
-    grams = F.when(
-        k >= 1, F.transform(F.sequence(F.lit(1), F.greatest(k, F.lit(1))), gram_at)
-    ).otherwise(F.array().cast("array<string>"))
-    base = df.select(
-        F.col(id_col), grams.alias("__grams")
+    Gopher "duplicate n-gram" repetition signal. Three chained
+    projections: tokenize ONCE, assemble the gram list from the
+    materialized array (see gram_array — inlining the tokenizer into
+    the gram lambda re-tokenized per element, 9.5 s → sub-second at
+    sf0.1), then count. Never exploded: total and distinct counts are
+    array ops, so the whole operator is map-only with no shuffle at
+    any corpus size."""
+    toked = df.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    base = toked.select(
+        F.col(id_col), gram_array(F.col("__toks"), n).alias("__grams")
     )
     total = F.size("__grams").cast("long")
     distinct = F.size(F.array_distinct("__grams")).cast("long")

@@ -210,6 +210,64 @@ def test_ngram_repetition_short_and_repeated_docs(spark):
 # Dedup
 # ---------------------------------------------------------------------------
 
+def test_unigram_loglik(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the cat"),  # common tokens -> higher mean logp
+            (2, "zyxwv"),  # hapax -> lowest
+            (3, ""),  # empty doc survives with 0 tokens
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_ops.unigram_loglik(df).collect()}
+    # Corpus: the=2, cat=1, zyxwv=1, N=4. Quantized per-token logp.
+    q = lambda p: round(math.log10(p) * 1_000_000)
+    want1 = (q(2 / 4) + q(2 / 4) + q(1 / 4)) / 1_000_000 / 3
+    want2 = q(1 / 4) / 1_000_000 / 1
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_logp"] == pytest.approx(want1, abs=1e-12)
+    assert out[2]["mean_logp"] == pytest.approx(want2, abs=1e-12)
+    assert out[1]["mean_logp"] > out[2]["mean_logp"]
+    assert (out[3]["n_tokens"], out[3]["mean_logp"]) == (0, 0.0)
+
+
+def test_ngram_contamination(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence with other words entirely"),
+            (3, "short doc"),  # fewer tokens than n -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "QUICK Brown Fox jumps tonight")], ["doc_id", "text"]
+    )
+    out_df = dedup_ops.ngram_contamination(train, eval_df, n=3)
+    # Eval side must broadcast: the training side is never shuffled on
+    # the gram key.
+    assert "BroadcastHashJoin" in out_df._jdf.queryExecution().executedPlan().toString() or \
+        "BroadcastHashJoin" in out_df._jdf.queryExecution().toString()
+    out = {r["doc_id"]: r for r in out_df.collect()}
+    # Eval trigrams (case-folded): {quick brown fox, brown fox jumps,
+    # fox jumps tonight}; doc 1 shares the first two of its 7.
+    assert (out[1]["n_grams"], out[1]["hit_grams"]) == (7, 2)
+    assert out[1]["hit_frac"] == pytest.approx(2 / 7)
+    assert out[1]["contaminated"] is True
+    assert (out[2]["hit_grams"], out[2]["contaminated"]) == (0, False)
+    assert (out[3]["n_grams"], out[3]["hit_frac"], out[3]["contaminated"]) == (
+        0, 0.0, False,
+    )
+    # min_hits above the overlap clears the verdict.
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in dedup_ops.ngram_contamination(train, eval_df, n=3, min_hits=3).collect()
+    }
+    assert strict == {1: False, 2: False, 3: False}
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
     got = [r[0] for r in df.select(dedup_ops.word_shingles(F.col("text"), 3)).collect()]
