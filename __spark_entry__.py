@@ -3274,6 +3274,78 @@ FROM t LEFT JOIN pd USING (doc_id)
 """
 
 
+def q107_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation dashboard: per (lang, source) keep-rate and
+    mean token count from the quality_rules gate — the aggregate view
+    a data-engineering team watches while tuning filter thresholds.
+    Hash-stable by construction: every aggregate is integer-derived
+    (counts and BIGINT sums) with ONE final division, so no
+    partition-order float drift. Single shuffle on the two group keys;
+    the quality signals underneath are map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.quality_rules(docs, text_col="text", min_tokens=30)
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_keep",
+            (F.col("n_keep").cast("double") / F.col("n_docs")).alias("keep_rate"),
+            (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_Q107_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT lang, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+k AS (
+  SELECT lang, source, n_tokens,
+    CAST(n_tokens BETWEEN 30 AND 50000
+      AND mean_token_len BETWEEN 2.0 AND 10.0
+      AND stopword_frac >= 0.01
+      AND distinct_ratio >= 0.30
+      AND top_token_frac <= 0.20 AS BIGINT) AS keep
+  FROM s)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(keep) AS BIGINT) AS n_keep,
+  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM k GROUP BY lang, source ORDER BY lang, source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3374,6 +3446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_ngram_repetition": q104_ngram_repetition,
         "q105_decontamination": q105_decontamination,
         "q106_unigram_loglik": q106_unigram_loglik,
+        "q107_corpus_quality_report": q107_corpus_quality_report,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -3489,4 +3562,5 @@ def oracle_sql() -> dict[str, str]:
         "q104_ngram_repetition": _Q104_SQL,
         "q105_decontamination": _Q105_SQL,
         "q106_unigram_loglik": _Q106_SQL,
+        "q107_corpus_quality_report": _Q107_SQL,
     }

@@ -73,8 +73,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # dict entries as threshold overrides (min_tokens, max_tokens,
     # min_avg_token_len, max_avg_token_len, min_stopword_ratio,
     # min_distinct_ratio, max_top_token_share).
+    # decontam: None disables; a dict (possibly empty) enables
+    # dedup.ngram_contamination against the eval_df passed to
+    # prepare_text_corpus, dropping flagged docs (overrides: n,
+    # min_hits).
     "corpus": {"scrub_pii": False, "min_tokens": None, "max_tokens": None,
                "min_quality": None, "quality_rules": None,
+               "decontam": None,
                "budget_tokens": None,
                "budget_group_col": "lang", "chunk_size": None,
                "chunk_overlap": 16},
@@ -231,16 +236,19 @@ class PipelineOrchestrator:
         )
 
     def prepare_text_corpus(self, df: DataFrame, text_col: str = "text",
-                            id_col: str = "doc_id") -> DataFrame:
+                            id_col: str = "doc_id",
+                            eval_df: DataFrame | None = None) -> DataFrame:
         """Config-driven corpus preparation: PII scrub → quality gates
         (token-count bounds, heuristic quality floor, ONE combined
         filter over a single narrow projection) → Gopher/C4 rule filter
         (``corpus.quality_rules`` threshold dict → quality_rules keep
-        verdict, signal columns dropped) → per-group token budget
-        (left-semi against the budget keep-list) → context-window
-        chunking. Every step is pure Catalyst; a disabled step (None)
-        adds nothing to the plan, so the default config is a no-op
-        passthrough."""
+        verdict, signal columns dropped) → benchmark decontamination
+        (``corpus.decontam`` + ``eval_df``: drop docs sharing n-grams
+        with the eval corpus, left-semi against the clean keep-list) →
+        per-group token budget (left-semi against the budget keep-list)
+        → context-window chunking. Every step is pure Catalyst; a
+        disabled step (None) adds nothing to the plan, so the default
+        config is a no-op passthrough."""
         from pyspark.sql import functions as F
 
         from .operators import text as text_ops
@@ -271,6 +279,18 @@ class PipelineOrchestrator:
                 "n_tokens", "mean_token_len", "stopword_frac",
                 "distinct_ratio", "top_token_frac", "keep",
             )
+        if c["decontam"] is not None:
+            if eval_df is None:
+                raise ValueError(
+                    "corpus.decontam is enabled but prepare_text_corpus "
+                    "was called without eval_df"
+                )
+            from .operators import dedup as dedup_ops
+
+            clean = dedup_ops.ngram_contamination(
+                out, eval_df, text_col=text_col, id_col=id_col, **c["decontam"]
+            ).filter(~F.col("contaminated")).select(id_col)
+            out = out.join(clean, on=id_col, how="left_semi")
         if c["budget_tokens"] is not None:
             keep = text_ops.token_budget_sample(
                 out, c["budget_tokens"], text_col=text_col, id_col=id_col,

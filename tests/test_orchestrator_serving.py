@@ -255,6 +255,38 @@ def test_corpus_config_reaches_quality_rules(spark):
     ) == [1, 2]
 
 
+def test_corpus_config_reaches_decontamination(spark):
+    """corpus.decontam round-trip: flagged docs are dropped against the
+    eval corpus passed to prepare_text_corpus; enabling the step
+    without an eval_df is an explicit error, not a silent no-op."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    train = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox jumps over the lazy dog"),
+            (2, "en", "completely unrelated sentence with other words entirely"),
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "en", "quick brown fox jumps tonight")], ["doc_id", "lang", "text"]
+    )
+    orch = PipelineOrchestrator(
+        config={"corpus": {"decontam": {"n": 3}}}, spark=spark
+    )
+    kept = [r["doc_id"] for r in orch.prepare_text_corpus(train, eval_df=eval_df).collect()]
+    assert kept == [2]
+    # min_hits override reaches the operator.
+    loose = PipelineOrchestrator(
+        config={"corpus": {"decontam": {"n": 3, "min_hits": 5}}}, spark=spark
+    )
+    assert sorted(
+        r["doc_id"] for r in loose.prepare_text_corpus(train, eval_df=eval_df).collect()
+    ) == [1, 2]
+    with pytest.raises(ValueError, match="eval_df"):
+        orch.prepare_text_corpus(train)
+
+
 def test_prepare_text_corpus_budget_caps_group(spark):
     from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
 
