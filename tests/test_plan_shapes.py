@@ -197,3 +197,33 @@ def test_q96_funnel_single_user_exchange(spark):
     assert p.count("Exchange hashpartitioning") == 2
     assert p.count("Sort [") == 1
     assert "Join" not in p
+
+
+def test_q105_contamination_broadcasts_eval_grams(spark):
+    """Decontamination at 100 TB: the exploded training n-gram stream
+    must NEVER shuffle on the gram key — the eval side (distinct grams)
+    broadcasts, and the only shuffles are the eval-side distinct and
+    the final per-doc aggregation."""
+    p = plan_of(spark, "q105_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q106_unigram_vocab_broadcasts_back(spark):
+    """Unigram LM scoring: the token stream is scored by a BROADCAST
+    of the (small) vocabulary — a sort-merge join here would shuffle
+    the entire exploded 100 TB token stream on the token key."""
+    p = plan_of(spark, "q106_unigram_loglik")
+    assert p.count("BroadcastHashJoin") >= 1  # vocab onto token stream
+    assert "SortMergeJoin" not in p
+    # Map-side partial aggregation on both shuffles (vocab + per-doc).
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_q103_quality_rules_is_shuffle_free(spark):
+    """The quality gate is a pure map: any Exchange in this plan means
+    a 100 TB scan suddenly shuffles."""
+    p = plan_of(spark, "q103_quality_rules")
+    assert "Exchange" not in p
+    assert "Project" in p

@@ -194,3 +194,99 @@ def test_connected_components_match_union_find(edges):
     df = _spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == want
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.sampled_from(["aa", "Bb", "cC", "dd", "e"]),
+                      min_size=0, max_size=20))
+def test_ngram_repetition_matches_python(words):
+    from big_data_ml_pipeline_spark.operators.text import ngram_repetition
+
+    text = " ".join(words)
+    df = _spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = ngram_repetition(df, n=3).first()
+    toks = [w for w in text.lower().split() if w]
+    grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+    total, distinct = len(grams), len(set(grams))
+    assert got["n_ngrams"] == total
+    assert got["n_distinct"] == distinct
+    want = (total - distinct) / total if total else 0.0
+    assert got["dup_frac"] == pytest.approx(want)
+    assert 0.0 <= got["dup_frac"] < 1.0 or total == 0
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=st.lists(st.sampled_from(["the", "And", "fox", "RUN", "zq"]),
+                      min_size=0, max_size=25))
+def test_quality_rules_signals_match_python(words):
+    from collections import Counter
+
+    from big_data_ml_pipeline_spark.operators.text import quality_rules
+
+    text = " ".join(words)
+    df = _spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = quality_rules(df).first()
+    toks = text.split()
+    ltoks = text.lower().split()
+    assert got["n_tokens"] == len(toks)
+    if toks:
+        assert got["mean_token_len"] == pytest.approx(
+            sum(len(t) for t in toks) / len(toks))
+        stop = sum(1 for t in ltoks if t in ("the", "a", "and", "of", "to"))
+        assert got["stopword_frac"] == pytest.approx(stop / len(ltoks))
+        assert got["distinct_ratio"] == pytest.approx(len(set(ltoks)) / len(ltoks))
+        assert got["top_token_frac"] == pytest.approx(
+            Counter(ltoks).most_common(1)[0][1] / len(ltoks))
+    else:
+        assert (got["mean_token_len"], got["top_token_frac"]) == (0.0, 0.0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=10),
+    min_size=1, max_size=5))
+def test_self_contamination_flags_every_long_doc(docs):
+    from big_data_ml_pipeline_spark.operators.dedup import ngram_contamination
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = _spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_contamination(df, df, n=3).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for i, ws in enumerate(docs):
+        r = out[i]
+        assert 0 <= r["hit_grams"] <= r["n_grams"]
+        assert 0.0 <= r["hit_frac"] <= 1.0
+        if len(ws) >= 3:
+            # every gram of a doc is in the eval set (it IS the eval set)
+            assert r["hit_grams"] == r["n_grams"] and r["contaminated"]
+        else:
+            assert r["n_grams"] == 0 and not r["contaminated"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(["x", "y", "zz", "Q"]), min_size=0, max_size=8),
+    min_size=1, max_size=4))
+def test_unigram_loglik_matches_python(docs):
+    import math
+    from collections import Counter
+
+    from big_data_ml_pipeline_spark.operators.text import unigram_loglik
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = _spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = Counter(t for _, text in rows for t in text.lower().split())
+    n_total = sum(corpus.values())
+    q = {t: round(math.log10(c / n_total) * 1_000_000) for t, c in corpus.items()}
+    out = {r["doc_id"]: r for r in unigram_loglik(df).collect()}
+    for i, (_, text) in enumerate(rows):
+        toks = text.lower().split()
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        want = sum(q[t] for t in toks) / 1_000_000 / len(toks) if toks else 0.0
+        assert r["mean_logp"] == pytest.approx(want, abs=1e-9)
+        assert r["mean_logp"] <= 0.0
