@@ -235,6 +235,31 @@ class PipelineOrchestrator:
             "expected exact | minhash | simhash | jaccard"
         )
 
+    def dedup_corpus(self, df: DataFrame, strategy: str = "minhash",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     **kwargs: Any) -> DataFrame:
+        """End-to-end corpus deduplication: candidate pairs →
+        connected components (alternating large-star/small-star, the
+        O(log n)-round 100 TB path) → keep each component's minimum-id
+        representative plus every unpaired document (left-anti against
+        the non-representative members, so the corpus never re-shuffles
+        on anything but the id key). ``exact`` short-circuits to the
+        one-shuffle fingerprint groupBy."""
+        from pyspark.sql import functions as F
+
+        from .operators import dedup as dedup_ops
+
+        if strategy == "exact":
+            return dedup_ops.exact_dedup(df, text_col, id_col)
+        pairs = self.dedup_pairs(df, strategy, text_col, id_col, **kwargs)
+        labels = dedup_ops.connected_components_alternating(
+            pairs.select("id_a", "id_b")
+        )
+        drop = labels.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(drop, on=id_col, how="left_anti")
+
     def prepare_text_corpus(self, df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             eval_df: DataFrame | None = None) -> DataFrame:

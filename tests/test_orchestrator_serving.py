@@ -255,6 +255,35 @@ def test_corpus_config_reaches_quality_rules(spark):
     ) == [1, 2]
 
 
+def test_dedup_corpus_end_to_end(spark):
+    """Pairs → connected components → representative keep-list: one
+    survivor per near-dup group (the min id), unpaired docs untouched."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, base + " extra words"),  # near-dup chain -> same component
+        (10, "completely different text about distributed query engines"),
+        (11, "short"),  # too short to shingle; must survive
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orch = PipelineOrchestrator(spark=spark)
+    kept = sorted(
+        r["doc_id"]
+        for r in orch.dedup_corpus(df, "jaccard", threshold=0.5).collect()
+    )
+    assert kept == [1, 10, 11]
+    # exact strategy: only byte-identical (normalized) docs collapse.
+    dup = spark.createDataFrame(
+        [(1, "Same  Doc"), (2, "same doc"), (3, "other")], ["doc_id", "text"]
+    )
+    assert sorted(
+        r["doc_id"] for r in orch.dedup_corpus(dup, "exact").collect()
+    ) == [1, 3]
+
+
 def test_corpus_config_reaches_decontamination(spark):
     """corpus.decontam round-trip: flagged docs are dropped against the
     eval corpus passed to prepare_text_corpus; enabling the step
