@@ -133,6 +133,36 @@ class FeatureEngineer:
         out = with_columns(out, exprs)
         return out.drop(*[f"__mu_{c}" for c in numeric_cols], *[f"__sd_{c}" for c in numeric_cols])
 
+    # -- 9b: winsorization (extension — the reference only FLAGS
+    # outliers; clipping to exact percentiles is the standard companion
+    # transform). ONE percentile job for all columns, broadcast back —
+    # never a per-column pass.
+    def clip_to_percentiles(
+        self, df: DataFrame, numeric_cols: list[str],
+        lower: float = 0.01, upper: float = 0.99,
+    ) -> DataFrame:
+        """Winsorize: clamp each column to its exact [lower, upper]
+        percentiles (``F.percentile`` — the exact interpolating
+        aggregate, deterministic unlike approxQuantile). Adds
+        ``{col}_clipped``; one global agg job + broadcast join, same
+        scale shape as create_outlier_features."""
+        stats = df.select(
+            *[F.percentile(F.col(c), lower).alias(f"__lo_{c}") for c in numeric_cols],
+            *[F.percentile(F.col(c), upper).alias(f"__hi_{c}") for c in numeric_cols],
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        exprs = {
+            f"{c}_clipped": F.least(
+                F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+            )
+            for c in numeric_cols
+        }
+        out = with_columns(out, exprs)
+        return out.drop(
+            *[f"__lo_{c}" for c in numeric_cols],
+            *[f"__hi_{c}" for c in numeric_cols],
+        )
+
     # -- 10: lags (src/feature_engineering.py:178-196)
     def create_lag_features(
         self, df: DataFrame, partition_cols: list[str], order_col: str,

@@ -215,6 +215,20 @@ def test_outlier_features_flags_the_outlier(spark):
     assert flagged == [1000.0]  # reference test asserts the outlier is caught
 
 
+def test_clip_to_percentiles_winsorizes_exactly(spark):
+    fe = FeatureEngineer(spark)
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([(v, v * 2) for v in vals], ["v", "w"])
+    out = fe.clip_to_percentiles(df, ["v", "w"], lower=0.1, upper=0.9)
+    got = out.select("v", "v_clipped", "w_clipped").orderBy("v").collect()
+    # exact interpolated percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert got[0]["v_clipped"] == pytest.approx(10.9)
+    assert got[-1]["v_clipped"] == pytest.approx(90.1)
+    assert got[49]["v_clipped"] == 50.0  # interior values untouched
+    assert got[0]["w_clipped"] == pytest.approx(21.8)  # per-column bounds
+    assert out.columns[:2] == ["v", "w"]  # originals preserved
+
+
 def test_missing_value_strategies(spark):
     fe = FeatureEngineer(spark)
     df = spark.createDataFrame(
