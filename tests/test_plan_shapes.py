@@ -227,3 +227,15 @@ def test_q103_quality_rules_is_shuffle_free(spark):
     p = plan_of(spark, "q103_quality_rules")
     assert "Exchange" not in p
     assert "Project" in p
+
+
+def test_q108_pipeline_reuses_quality_exchange(spark):
+    """The composed corpus pipeline must evaluate the quality gate
+    ONCE: its three consumers share one hash exchange on doc_id
+    (ReusedExchange), instead of re-running the signal computation per
+    consumer."""
+    df = entrymod.queries()["q108_corpus_pipeline"](spark, SF0001)
+    df.collect()  # AQE finalizes reuse only in the executed plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "CartesianProduct" not in p
