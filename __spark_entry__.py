@@ -1310,6 +1310,21 @@ def q49_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", F.col("c_mktsegment_indexed"))
 
 
+# StringIndexer's frequencyDesc order is deterministic SQL: rank by
+# count desc, ties alphabetically — so M1 is oracle-checkable (upgraded
+# from rows-only in round 5).
+_Q49_SQL = """
+WITH f AS (
+  SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment),
+idx AS (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS i
+  FROM f)
+SELECT c_custkey, CAST(i AS DOUBLE) AS c_mktsegment_indexed
+FROM customer JOIN idx USING (c_mktsegment)
+"""
+
+
 def q54_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: top-10 orders by revenue still unshipped at the
     cutoff, one market segment. Both fact filters (l_shipdate >,
@@ -3651,4 +3666,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_unigram_loglik": _Q106_SQL,
         "q107_corpus_quality_report": _Q107_SQL,
         "q108_corpus_pipeline": _Q108_SQL,
+        "q49_feature_pipeline": _Q49_SQL,
     }
