@@ -1,3 +1,4 @@
+from .corpus import ingest_documents_stream, read_documents_stream
 from .events import (
     hourly_counts_batch_replay,
     read_events_stream,
@@ -8,6 +9,8 @@ from .events import (
 
 __all__ = [
     "read_events_stream",
+    "read_documents_stream",
+    "ingest_documents_stream",
     "tumbling_counts",
     "sliding_value_stats",
     "stream_dedup",

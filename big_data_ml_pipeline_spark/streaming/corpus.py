@@ -1,0 +1,110 @@
+"""Streaming corpus ingestion (north-star extension).
+
+Incremental training-data ingestion: replay document files as a
+stream, gate each micro-batch through the Gopher/C4 quality rules
+(map-only — fully streaming-safe), and land survivors in a parquet
+corpus with CROSS-BATCH exact dedup: each batch drops texts whose
+fingerprint is already in the landed corpus before appending (the
+anti-join runs inside foreachBatch, where batch semantics apply).
+
+This is the ingestion pattern a 100 TB pipeline runs continuously:
+new crawl shards arrive → cheap quality filter at wire speed → only
+never-seen content is appended. State lives in the output table itself
+(its fingerprint column), not in the streaming state store, so the
+query restarts cheaply and the dedup horizon is the whole corpus, not
+a watermark.
+
+Reference parity: none — the reference has no streaming code at all
+(SURVEY.md §2i); this composes our own quality_rules + fingerprint
+operators with Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint, quality_rules
+from ..session import apply_runtime_confs
+
+
+def documents_file_schema(spark: SparkSession, path_dir: str):
+    """Probe the parquet footers under ``path_dir`` for the stream
+    schema (driver-side batch read, no job) — same vintage-proofing as
+    events.events_file_schema. Works on a shard directory or a single
+    ``documents.parquet``."""
+    apply_runtime_confs(spark)
+    doc_file = os.path.join(path_dir, "documents.parquet")
+    target = doc_file if os.path.exists(doc_file) else path_dir
+    return spark.read.parquet(target).schema
+
+
+def read_documents_stream(
+    spark: SparkSession, path_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream replaying document shards as they land.
+
+    On a driver scale-factor directory the glob narrows to
+    ``documents.parquet`` so sibling tables with other schemas aren't
+    picked up; on a dedicated shard directory every parquet replays."""
+    apply_runtime_confs(spark)
+    doc_only = os.path.exists(os.path.join(path_dir, "documents.parquet"))
+    return (
+        spark.readStream.schema(documents_file_schema(spark, path_dir))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet" if doc_only else "*.parquet")
+        .parquet(path_dir)
+    )
+
+
+def ingest_documents_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **quality_kwargs,
+):
+    """Quality-gate the stream and append only never-seen texts.
+
+    Per micro-batch (inside foreachBatch, batch semantics):
+     1. quality_rules → keep only passing docs (signal columns
+        dropped; map-only, evaluated on the stream side).
+     2. within-batch exact dedup (min-id per fingerprint).
+     3. anti-join the batch's fingerprints against the fingerprints
+        already landed in ``out_dir`` — cross-batch dedup whose state
+        IS the output table.
+     4. append survivors (original columns + ``fp``).
+
+    Returns the finished StreamingQuery (Trigger.AvailableNow).
+    """
+    spark = stream.sparkSession
+    gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
+        F.col("keep")
+    )
+    orig_cols = [c for c in stream.columns]
+    gated = gated.select(*orig_cols).withColumn("fp", fingerprint(F.col(text_col)))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # 2: within-batch dedup — one shuffle of (fp, id) pairs.
+        keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
+        batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
+        # 3: cross-batch dedup against the landed corpus.
+        try:
+            seen = batch_df.sparkSession.read.parquet(out_dir).select("fp")
+            batch_df = batch_df.join(seen, on="fp", how="left_anti")
+        except Exception:
+            pass  # first batch: nothing landed yet
+        # 4: append survivors.
+        batch_df.write.mode("append").parquet(out_dir)
+
+    query = (
+        gated.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -196,6 +196,57 @@ def test_events_stream_reads_nanos_vintage(spark, tmp_path):
     assert got == [t // 1000 for t in ts_ns]
 
 
+def test_streaming_corpus_ingestion_quality_and_cross_batch_dedup(spark, tmp_path):
+    """Incremental corpus ingestion: quality gate per micro-batch,
+    within-batch exact dedup, and cross-batch dedup whose state is the
+    landed corpus itself (anti-join on the fingerprint column)."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    good1 = "the cat and a dog ran to of the barn fast today"
+    good2 = "the fox and a hen walked to of the pond slowly now"
+    good3 = "the owl and a bat flew to of the tower quietly tonight"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shard1 = spark.createDataFrame(
+        [(1, good1, "en"), (2, good2, "en"), (3, good2.upper(), "en")],
+        ["doc_id", "text", "lang"],
+    )  # 3 duplicates 2 after case-fold normalization -> within-batch dedup
+    shard2 = spark.createDataFrame(
+        [
+            (10, good1, "en"),  # cross-batch duplicate of doc 1 -> dropped
+            (11, "tiny", "en"),  # fails min_tokens -> gated
+            (12, good3, "en"),  # fresh -> lands
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    # Land the shards as two separate files with ordered mtimes so the
+    # file source replays them as two micro-batches in order.
+    for i, shard in enumerate([shard1, shard2]):
+        p = str(in_dir / f"shard{i}.parquet")
+        shard.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = corpus_ops.read_documents_stream(spark, str(in_dir))
+    assert stream.isStreaming
+    corpus_ops.ingest_documents_stream(
+        stream, out_dir, ckpt, min_tokens=5
+    )
+    landed = spark.read.parquet(out_dir)
+    assert set(landed.columns) == {"doc_id", "text", "lang", "fp"}
+    got = sorted(r["doc_id"] for r in landed.collect())
+    assert got == [1, 2, 12]
+
+    # Driver-dir mode: the glob narrows to documents.parquet so sibling
+    # tables don't pollute the stream; replay count == batch count.
+    sf_stream = corpus_ops.read_documents_stream(spark, SF0001)
+    n = stream_ops.run_to_memory(sf_stream.select("doc_id")).count()
+    assert n == load_table(spark, SF0001, "documents").count()
+
+
 def test_stream_tumbling_equals_batch(spark):
     """Replaying the events file through the watermarked streaming agg
     must reproduce the batch groupBy exactly (counts exact, sums fp-close)."""
