@@ -362,17 +362,39 @@ class PipelineOrchestrator:
 
 
 def main(argv: list[str] | None = None) -> int:
-    """CLI mirroring reference src/ml_pipeline.py:319-355."""
+    """CLI mirroring reference src/ml_pipeline.py:319-355, extended
+    with the training-data path: ``--mode prepare-corpus`` runs the
+    config-driven corpus pipeline (scrub → quality → decontam →
+    budget → chunking) and writes or counts the result."""
     ap = argparse.ArgumentParser(description="config-driven Spark ML pipeline")
     ap.add_argument("--config", default=None, help="YAML config path")
     ap.add_argument("--data", default=None, help="input data path (overrides config)")
     ap.add_argument("--algorithm", default=None)
     ap.add_argument("--task", default=None,
                     choices=["classification", "regression", "clustering"])
+    ap.add_argument("--mode", default="train",
+                    choices=["train", "prepare-corpus"])
+    ap.add_argument("--eval-data", default=None,
+                    help="eval corpus parquet for corpus.decontam")
+    ap.add_argument("--output", default=None,
+                    help="output path for prepare-corpus (omit to just count)")
     args = ap.parse_args(argv)
 
     orch = PipelineOrchestrator(args.config)
     try:
+        if args.mode == "prepare-corpus":
+            df = orch.load(args.data)
+            eval_df = orch.load(args.eval_data) if args.eval_data else None
+            out = orch.prepare_text_corpus(df, eval_df=eval_df)
+            if args.output:
+                from .sources.writers import write_data
+
+                write_data(out, args.output)
+                n = orch.spark.read.parquet(args.output).count()
+            else:
+                n = out.count()
+            print(json.dumps({"rows": n}))
+            return 0
         df = orch.load(args.data) if args.data else None
         _, metrics = orch.train(df, algorithm=args.algorithm, task=args.task)
         print(json.dumps(metrics, sort_keys=True))

@@ -93,6 +93,32 @@ def test_cli_main(data_path, tmp_path, capsys, monkeypatch):
     assert '"accuracy"' in capsys.readouterr().out
 
 
+def test_cli_prepare_corpus(spark, tmp_path, capsys, monkeypatch):
+    monkeypatch.setattr(PipelineOrchestrator, "stop", lambda self: None)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and a dog ran to of the barn fast"),
+            (2, "the fox and a hen walked to of the pond slowly"),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    in_path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(in_path)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("corpus:\n  quality_rules:\n    min_tokens: 5\n")
+    out_path = str(tmp_path / "clean.parquet")
+    rc = main(
+        ["--config", str(cfg), "--mode", "prepare-corpus",
+         "--data", in_path, "--output", out_path]
+    )
+    assert rc == 0
+    assert '"rows": 2' in capsys.readouterr().out
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_path).collect()
+    ) == [1, 2]
+
+
 def test_serving_train_job_and_predict(spark, data_path):
     svc = ServingService(PipelineOrchestrator(
         {"features": {"categorical_columns": [], "numeric_columns": ["f1", "f2"]},
