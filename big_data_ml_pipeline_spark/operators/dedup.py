@@ -236,6 +236,32 @@ def minhash_signatures(
     )
 
 
+def _band_signatures(docs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, sig) → (id, sig, band, bucket): one row per (doc, band),
+    bucket = xxhash64 of that band's signature slice. The banded form
+    is both the self-join input (minhash_dedup_pairs) and the
+    persistable index layout (minhash_index)."""
+    rows_per_band = num_hashes // bands
+    return docs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -257,27 +283,8 @@ def minhash_dedup_pairs(
     est_jaccard) with id_a < id_b, est_jaccard = matching-signature
     fraction.
     """
-    rows_per_band = num_hashes // bands
     docs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-
-    banded = docs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
-
+    banded = _band_signatures(docs, num_hashes, bands)
     cand = _bucket_pairs(banded, ["band", "bucket"], ["sig"], max_bucket_size)
     est = (
         F.size(
@@ -291,6 +298,102 @@ def minhash_dedup_pairs(
     return (
         cand.select("id_a", "id_b", est.alias("est_jaccard"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Persistable banded MinHash index: (id, sig, band, bucket).
+
+    Build once over the corpus, land as parquet (ideally
+    ``write_range_clustered`` on ``bucket``), then screen each
+    arriving shard with :func:`query_minhash_index` — the
+    incremental-ingestion shape: the 100 TB corpus is signed ONCE;
+    each new shard costs only its own signatures plus an equi-join
+    against the index.
+
+    ``max_bucket_size`` caps rows kept per (band, bucket) to the
+    lowest-ids (one ordered window): a degenerate bucket (millions of
+    identical docs) keeps enough representatives to witness any
+    duplicate-of-bucket query while bounding the index row count —
+    same philosophy as _bucket_pairs' star degrade.
+    """
+    banded = _band_signatures(
+        minhash_signatures(df, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    return banded
+
+
+def query_minhash_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate screening of a new shard against a prebuilt
+    :func:`minhash_index` (SAME num_hashes/bands/shingle_n — the hash
+    family is deterministic, so signatures computed today join
+    signatures persisted months ago).
+
+    Returns (query_id, index_id, est_jaccard ≥ threshold): one row per
+    (new doc, indexed doc) candidate that shares any band bucket, with
+    est_jaccard the matching-signature fraction. The only shuffle of
+    the index is the (band, bucket) equi-join it was laid out for; the
+    shard side is small by definition.
+    """
+    q = _band_signatures(
+        minhash_signatures(new_docs, text_col, id_col, num_hashes, shingle_n),
+        num_hashes,
+        bands,
+    )
+    joined = q.alias("q").join(
+        index.select(
+            F.col("id").alias("__xid"),
+            F.col("sig").alias("__xsig"),
+            "band",
+            "bucket",
+        ),
+        on=["band", "bucket"],
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig"), F.col("__xsig"), lambda x, y: (x == y).cast("int")
+                ),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        joined.select(
+            F.col("id").alias("query_id"),
+            F.col("__xid").alias("index_id"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["query_id", "index_id"])
     )
 
 

@@ -47,3 +47,37 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Range-cluster the output on ``cluster_col``: repartitionByRange
+    so each output file covers a DISJOINT value range, then sort within
+    partitions so row groups inside a file are ordered too.
+
+    This is the file-layout lever for 100 TB scan pruning: parquet
+    footers carry per-column min/max, so a predicate on the cluster
+    column lets any engine (Spark, DuckDB, Trino) skip whole files and
+    row groups. ``partitionBy`` prunes on LOW-cardinality columns via
+    directories; range clustering prunes on HIGH-cardinality ones
+    (timestamps, ids) without exploding the file count.
+
+    repartitionByRange samples the column to pick balanced boundaries
+    (skew-resistant); NULLs land in the first partition.
+    """
+    from pyspark.sql import functions as F
+
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -133,6 +133,42 @@ def test_sample_frames(spark):
     assert got == [0, 1000, 2000, 3000]  # image row filtered out
 
 
+def test_write_range_clustered_files_are_disjoint(spark, tmp_path):
+    """Range clustering must yield parquet files whose min/max ranges
+    on the cluster column are disjoint — the property every engine's
+    footer-based pruning relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_ml_pipeline_spark.sources.writers import write_range_clustered
+
+    li = load_table(spark, SF0001, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, "l_orderkey", num_files=8)
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.read_metadata(f)
+        idx = md.schema.names.index("l_orderkey")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2  # actually clustered into several files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary equality allowed)
+    # Round-trips with full fidelity.
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming
 # ---------------------------------------------------------------------------

@@ -233,6 +233,51 @@ def test_unigram_loglik(spark):
     assert (out[3]["n_tokens"], out[3]["mean_logp"]) == (0, 0.0)
 
 
+def test_minhash_index_incremental_equals_recompute(spark, tmp_path):
+    """Incremental screening: querying a persisted banded index with a
+    new shard must find exactly the cross-corpus candidate pairs a full
+    minhash_dedup_pairs recompute over (corpus + shard) would — the
+    hash family is deterministic, so signatures persisted earlier join
+    signatures computed later."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus_rows = [(i, f"{base} variant {i} " + "filler words here " * 3)
+                   for i in range(1, 6)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    shard = spark.createDataFrame(
+        [
+            (101, corpus_rows[1][1] + " tail"),  # near-dup of doc 2
+            (102, "completely different content about query engines and "
+                  "columnar storage formats with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    # Persist and reload the index: survives the parquet round-trip.
+    idx_path = str(tmp_path / "minhash_index")
+    dedup_ops.minhash_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["query_id"], r["index_id"]): r["est_jaccard"]
+        for r in dedup_ops.query_minhash_index(
+            index, shard, threshold=0.3
+        ).collect()
+    }
+    assert (101, 2) in got and got[(101, 2)] >= 0.3
+    assert all(q != 102 for q, _ in got)  # fresh doc matches nothing
+
+    # Equivalence with full recompute, restricted to cross pairs.
+    full = dedup_ops.minhash_dedup_pairs(
+        corpus.unionByName(shard), max_bucket_size=None
+    )
+    cross = {
+        (r["id_b"], r["id_a"]): r["est_jaccard"]
+        for r in full.collect()
+        if r["id_b"] > 100 and r["id_a"] <= 100
+    }
+    want = {k: v for k, v in cross.items() if v >= 0.3}
+    assert got == pytest.approx(want)
+
+
 def test_ngram_contamination(spark):
     train = spark.createDataFrame(
         [
