@@ -65,6 +65,7 @@ def ingest_documents_stream(
     checkpoint_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    near_dup_threshold: float | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -76,29 +77,80 @@ def ingest_documents_stream(
      3. anti-join the batch's fingerprints against the fingerprints
         already landed in ``out_dir`` — cross-batch dedup whose state
         IS the output table.
-     4. append survivors (original columns + ``fp``).
+     4. with ``near_dup_threshold`` set: NEAR-duplicate screening too —
+        within-batch MinHash pairs → connected components → keep the
+        min-id representative, then drop batch docs whose banded
+        signature matches the maintained index at
+        ``{out_dir}_minhash_index`` with est_jaccard ≥ threshold, and
+        append the survivors' index rows. The index grows with the
+        corpus, so near-dup state is also just a parquet table.
+     5. append survivors (original columns + ``fp``).
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
-    spark = stream.sparkSession
+    from ..operators.dedup import (
+        connected_components_alternating,
+        minhash_dedup_pairs,
+        minhash_index,
+        query_minhash_index,
+    )
+
     gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
         F.col("keep")
     )
     orig_cols = [c for c in stream.columns]
     gated = gated.select(*orig_cols).withColumn("fp", fingerprint(F.col(text_col)))
+    index_dir = out_dir.rstrip("/") + "_minhash_index"
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # 2: within-batch dedup — one shuffle of (fp, id) pairs.
-        keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
-        batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
-        # 3: cross-batch dedup against the landed corpus.
+        spark = batch_df.sparkSession
+        cached = batch_df.persist()
+        batch_df = cached
         try:
-            seen = batch_df.sparkSession.read.parquet(out_dir).select("fp")
-            batch_df = batch_df.join(seen, on="fp", how="left_anti")
-        except Exception:
-            pass  # first batch: nothing landed yet
-        # 4: append survivors.
-        batch_df.write.mode("append").parquet(out_dir)
+            # 2: within-batch exact dedup — one shuffle of (fp, id).
+            keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
+            # 3: cross-batch exact dedup against the landed corpus.
+            try:
+                seen = spark.read.parquet(out_dir).select("fp")
+                batch_df = batch_df.join(seen, on="fp", how="left_anti")
+            except Exception:
+                pass  # first batch: nothing landed yet
+            if near_dup_threshold is not None:
+                # 4a: within-batch near-dups — pairs → components →
+                # min-id representative survives.
+                pairs = minhash_dedup_pairs(
+                    batch_df, text_col, id_col
+                ).filter(F.col("est_jaccard") >= near_dup_threshold)
+                labels = connected_components_alternating(
+                    pairs.select("id_a", "id_b")
+                )
+                non_rep = labels.filter(F.col("id") != F.col("comp")).select(
+                    F.col("id").alias(id_col)
+                )
+                batch_df = batch_df.join(non_rep, on=id_col, how="left_anti")
+                # 4b: near-dups of anything already landed.
+                try:
+                    index = spark.read.parquet(index_dir)
+                    matched = (
+                        query_minhash_index(
+                            index, batch_df, text_col, id_col,
+                            threshold=near_dup_threshold,
+                        )
+                        .select(F.col("query_id").alias(id_col))
+                        .distinct()
+                    )
+                    batch_df = batch_df.join(matched, on=id_col, how="left_anti")
+                except Exception:
+                    pass  # first batch: no index yet
+                # 4c: extend the index with the survivors.
+                minhash_index(batch_df, text_col, id_col).write.mode(
+                    "append"
+                ).parquet(index_dir)
+            # 5: append survivors.
+            batch_df.write.mode("append").parquet(out_dir)
+        finally:
+            cached.unpersist()
 
     query = (
         gated.writeStream.foreachBatch(write_batch)

@@ -283,6 +283,54 @@ def test_streaming_corpus_ingestion_quality_and_cross_batch_dedup(spark, tmp_pat
     assert n == load_table(spark, SF0001, "documents").count()
 
 
+def test_streaming_corpus_ingestion_near_dup_index(spark, tmp_path):
+    """Near-dup ingestion: each batch is screened against the
+    incrementally-maintained MinHash index, within-batch near-dups
+    collapse to one representative, and the index itself lands as a
+    parquet table next to the corpus."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the old barn where it hides from the rain all day long")
+    other = ("a completely different story about query engines and columnar "
+            "formats written with care for the reader and full of detail")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shard1 = spark.createDataFrame(
+        [(1, base, "en"), (2, base + " tonight", "en"), (3, other, "en")],
+        ["doc_id", "text", "lang"],
+    )  # 1 and 2 are near-dups WITHIN the first batch -> 2 dropped
+    fresh = ("meanwhile the harbor lights flicker as ships unload crates "
+             "of spice and sailors trade maps beneath the crescent moon")
+    shard2 = spark.createDataFrame(
+        [(10, base + " again", "en"),  # near-dup of landed doc 1 -> dropped
+         (11, fresh, "en")],  # genuinely new -> lands
+        ["doc_id", "text", "lang"],
+    )
+    for i, shard in enumerate([shard1, shard2]):
+        p = str(in_dir / f"shard{i}.parquet")
+        shard.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out_dir, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    stream = corpus_ops.read_documents_stream(spark, str(in_dir))
+    corpus_ops.ingest_documents_stream(
+        stream, out_dir, ckpt, min_tokens=5, near_dup_threshold=0.5
+    )
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    assert landed == [1, 3, 11]
+    # The index table tracks exactly the landed docs.
+    idx_ids = {
+        r["id"] for r in spark.read.parquet(out_dir + "_minhash_index").collect()
+    }
+    assert idx_ids == {1, 3, 11}
+
+
 def test_stream_tumbling_equals_batch(spark):
     """Replaying the events file through the watermarked streaming agg
     must reproduce the batch groupBy exactly (counts exact, sums fp-close)."""
