@@ -354,6 +354,76 @@ def fit_ivf_centroids(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
+    """Shared centroid-literal machinery for assignment and probing:
+    returns (cell_sims, top_cells) closures over the broadcast centroid
+    and centroid-norm literal arrays (see ivf_topk for the bit-stability
+    reasoning)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    cnorm_lit = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents]
+    )
+
+    def cell_sims(vec, vnorm):
+        sims = F.zip_with(
+            cent_lit,
+            cnorm_lit,
+            lambda c, nc: F.when(
+                (vnorm * nc) != 0, dot(vec, c) / (vnorm * nc)
+            ).otherwise(F.lit(0.0)),
+        )
+        if round_assign_digits is not None:
+            sims = F.transform(sims, lambda s: F.round(s, round_assign_digits))
+        return sims
+
+    def top_cells(sims, n: int):
+        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+        ranked = F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
+                )
+            )
+        )
+        return F.transform(F.slice(ranked, 1, n), lambda p: -p["ni"])
+
+    return cell_sims, top_cells
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+) -> DataFrame:
+    """Persistable IVF index: (id, v, cell) — every vector assigned to
+    its nearest centroid. Land as parquet (partition or range-cluster
+    by ``cell``) and probe arriving queries with
+    ``ivf_topk(..., index=loaded)`` — the build/probe split at scale:
+    the 100 TB corpus is assigned ONCE (a single broadcast-map pass),
+    and each query batch reads only its nprobe cells. The centroids
+    are plain literals, so an index built months ago probes
+    identically today."""
+    cell_sims, _ = _centroid_exprs(centroids, round_assign_digits)
+    return (
+        embeddings.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+        )
+        .withColumn("__vnorm", l2_norm(F.col("v")))
+        .withColumn("__sims", cell_sims(F.col("v"), F.col("__vnorm")))
+        .select(
+            F.col(id_col),
+            "v",
+            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -365,6 +435,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     round_assign_digits: int | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: every vector is assigned to its
     nearest centroid (argmax cosine, computed against the broadcast
@@ -383,7 +454,13 @@ def ivf_topk(
     ``round_assign_digits`` rounds assignment cosines first — together
     these make cell assignment bit-stable across engines so an ANSI SQL
     twin (ORDER BY sim DESC, cell ASC) computes the identical IVF.
+
+    ``index``: a prebuilt :func:`ivf_index` table (possibly reloaded
+    from parquet) assigned with the SAME centroids — skips the
+    assignment pass entirely; only the query side computes cell sims.
     """
+    if index is not None and centroids is None:
+        raise ValueError("index requires the centroids it was built with")
     if centroids is None:
         cents = [
             row["c"]
@@ -396,68 +473,21 @@ def ivf_topk(
         ]
     else:
         cents = centroids
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
-    # Centroid norms precomputed driver-side: sqrt of the same sequential
-    # double fold DuckDB's sqrt(list_dot_product(c,c)) and Spark's
-    # l2_norm both run, so the literal is bit-identical to computing it
-    # per row — which Catalyst otherwise does (a literal inside a HOF
-    # lambda referencing the lambda variable cannot constant-fold).
-    cnorm_lit = F.array(
-        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents]
-    )
-
-    def cell_sims(vec, vnorm):
-        """array<double> of per-cell cosines. The row's norm is passed
-        in as a column computed ONCE (the naive per-cell
-        cosine_similarity re-folds it n_cells times — the dominant cost
-        of the assignment pass); per-cell work is just the dot product.
-        Bit-identical to dot/(sqrt*sqrt) in the SQL twin: double
-        multiply is commutative and the fold orders match."""
-        sims = F.zip_with(
-            cent_lit,
-            cnorm_lit,
-            lambda c, nc: F.when(
-                (vnorm * nc) != 0, dot(vec, c) / (vnorm * nc)
-            ).otherwise(F.lit(0.0)),
-        )
-        if round_assign_digits is not None:
-            sims = F.transform(sims, lambda s: F.round(s, round_assign_digits))
-        return sims
-
-    def top_cells(sims, n: int):
-        # sort key (s, -i) ascending, reversed → (s desc, i asc): equal
-        # sims resolve to the smallest cell index, like SQL's
-        # ORDER BY sim DESC, cell ASC.
-        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-        ranked = F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    sims, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("ni"))
-                )
-            )
-        )
-        return F.transform(F.slice(ranked, 1, n), lambda p: -p["ni"])
-
+    # Centroid + norm literals precomputed driver-side: sqrt of the
+    # same sequential double fold DuckDB's sqrt(list_dot_product(c,c))
+    # and Spark's l2_norm both run, so the literal is bit-identical to
+    # computing it per row — which Catalyst otherwise does (a literal
+    # inside a HOF lambda referencing the lambda variable cannot
+    # constant-fold). The row's norm is passed into cell_sims as a
+    # column computed ONCE (the naive per-cell cosine_similarity
+    # re-folds it n_cells times — the dominant cost of the assignment
+    # pass). Argmax uses first-occurrence (= lowest-index) tie-break;
+    # __sims is a materialized column so the 16 dot folds run once.
+    cell_sims, top_cells = _centroid_exprs(cents, round_assign_digits)
     assigned = (
-        embeddings.select(
-            F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
-        )
-        .withColumn("__vnorm", l2_norm(F.col("v")))
-        .withColumn("__sims", cell_sims(F.col("v"), F.col("__vnorm")))
-        .select(
-            F.col(id_col),
-            "v",
-            # argmax with first-occurrence (= lowest-index) tie-break:
-            # cheaper than the struct sort when only the top cell is
-            # needed. __sims is a materialized column (referenced twice;
-            # CollapseProject keeps non-cheap aliases un-inlined, so the
-            # 16 dot folds run once per row).
-            (F.array_position(F.col("__sims"), F.array_max(F.col("__sims"))) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+        index
+        if index is not None
+        else ivf_index(embeddings, cents, id_col, vec_col, round_assign_digits)
     )
     q = F.broadcast(
         query_df.select(to_double_array(F.col(vec_col)).alias("qv"))

@@ -233,6 +233,35 @@ def test_unigram_loglik(spark):
     assert (out[3]["n_tokens"], out[3]["mean_logp"]) == (0, 0.0)
 
 
+def test_ivf_index_build_probe_split(spark, tmp_path):
+    """A persisted IVF index probed later must return exactly what the
+    inline assignment returns — the build/probe split is free."""
+    from big_data_ml_pipeline_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    cents = sim_ops.deterministic_ivf_centroids(dim, n_cells=8)
+    query = emb.orderBy("vec_id").limit(1)
+
+    direct = sim_ops.ivf_topk(
+        emb, query, k=5, nprobe=3, centroids=cents
+    ).collect()
+
+    idx_path = str(tmp_path / "ivf_index")
+    sim_ops.ivf_index(emb, cents).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    via_index = sim_ops.ivf_topk(
+        emb, query, k=5, nprobe=3, centroids=cents, index=index
+    ).collect()
+
+    assert [(r["vec_id"], r["sim"]) for r in direct] == [
+        (r["vec_id"], r["sim"]) for r in via_index
+    ]
+    assert len(direct) == 5
+    with pytest.raises(ValueError, match="centroids"):
+        sim_ops.ivf_topk(emb, query, index=index)
+
+
 def test_minhash_index_incremental_equals_recompute(spark, tmp_path):
     """Incremental screening: querying a persisted banded index with a
     new shard must find exactly the cross-corpus candidate pairs a full
