@@ -3447,6 +3447,36 @@ WHERE doc_id IN (SELECT doc_id FROM keepers)
 """
 
 
+def q109_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary extraction (operators/text.vocabulary): top-100
+    case-folded tokens by total occurrences with document frequency and
+    deterministic rank — tokenizer-training prep. Integer counts only,
+    so the result hash-matches across engines; top-k is
+    TakeOrderedAndProject, never a full vocab sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.vocabulary(docs, k=100)
+
+
+_Q109_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ltoks) AS token FROM t),
+pd AS (
+  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY token, doc_id),
+v AS (
+  SELECT token,
+         CAST(SUM(n) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY token)
+SELECT token, n_occurrences, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT token, n_occurrences, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM v)
+WHERE rank <= 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3549,6 +3579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_unigram_loglik": q106_unigram_loglik,
         "q107_corpus_quality_report": q107_corpus_quality_report,
         "q108_corpus_pipeline": q108_corpus_pipeline,
+        "q109_vocabulary": q109_vocabulary,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,
@@ -3666,5 +3697,6 @@ def oracle_sql() -> dict[str, str]:
         "q106_unigram_loglik": _Q106_SQL,
         "q107_corpus_quality_report": _Q107_SQL,
         "q108_corpus_pipeline": _Q108_SQL,
+        "q109_vocabulary": _Q109_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -495,6 +495,37 @@ def unigram_loglik(
     )
 
 
+def vocabulary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: the top-``k`` case-folded tokens with total
+    occurrences, document frequency, and a deterministic rank
+    (occurrences desc, token asc) — the prep table for tokenizer/BPE
+    training and stopword discovery.
+
+    Scale shape: tokenize once → explode → (token, id) partial
+    aggregation (map-side combine collapses within-doc repeats) →
+    token aggregation. Both exact counts come from the SAME two-level
+    aggregation — no countDistinct rewrite, no extra shuffle. The
+    global ranking first takes top-k via orderBy+limit
+    (TakeOrderedAndProject: k rows per partition, never a full sort),
+    then ranks only those k rows in one tiny window."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("__toks")
+    )
+    tok = toked.select("id", F.explode("__toks").alias("token"))
+    per_doc = tok.groupBy("token", "id").agg(F.count("*").alias("__n"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("__n").cast("long").alias("n_occurrences"),
+        F.count("*").cast("long").alias("doc_freq"),
+    )
+    top = vocab.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """distinct tokens / total tokens — low values flag boilerplate or
     keyword-stuffed documents (Gopher-style repetition signal).

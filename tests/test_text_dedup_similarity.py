@@ -127,6 +127,19 @@ def test_quality_score_range_and_order(spark):
     assert got[0] > got[1]
 
 
+def test_vocabulary_counts_doc_freq_and_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "The the cat"), (2, "the dog"), (3, "")], ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: (r["n_occurrences"], r["doc_freq"], r["rank"])
+        for r in text_ops.vocabulary(df, k=2).collect()
+    }
+    # case-folded: 'the' appears 3x across 2 docs; k=2 keeps the top-2
+    # by (count desc, token asc) -> 'the' then 'cat'.
+    assert got == {"the": (3, 2, 1), "cat": (1, 1, 2)}
+
+
 def test_quality_rules_signals_and_keep(spark):
     df = spark.createDataFrame(
         [
