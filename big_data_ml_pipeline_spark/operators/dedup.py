@@ -485,22 +485,13 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
-def simhash_dedup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    band_bits: int = 16,
-    max_bucket_size: int | None = 1024,
-) -> DataFrame:
-    """Near-dup candidates whose 64-bit SimHash agrees on at least one
-    16-bit band (Hamming-distance ≤ 3 is guaranteed caught with 4
-    bands). Oversized band buckets degrade to a linear star join (see
-    :func:`_bucket_pairs`) so identical-doc floods cannot go quadratic.
-    Returns (id_a, id_b, hamming)."""
-    docs = simhash_signatures(df, text_col, id_col)
+def _simhash_bands(docs: DataFrame, band_bits: int) -> DataFrame:
+    """(id, sh) → (id, sh, band, key): one row per (doc, 16-bit band of
+    the simhash) — the self-join input and the persistable index
+    layout (simhash_index)."""
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
-    banded = docs.select(
+    return docs.select(
         "id",
         "sh",
         F.explode(
@@ -517,6 +508,78 @@ def simhash_dedup_pairs(
             )
         ).alias("bb"),
     ).select("id", "sh", "bb.band", "bb.key")
+
+
+def simhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Persistable banded SimHash index: (id, sh, band, key) — the
+    SimHash twin of :func:`minhash_index`. Same incremental contract:
+    sign the corpus once, screen each new shard with
+    :func:`query_simhash_index`; xxhash64 token hashing is
+    deterministic, so values persisted earlier join values computed
+    later. Bucket rows capped at the ``max_bucket_size`` lowest ids."""
+    banded = _simhash_bands(simhash_signatures(df, text_col, id_col), band_bits)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key").orderBy("id")
+        banded = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    return banded
+
+
+def query_simhash_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate screening of a new shard against a prebuilt
+    :func:`simhash_index` (same band_bits). Returns (query_id,
+    index_id, hamming ≤ max_hamming); candidates are docs sharing any
+    16-bit band, so Hamming ≤ 3 over 4 bands is guaranteed caught."""
+    q = _simhash_bands(
+        simhash_signatures(new_docs, text_col, id_col), band_bits
+    )
+    joined = q.join(
+        index.select(
+            F.col("id").alias("__xid"), F.col("sh").alias("__xsh"), "band", "key"
+        ),
+        on=["band", "key"],
+    )
+    return (
+        joined.select(
+            F.col("id").alias("query_id"),
+            F.col("__xid").alias("index_id"),
+            F.bit_count(F.col("sh").bitwiseXOR(F.col("__xsh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["query_id", "index_id"])
+    )
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    max_bucket_size: int | None = 1024,
+) -> DataFrame:
+    """Near-dup candidates whose 64-bit SimHash agrees on at least one
+    16-bit band (Hamming-distance ≤ 3 is guaranteed caught with 4
+    bands). Oversized band buckets degrade to a linear star join (see
+    :func:`_bucket_pairs`) so identical-doc floods cannot go quadratic.
+    Returns (id_a, id_b, hamming)."""
+    docs = simhash_signatures(df, text_col, id_col)
+    banded = _simhash_bands(docs, band_bits)
     cand = _bucket_pairs(banded, ["band", "key"], ["sh"], max_bucket_size)
     return (
         cand.select(

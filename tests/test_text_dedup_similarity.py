@@ -320,6 +320,46 @@ def test_minhash_index_incremental_equals_recompute(spark, tmp_path):
     assert got == pytest.approx(want)
 
 
+def test_simhash_index_incremental_equals_recompute(spark, tmp_path):
+    """SimHash twin of the minhash index test: persisted index probed
+    with a new shard finds exactly the cross-corpus candidates a full
+    recompute over (corpus + shard) would."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    corpus_rows = [(i, f"{base} variant {i} " + "filler words here " * 3)
+                   for i in range(1, 6)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    shard = spark.createDataFrame(
+        [
+            (101, corpus_rows[1][1] + " tail"),  # near-dup of doc 2
+            (102, "completely different content about query engines and "
+                  "columnar storage formats with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx_path = str(tmp_path / "simhash_index")
+    dedup_ops.simhash_index(corpus).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    got = {
+        (r["query_id"], r["index_id"]): r["hamming"]
+        for r in dedup_ops.query_simhash_index(
+            index, shard, max_hamming=10
+        ).collect()
+    }
+    assert (101, 2) in got
+    assert all(q != 102 for q, _ in got)
+
+    full = dedup_ops.simhash_dedup_pairs(
+        corpus.unionByName(shard), max_bucket_size=None
+    )
+    cross = {
+        (r["id_b"], r["id_a"]): r["hamming"]
+        for r in full.collect()
+        if r["id_b"] > 100 and r["id_a"] <= 100 and r["hamming"] <= 10
+    }
+    assert got == cross
+
+
 def test_ngram_contamination(spark):
     train = spark.createDataFrame(
         [
