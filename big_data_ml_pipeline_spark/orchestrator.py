@@ -76,13 +76,15 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # decontam: None disables; a dict (possibly empty) enables
     # dedup.ngram_contamination against the eval_df passed to
     # prepare_text_corpus, dropping flagged docs (overrides: n,
-    # min_hits).
+    # min_hits). ingest_quality_rules / ingest_near_dup_threshold
+    # configure the STREAMING ingestion path (ingest_corpus_stream).
     "corpus": {"scrub_pii": False, "min_tokens": None, "max_tokens": None,
                "min_quality": None, "quality_rules": None,
                "decontam": None,
                "budget_tokens": None,
                "budget_group_col": "lang", "chunk_size": None,
-               "chunk_overlap": 16},
+               "chunk_overlap": 16,
+               "ingest_quality_rules": {}, "ingest_near_dup_threshold": None},
 }
 
 
@@ -328,6 +330,30 @@ class PipelineOrchestrator:
                 chunk_size=c["chunk_size"], overlap=c["chunk_overlap"],
             )
         return out
+
+    def ingest_corpus_stream(self, in_dir: str, out_dir: str,
+                             checkpoint_dir: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id"):
+        """Config-driven streaming corpus ingestion: replay document
+        shards from ``in_dir`` through streaming/corpus with the
+        quality thresholds from ``corpus.ingest_quality_rules`` and the
+        near-dup screen from ``corpus.ingest_near_dup_threshold``
+        (None = exact dedup only). Runs to completion
+        (Trigger.AvailableNow) and returns the finished query."""
+        from .streaming.corpus import (
+            ingest_documents_stream,
+            read_documents_stream,
+        )
+
+        c = self.config["corpus"]
+        stream = read_documents_stream(self.spark, in_dir)
+        return ingest_documents_stream(
+            stream, out_dir, checkpoint_dir,
+            text_col=text_col, id_col=id_col,
+            near_dup_threshold=c["ingest_near_dup_threshold"],
+            **(c["ingest_quality_rules"] or {}),
+        )
 
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,

@@ -342,6 +342,33 @@ def test_corpus_config_reaches_decontamination(spark):
         orch.prepare_text_corpus(train)
 
 
+def test_orchestrator_ingest_corpus_stream(spark, tmp_path):
+    """Config round-trip for the streaming ingestion path: quality
+    thresholds and the exact-dedup screen flow from corpus config into
+    streaming/corpus, landing only gated never-seen docs."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    good = "the cat and a dog ran to of the barn fast today"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df = spark.createDataFrame(
+        [(1, good, "en"), (2, good.upper(), "en"), (3, "tiny", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    orch = PipelineOrchestrator(
+        config={"corpus": {"ingest_quality_rules": {"min_tokens": 5}}},
+        spark=spark,
+    )
+    orch.ingest_corpus_stream(
+        str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert landed == [1]  # 2 is a case-fold duplicate, 3 fails min_tokens
+
+
 def test_prepare_text_corpus_budget_caps_group(spark):
     from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
 
