@@ -145,15 +145,19 @@ class FeatureEngineer:
         percentiles (``F.percentile`` — the exact interpolating
         aggregate, deterministic unlike approxQuantile). Adds
         ``{col}_clipped``; one global agg job + broadcast join, same
-        scale shape as create_outlier_features."""
+        scale shape as create_outlier_features. NULL inputs stay NULL
+        (greatest/least skip nulls, which would otherwise silently
+        impute the lower percentile — every FeatureEngineer transform
+        propagates nulls)."""
         stats = df.select(
             *[F.percentile(F.col(c), lower).alias(f"__lo_{c}") for c in numeric_cols],
             *[F.percentile(F.col(c), upper).alias(f"__hi_{c}") for c in numeric_cols],
         )
         out = df.crossJoin(F.broadcast(stats))
         exprs = {
-            f"{c}_clipped": F.least(
-                F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")
+            f"{c}_clipped": F.when(
+                F.col(c).isNotNull(),
+                F.least(F.greatest(F.col(c), F.col(f"__lo_{c}")), F.col(f"__hi_{c}")),
             )
             for c in numeric_cols
         }

@@ -15,6 +15,8 @@ all-pairs comparison except within tiny candidate buckets:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -564,6 +566,74 @@ def query_simhash_index(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["query_id", "index_id"])
     )
+
+
+def _compact_banded_index(
+    spark,
+    path: str,
+    bucket_cols: list[str],
+    max_bucket_size: int | None = 1024,
+    num_files: int | None = None,
+) -> None:
+    """Rewrite an append-grown banded index into a bounded, clustered
+    layout. Incremental ingestion (streaming/corpus.py) appends one
+    small parquet file per micro-batch and applies ``max_bucket_size``
+    only per batch, so over time (a) the directory fragments into
+    thousands of tiny files and (b) a hot (band, bucket) grows past the
+    cap, defeating the query-join fan-out bound. Compaction restores
+    both invariants:
+
+      1. drop exact duplicate rows (benign retry appends),
+      2. re-apply the GLOBAL per-bucket cap (lowest ids win — the same
+         deterministic rule the per-batch cap uses, so a capped bucket
+         keeps the same representatives compaction after compaction),
+      3. rewrite range-clustered on the bucket key so footer min/max
+         prune per-bucket lookups.
+
+    The rewrite goes to a sibling temp dir first and is swapped in with
+    directory renames — readers never observe a half-written index. On
+    a real cluster this is a table-format job (Delta OPTIMIZE); here it
+    is the same operation expressed on plain parquet.
+    """
+    import shutil
+
+    from ..sources.writers import write_range_clustered
+
+    idx = spark.read.parquet(path).dropDuplicates(["id", *bucket_cols])
+    if max_bucket_size is not None:
+        w = Window.partitionBy(*bucket_cols).orderBy("id")
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    tmp = path.rstrip("/") + "__compacting"
+    write_range_clustered(idx, tmp, bucket_cols[-1], num_files=num_files)
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact_minhash_index(
+    spark, path: str, max_bucket_size: int | None = 1024,
+    num_files: int | None = None,
+) -> None:
+    """Compact a persisted :func:`minhash_index` directory in place
+    (columns id/sig/band/bucket). Query results are unchanged for any
+    bucket under the cap; over-cap buckets keep the lowest-id
+    representatives, identical to a fresh full build."""
+    _compact_banded_index(spark, path, ["band", "bucket"], max_bucket_size, num_files)
+
+
+def compact_simhash_index(
+    spark, path: str, max_bucket_size: int | None = 1024,
+    num_files: int | None = None,
+) -> None:
+    """Compact a persisted :func:`simhash_index` directory in place
+    (columns id/sh/band/key)."""
+    _compact_banded_index(spark, path, ["band", "key"], max_bucket_size, num_files)
 
 
 def simhash_dedup_pairs(

@@ -348,11 +348,16 @@ class PipelineOrchestrator:
 
         c = self.config["corpus"]
         stream = read_documents_stream(self.spark, in_dir)
+        # Mirror the batch semantics: ingest_quality_rules=None means NO
+        # quality gate (like quality_rules=None in prepare_corpus); a
+        # dict (even empty = defaults) gates with those thresholds.
+        rules = c["ingest_quality_rules"]
         return ingest_documents_stream(
             stream, out_dir, checkpoint_dir,
             text_col=text_col, id_col=id_col,
             near_dup_threshold=c["ingest_near_dup_threshold"],
-            **(c["ingest_quality_rules"] or {}),
+            apply_quality=rules is not None,
+            **(rules or {}),
         )
 
     # -- predict ------------------------------------------------------------

@@ -66,13 +66,18 @@ def ingest_documents_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     near_dup_threshold: float | None = None,
+    apply_quality: bool = True,
+    compact_every: int | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
 
     Per micro-batch (inside foreachBatch, batch semantics):
      1. quality_rules → keep only passing docs (signal columns
-        dropped; map-only, evaluated on the stream side).
+        dropped; map-only, evaluated on the stream side). Skipped
+        entirely when ``apply_quality=False`` (the config-driven path
+        maps ``ingest_quality_rules: None`` here, mirroring the batch
+        pipeline's ``quality_rules: None`` = no gate).
      2. within-batch exact dedup (min-id per fingerprint).
      3. anti-join the batch's fingerprints against the fingerprints
         already landed in ``out_dir`` — cross-batch dedup whose state
@@ -81,26 +86,64 @@ def ingest_documents_stream(
         within-batch MinHash pairs → connected components → keep the
         min-id representative, then drop batch docs whose banded
         signature matches the maintained index at
-        ``{out_dir}_minhash_index`` with est_jaccard ≥ threshold, and
-        append the survivors' index rows. The index grows with the
-        corpus, so near-dup state is also just a parquet table.
-     5. append survivors (original columns + ``fp``).
+        ``{out_dir}_minhash_index`` with est_jaccard ≥ threshold.
+        The index grows with the corpus, so near-dup state is also
+        just a parquet table.
+     5. append survivors (original columns + ``fp``) to the corpus,
+        THEN append their index rows. foreachBatch is at-least-once:
+        with this order a crash between the two writes replays the
+        batch, the corpus anti-join (3) drops the already-landed rows,
+        and at worst the index misses their rows until the next
+        compaction — whereas index-first would let the replay see the
+        docs' OWN index rows in 4b and silently drop them from the
+        corpus forever. Duplicate/missing index rows are benign;
+        lost corpus rows are not. The survivor set is pinned with an
+        eager localCheckpoint before either write so the index build
+        cannot lazily re-scan the corpus files the first write just
+        appended (which would anti-join the survivors against
+        themselves).
+
+    With ``compact_every=N``, every N batches the index is rewritten by
+    :func:`~..operators.dedup.compact_minhash_index` — re-deduped,
+    re-capped globally at ``max_bucket_size``, and range-clustered —
+    so a hot bucket cannot grow unbounded across appends and the file
+    count stays flat at ingest cadence.
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import (
+        compact_minhash_index,
         connected_components_alternating,
         minhash_dedup_pairs,
         minhash_index,
         query_minhash_index,
     )
 
-    gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
-        F.col("keep")
-    )
     orig_cols = [c for c in stream.columns]
-    gated = gated.select(*orig_cols).withColumn("fp", fingerprint(F.col(text_col)))
+    if apply_quality:
+        gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
+            F.col("keep")
+        ).select(*orig_cols)
+    else:
+        gated = stream
+    gated = gated.withColumn("fp", fingerprint(F.col(text_col)))
     index_dir = out_dir.rstrip("/") + "_minhash_index"
+
+    def _read_state(spark, path):
+        """Landed-state read that treats ONLY a missing/empty path as
+        'first batch'. Any other failure (permissions, corrupt footer)
+        must fail the batch — swallowing it would silently disable
+        dedup and land duplicates."""
+        if not os.path.exists(path):
+            return None
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return None  # dir exists but holds no parquet yet
+            raise
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -111,11 +154,11 @@ def ingest_documents_stream(
             keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
             batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
             # 3: cross-batch exact dedup against the landed corpus.
-            try:
-                seen = spark.read.parquet(out_dir).select("fp")
-                batch_df = batch_df.join(seen, on="fp", how="left_anti")
-            except Exception:
-                pass  # first batch: nothing landed yet
+            seen = _read_state(spark, out_dir)
+            if seen is not None:
+                batch_df = batch_df.join(
+                    seen.select("fp"), on="fp", how="left_anti"
+                )
             if near_dup_threshold is not None:
                 # 4a: within-batch near-dups — pairs → components →
                 # min-id representative survives.
@@ -130,8 +173,8 @@ def ingest_documents_stream(
                 )
                 batch_df = batch_df.join(non_rep, on=id_col, how="left_anti")
                 # 4b: near-dups of anything already landed.
-                try:
-                    index = spark.read.parquet(index_dir)
+                index = _read_state(spark, index_dir)
+                if index is not None:
                     matched = (
                         query_minhash_index(
                             index, batch_df, text_col, id_col,
@@ -141,14 +184,21 @@ def ingest_documents_stream(
                         .distinct()
                     )
                     batch_df = batch_df.join(matched, on=id_col, how="left_anti")
-                except Exception:
-                    pass  # first batch: no index yet
-                # 4c: extend the index with the survivors.
-                minhash_index(batch_df, text_col, id_col).write.mode(
+            # Pin the survivor set: truncate lineage so the writes below
+            # cannot trigger a re-read of state files this batch mutates.
+            survivors = batch_df.localCheckpoint(eager=True)
+            # 5: corpus first, index second (see docstring).
+            survivors.write.mode("append").parquet(out_dir)
+            if near_dup_threshold is not None:
+                minhash_index(survivors, text_col, id_col).write.mode(
                     "append"
                 ).parquet(index_dir)
-            # 5: append survivors.
-            batch_df.write.mode("append").parquet(out_dir)
+                if (
+                    compact_every
+                    and (batch_id + 1) % compact_every == 0
+                    and os.path.exists(index_dir)
+                ):
+                    compact_minhash_index(spark, index_dir)
         finally:
             cached.unpersist()
 

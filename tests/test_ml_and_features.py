@@ -229,6 +229,23 @@ def test_clip_to_percentiles_winsorizes_exactly(spark):
     assert out.columns[:2] == ["v", "w"]  # originals preserved
 
 
+def test_clip_to_percentiles_preserves_nulls(spark):
+    """NULL inputs must stay NULL in {col}_clipped — greatest/least
+    skip nulls, so an unguarded clamp silently imputes the lower
+    percentile (ADVICE r5). Every FeatureEngineer transform
+    propagates nulls."""
+    fe = FeatureEngineer(spark)
+    rows = [(float(i),) for i in range(1, 101)] + [(None,)]
+    df = spark.createDataFrame(rows, schema="v double")
+    out = fe.clip_to_percentiles(df, ["v"], lower=0.1, upper=0.9)
+    null_rows = out.filter(F.col("v").isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0]["v_clipped"] is None
+    # non-null behavior unchanged
+    got = out.filter(F.col("v").isNotNull()).orderBy("v").collect()
+    assert got[0]["v_clipped"] == pytest.approx(10.9)
+    assert got[-1]["v_clipped"] == pytest.approx(90.1)
+
+
 def test_missing_value_strategies(spark):
     fe = FeatureEngineer(spark)
     df = spark.createDataFrame(
