@@ -290,23 +290,59 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     max_bucket_size: int | None = 4096,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold among vectors
     sharing a signed-projection LSH bucket. The self-join is an
     equi-join on the bucket id (one shuffle, Σ|bucket|² work) instead of
     an n² cross join; buckets beyond ``max_bucket_size`` degrade to a
     linear star join on the min-id representative (dedup._bucket_pairs)
-    so an identical-vector flood cannot go quadratic."""
+    so an identical-vector flood cannot go quadratic.
+
+    ``n_tables`` OR-amplifies recall: a single n-plane table catches a
+    pair with probability (1 - θ/π)^n_planes (≈0.4-0.55 for cosine
+    ≈0.95 at 8 planes — measured in tests/test_recall_quality.py), so
+    T independent tables lift recall to 1-(1-p)^T at T× the bucket-join
+    cost. The join key becomes (table, bucket) — still one equi-join
+    shuffle — and each pair is kept once (min-table wins). Default 1
+    keeps the single-table shape the oracle twin (q42) mirrors in SQL.
+    """
     from .dedup import _bucket_pairs
 
-    planes = random_hyperplanes(dim, n_planes, seed)
     # Materialize the double-cast vector once; feeding the raw
     # to_double_array expression into _bucket_expr would re-cast the
     # array once per plane (the two-consumer CSE trap, see NOTES).
-    tagged = embeddings.select(
+    base = embeddings.select(
         F.col(id_col).alias("id"), to_double_array(F.col(vec_col)).alias("v")
-    ).select("id", "v", _bucket_expr(F.col("v"), planes).alias("bucket"))
-    cand = _bucket_pairs(tagged, ["bucket"], ["v"], max_bucket_size)
+    )
+    if n_tables == 1:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        tagged = base.select(
+            "id", "v", _bucket_expr(F.col("v"), planes).alias("bucket")
+        )
+        cand = _bucket_pairs(tagged, ["bucket"], ["v"], max_bucket_size)
+    else:
+        # One row per (vector, table): explode the T bucket ids computed
+        # in a single projection, then the SAME single equi-join keyed
+        # by (table, bucket). Derived seeds keep tables independent yet
+        # deterministic.
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _bucket_expr(
+                        F.col("v"), random_hyperplanes(dim, n_planes, seed + 1000 * t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        tagged = base.select(
+            "id", "v", F.explode(buckets).alias("tb")
+        ).select("id", "v", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        cand = _bucket_pairs(
+            tagged, ["tbl", "bucket"], ["v"], max_bucket_size
+        ).dropDuplicates(["id_a", "id_b"])
     return (
         cand.select(
             "id_a",
@@ -421,6 +457,69 @@ def ivf_index(
             .cast("int")
             .alias("cell"),
         )
+    )
+
+
+def ivf_knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Batch IVF probe: approximate top-k corpus rows for EVERY query
+    row — the multi-query twin of :func:`ivf_topk` and the approximate
+    twin of :func:`knn_join`. Returns (qid, id, sim, rn).
+
+    The corpus is assigned once (or comes prebuilt via ``index``); the
+    query batch — small by definition — computes its nprobe cells in
+    one projection and is broadcast, so the probe is ONE equi-join on
+    ``cell`` touching ~nprobe/n_cells of the corpus, then a per-query
+    ranking window over the candidates only. At 100 TB with the index
+    parquet range-clustered by cell, footer pruning means a query batch
+    physically reads only its probed cells. Recall vs the exact
+    :func:`knn_join` is measured with asserted floors in
+    tests/test_recall_quality.py; nprobe = n_cells reproduces the exact
+    result by construction.
+    """
+    from pyspark.sql import Window
+
+    cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
+    assigned = (
+        index
+        if index is not None
+        else ivf_index(embeddings, centroids, id_col, vec_col, round_assign_digits)
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            to_double_array(F.col(query_vec_col)).alias("qv"),
+        )
+        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+            ).alias("cell"),
+        )
+    )
+    scored = assigned.join(q, on="cell").select(
+        F.col("qid"),
+        F.col(id_col),
+        F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "sim", F.col("rn").cast("long").alias("rn"))
     )
 
 

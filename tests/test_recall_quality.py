@@ -1,0 +1,209 @@
+"""Quality measurement for the approximate operators (VERDICT r5 item 1).
+
+Determinism was already proven (q40-q43 oracle twins); these tests
+measure what the approximations are FOR — recall against the exact
+baselines the repo already ships — and pin floors so a refactor that
+silently degrades quality fails CI:
+
+- IVF (`ivf_knn_join`) recall@10 vs exact `knn_join`, per nprobe, with
+  the structural guarantee nprobe = n_cells == exact.
+- Signed-projection LSH pair recall on PLANTED near-duplicates of the
+  real sf0.01 embeddings (the natural data has no cosine ≥ 0.8 pairs —
+  max top-1 sim ≈ 0.48 — so near-dup recall must be measured on
+  planted perturbations), single-table vs OR-amplified multi-table.
+- MinHash banded pair recall + estimate error vs exact `jaccard_pairs`
+  on the sf0.01 documents (25 true pairs at jaccard ≥ 0.9).
+- SimHash banded recall vs the exact Hamming-ball truth — 1.0 by the
+  pigeonhole guarantee (≤3 differing bits cannot touch all four
+  16-bit bands), asserted exactly.
+
+Measured values are recorded in NOTES.md per round.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+from big_data_ml_pipeline_spark.operators import similarity as sim_ops
+from big_data_ml_pipeline_spark.sources.catalog import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _exact_topk(spark, emb, queries, k=10):
+    """Ground truth: exact knn_join → {qid: [id, ...] ranked}."""
+    got = {}
+    for r in sim_ops.knn_join(emb, queries, k=k).collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+    return {q: [i for _, i in sorted(v)] for q, v in got.items()}
+
+
+@pytest.fixture(scope="module")
+def emb_and_queries(spark):
+    emb = load_table(spark, SF001, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 20 == 0)  # 25 spread-out queries
+    return emb, queries
+
+
+def test_ivf_recall_floors_and_exactness(spark, emb_and_queries):
+    """Recall@10 of the batch IVF probe vs exact kNN at n_cells=16:
+    rises with nprobe, meets measured floors, and is EXACT at full
+    probe. Floors are ~0.05 under the values measured on the frozen
+    sf0.01 vintage (nprobe=4 ≈ 0.69, nprobe=8 ≈ 0.87) — this synthetic
+    corpus is near-uniform on the sphere, the hardest case for a coarse
+    quantizer, so real clustered corpora sit above these numbers."""
+    emb, queries = emb_and_queries
+    cents = sim_ops.fit_ivf_centroids(emb, n_cells=16)
+    index = sim_ops.ivf_index(emb, cents).persist()
+    try:
+        exact = _exact_topk(spark, emb, queries, k=10)
+        assert len(exact) == 25
+
+        def recall_at(nprobe):
+            got = {}
+            res = sim_ops.ivf_knn_join(
+                emb, queries, cents, k=10, nprobe=nprobe, index=index
+            ).collect()
+            for r in res:
+                got.setdefault(r["qid"], set()).add(r["vec_id"])
+            return sum(
+                len(got.get(q, set()) & set(ids)) / len(ids)
+                for q, ids in exact.items()
+            ) / len(exact)
+
+        r4, r8 = recall_at(4), recall_at(8)
+        print(f"IVF recall@10 n_cells=16: nprobe=4 {r4:.3f}, nprobe=8 {r8:.3f}")
+        assert r4 >= 0.60
+        assert r8 >= 0.80
+        assert r8 >= r4  # monotone in probe depth
+        # Full probe IS brute force: identical ranked ids per query.
+        full = {}
+        for r in sim_ops.ivf_knn_join(
+            emb, queries, cents, k=10, nprobe=16, index=index
+        ).collect():
+            full.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+        assert {q: [i for _, i in sorted(v)] for q, v in full.items()} == exact
+    finally:
+        index.unpersist()
+
+
+def test_lsh_planted_near_dup_recall(spark, emb_and_queries):
+    """Plant 25 near-duplicates (cosine ≈ 0.95-0.99) of real sf0.01
+    vectors; single-table 8-plane LSH catches a pair with probability
+    (1-θ/π)^8 ≈ 0.5 (measured ≈ 0.5-0.6), and 4 OR-amplified tables
+    lift recall to ≈ 1-(1-p)^4 (measured ≥ 0.9). Precision is exact by
+    construction — the operator verifies true cosine ≥ threshold on
+    every candidate."""
+    import numpy as np
+
+    emb, _ = emb_and_queries
+    base = emb.filter(F.col("vec_id") % 20 == 0).collect()  # 25 bases
+    rng = np.random.RandomState(7)
+    planted_rows, true_pairs = [], set()
+    for r in base:
+        v = np.array(r["embedding"], dtype=float)
+        noise = rng.randn(v.size)
+        noise /= np.linalg.norm(noise)
+        v2 = v + 0.22 * np.linalg.norm(v) * noise
+        cos = float(
+            v @ v2 / (np.linalg.norm(v) * np.linalg.norm(v2))
+        )
+        assert cos >= 0.92  # planted pair really is a near-dup
+        pid = 10_000 + r["vec_id"]
+        planted_rows.append((pid, [float(x) for x in v2]))
+        true_pairs.add((r["vec_id"], pid))
+    planted = spark.createDataFrame(
+        planted_rows, schema="vec_id long, embedding array<double>"
+    )
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(planted)
+
+    def recall(n_tables):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in sim_ops.lsh_bucketed_pairs(
+                corpus, threshold=0.9, n_tables=n_tables
+            ).collect()
+        }
+        return len(pairs & true_pairs) / len(true_pairs), pairs
+
+    r1, _ = recall(1)
+    r4, pairs4 = recall(4)
+    print(f"LSH planted recall: 1 table {r1:.3f}, 4 tables {r4:.3f}")
+    assert r1 >= 0.30  # single 8-bit table: the honest baseline
+    assert r4 >= 0.80 and r4 >= r1  # OR-amplification pays
+    # precision: every reported pair truly has cosine >= 0.9
+    corpus_map = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    for a, b in pairs4:
+        va, vb = corpus_map[a], corpus_map[b]
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.9 - 1e-9
+
+
+def test_minhash_pair_recall_vs_exact_jaccard(spark):
+    """MinHash banded pairs vs the exact jaccard_pairs baseline on the
+    sf0.01 documents: all true pairs sit at jaccard ≥ 0.9, where the
+    16-band × 4-row scheme's candidate probability 1-(1-j⁴)¹⁶ ≈ 1, so
+    recall should be ≈ 1.0 (floor 0.9 allows estimator noise); the
+    64-hash estimate tracks true jaccard within 0.15."""
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup_ops.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(exact) >= 10  # the planted duplicate structure exists
+    approx = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup_ops.minhash_dedup_pairs(docs).filter(
+            F.col("est_jaccard") >= 0.5
+        ).collect()
+    }
+    hit = set(exact) & set(approx)
+    rec = len(hit) / len(exact)
+    err = [abs(approx[p] - exact[p]) for p in hit]
+    print(
+        f"MinHash vs exact jaccard: {len(exact)} true pairs, recall "
+        f"{rec:.3f}, mean |est-true| {sum(err)/len(err):.3f}"
+    )
+    assert rec >= 0.9
+    assert sum(err) / len(err) <= 0.15
+
+
+def test_simhash_banding_recall_is_total(spark):
+    """The 4×16-bit banding is a GUARANTEE, not a heuristic: a pair
+    within Hamming distance 3 differs in ≤3 bands, so at least one band
+    matches exactly — recall vs the exact Hamming-ball truth must be
+    1.0. The exact truth is a full all-pairs XOR popcount (fine at 500
+    docs; the guarantee it validates is what lets the banded join
+    replace it at scale)."""
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    sigs = dedup_ops.simhash_signatures(docs, "text", "doc_id")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert truth  # non-vacuous: the corpus has hamming-close pairs
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.simhash_dedup_pairs(docs, max_bucket_size=None)
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    missed = truth - banded
+    print(f"SimHash truth pairs {len(truth)}, banded recall "
+          f"{1 - len(missed)/len(truth):.3f}")
+    assert not missed  # recall exactly 1.0
