@@ -192,7 +192,7 @@ class PipelineOrchestrator:
             )
 
         metrics = self.evaluate(predictions, task)
-        self._track(algorithm, task, metrics)
+        self._track(algorithm, task, metrics, model=model)
         if m["save_path"]:
             model.write().overwrite().save(m["save_path"])
         return model, metrics
@@ -373,7 +373,11 @@ class PipelineOrchestrator:
         return out
 
     # -- tracking (optional; mlflow is not a hard dependency) ---------------
-    def _track(self, algorithm: str, task: str, metrics: dict[str, float]) -> None:
+    def _track(self, algorithm: str, task: str, metrics: dict[str, float],
+               model=None) -> None:
+        """Params + metrics + the fitted model artifact itself
+        (reference src/ml_pipeline.py:217 `mlflow.spark.log_model`) —
+        logged whenever mlflow is importable."""
         if not self.config["tracking"]["enabled"]:
             return
         try:
@@ -382,6 +386,8 @@ class PipelineOrchestrator:
             with mlflow.start_run(run_name=self.config["tracking"]["run_name"]):
                 mlflow.log_params({"algorithm": algorithm, "task": task})
                 mlflow.log_metrics(metrics)
+                if model is not None:
+                    mlflow.spark.log_model(model, "model")
         except ImportError:
             # tracking degrades to a log line — never blocks training
             print(f"[tracking] mlflow unavailable; metrics={json.dumps(metrics)}")

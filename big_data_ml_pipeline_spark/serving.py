@@ -56,9 +56,11 @@ class ServingService:
                 model, metrics = self.orchestrator.train(df, algorithm, task)
                 with self._lock:
                     self.models[job_id] = model
-                    job.update(status="completed", metrics=metrics)
+                    job.update(status="completed", metrics=metrics,
+                               completed_at=time.time())
             except Exception as exc:  # noqa: BLE001 — job surface reports any failure
-                job.update(status="failed", error=f"{type(exc).__name__}: {exc}")
+                job.update(status="failed", error=f"{type(exc).__name__}: {exc}",
+                           completed_at=time.time())
 
         if blocking:
             run()
@@ -83,6 +85,59 @@ class ServingService:
 
     def list_models(self) -> list[str]:
         return sorted(self.models)
+
+    def list_models_with_registry(self) -> dict[str, Any]:
+        """In-process model names plus, when mlflow is importable, the
+        tracked runs from the MLflow registry (the reference's /models
+        queries MLflow exclusively — api/api.py:244-267; we serve both
+        so the endpoint is useful with or without a tracking server)."""
+        out: dict[str, Any] = {"models": self.list_models(),
+                               "registry": None}
+        try:
+            import mlflow
+
+            client = mlflow.tracking.MlflowClient()
+            runs = []
+            for exp in client.search_experiments():
+                for run in client.search_runs(exp.experiment_id):
+                    runs.append({
+                        "run_id": run.info.run_id,
+                        "experiment_id": exp.experiment_id,
+                        "metrics": run.data.metrics,
+                        "params": run.data.params,
+                        "start_time": run.info.start_time,
+                    })
+            out["registry"] = runs
+        except Exception:  # noqa: BLE001 — registry is best-effort decoration
+            pass  # mlflow absent or unreachable: in-process list stands alone
+        return out
+
+    # -- metrics ------------------------------------------------------------
+    def metrics(self) -> dict[str, Any]:
+        """Serving metrics from the job registry (reference
+        api/api.py:270-278), extended with training-latency stats so
+        the endpoint answers "how long do jobs take" without log
+        spelunking."""
+        with self._lock:
+            jobs = [dict(j) for j in self.jobs.values()]
+        by_status = {s: sum(1 for j in jobs if j["status"] == s)
+                     for s in ("running", "completed", "failed")}
+        durations = [
+            j["completed_at"] - j["submitted_at"]
+            for j in jobs
+            if j.get("completed_at") is not None
+        ]
+        return {
+            "total_training_jobs": len(jobs),
+            "completed_jobs": by_status["completed"],
+            "failed_jobs": by_status["failed"],
+            "running_jobs": by_status["running"],
+            "registered_models": len(self.models),
+            "train_seconds_mean": (sum(durations) / len(durations)
+                                   if durations else None),
+            "train_seconds_max": max(durations, default=None),
+            "timestamp": time.time(),
+        }
 
     # -- prediction ---------------------------------------------------------
     def predict_rows(self, model_name: str, rows: list[list[float]],
@@ -147,7 +202,11 @@ def build_app(service: ServingService | None = None):
 
     @app.get("/models")
     def models():
-        return service.list_models()
+        return service.list_models_with_registry()
+
+    @app.get("/metrics")
+    def metrics():
+        return service.metrics()
 
     def _require(body: dict, *keys: str) -> list:
         """Missing request-body keys are a 422 (malformed request), not

@@ -40,6 +40,112 @@ needs_fastapi = pytest.mark.skipif(
 )
 
 
+class _RecordingReader:
+    """Stands in for spark.read: records the builder chain so the
+    reader wiring (format string, options, dispatch) is asserted
+    without the real dependency executing a load."""
+
+    def __init__(self):
+        self.calls = []
+
+    def _rec(self, name, *a, **kw):
+        self.calls.append((name, a, kw))
+        return self
+
+    def schema(self, s):
+        return self._rec("schema", s)
+
+    def format(self, f):
+        return self._rec("format", f)
+
+    def options(self, **kw):
+        return self._rec("options", **kw)
+
+    def load(self, path):
+        return self._rec("load", path)
+
+    def parquet(self, path):
+        return self._rec("parquet", path)
+
+    def csv(self, path):
+        return self._rec("csv", path)
+
+    def json(self, path):
+        return self._rec("json", path)
+
+    def orc(self, path):
+        return self._rec("orc", path)
+
+
+class _FakeSpark:
+    def __init__(self, reader):
+        self.read = reader
+
+
+def test_delta_reader_wiring_without_dependency():
+    """The delta cell is env-untestable end-to-end (delta-spark cannot
+    be installed), but the WIRING — format string, option passthrough,
+    extension dispatch — is assertable with a recording reader
+    (VERDICT r5 item 6). Wherever delta-spark exists, the gated
+    round-trip tests above exercise the real path."""
+    r = _RecordingReader()
+    load_data(_FakeSpark(r), "/lake/table", fmt="delta", versionAsOf="3")
+    assert ("format", ("delta",), {}) in r.calls
+    assert ("options", (), {"versionAsOf": "3"}) in r.calls
+    assert r.calls[-1] == ("load", ("/lake/table",), {})
+    # format dispatch: extension wins when fmt is omitted...
+    r = _RecordingReader()
+    load_data(_FakeSpark(r), "/data/file.csv")
+    assert r.calls[-1] == ("csv", ("/data/file.csv",), {})
+    assert ("options", (), {"header": "true", "inferSchema": True}) in r.calls
+    # ...and unknown extensions default to parquet, NOT delta (the
+    # documented contract difference vs reference ml_pipeline.py:67-71)
+    r = _RecordingReader()
+    load_data(_FakeSpark(r), "/data/unextensioned")
+    assert r.calls[-1] == ("parquet", ("/data/unextensioned",), {})
+
+
+def test_delta_writer_wiring_without_dependency():
+    """Writer twin: fmt='delta' must route through .format('delta')
+    .save(path) with mode and partitioning applied."""
+
+    class _RecordingWriter:
+        def __init__(self):
+            self.calls = []
+
+        def _rec(self, name, *a, **kw):
+            self.calls.append((name, a, kw))
+            return self
+
+        def mode(self, m):
+            return self._rec("mode", m)
+
+        def options(self, **kw):
+            return self._rec("options", **kw)
+
+        def partitionBy(self, *cols):
+            return self._rec("partitionBy", *cols)
+
+        def format(self, f):
+            return self._rec("format", f)
+
+        def save(self, path):
+            return self._rec("save", path)
+
+    class _FakeDF:
+        def __init__(self, writer):
+            self.write = writer
+
+    w = _RecordingWriter()
+    write_data(_FakeDF(w), "/lake/out", fmt="delta", mode="append",
+               partition_by=["dt"], mergeSchema="true")
+    assert ("mode", ("append",), {}) in w.calls
+    assert ("partitionBy", ("dt",), {}) in w.calls
+    assert ("options", (), {"mergeSchema": "true"}) in w.calls
+    assert ("format", ("delta",), {}) in w.calls
+    assert w.calls[-1] == ("save", ("/lake/out",), {})
+
+
 @needs_delta
 def test_delta_round_trip(spark, tmp_path):
     """S3: write delta → read delta → identical rows. NB the session
@@ -101,6 +207,15 @@ def test_fastapi_routes(monkeypatch):
         def list_models(self):
             return []
 
+        def list_models_with_registry(self):
+            return {"models": [], "registry": None}
+
+        def metrics(self):
+            return {"total_training_jobs": 0, "completed_jobs": 0,
+                    "failed_jobs": 0, "running_jobs": 0,
+                    "registered_models": 0, "train_seconds_mean": None,
+                    "train_seconds_max": None, "timestamp": 0.0}
+
         def job_status(self, job_id):
             raise KeyError(job_id)
 
@@ -116,7 +231,8 @@ def test_fastapi_routes(monkeypatch):
     client = TestClient(serving.build_app(StubService()))
     assert client.get("/health").json() == {"status": "ok"}
     assert client.get("/jobs").json() == []
-    assert client.get("/models").json() == []
+    assert client.get("/models").json()["models"] == []
+    assert client.get("/metrics").json()["total_training_jobs"] == 0
     assert client.get("/jobs/nope").status_code == 404
     # malformed bodies → 422, never 404
     assert client.post("/train", json={}).status_code == 422

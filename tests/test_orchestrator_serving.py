@@ -151,6 +151,82 @@ def test_serving_async_job(spark, data_path):
     assert svc.job_status(job["job_id"])["status"] == "completed"
 
 
+def test_serving_metrics_and_registry_listing(spark, data_path):
+    """/metrics parity (reference api/api.py:270-278): job counts from
+    the registry plus latency stats; /models returns the in-process
+    list with a best-effort MLflow registry section (None when mlflow
+    is absent, as here). VERDICT r5 item 2."""
+    svc = ServingService(PipelineOrchestrator(
+        {"features": {"categorical_columns": [], "numeric_columns": ["f1", "f2"]},
+         "model": {"params": {"max_iter": 5}}}, spark=spark
+    ))
+    m0 = svc.metrics()
+    assert m0["total_training_jobs"] == 0 and m0["train_seconds_mean"] is None
+
+    ok = svc.submit_train(data_path, "logistic_regression", "classification",
+                          blocking=True)
+    assert ok["status"] == "completed", ok["error"]
+    bad = svc.submit_train("/nonexistent/path.parquet", "logistic_regression",
+                           "classification", blocking=True)
+    assert bad["status"] == "failed"
+
+    m = svc.metrics()
+    assert m["total_training_jobs"] == 2
+    assert m["completed_jobs"] == 1 and m["failed_jobs"] == 1
+    assert m["running_jobs"] == 0
+    assert m["registered_models"] == 1  # only the successful job's model
+    assert m["train_seconds_mean"] > 0
+    assert m["train_seconds_max"] >= m["train_seconds_mean"]
+
+    listing = svc.list_models_with_registry()
+    assert listing["models"] == [ok["job_id"]]
+    assert listing["registry"] is None  # mlflow not installed here
+
+
+def test_track_logs_model_artifact(monkeypatch, spark):
+    """_track must log the fitted model itself (reference
+    src/ml_pipeline.py:217), not only params+metrics. mlflow isn't
+    installable here, so substitute a recording fake module — the
+    import-gated branch is fully exercised either way."""
+    import sys
+    import types
+
+    calls = {}
+
+    fake = types.ModuleType("mlflow")
+    fake.spark = types.SimpleNamespace(
+        log_model=lambda model, path: calls.setdefault("log_model", (model, path))
+    )
+
+    class _Run:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _start_run(run_name=None):
+        calls["run"] = run_name
+        return _Run()
+
+    fake.start_run = _start_run
+    fake.log_params = lambda p: calls.setdefault("params", p)
+    fake.log_metrics = lambda m: calls.setdefault("metrics", m)
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+
+    orch = PipelineOrchestrator({}, spark=spark)
+    orch.config["tracking"]["enabled"] = True
+    sentinel_model = object()
+    orch._track("gbt", "regression", {"rmse": 1.5}, model=sentinel_model)
+    assert calls["params"] == {"algorithm": "gbt", "task": "regression"}
+    assert calls["metrics"] == {"rmse": 1.5}
+    assert calls["log_model"] == (sentinel_model, "model")
+    # no model (e.g. tuned path) → params/metrics only, no artifact call
+    calls.clear()
+    orch._track("gbt", "regression", {"rmse": 1.5})
+    assert "log_model" not in calls and calls["metrics"] == {"rmse": 1.5}
+
+
 def test_serving_batch_predict(spark, data_path, tmp_path):
     svc = ServingService(PipelineOrchestrator({}, spark=spark))
     job = svc.submit_train(data_path, "logistic_regression", "classification",
