@@ -853,6 +853,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    salt: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS: returns
     (id, comp) where ``comp`` is the minimum id reachable in the pair
@@ -874,7 +876,23 @@ def connected_components(
     (ADVICE r2). For high-diameter graphs use
     :func:`connected_components_alternating` — O(log² n) rounds
     regardless of diameter.
+
+    ``salt``: skew guard for power-law duplicate graphs (the realistic
+    corpus case — one boilerplate cluster with a million members makes
+    its hub a hot join key). The per-round label gather becomes a
+    :func:`~.joins.salted_join` on ``dst``: the hub's edge rows spread
+    over ``salt`` reducers at the cost of replicating the (id, comp)
+    label table ×salt — labels are 2 longs/vertex, so the replication
+    is cheap relative to the edge shuffle it de-skews. Labels are
+    identical with or without salting (pinned in
+    tests/test_skew_guards.py).
+
+    ``stats``: optional dict; on return ``stats["rounds"]`` holds the
+    converged round count (observability for the at-scale tuning
+    question "how many shuffles did this corpus cost").
     """
+    from .joins import salted_join
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(
@@ -889,10 +907,13 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = edges.join(
-            labels.withColumnRenamed("id", "dst"), on="dst"
-        ).select(F.col("src").alias("id"), F.col("comp"))
+    for rounds in range(1, max_iter + 1):
+        label_side = labels.withColumnRenamed("id", "dst")
+        if salt is not None:
+            gathered = salted_join(edges, label_side, on=["dst"], salt=salt)
+        else:
+            gathered = edges.join(label_side, on="dst")
+        nbr = gathered.select(F.col("src").alias("id"), F.col("comp"))
         new_labels = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
         ).localCheckpoint()
@@ -905,6 +926,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iter={max_iter} "
@@ -919,6 +942,7 @@ def connected_components_alternating(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -951,7 +975,7 @@ def connected_components_alternating(
         .localCheckpoint()
     )
     w = Window.partitionBy("u")
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # Large-star: gather over both directions; m = min(N(u) ∪ {u});
         # emit (v, m) for the strictly-larger neighbours v.
         nbrs = edges.unionByName(
@@ -985,6 +1009,8 @@ def connected_components_alternating(
         )
         edges = new_edges
         if unchanged:
+            if stats is not None:
+                stats["rounds"] = rounds
             # Fixed point = stars (child, root): labels are the star
             # edges plus each root labelling itself.
             return edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).unionByName(
