@@ -49,36 +49,7 @@ from big_data_ml_pipeline_spark.operators import similarity as sim_ops
 from big_data_ml_pipeline_spark.operators import text as text_ops
 from big_data_ml_pipeline_spark.operators import windows as win_ops
 from big_data_ml_pipeline_spark.sources.catalog import load_table, load_tables
-
-# ---------------------------------------------------------------------------
-# Oracle-SQL building blocks (DuckDB dialect, deterministic)
-# ---------------------------------------------------------------------------
-
-def _dsum(x: str, scale: int = 2) -> str:
-    m = 10**scale
-    return f"CAST(SUM(CAST(ROUND(({x}) * {m}) AS BIGINT)) AS BIGINT) / CAST({m} AS DOUBLE)"
-
-
-def _davg(x: str, scale: int = 2) -> str:
-    return f"{_dsum(x, scale)} / COUNT({x})"
-
-
-def _dstd(x: str, scale: int = 2) -> str:
-    m = 10**scale
-    c = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
-    return (
-        f"sqrt(CAST(SUM({c} * {c}) * COUNT({x}) - SUM({c}) * SUM({c}) AS DOUBLE)"
-        f" / CAST(COUNT({x}) * (COUNT({x}) - 1) AS DOUBLE)) / CAST({m} AS DOUBLE)"
-    )
-
-
-_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
-
-# Whitespace tokens / 3-word shingles in DuckDB (mirrors operators/text.py
-# and operators/dedup.py exactly).
-_DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
-_DUCK_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
-
+from big_data_ml_pipeline_spark.oracle import oracle_sql  # noqa: F401 — driver contract surface
 
 # ---------------------------------------------------------------------------
 # Query implementations (spark, sf_dir) -> DataFrame
@@ -109,22 +80,6 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q01_SQL = f"""
-SELECT l_returnflag, l_linestatus,
-  {_dsum('l_quantity')} AS sum_qty,
-  {_dsum('l_extendedprice')} AS sum_base_price,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
-  {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-  {_davg('l_quantity')} AS avg_qty,
-  {_davg('l_extendedprice')} AS avg_price,
-  {_davg('l_discount')} AS avg_disc,
-  COUNT(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
 def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k (orderBy+limit → TakeOrderedAndProject) over a
     grouped exact-revenue aggregate."""
@@ -134,15 +89,6 @@ def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
     )
     return set_ops.top_k(per_order, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
-
-
-_Q02_SQL = f"""
-SELECT l_orderkey,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-"""
 
 
 def q03_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,18 +104,6 @@ def q03_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_totalprice"),
         F.max("o_totalprice").alias("max_totalprice"),
     )
-
-
-_Q03_SQL = f"""
-SELECT c_mktsegment,
-  COUNT(*) AS order_count,
-  COUNT(DISTINCT c_custkey) AS n_customers,
-  {_davg('o_totalprice')} AS avg_totalprice,
-  MIN(o_totalprice) AS min_totalprice,
-  MAX(o_totalprice) AS max_totalprice
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
 
 
 def q04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -188,17 +122,6 @@ def q04_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q04_SQL = f"""
-SELECT r_name,
-  COUNT(*) AS n_customers,
-  {_dsum('c_acctbal')} AS total_acctbal,
-  {_davg('c_acctbal')} AS avg_acctbal
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
 def q05_priority_with_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): orders having any lineitem shipped in 1996."""
     t = load_tables(spark, sf_dir, ("orders", "lineitem"))
@@ -211,16 +134,6 @@ def q05_priority_with_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
-_Q05_SQL = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders WHERE EXISTS (
-  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
-    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
-GROUP BY o_orderpriority
-"""
-
-
 def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join (NOT EXISTS): customers with no orders, per nation."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "nation"))
@@ -231,14 +144,6 @@ def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle, t["nation"], idle["c_nationkey"] == t["nation"]["n_nationkey"]
     )
     return joined.groupBy("n_name").agg(F.count("*").alias("idle_customers"))
-
-
-_Q06_SQL = """
-SELECT n_name, COUNT(*) AS idle_customers
-FROM customer JOIN nation ON c_nationkey = n_nationkey
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY n_name
-"""
 
 
 def q07_ratio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -256,32 +161,12 @@ def q07_ratio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q07_SQL = """
-SELECT l_orderkey, l_linenumber,
-  CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END
-    AS l_extendedprice_to_l_quantity_ratio,
-  CASE WHEN l_tax <> 0 THEN l_extendedprice / l_tax ELSE 0.0 END
-    AS l_extendedprice_to_l_tax_ratio
-FROM lineitem
-"""
-
-
 def q08_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-faithful epoch-arithmetic time features (P7 trap:
     fractional, Thursday-origin dow — reference src/feature_engineering.py:25-34)."""
     ev = load_table(spark, sf_dir, "events")
     out = proj_ops.time_features(ev, "ts")
     return out.select("event_id", "hour", "day_of_week", "day_of_month", "is_weekend")
-
-
-_Q08_SQL = f"""
-SELECT event_id,
-  ({_EPOCH} % 86400) / 3600.0 AS hour,
-  ({_EPOCH} / 86400.0) % 7 AS day_of_week,
-  ({_EPOCH} / 86400.0) % 31 + 1 AS day_of_month,
-  CASE WHEN ({_EPOCH} / 86400.0) % 7 IN (5.0, 6.0) THEN 1 ELSE 0 END AS is_weekend
-FROM events
-"""
 
 
 def q09_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,29 +184,11 @@ def q09_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q09_SQL = """
-SELECT l_orderkey, l_linenumber,
-  l_quantity * l_discount AS l_quantity_x_l_discount,
-  l_quantity * l_tax AS l_quantity_x_l_tax,
-  l_discount * l_tax AS l_discount_x_l_tax
-FROM lineitem
-"""
-
-
 def q10_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed lags (W1) under a total per-user order (ts, event_id)."""
     ev = load_table(spark, sf_dir, "events")
     out = win_ops.lag_features(ev, ["user_id"], ["ts", "event_id"], "value", [1, 7])
     return out.select("event_id", "value", "value_lag_1", "value_lag_7")
-
-
-_Q10_SQL = """
-SELECT event_id, value,
-  LAG(value, 1) OVER w AS value_lag_1,
-  LAG(value, 7) OVER w AS value_lag_7
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
 
 
 def q11_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,18 +203,6 @@ def q11_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         roll_sum.alias("value_rolling_sum_7"),
         roll_mean.alias("value_rolling_mean_7"),
     )
-
-
-_Q11_SQL = """
-SELECT event_id,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
-    AS value_rolling_sum_7,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
-    / COUNT(value) OVER w AS value_rolling_mean_7
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
-"""
 
 
 def q12_agg_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,18 +221,6 @@ def q12_agg_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q12_SQL = f"""
-SELECT event_id, event_type, value, value_mean, value_min, value_max, value_count
-FROM events LEFT JOIN (
-  SELECT event_type AS et,
-    {_davg('value')} AS value_mean,
-    MIN(value) AS value_min,
-    MAX(value) AS value_max,
-    COUNT(value) AS value_count
-  FROM events GROUP BY event_type) s ON events.event_type = s.et
-"""
-
-
 def q13_freq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency encoding (J2+A2) — reference src/feature_engineering.py:224-233."""
     cust = load_table(spark, sf_dir, "customer")
@@ -385,14 +228,6 @@ def q13_freq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_ops.join_back(cust, freq, ["c_mktsegment"]).select(
         "c_custkey", "c_mktsegment", "c_mktsegment_freq"
     )
-
-
-_Q13_SQL = """
-SELECT c_custkey, c_mktsegment, c_mktsegment_freq
-FROM customer LEFT JOIN (
-  SELECT c_mktsegment AS seg, COUNT(*) AS c_mktsegment_freq
-  FROM customer GROUP BY c_mktsegment) f ON customer.c_mktsegment = f.seg
-"""
 
 
 def q14_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,14 +240,6 @@ def q14_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_ops.join_back(cust, means, ["c_mktsegment"]).select(
         "c_custkey", "c_mktsegment", "c_mktsegment_target_mean"
     )
-
-
-_Q14_SQL = f"""
-SELECT c_custkey, c_mktsegment, c_mktsegment_target_mean
-FROM customer LEFT JOIN (
-  SELECT c_mktsegment AS seg, {_davg('c_acctbal')} AS c_mktsegment_target_mean
-  FROM customer GROUP BY c_mktsegment) t ON customer.c_mktsegment = t.seg
-"""
 
 
 def q15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,16 +259,6 @@ def q15_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q15_SQL = f"""
-WITH s AS (SELECT {_davg('value')} AS mu, {_dstd('value')} AS sigma FROM events)
-SELECT event_type,
-  CAST(SUM(CASE WHEN abs(value - mu) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-  COUNT(*) AS n_total
-FROM events CROSS JOIN s
-GROUP BY event_type
-"""
-
-
 def q16_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (free Catalyst win beyond the reference)."""
     o = load_table(spark, sf_dir, "orders")
@@ -452,13 +269,6 @@ def q16_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q16_SQL = f"""
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-  {_dsum('o_totalprice')} AS total_price
-FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-"""
-
-
 def q17_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -467,12 +277,6 @@ def q17_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         [F.count("*").alias("n_items"), dsum(F.col("l_quantity")).alias("sum_qty")],
     )
-
-
-_Q17_SQL = f"""
-SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, {_dsum('l_quantity')} AS sum_qty
-FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-"""
 
 
 def q18_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,14 +295,6 @@ def q18_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q18_SQL = f"""
-SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
-  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
-  COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
-FROM orders GROUP BY 1, 2
-"""
-
-
 def q19_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global COUNT(DISTINCT) (A5 + the distinct-agg extension)."""
     ev = load_table(spark, sf_dir, "events")
@@ -507,14 +303,6 @@ def q19_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         F.count("*").alias("n_events"),
     )
-
-
-_Q19_SQL = """
-SELECT COUNT(DISTINCT user_id) AS n_users,
-       COUNT(DISTINCT event_type) AS n_event_types,
-       COUNT(*) AS n_events
-FROM events
-"""
 
 
 def q20_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,13 +314,6 @@ def q20_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q20_SQL = """
-SELECT c_nationkey AS nationkey FROM customer
-UNION
-SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
 def q21_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT: nations with customers but no suppliers."""
     t = load_tables(spark, sf_dir, ("customer", "supplier"))
@@ -542,25 +323,12 @@ def q21_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q21_SQL = """
-SELECT DISTINCT c_nationkey AS nationkey FROM customer
-EXCEPT
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
-"""
-
-
 def q22_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON field extraction from the events.props payload (§2g)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id", json_get(F.col("props"), "k").cast("int").alias("k")
     )
-
-
-_Q22_SQL = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-FROM events
-"""
 
 
 def q23_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,14 +342,6 @@ def q23_top3_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q23_SQL = """
-SELECT event_type, event_id, value, rn FROM (
-  SELECT event_type, event_id, value,
-    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
-  FROM events) WHERE rn <= 3
-"""
-
-
 def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token counts, avg token length, language ID,
     fingerprint — all Catalyst expressions (operators/text.py)."""
@@ -591,43 +351,10 @@ def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKS = _DUCK_TOKENS.format(col="text")
-_TOKS_LOWER = _DUCK_TOKENS.format(col="lower(text)")
-_Q24_SQL = f"""
-SELECT doc_id,
-  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-  CAST(length(text) AS BIGINT) AS n_chars_computed,
-  CASE WHEN len({_TOKS}) > 0
-       THEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS})
-       ELSE 0.0 END AS avg_token_len,
-  CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
-         OR ' ' || lower(text) || ' ' LIKE '% and %'
-         OR ' ' || lower(text) || ' ' LIKE '% a %' THEN 'en'
-       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
-         OR ' ' || lower(text) || ' ' LIKE '% und %'
-         OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
-       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
-         OR ' ' || lower(text) || ' ' LIKE '% et %'
-         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
-       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
-         OR ' ' || lower(text) || ' ' LIKE '% y %'
-         OR ' ' || lower(text) || ' ' LIKE '% de %' THEN 'es'
-       ELSE 'und' END AS lang_pred,
-  md5({_DUCK_NORM}) AS fp
-FROM documents
-"""
-
-
 def q25_duplicate_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: md5 fingerprint → (count, first id)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.duplicate_groups(docs)
-
-
-_Q25_SQL = f"""
-SELECT md5({_DUCK_NORM}) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id
-FROM documents GROUP BY 1
-"""
 
 
 def q26_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,12 +368,6 @@ def q26_exact_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q26_SQL = f"""
-SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
-       (SELECT COUNT(DISTINCT md5({_DUCK_NORM})) FROM documents) AS distinct_docs
-"""
-
-
 def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via explode + equi-join —
     no cross join; candidates blocked by `source`."""
@@ -657,28 +378,6 @@ def q27_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
 
 
-_DUCK_SHINGLES = (
-    "list_distinct(list_transform(generate_series(1, len({t}) - 2),"
-    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
-).format(t=_TOKS_LOWER)
-_Q27_SQL = f"""
-WITH sh AS (
-  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
-  FROM documents
-), sizes AS (
-  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
-), inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
-  GROUP BY a.id, b.id
-)
-SELECT id_a, id_b,
-  ROUND(CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter), 6) AS jaccard
-FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
-"""
-
-
 def q28_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against the vec_id=0 query vector —
     exact ANN baseline, no shuffle (broadcast query + TakeOrdered)."""
@@ -686,17 +385,6 @@ def q28_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.brute_force_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=10
     ).select(F.col("vec_id"), F.col("sim"))
-
-
-_Q28_SQL = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
-        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-         sqrt(list_dot_product(qe, qe))), 6) AS sim
-FROM embeddings, q
-ORDER BY sim DESC, vec_id LIMIT 10
-"""
 
 
 def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,13 +400,6 @@ def q29_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q29_SQL = f"""
-SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket, event_type,
-  COUNT(*) AS n, {_dsum('value')} AS total_value
-FROM events GROUP BY 1, 2
-"""
-
-
 def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min idle gap) via lag + running
     flag-sum — the batch twin of streaming session windows."""
@@ -731,19 +412,6 @@ def q30_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.groupBy("user_id").agg(
         (F.sum("new_session") + 1).alias("n_sessions"), F.count("*").alias("n_events")
     )
-
-
-_Q30_SQL = f"""
-WITH g AS (
-  SELECT user_id,
-    CASE WHEN {_EPOCH} - LAG({_EPOCH}, 1)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
-         THEN 1 ELSE 0 END AS new_session
-  FROM events)
-SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
-       COUNT(*) AS n_events
-FROM g GROUP BY user_id
-"""
 
 
 def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,17 +436,6 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic formulation (not DuckDB's ASOF JOIN, which picks an
 # arbitrary winner among right rows tying on (user_id, ts) — the Spark
 # side breaks ties by max event_id, so the oracle must too).
-_Q31_SQL = """
-SELECT e.event_id,
-       (SELECT s.value
-        FROM events s
-        WHERE s.event_type = 'signup'
-          AND s.user_id = e.user_id
-          AND s.ts <= e.ts
-        ORDER BY s.ts DESC, s.event_id DESC
-        LIMIT 1) AS signup_value_asof
-FROM events e
-"""
 
 
 def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -795,15 +452,6 @@ def q32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("tier").agg(
         F.count("*").alias("n_items"), dsum(F.col("l_extendedprice")).alias("total_price")
     )
-
-
-_Q32_SQL = f"""
-SELECT tier, COUNT(*) AS n_items, {_dsum('l_extendedprice')} AS total_price
-FROM lineitem JOIN (VALUES ('small', 0.0, 9.0), ('medium', 10.0, 24.0),
-                           ('large', 25.0, 100.0)) AS t(tier, lo, hi)
-  ON l_quantity BETWEEN lo AND hi
-GROUP BY tier
-"""
 
 
 def q33_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,23 +485,6 @@ def q33_region_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q33_SQL = f"""
-SELECT n_name,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-GROUP BY n_name
-"""
-
-
 def q34_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-style: top-20 customers by revenue lost to returns.
     lineitem filtered to returnflag='R' before the orderkey join (filter
@@ -871,19 +502,6 @@ def q34_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_ops.top_k(per_cust, [F.col("revenue").desc(), F.col("c_custkey")], 20)
 
 
-_Q34_SQL = f"""
-SELECT c_custkey, c_name, n_name,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue DESC, c_custkey LIMIT 20
-"""
-
-
 def q35_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part-dimension rollup: revenue and volume per brand (lineitem ⋈
     broadcast part on partkey — the dim fits executor memory at any SF
@@ -897,16 +515,6 @@ def q35_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_quantity")).alias("sum_qty"),
         F.countDistinct("p_partkey").alias("n_parts"),
     )
-
-
-_Q35_SQL = f"""
-SELECT p_brand,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
-  {_dsum('l_quantity')} AS sum_qty,
-  COUNT(DISTINCT p_partkey) AS n_parts
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-"""
 
 
 def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,16 +531,6 @@ def q39_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice")).alias("total_price"),
         F.count("*").alias("n_items"),
     )
-
-
-_Q39_SQL = f"""
-WITH p AS (
-  SELECT l_partkey AS pk, {_davg('l_quantity')} AS avg_qty
-  FROM lineitem GROUP BY l_partkey)
-SELECT {_dsum('l_extendedprice')} AS total_price, COUNT(*) AS n_items
-FROM lineitem JOIN p ON l_partkey = pk
-WHERE l_quantity < 0.5 * avg_qty
-"""
 
 
 def q53_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,16 +550,6 @@ def q53_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q53_SQL = f"""
-SELECT event_id,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS value_1h_sum,
-  COUNT(value) OVER w AS n_1h
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH}
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-"""
-
-
 def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ cardinality — the 100 TB path for distincts (exact
     COUNT(DISTINCT) is a full shuffle). HLL sketches differ per engine,
@@ -974,33 +562,12 @@ def q37_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(F.countDistinct("user_id").alias("n_users_exact"))
 
 
-_Q37_SQL = """
-SELECT COUNT(DISTINCT user_id) AS n_users_exact FROM events
-"""
-
-
 def q38_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN join: top-3 cosine neighbours for each of the first 5
     query vectors (operators/similarity.knn_join — broadcast query
     batch, one corpus pass, per-query ranking window)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3)
-
-
-_Q38_SQL = """
-WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-           FROM embeddings WHERE vec_id < 5),
-scored AS (
-  SELECT qid, vec_id,
-    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
-          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-           sqrt(list_dot_product(qe, qe))), 6) AS sim
-  FROM embeddings, q)
-SELECT qid, vec_id, sim, rn FROM (
-  SELECT qid, vec_id, sim,
-    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
-  FROM scored) WHERE rn <= 3
-"""
 
 
 def q36_supplier_nation_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1019,18 +586,6 @@ def q36_supplier_nation_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
         F.count("*").alias("n_items"),
     )
-
-
-_Q36_SQL = f"""
-SELECT n_name AS supp_nation,
-  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
-  COUNT(*) AS n_items
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-GROUP BY 1, 2
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -1070,33 +625,6 @@ def q42_lsh_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q42_sql() -> str:
-    planes = sim_ops.random_hyperplanes(dim=64, n_planes=8, seed=42)
-    bucket = "\n      + ".join(
-        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
-        f" THEN {1 << i} ELSE 0 END"
-        for i, p in enumerate(planes)
-    )
-    return f"""
-WITH e AS (
-  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), tagged AS (
-  SELECT id, v,
-    ({bucket}) AS bucket
-  FROM e
-)
-SELECT id_a, id_b, sim FROM (
-  SELECT a.id AS id_a, b.id AS id_b,
-    ROUND(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id)
-WHERE sim >= 0.3
-"""
-
-
-_Q42_SQL = _q42_sql()
-
-
 def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbours, fully oracle-checked:
     centroids are seeded-generator literals shared with the SQL twin
@@ -1117,53 +645,6 @@ def q43_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents,
         round_assign_digits=6,
     )
-
-
-def _q43_sql() -> str:
-    """Oracle twin of q43: identical IVF from the same centroid
-    literals (cells by rounded argmax cosine with ASC index ties, 4
-    probe cells, exact cosine top-10 within them)."""
-    from big_data_ml_pipeline_spark.operators.similarity import (
-        deterministic_ivf_centroids,
-    )
-
-    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
-    values = ", ".join(
-        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
-        for i, c in enumerate(cents)
-    )
-    return f"""
-WITH cents(cell, c) AS (VALUES {values}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sims AS (
-  SELECT e.vec_id, e.v, cents.cell,
-         ROUND(list_dot_product(e.v, cents.c) /
-               (sqrt(list_dot_product(e.v, e.v)) *
-                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
-  FROM e CROSS JOIN cents
-),
-assigned AS (
-  SELECT vec_id, v, cell FROM (
-    SELECT vec_id, v, cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY csim DESC, cell ASC) AS rn
-    FROM sims) t WHERE rn = 1
-),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-qcells AS (
-  SELECT cell FROM sims WHERE vec_id = 0 ORDER BY csim DESC, cell ASC LIMIT 4
-)
-SELECT a.vec_id,
-       ROUND(list_dot_product(a.v, q.qv) /
-             (sqrt(list_dot_product(a.v, a.v)) *
-              sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
-FROM assigned a CROSS JOIN q
-WHERE a.cell IN (SELECT cell FROM qcells)
-ORDER BY sim DESC, a.vec_id LIMIT 10
-"""
-
-
-_Q43_SQL = _q43_sql()
 
 
 def q44_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1202,25 +683,6 @@ def q45_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_PUNCT = (
-    "CASE WHEN length(text) > 0 THEN"
-    " CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
-    " / length(text) ELSE 0.0 END"
-)
-_Q45_SQL = f"""
-SELECT doc_id,
-  {_DUCK_PUNCT} AS punct_ratio,
-  CASE WHEN len({_DUCK_TOKENS.format(col='lower(text)')}) > 0
-       THEN CAST(len(list_filter({_DUCK_TOKENS.format(col='lower(text)')},
-                    t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
-            / len({_DUCK_TOKENS.format(col='lower(text)')})
-       ELSE 0.0 END AS stopword_ratio,
-  ROUND(0.5 * least(CAST(len({_DUCK_TOKENS.format(col='text')}) AS DOUBLE) / 100.0, 1.0)
-      + 0.5 * (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)), 6) AS quality
-FROM documents
-"""
-
-
 def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic 80/20 split (operators/setops.hash_split):
     a row's bucket is md5(key)%100, a pure function of its key — the
@@ -1237,20 +699,6 @@ def q46_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n")
         )
     )
-
-
-_Q46_SQL = """
-WITH b AS (
-  SELECT CAST(concat('0x', substr(md5(
-           COALESCE('v' || CAST(l_orderkey AS VARCHAR), '~') || '|' ||
-           COALESCE('v' || CAST(l_linenumber AS VARCHAR), '~') || '|' || 'split-42'), 1, 8)) AS BIGINT)
-         % 100 AS bucket
-  FROM lineitem
-)
-SELECT 'train' AS split, COUNT(*) AS n FROM b WHERE bucket < 80
-UNION ALL
-SELECT 'test' AS split, COUNT(*) AS n FROM b WHERE bucket >= 80
-"""
 
 
 def q47_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,16 +761,6 @@ def q49_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # StringIndexer's frequencyDesc order is deterministic SQL: rank by
 # count desc, ties alphabetically — so M1 is oracle-checkable (upgraded
 # from rows-only in round 5).
-_Q49_SQL = """
-WITH f AS (
-  SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment),
-idx AS (
-  SELECT c_mktsegment,
-         ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS i
-  FROM f)
-SELECT c_custkey, CAST(i AS DOUBLE) AS c_mktsegment_indexed
-FROM customer JOIN idx USING (c_mktsegment)
-"""
 
 
 def q54_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,20 +785,6 @@ def q54_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue")
     )
     return set_ops.top_k(per_order, [F.col("revenue").desc(), F.col("l_orderkey")], 10)
-
-
-_Q54_SQL = f"""
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
-FROM customer
-JOIN orders ON c_custkey = o_custkey
-JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey LIMIT 10
-"""
 
 
 def q55_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,24 +828,6 @@ def q55_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q55_SQL = f"""
-SELECT year(o_orderdate) AS yr,
-  ({_dsum("CASE WHEN sn.n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
-    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS mkt_share,
-  COUNT(*) AS n_items
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation cn ON c_nationkey = cn.n_nationkey
-JOIN region ON cn.n_regionkey = r_regionkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation sn ON s_nationkey = sn.n_nationkey
-JOIN part ON l_partkey = p_partkey
-WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
-GROUP BY year(o_orderdate)
-"""
-
-
 def q56_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12-style conditional aggregation: per order priority, how
     many lineitems shipped >90 days after the order date (the testdata
@@ -1436,15 +842,6 @@ def q56_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(late, F.lit(1))).alias("n_late"),
         F.count("*").alias("n_items"),
     )
-
-
-_Q56_SQL = """
-SELECT o_orderpriority,
-  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS n_late,
-  COUNT(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-"""
 
 
 def q57_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,19 +871,6 @@ def q57_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q57_SQL = """
-WITH e AS (
-  SELECT d.doc_id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
-  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
-SELECT id_a, id_b, sim FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    ROUND(list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-  FROM e a JOIN e b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-WHERE sim >= 0.42
-"""
-
-
 def q60_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped exact percentiles (median/p90/p99 of value per event
     type) — operators/aggregates.grouped_percentiles. Exact interpolated
@@ -1494,16 +878,6 @@ def q60_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     t-digest variant is the 100 TB path (same operator, exact=False)."""
     ev = load_table(spark, sf_dir, "events")
     return agg_ops.grouped_percentiles(ev, ["event_type"], "value")
-
-
-_Q60_SQL = """
-SELECT event_type,
-  quantile_cont(value, 0.5) AS p50,
-  quantile_cont(value, 0.9) AS p90,
-  quantile_cont(value, 0.99) AS p99
-FROM events
-GROUP BY event_type
-"""
 
 
 def q58_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,18 +892,6 @@ def q58_token_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_ops.bpe_token_count(t).alias("n_bpe_tokens"),
         text_ops.rolling_hash_fingerprint(t).alias("roll_fp"),
     )
-
-
-_Q58_SQL = f"""
-SELECT doc_id,
-  len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
-  list_reduce(
-    list_prepend(CAST(0 AS BIGINT),
-      list_transform({_DUCK_TOKENS.format(col='lower(text)')},
-        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {text_ops.ROLLING_HASH_MOD})),
-    (acc, h) -> (acc * {text_ops.ROLLING_HASH_BASE} + h) % {text_ops.ROLLING_HASH_MOD}) AS roll_fp
-FROM documents
-"""
 
 
 def q51_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1587,31 +949,6 @@ def q70_minhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup_pairs_oracle(docs, min_est=0.4)
 
 
-_MINHASH_MINS = ",\n    ".join(
-    f"MIN(({a} * h + {b}) % {dedup_ops.MINHASH_PRIME})"
-    for a, b in dedup_ops.minhash_params(64)
-)
-_Q70_SQL = f"""
-WITH sh AS (
-  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-  FROM (SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
-), sig AS (
-  SELECT id, [{_MINHASH_MINS}] AS sig
-  FROM sh GROUP BY id
-), banded AS (
-  SELECT id, sig, bd, array_to_string(sig[(bd*4+1):(bd*4+4)], ',') AS bkey
-  FROM sig, range(16) t(bd)
-)
-SELECT DISTINCT id_a, id_b, est_jaccard FROM (
-  SELECT a.id AS id_a, b.id AS id_b,
-    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0
-      AS est_jaccard
-  FROM banded a JOIN banded b
-    ON a.bd = b.bd AND a.bkey = b.bkey AND a.id < b.id)
-WHERE est_jaccard >= 0.4
-"""
-
-
 def q71_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup candidates, fully oracle-checked: token
     hash bits from two md5-derived 32-bit halves, signed-BIGINT simhash
@@ -1621,47 +958,6 @@ def q71_simhash_oracle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors the xxhash64 fast path q41)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.simhash_dedup_pairs_oracle(docs, max_hamming=8)
-
-
-def _q71_sql() -> str:
-    votes = ",\n    ".join(
-        f"SUM(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1"
-        f" THEN 1 ELSE -1 END) AS v{i}"
-        for i in range(64)
-    )
-    weights = " + ".join(
-        f"CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else '(-9223372036854775807 - 1)'}"
-        f" ELSE 0 END"
-        for i in range(64)
-    )
-    return f"""
-WITH tok AS (
-  SELECT doc_id AS id,
-    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
-    CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2
-  FROM (SELECT doc_id,
-          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS t
-        FROM documents)
-), votes AS (
-  SELECT id,
-    {votes}
-  FROM tok GROUP BY id
-), sig AS (
-  SELECT id, CAST({weights} AS BIGINT) AS sh FROM votes
-), banded AS (
-  SELECT id, sh, bd, (sh >> (bd * 16)) & 65535 AS key
-  FROM sig, range(4) t(bd)
-)
-SELECT DISTINCT id_a, id_b, hamming FROM (
-  SELECT a.id AS id_a, b.id AS id_b,
-    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-  FROM banded a JOIN banded b
-    ON a.bd = b.bd AND a.key = b.key AND a.id < b.id)
-WHERE hamming <= 8
-"""
-
-
-_Q71_SQL = _q71_sql()
 
 
 def q69_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1708,18 +1004,6 @@ def q61_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
-_Q61_SQL = """
-SELECT o_orderpriority, COUNT(*) AS order_count
-FROM orders
-WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-  AND EXISTS (
-    SELECT 1 FROM lineitem
-    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-GROUP BY o_orderpriority
-"""
-
-
 def q62_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7-style: shipping volume between two nations by year.
     Nation membership filters are pushed into the (broadcast) customer
@@ -1749,23 +1033,6 @@ def q62_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
 
 
-_Q62_SQL = f"""
-SELECT CAST(s_nationkey AS INTEGER) AS supp_nation,
-  CAST(c_nationkey AS INTEGER) AS cust_nation,
-  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
-                     AND TIMESTAMP '1997-12-31 00:00:00'
-  AND ((s_nationkey = 1 AND c_nationkey = 2)
-    OR (s_nationkey = 2 AND c_nationkey = 1))
-GROUP BY 1, 2, 3
-"""
-
-
 def q63_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13-style: histogram of customers by how many orders they
     placed. Left outer join keeps 0-order customers (count(o_orderkey)
@@ -1778,16 +1045,6 @@ def q63_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
-
-
-_Q63_SQL = """
-SELECT c_count, COUNT(*) AS custdist
-FROM (
-  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey)
-GROUP BY c_count
-"""
 
 
 def q64_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1810,17 +1067,6 @@ def q64_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q64_SQL = f"""
-SELECT
-  100.0 * ({_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
-    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS promo_revenue,
-  COUNT(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
-"""
-
-
 def q65_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-style: top-20 largest-quantity orders with their
     customers. The per-order quantity agg and the orders join share
@@ -1839,17 +1085,6 @@ def q65_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
     )
     return set_ops.top_k(df, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 20)
-
-
-_Q65_SQL = f"""
-SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
-FROM (
-  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
-  FROM lineitem GROUP BY l_orderkey HAVING {_dsum('l_quantity')} > 300)
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-"""
 
 
 def q66_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1878,16 +1113,6 @@ def q66_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
-
-
-_Q66_SQL = f"""
-SELECT {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
-  COUNT(*) AS n_lines
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
-   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
-"""
 
 
 def q67_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,24 +1151,6 @@ def q67_sole_latest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_ops.top_k(named, [F.col("numwait").desc(), F.col("s_name")], 10)
 
 
-_Q67_SQL = """
-WITH per_order AS (
-  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
-         COUNT(DISTINCT l_suppkey) AS n_supp
-  FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
-), sole AS (
-  SELECT l.l_orderkey, MIN(l.l_suppkey) AS sole_supp
-  FROM lineitem l JOIN per_order p
-    ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
-  GROUP BY l.l_orderkey HAVING COUNT(DISTINCT l.l_suppkey) = 1
-)
-SELECT s_name, COUNT(*) AS numwait
-FROM sole JOIN supplier ON sole_supp = s_suppkey
-GROUP BY s_name
-ORDER BY numwait DESC, s_name LIMIT 10
-"""
-
-
 def q68_rich_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-style (adapted: no phone column): per-nation count and
     exact total balance of above-average-balance customers with no
@@ -1966,17 +1173,6 @@ def q68_rich_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q68_SQL = f"""
-SELECT c_nationkey, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
-FROM customer
-WHERE c_acctbal > (SELECT {_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (
-    SELECT 1 FROM orders
-    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-GROUP BY c_nationkey
-"""
-
-
 def q74_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: revenue delta from discount-band lineitems in
     one year. Pure scan→filter→agg: every predicate (date range,
@@ -1996,17 +1192,6 @@ def q74_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
-
-
-_Q74_SQL = f"""
-SELECT {_dsum('l_extendedprice * l_discount', 4)} AS revenue,
-  COUNT(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-"""
 
 
 def q75_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,19 +1217,6 @@ def q75_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q75_SQL = f"""
-WITH rev AS (
-  SELECT l_suppkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-  GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, total_revenue
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-"""
-
-
 def q76_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ranking-window suite in ONE window pass: rank, dense_rank,
     ntile(4), percent_rank and cume_dist share a single
@@ -2066,21 +1238,6 @@ def q76_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     ).filter(F.col("rnk") <= 50)
-
-
-_Q76_SQL = """
-SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, quartile, pct_rank, cume
-FROM (
-  SELECT c_mktsegment, c_custkey, c_acctbal,
-    RANK() OVER w AS rnk,
-    DENSE_RANK() OVER w AS drnk,
-    NTILE(4) OVER w AS quartile,
-    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-    ROUND(CUME_DIST() OVER w, 6) AS cume
-  FROM customer
-  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
-WHERE rnk <= 50
-"""
 
 
 def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2105,17 +1262,6 @@ def q77_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q77_SQL = f"""
-SELECT o_orderstatus, o_orderpriority,
-  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
-  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
-  COUNT(*) AS n,
-  {_dsum('o_totalprice')} AS total_price
-FROM orders
-GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-"""
-
-
 def q78_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order-function suite over array<float> embeddings:
     aggregate (fold) for L2 norm and mean, array_max, filter+size for
@@ -2134,17 +1280,6 @@ def q78_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max(v), 6).alias("max_val"),
         F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_positive"),
     )
-
-
-_Q78_SQL = """
-SELECT vec_id,
-  CAST(len(v) AS BIGINT) AS dim,
-  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_norm,
-  ROUND(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
-  ROUND(list_aggregate(v, 'max'), 6) AS max_val,
-  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
-FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-"""
 
 
 def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2192,26 +1327,6 @@ def q79_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q79_SQL = """
-WITH offers AS (
-  SELECT l_partkey, l_suppkey,
-         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS offer
-  FROM lineitem GROUP BY l_partkey, l_suppkey),
-eu AS (
-  SELECT o.*, s_name, s_acctbal, n_name,
-         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY offer ASC, l_suppkey ASC) AS rn
-  FROM offers o
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE')
-SELECT p_partkey, p_brand, n_name, s_name, s_acctbal, offer
-FROM eu JOIN part ON l_partkey = p_partkey
-WHERE rn = 1 AND p_size = 15
-ORDER BY s_acctbal DESC, p_partkey ASC LIMIT 30
-"""
-
-
 def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-style: per-part shipped value from ASIA suppliers,
     keeping parts whose value exceeds a fraction of the total (scalar
@@ -2236,24 +1351,6 @@ def q80_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "part_value")
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
-
-
-_Q80_SQL = f"""
-WITH asia AS (
-  SELECT l_partkey, l_extendedprice, l_discount
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
-  JOIN nation ON s_nationkey = n_nationkey
-  JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'ASIA'),
-per_part AS (
-  SELECT l_partkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS part_value
-  FROM asia GROUP BY l_partkey)
-SELECT l_partkey, part_value
-FROM per_part
-WHERE part_value > 0.002 * (SELECT SUM(part_value) FROM per_part)
-ORDER BY part_value DESC, l_partkey ASC
-"""
 
 
 def q81_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2288,17 +1385,6 @@ def q81_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(40)
     )
-
-
-_Q81_SQL = """
-SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-WHERE p_type <> 'ECONOMY' AND p_size BETWEEN 5 AND 20
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-GROUP BY p_brand, p_type, p_size
-ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT 40
-"""
 
 
 def q82_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2340,27 +1426,6 @@ def q82_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q82_SQL = """
-WITH y AS (
-  SELECT l_suppkey, l_partkey,
-         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty96,
-         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty97
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-  GROUP BY l_suppkey, l_partkey)
-SELECT s_suppkey, s_name, n_name
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'AMERICA'
-  AND s_suppkey IN (SELECT l_suppkey FROM y WHERE qty96 > 0 AND qty97 > 2 * qty96)
-ORDER BY s_suppkey
-"""
-
-
 def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup GROUP resolution: union exact-fingerprint star edges with
     Jaccard near-dup pairs, then resolve connected components
@@ -2390,46 +1455,6 @@ def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q83_SQL = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
-  FROM documents
-), sizes AS (
-  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
-), inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
-  GROUP BY a.id, b.id
-), jac AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
-), fp AS (
-  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
-), grp AS (
-  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
-), exact_edges AS (
-  SELECT g.first_id AS id_a, f.doc_id AS id_b
-  FROM fp f JOIN grp g USING (fp)
-  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
-), edges0 AS (
-  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM edges0
-  UNION SELECT id_b, id_a FROM edges0
-), verts AS (
-  SELECT DISTINCT src AS id FROM edges
-), reach(id, comp) AS (
-  SELECT id, id FROM verts
-  UNION
-  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
-)
-SELECT comp, COUNT(*) AS n_members
-FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
-GROUP BY comp ORDER BY comp
-"""
-
-
 def q84_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String scalar-function suite (§2g surface beyond the reference's
     casts/when): levenshtein, lpad, translate, repeat, reverse, ascii,
@@ -2448,21 +1473,6 @@ def q84_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         F.length(F.trim(F.col("p_name"))).cast("long").alias("nchars"),
     )
-
-
-_Q84_SQL = """
-SELECT p_partkey,
-  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev,
-  lpad(p_brand, 12, '_') AS padded,
-  translate(p_name, 'aeiou', 'AEIOU') AS xlated,
-  repeat(substr(p_type, 1, 2), 2) AS rep2,
-  reverse(p_name) AS rname,
-  CAST(ascii(p_brand) AS BIGINT) AS first_byte,
-  CAST(instr(p_name, 'e') AS BIGINT) AS e_pos,
-  concat_ws('|', p_brand, p_type) AS brand_type,
-  CAST(length(trim(p_name)) AS BIGINT) AS nchars
-FROM part
-"""
 
 
 def q85_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2486,21 +1496,6 @@ def q85_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q85_SQL = """
-SELECT o_orderkey,
-  CAST(year(o_orderdate) AS BIGINT) AS yr,
-  CAST(month(o_orderdate) AS BIGINT) AS mo,
-  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
-  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
-  CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
-  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
-  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
-  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
-FROM orders
-"""
-
-
 def q86_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-deterministic class rebalancing
     (operators/setops.deterministic_class_cap): cap documents per
@@ -2514,21 +1509,6 @@ def q86_class_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
         .orderBy("source")
     )
-
-
-_Q86_SQL = """
-WITH ranked AS (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'cap-42'), 1, 8)) AS BIGINT) ASC,
-                    doc_id ASC
-         ) AS rn
-  FROM documents)
-SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
-FROM ranked WHERE rn <= 100
-GROUP BY source ORDER BY source
-"""
 
 
 def q87_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2549,19 +1529,6 @@ def q87_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("yr")
 
 
-_Q87_SQL = """
-SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
-  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
-    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_A,
-  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
-    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_N,
-  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
-    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_R
-FROM lineitem
-GROUP BY year(l_shipdate) ORDER BY yr
-"""
-
-
 def q88_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long melt (operators/aggregates.unpivot → native UNPIVOT/Expand,
     zero shuffle and a single scan — never a UNION of re-scans):
@@ -2573,13 +1540,6 @@ def q88_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size"),
     )
     return agg_ops.unpivot(wide, ["p_partkey"], ["retailprice", "size"])
-
-
-_Q88_SQL = """
-SELECT p_partkey, 'retailprice' AS variable, CAST(p_retailprice AS DOUBLE) AS value FROM part
-UNION ALL
-SELECT p_partkey, 'size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
-"""
 
 
 def q89_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2598,20 +1558,6 @@ def q89_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(running).alias("second_type"),
         F.lead("event_type", 1, "END").over(w).alias("next_type"),
     )
-
-
-_Q89_SQL = """
-SELECT user_id, event_id,
-  FIRST_VALUE(event_type) OVER w_run AS first_type,
-  LAST_VALUE(event_type) OVER w_run AS latest_type,
-  NTH_VALUE(event_type, 2) OVER w_run AS second_type,
-  LEAD(event_type, 1, 'END') OVER w_ord AS next_type
-FROM events
-WINDOW
-  w_run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-  w_ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-"""
 
 
 def q90_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2633,15 +1579,6 @@ def q90_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q90_SQL = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
-  COUNT(*) AS n,
-  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
-FROM events
-GROUP BY 1 ORDER BY k_bucket
-"""
-
-
 def q91_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (operators/text.tf_idf_top_terms): tokenize-once explode → one
@@ -2652,29 +1589,6 @@ def q91_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.tf_idf_top_terms(docs, "text", "doc_id", k=3)
-
-
-_Q91_SQL = f"""
-WITH tok AS (
-  SELECT doc_id, UNNEST({_DUCK_TOKENS.format(col='lower(text)')}) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
-sized AS (
-  SELECT doc_id, term, cnt,
-         SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len,
-         COUNT(*) OVER (PARTITION BY term) AS df
-  FROM tf),
-scored AS (
-  SELECT doc_id, term,
-         ROUND((CAST(cnt AS DOUBLE) / doc_len)
-               * ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)), 6) AS tfidf
-  FROM sized)
-SELECT doc_id, term, tfidf, rn FROM (
-  SELECT doc_id, term, tfidf,
-         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
-  FROM scored)
-WHERE rn <= 3
-"""
 
 
 def q92_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2706,18 +1620,6 @@ def q92_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q92_SQL = """
-WITH e AS (
-  SELECT d.lang, CAST(em.embedding AS DOUBLE[]) AS v
-  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
-SELECT lang, CAST(g.pos AS BIGINT) AS pos,
-       CAST(SUM(CAST(ROUND(v[g.pos] * 1000000) AS BIGINT)) AS BIGINT)
-         / (COUNT(*) * 1000000.0) AS centroid_val
-FROM e CROSS JOIN generate_series(1, 64) AS g(pos)
-GROUP BY lang, g.pos
-"""
-
-
 def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of events.value (bucket = floor(value/50),
     clamped to [0, 19]) with per-bucket row counts and integer-cents
@@ -2733,14 +1635,6 @@ def q93_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q93_SQL = f"""
-SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS BIGINT), 0), 19) AS bucket,
-  COUNT(*) AS n, {_dsum('value')} AS total_value
-FROM events
-GROUP BY 1
-"""
-
-
 def q94_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate aggregate surface (beyond the reference's mean/std):
     per-returnflag Pearson correlation and sample covariance of
@@ -2752,16 +1646,6 @@ def q94_quantity_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_covar"),
         F.count("*").alias("n_items"),
     )
-
-
-_Q94_SQL = """
-SELECT l_returnflag,
-  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
-  COUNT(*) AS n_items
-FROM lineitem
-GROUP BY l_returnflag
-"""
 
 
 def q95_components_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2781,34 +1665,6 @@ def q95_components_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("id").cast("long").alias("id"), F.col("comp").cast("long").alias("comp")
     )
-
-
-_Q95_SQL = f"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
-  FROM documents
-), sizes AS (
-  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
-), inter AS (
-  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
-  GROUP BY a.id, b.id
-), jac AS (
-  SELECT id_a, id_b
-  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
-), edges AS (
-  SELECT id_a AS src, id_b AS dst FROM jac
-  UNION SELECT id_b, id_a FROM jac
-), verts AS (
-  SELECT DISTINCT src AS id FROM edges
-), reach(id, comp) AS (
-  SELECT id, id FROM verts
-  UNION
-  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
-)
-SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
-"""
 
 
 def q96_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2864,33 +1720,6 @@ def q96_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q96_SQL = """
-WITH s1 AS (
-  SELECT user_id, event_type, ts,
-         MIN(CASE WHEN event_type = 'view' THEN ts END)
-           OVER (PARTITION BY user_id) AS t_view
-  FROM events),
-s2 AS (
-  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
-              OVER (PARTITION BY user_id) AS t_click
-  FROM s1),
-s3 AS (
-  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
-              OVER (PARTITION BY user_id) AS t_purchase
-  FROM s2),
-pu AS (
-  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
-         MAX(t_purchase) AS t_purchase
-  FROM s3 GROUP BY user_id)
-SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
-            WHEN t_click IS NOT NULL THEN 2
-            WHEN t_view IS NOT NULL THEN 1
-            ELSE 0 END AS funnel_stage,
-       COUNT(*) AS n_users
-FROM pu GROUP BY 1
-"""
-
-
 def q97_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: cohort = each user's first active day
     (min-date window over the user_id exchange), activity bucketed into
@@ -2915,20 +1744,6 @@ def q97_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q97_SQL = """
-WITH days AS (
-  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
-s AS (
-  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
-  FROM days)
-SELECT strftime(CAST(cohort_d AS DATE), '%Y-%m-%d') AS cohort_day,
-       CAST(FLOOR(date_diff('day', CAST(cohort_d AS DATE), d) / 7.0) AS BIGINT)
-         AS week_offset,
-       COUNT(DISTINCT user_id) AS n_users
-FROM s GROUP BY 1, 2
-"""
-
-
 def q98_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data integrity audit via FULL OUTER join (the one join
     type the rest of the surface didn't exercise): English documents vs
@@ -2951,19 +1766,6 @@ def q98_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q98_SQL = """
-WITH d AS (SELECT doc_id FROM documents WHERE lang = 'en'),
-j AS (
-  SELECT d.doc_id, e.vec_id
-  FROM d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
-SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
-            WHEN doc_id IS NULL THEN 'embedding_only'
-            ELSE 'doc_only' END AS status,
-       COUNT(*) AS n
-FROM j GROUP BY 1
-"""
-
-
 def q99_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-typed aggregation surface (SURVEY 2g map functions): per
     user, a map of event_type → count serialized as canonical JSON.
@@ -2980,17 +1782,6 @@ def q99_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("type_counts")
     )
-
-
-_Q99_SQL = """
-WITH c AS (
-  SELECT user_id, event_type, COUNT(*) AS cnt
-  FROM events GROUP BY user_id, event_type)
-SELECT user_id,
-       '{' || string_agg(format('"{}":{}', event_type, cnt), ','
-                         ORDER BY event_type) || '}' AS type_counts
-FROM c GROUP BY user_id
-"""
 
 
 def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3028,30 +1819,6 @@ def q100_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q100_sql() -> str:
-    email, phone, ip = (p for p, _ in text_ops.PII_PATTERNS)
-    aug = (
-        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
-        "'@example.com or call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || "
-        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
-    )
-    return f"""
-WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
-SELECT doc_id,
-  CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(aug, '{phone}')) AS BIGINT) AS n_phones,
-  CAST(len(regexp_extract_all(aug, '{ip}')) AS BIGINT) AS n_ips,
-  md5(regexp_replace(regexp_replace(regexp_replace(aug,
-      '{email}', '<EMAIL>', 'g'),
-      '{phone}', '<PHONE>', 'g'),
-      '{ip}', '<IP>', 'g')) AS scrubbed_fp
-FROM a
-"""
-
-
-_Q100_SQL = _q100_sql()
-
-
 def q101_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking (operators/text.chunk_tokens): 64-token
     chunks with 16-token overlap — tokenize once, derive chunk starts
@@ -3069,22 +1836,6 @@ def q101_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q101_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
-s AS (
-  SELECT doc_id, toks,
-         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
-  FROM t)
-SELECT doc_id,
-  CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
-  CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_chunk_tokens,
-  md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS chunk_fp
-FROM s
-WHERE len(list_slice(toks, start, start + 63)) > 0
-"""
-
-
 def q102_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-budget corpus assembly
     (operators/text.token_budget_sample): walk each language's docs in
@@ -3094,21 +1845,6 @@ def q102_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group ordering only (no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.token_budget_sample(docs, budget_tokens=5000)
-
-
-_Q102_SQL = f"""
-WITH t AS (
-  SELECT doc_id, lang,
-         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
-  FROM documents)
-SELECT * FROM (
-  SELECT doc_id, lang, n_tokens,
-         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS running_total
-  FROM t)
-WHERE running_total - n_tokens < 5000
-"""
 
 
 def q103_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3135,42 +1871,6 @@ def q103_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_LTOKS = _DUCK_TOKENS.format(col="lower(text)")
-_Q103_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         {_DUCK_TOKENS.format(col='text')} AS toks,
-         {_DUCK_LTOKS} AS ltoks
-  FROM documents),
-s AS (
-  SELECT doc_id,
-    CAST(len(toks) AS BIGINT) AS n_tokens,
-    CASE WHEN len(toks) > 0 THEN
-      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-    ELSE 0.0 END AS mean_token_len,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
-           AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS stopword_frac,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS distinct_ratio,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(list_max(list_transform(list_distinct(ltoks),
-             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS top_token_frac
-  FROM t)
-SELECT doc_id, n_tokens, mean_token_len, stopword_frac, distinct_ratio,
-  top_token_frac,
-  CAST(n_tokens BETWEEN 30 AND 50000
-    AND mean_token_len BETWEEN 2.0 AND 10.0
-    AND stopword_frac >= 0.01
-    AND distinct_ratio >= 0.30
-    AND top_token_frac <= 0.20 AS BIGINT) AS keep
-FROM s
-"""
-
-
 def q104_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate word-trigram fraction per document
     (operators/text.ngram_repetition) — the Gopher duplicate-n-gram
@@ -3180,24 +1880,6 @@ def q104_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only projection with no shuffle at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.ngram_repetition(docs, text_col="text", id_col="doc_id", n=3)
-
-
-_Q104_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
-g AS (
-  SELECT doc_id,
-         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
-           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
-  FROM t)
-SELECT doc_id,
-  CAST(len(grams) AS BIGINT) AS n_ngrams,
-  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
-  CASE WHEN len(grams) > 0 THEN
-    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
-  ELSE 0.0 END AS dup_frac
-FROM g
-"""
 
 
 def q105_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3222,35 +1904,6 @@ def q105_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_5GRAMS = (
-    "list_distinct(list_transform("
-    "generate_series(1, greatest(len(ltoks) - 4, 0)),"
-    " i -> ltoks[i] || ' ' || ltoks[i + 1] || ' ' || ltoks[i + 2]"
-    " || ' ' || ltoks[i + 3] || ' ' || ltoks[i + 4]))"
-)
-_Q105_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
-g AS (
-  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
-ev AS (
-  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-tg AS (
-  SELECT doc_id, unnest(grams) AS gram FROM g),
-hits AS (
-  SELECT doc_id, COUNT(*) AS hit_grams FROM tg JOIN ev USING (gram)
-  GROUP BY doc_id)
-SELECT g.doc_id,
-  CAST(len(grams) AS BIGINT) AS n_grams,
-  CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
-  CASE WHEN len(grams) > 0 THEN
-    CAST(COALESCE(hit_grams, 0) AS DOUBLE) / len(grams)
-  ELSE 0.0 END AS hit_frac,
-  CAST(COALESCE(hit_grams, 0) >= 1 AS BIGINT) AS contaminated
-FROM g LEFT JOIN hits USING (doc_id)
-"""
-
-
 def q106_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality proxy
     (operators/text.unigram_loglik): per-document mean log10 token
@@ -3261,32 +1914,6 @@ def q106_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.unigram_loglik(docs)
-
-
-_Q106_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
-tok AS (
-  SELECT doc_id, unnest(ltoks) AS token FROM t),
-v AS (
-  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
-tot AS (
-  SELECT SUM(cnt) AS n_total FROM v),
-vq AS (
-  SELECT token,
-         CAST(ROUND(log10(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
-           AS logp_q
-  FROM v, tot),
-pd AS (
-  SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp_q) AS sum_q
-  FROM tok JOIN vq USING (token) GROUP BY doc_id)
-SELECT t.doc_id,
-  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
-  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
-    CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
-  ELSE 0.0 END AS mean_logp
-FROM t LEFT JOIN pd USING (doc_id)
-"""
 
 
 def q107_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3318,47 +1945,6 @@ def q107_corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
-
-
-_Q107_SQL = f"""
-WITH t AS (
-  SELECT doc_id, lang, source,
-         {_DUCK_TOKENS.format(col='text')} AS toks,
-         {_DUCK_LTOKS} AS ltoks
-  FROM documents),
-s AS (
-  SELECT lang, source,
-    CAST(len(toks) AS BIGINT) AS n_tokens,
-    CASE WHEN len(toks) > 0 THEN
-      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-    ELSE 0.0 END AS mean_token_len,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
-           AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS stopword_frac,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS distinct_ratio,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(list_max(list_transform(list_distinct(ltoks),
-             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS top_token_frac
-  FROM t),
-k AS (
-  SELECT lang, source, n_tokens,
-    CAST(n_tokens BETWEEN 30 AND 50000
-      AND mean_token_len BETWEEN 2.0 AND 10.0
-      AND stopword_frac >= 0.01
-      AND distinct_ratio >= 0.30
-      AND top_token_frac <= 0.20 AS BIGINT) AS keep
-  FROM s)
-SELECT lang, source,
-  CAST(COUNT(*) AS BIGINT) AS n_docs,
-  CAST(SUM(keep) AS BIGINT) AS n_keep,
-  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate,
-  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
-FROM k GROUP BY lang, source ORDER BY lang, source
-"""
 
 
 def q108_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3395,58 +1981,6 @@ def q108_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.select("doc_id", "n_tokens")
 
 
-_Q108_SQL = f"""
-WITH t AS (
-  SELECT doc_id, text,
-         {_DUCK_TOKENS.format(col='text')} AS toks,
-         {_DUCK_LTOKS} AS ltoks
-  FROM documents),
-s AS (
-  SELECT doc_id, text, ltoks,
-    CAST(len(toks) AS BIGINT) AS n_tokens,
-    CASE WHEN len(toks) > 0 THEN
-      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
-    ELSE 0.0 END AS mean_token_len,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
-           AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS stopword_frac,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS distinct_ratio,
-    CASE WHEN len(ltoks) > 0 THEN
-      CAST(list_max(list_transform(list_distinct(ltoks),
-             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
-    ELSE 0.0 END AS top_token_frac
-  FROM t),
-q AS (
-  SELECT doc_id, text, ltoks, n_tokens FROM s
-  WHERE n_tokens BETWEEN 30 AND 50000
-    AND mean_token_len BETWEEN 2.0 AND 10.0
-    AND stopword_frac >= 0.01
-    AND distinct_ratio >= 0.30
-    AND top_token_frac <= 0.20),
-tg AS (
-  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
-ev AS (
-  SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE doc_id % 20 = 0),
-hits AS (
-  SELECT x.doc_id, COUNT(*) AS h
-  FROM (SELECT doc_id, unnest(grams) AS gram FROM tg
-        WHERE doc_id IN (SELECT doc_id FROM q)) x
-  JOIN ev USING (gram) GROUP BY x.doc_id),
-clean AS (
-  SELECT q.doc_id, q.text, q.n_tokens FROM q LEFT JOIN hits USING (doc_id)
-  WHERE COALESCE(h, 0) = 0),
-fp AS (
-  SELECT doc_id, md5({_DUCK_NORM}) AS f, n_tokens FROM clean),
-keepers AS (
-  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
-SELECT doc_id, n_tokens FROM fp
-WHERE doc_id IN (SELECT doc_id FROM keepers)
-"""
-
-
 def q109_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary extraction (operators/text.vocabulary): top-100
     case-folded tokens by total occurrences with document frequency and
@@ -3455,26 +1989,6 @@ def q109_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, never a full vocab sort."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.vocabulary(docs, k=100)
-
-
-_Q109_SQL = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
-tok AS (
-  SELECT doc_id, unnest(ltoks) AS token FROM t),
-pd AS (
-  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY token, doc_id),
-v AS (
-  SELECT token,
-         CAST(SUM(n) AS BIGINT) AS n_occurrences,
-         CAST(COUNT(*) AS BIGINT) AS doc_freq
-  FROM pd GROUP BY token)
-SELECT token, n_occurrences, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
-  SELECT token, n_occurrences, doc_freq,
-         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
-  FROM v)
-WHERE rank <= 100
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -3600,103 +2114,3 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
-    return {
-        "q01_pricing_summary": _Q01_SQL,
-        "q02_top_revenue_orders": _Q02_SQL,
-        "q03_segment_stats": _Q03_SQL,
-        "q04_region_rollup": _Q04_SQL,
-        "q05_priority_with_shipped": _Q05_SQL,
-        "q06_customers_without_orders": _Q06_SQL,
-        "q07_ratio_features": _Q07_SQL,
-        "q08_time_features": _Q08_SQL,
-        "q09_interactions": _Q09_SQL,
-        "q10_lag_features": _Q10_SQL,
-        "q11_rolling_features": _Q11_SQL,
-        "q12_agg_join_back": _Q12_SQL,
-        "q13_freq_encode": _Q13_SQL,
-        "q14_target_encode": _Q14_SQL,
-        "q15_zscore_outliers": _Q15_SQL,
-        "q16_rollup_orders": _Q16_SQL,
-        "q17_cube_lineitem": _Q17_SQL,
-        "q18_monthly_orders": _Q18_SQL,
-        "q19_distinct_counts": _Q19_SQL,
-        "q20_setop_union": _Q20_SQL,
-        "q21_setop_except": _Q21_SQL,
-        "q22_json_extract": _Q22_SQL,
-        "q23_top3_per_type": _Q23_SQL,
-        "q24_text_stats": _Q24_SQL,
-        "q25_duplicate_groups": _Q25_SQL,
-        "q26_exact_dedup_count": _Q26_SQL,
-        "q27_jaccard_pairs": _Q27_SQL,
-        "q28_embedding_topk": _Q28_SQL,
-        "q29_events_hourly": _Q29_SQL,
-        "q30_sessionize": _Q30_SQL,
-        "q31_asof_join": _Q31_SQL,
-        "q32_range_join": _Q32_SQL,
-        "q33_region_supplier_revenue": _Q33_SQL,
-        "q34_returned_top_customers": _Q34_SQL,
-        "q35_brand_revenue": _Q35_SQL,
-        "q36_supplier_nation_yearly": _Q36_SQL,
-        "q37_approx_distinct": _Q37_SQL,
-        "q38_knn_join": _Q38_SQL,
-        "q39_small_quantity_revenue": _Q39_SQL,
-        "q53_time_range_rolling": _Q53_SQL,
-        "q54_shipping_priority": _Q54_SQL,
-        "q55_market_share": _Q55_SQL,
-        "q56_late_shipments": _Q56_SQL,
-        "q57_embedding_near_dup": _Q57_SQL,
-        "q58_token_fingerprints": _Q58_SQL,
-        "q60_event_percentiles": _Q60_SQL,
-        "q61_order_priority_check": _Q61_SQL,
-        "q62_volume_shipping": _Q62_SQL,
-        "q63_customer_order_distribution": _Q63_SQL,
-        "q64_promo_revenue": _Q64_SQL,
-        "q65_large_volume_orders": _Q65_SQL,
-        "q66_disjunctive_revenue": _Q66_SQL,
-        "q67_sole_latest_shipper": _Q67_SQL,
-        "q68_rich_quiet_customers": _Q68_SQL,
-        "q70_minhash_oracle_pairs": _Q70_SQL,
-        "q71_simhash_oracle_pairs": _Q71_SQL,
-        "q42_lsh_embedding_pairs": _Q42_SQL,
-        "q43_ivf_topk": _Q43_SQL,
-        "q45_quality_scores": _Q45_SQL,
-        "q46_random_split": _Q46_SQL,
-        "q74_forecast_revenue_change": _Q74_SQL,
-        "q75_top_supplier": _Q75_SQL,
-        "q76_rank_suite": _Q76_SQL,
-        "q77_grouping_sets": _Q77_SQL,
-        "q78_vector_stats": _Q78_SQL,
-        "q79_min_cost_supplier": _Q79_SQL,
-        "q80_important_parts": _Q80_SQL,
-        "q81_supplier_part_counts": _Q81_SQL,
-        "q82_surging_suppliers": _Q82_SQL,
-        "q83_dedup_components": _Q83_SQL,
-        "q84_string_suite": _Q84_SQL,
-        "q85_date_suite": _Q85_SQL,
-        "q86_class_rebalance": _Q86_SQL,
-        "q87_pivot_returnflag": _Q87_SQL,
-        "q88_unpivot_part": _Q88_SQL,
-        "q89_value_windows": _Q89_SQL,
-        "q90_json_struct_agg": _Q90_SQL,
-        "q91_tfidf_terms": _Q91_SQL,
-        "q92_lang_centroids": _Q92_SQL,
-        "q93_value_histogram": _Q93_SQL,
-        "q94_quantity_price_stats": _Q94_SQL,
-        "q95_components_alternating": _Q95_SQL,
-        "q96_event_funnel": _Q96_SQL,
-        "q97_cohort_retention": _Q97_SQL,
-        "q98_embedding_coverage": _Q98_SQL,
-        "q99_event_type_map": _Q99_SQL,
-        "q100_pii_scrub": _Q100_SQL,
-        "q101_token_chunks": _Q101_SQL,
-        "q102_token_budget_sample": _Q102_SQL,
-        "q103_quality_rules": _Q103_SQL,
-        "q104_ngram_repetition": _Q104_SQL,
-        "q105_decontamination": _Q105_SQL,
-        "q106_unigram_loglik": _Q106_SQL,
-        "q107_corpus_quality_report": _Q107_SQL,
-        "q108_corpus_pipeline": _Q108_SQL,
-        "q109_vocabulary": _Q109_SQL,
-        "q49_feature_pipeline": _Q49_SQL,
-    }

@@ -1,0 +1,1511 @@
+"""Oracle SQL twins for the driver contract (DuckDB dialect).
+
+One ANSI-SQL string per oracle-checked ``queries()`` entry in
+``__spark_entry__.py`` — pure data plus the literal-sharing builders
+(hyperplanes, IVF centroids, minhash hash family, PII patterns) that
+keep the SQL bit-identical to the Spark operators. No Spark session
+use, no behavior: moving this out of the entry file (VERDICT r5
+item 8) changes nothing the driver sees.
+
+Determinism policy for hash-checked queries (see
+big_data_ml_pipeline_spark/functions/exact.py): float aggregates over
+money-like 2-decimal columns are computed EXACTLY by scaling to integer
+cents and summing as BIGINT, so results are bit-identical across
+partitionings and engines. Window/top-k queries always order by a total
+order (timestamp + unique id).
+"""
+
+from __future__ import annotations
+
+from ..operators import dedup as dedup_ops
+from ..operators import similarity as sim_ops
+from ..operators import text as text_ops
+
+def _dsum(x: str, scale: int = 2) -> str:
+    m = 10**scale
+    return f"CAST(SUM(CAST(ROUND(({x}) * {m}) AS BIGINT)) AS BIGINT) / CAST({m} AS DOUBLE)"
+
+def _davg(x: str, scale: int = 2) -> str:
+    return f"{_dsum(x, scale)} / COUNT({x})"
+
+def _dstd(x: str, scale: int = 2) -> str:
+    m = 10**scale
+    c = f"CAST(ROUND(({x}) * {m}) AS BIGINT)"
+    return (
+        f"sqrt(CAST(SUM({c} * {c}) * COUNT({x}) - SUM({c}) * SUM({c}) AS DOUBLE)"
+        f" / CAST(COUNT({x}) * (COUNT({x}) - 1) AS DOUBLE)) / CAST({m} AS DOUBLE)"
+    )
+
+_EPOCH = "CAST(floor(epoch(ts)) AS BIGINT)"
+
+_DUCK_TOKENS = "list_filter(regexp_split_to_array({col}, '\\s+'), t -> t <> '')"
+
+_DUCK_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {_dsum('l_quantity')} AS sum_qty,
+  {_dsum('l_extendedprice')} AS sum_base_price,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {_davg('l_quantity')} AS avg_qty,
+  {_davg('l_extendedprice')} AS avg_price,
+  {_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q02_SQL = f"""
+SELECT l_orderkey,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+_Q03_SQL = f"""
+SELECT c_mktsegment,
+  COUNT(*) AS order_count,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  {_davg('o_totalprice')} AS avg_totalprice,
+  MIN(o_totalprice) AS min_totalprice,
+  MAX(o_totalprice) AS max_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+_Q04_SQL = f"""
+SELECT r_name,
+  COUNT(*) AS n_customers,
+  {_dsum('c_acctbal')} AS total_acctbal,
+  {_davg('c_acctbal')} AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+_Q05_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+GROUP BY o_orderpriority
+"""
+
+_Q06_SQL = """
+SELECT n_name, COUNT(*) AS idle_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+_Q07_SQL = """
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_quantity <> 0 THEN l_extendedprice / l_quantity ELSE 0.0 END
+    AS l_extendedprice_to_l_quantity_ratio,
+  CASE WHEN l_tax <> 0 THEN l_extendedprice / l_tax ELSE 0.0 END
+    AS l_extendedprice_to_l_tax_ratio
+FROM lineitem
+"""
+
+_Q08_SQL = f"""
+SELECT event_id,
+  ({_EPOCH} % 86400) / 3600.0 AS hour,
+  ({_EPOCH} / 86400.0) % 7 AS day_of_week,
+  ({_EPOCH} / 86400.0) % 31 + 1 AS day_of_month,
+  CASE WHEN ({_EPOCH} / 86400.0) % 7 IN (5.0, 6.0) THEN 1 ELSE 0 END AS is_weekend
+FROM events
+"""
+
+_Q09_SQL = """
+SELECT l_orderkey, l_linenumber,
+  l_quantity * l_discount AS l_quantity_x_l_discount,
+  l_quantity * l_tax AS l_quantity_x_l_tax,
+  l_discount * l_tax AS l_discount_x_l_tax
+FROM lineitem
+"""
+
+_Q10_SQL = """
+SELECT event_id, value,
+  LAG(value, 1) OVER w AS value_lag_1,
+  LAG(value, 7) OVER w AS value_lag_7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+_Q11_SQL = """
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
+    AS value_rolling_sum_7,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / CAST(100 AS DOUBLE)
+    / COUNT(value) OVER w AS value_rolling_mean_7
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+"""
+
+_Q12_SQL = f"""
+SELECT event_id, event_type, value, value_mean, value_min, value_max, value_count
+FROM events LEFT JOIN (
+  SELECT event_type AS et,
+    {_davg('value')} AS value_mean,
+    MIN(value) AS value_min,
+    MAX(value) AS value_max,
+    COUNT(value) AS value_count
+  FROM events GROUP BY event_type) s ON events.event_type = s.et
+"""
+
+_Q13_SQL = """
+SELECT c_custkey, c_mktsegment, c_mktsegment_freq
+FROM customer LEFT JOIN (
+  SELECT c_mktsegment AS seg, COUNT(*) AS c_mktsegment_freq
+  FROM customer GROUP BY c_mktsegment) f ON customer.c_mktsegment = f.seg
+"""
+
+_Q14_SQL = f"""
+SELECT c_custkey, c_mktsegment, c_mktsegment_target_mean
+FROM customer LEFT JOIN (
+  SELECT c_mktsegment AS seg, {_davg('c_acctbal')} AS c_mktsegment_target_mean
+  FROM customer GROUP BY c_mktsegment) t ON customer.c_mktsegment = t.seg
+"""
+
+_Q15_SQL = f"""
+WITH s AS (SELECT {_davg('value')} AS mu, {_dstd('value')} AS sigma FROM events)
+SELECT event_type,
+  CAST(SUM(CASE WHEN abs(value - mu) > 2 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n_total
+FROM events CROSS JOIN s
+GROUP BY event_type
+"""
+
+_Q16_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+_Q17_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items, {_dsum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+_Q18_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+  COUNT(*) AS n_orders, {_dsum('o_totalprice')} AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+_Q19_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(*) AS n_events
+FROM events
+"""
+
+_Q20_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+_Q21_SQL = """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+"""
+
+_Q22_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+_Q23_SQL = """
+SELECT event_type, event_id, value, rn FROM (
+  SELECT event_type, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 3
+"""
+
+_TOKS = _DUCK_TOKENS.format(col="text")
+
+_TOKS_LOWER = _DUCK_TOKENS.format(col="lower(text)")
+
+_Q24_SQL = f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_computed,
+  CASE WHEN len({_TOKS}) > 0
+       THEN CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE) / len({_TOKS})
+       ELSE 0.0 END AS avg_token_len,
+  CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+         OR ' ' || lower(text) || ' ' LIKE '% and %'
+         OR ' ' || lower(text) || ' ' LIKE '% a %' THEN 'en'
+       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+         OR ' ' || lower(text) || ' ' LIKE '% und %'
+         OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+         OR ' ' || lower(text) || ' ' LIKE '% et %'
+         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
+       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+         OR ' ' || lower(text) || ' ' LIKE '% y %'
+         OR ' ' || lower(text) || ' ' LIKE '% de %' THEN 'es'
+       ELSE 'und' END AS lang_pred,
+  md5({_DUCK_NORM}) AS fp
+FROM documents
+"""
+
+_Q25_SQL = f"""
+SELECT md5({_DUCK_NORM}) AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id
+FROM documents GROUP BY 1
+"""
+
+_Q26_SQL = f"""
+SELECT (SELECT COUNT(*) FROM documents) AS total_docs,
+       (SELECT COUNT(DISTINCT md5({_DUCK_NORM})) FROM documents) AS distinct_docs
+"""
+
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len({t}) - 2),"
+    " i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]))"
+).format(t=_TOKS_LOWER)
+
+_Q27_SQL = f"""
+WITH sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+  ROUND(CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+"""
+
+_Q28_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+        (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(qe, qe))), 6) AS sim
+FROM embeddings, q
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+_Q29_SQL = f"""
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_bucket, event_type,
+  COUNT(*) AS n, {_dsum('value')} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+_Q30_SQL = f"""
+WITH g AS (
+  SELECT user_id,
+    CASE WHEN {_EPOCH} - LAG({_EPOCH}, 1)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+         THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+_Q31_SQL = """
+SELECT e.event_id,
+       (SELECT s.value
+        FROM events s
+        WHERE s.event_type = 'signup'
+          AND s.user_id = e.user_id
+          AND s.ts <= e.ts
+        ORDER BY s.ts DESC, s.event_id DESC
+        LIMIT 1) AS signup_value_asof
+FROM events e
+"""
+
+_Q32_SQL = f"""
+SELECT tier, COUNT(*) AS n_items, {_dsum('l_extendedprice')} AS total_price
+FROM lineitem JOIN (VALUES ('small', 0.0, 9.0), ('medium', 10.0, 24.0),
+                           ('large', 25.0, 100.0)) AS t(tier, lo, hi)
+  ON l_quantity BETWEEN lo AND hi
+GROUP BY tier
+"""
+
+_Q33_SQL = f"""
+SELECT n_name,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+_Q34_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+_Q35_SQL = f"""
+SELECT p_brand,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  {_dsum('l_quantity')} AS sum_qty,
+  COUNT(DISTINCT p_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+_Q39_SQL = f"""
+WITH p AS (
+  SELECT l_partkey AS pk, {_davg('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT {_dsum('l_extendedprice')} AS total_price, COUNT(*) AS n_items
+FROM lineitem JOIN p ON l_partkey = pk
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+_Q53_SQL = f"""
+SELECT event_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS value_1h_sum,
+  COUNT(value) OVER w AS n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY {_EPOCH}
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+_Q37_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users_exact FROM events
+"""
+
+_Q38_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT qid, vec_id,
+    ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qe) /
+          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(qe, qe))), 6) AS sim
+  FROM embeddings, q)
+SELECT qid, vec_id, sim, rn FROM (
+  SELECT qid, vec_id, sim,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+  FROM scored) WHERE rn <= 3
+"""
+
+_Q36_SQL = f"""
+SELECT n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+def _q42_sql() -> str:
+    planes = sim_ops.random_hyperplanes(dim=64, n_planes=8, seed=42)
+    bucket = "\n      + ".join(
+        f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
+        f" THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), tagged AS (
+  SELECT id, v,
+    ({bucket}) AS bucket
+  FROM e
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM tagged a JOIN tagged b ON a.bucket = b.bucket AND a.id < b.id)
+WHERE sim >= 0.3
+"""
+
+_Q42_SQL = _q42_sql()
+
+def _q43_sql() -> str:
+    """Oracle twin of q43: identical IVF from the same centroid
+    literals (cells by rounded argmax cosine with ASC index ties, 4
+    probe cells, exact cosine top-10 within them)."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+    )
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qcells AS (
+  SELECT cell FROM sims WHERE vec_id = 0 ORDER BY csim DESC, cell ASC LIMIT 4
+)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.v, q.qv) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+FROM assigned a CROSS JOIN q
+WHERE a.cell IN (SELECT cell FROM qcells)
+ORDER BY sim DESC, a.vec_id LIMIT 10
+"""
+
+_Q43_SQL = _q43_sql()
+
+_DUCK_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN"
+    " CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0.0 END"
+)
+
+_Q45_SQL = f"""
+SELECT doc_id,
+  {_DUCK_PUNCT} AS punct_ratio,
+  CASE WHEN len({_DUCK_TOKENS.format(col='lower(text)')}) > 0
+       THEN CAST(len(list_filter({_DUCK_TOKENS.format(col='lower(text)')},
+                    t -> t IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE)
+            / len({_DUCK_TOKENS.format(col='lower(text)')})
+       ELSE 0.0 END AS stopword_ratio,
+  ROUND(0.5 * least(CAST(len({_DUCK_TOKENS.format(col='text')}) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)), 6) AS quality
+FROM documents
+"""
+
+_Q46_SQL = """
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(
+           COALESCE('v' || CAST(l_orderkey AS VARCHAR), '~') || '|' ||
+           COALESCE('v' || CAST(l_linenumber AS VARCHAR), '~') || '|' || 'split-42'), 1, 8)) AS BIGINT)
+         % 100 AS bucket
+  FROM lineitem
+)
+SELECT 'train' AS split, COUNT(*) AS n FROM b WHERE bucket < 80
+UNION ALL
+SELECT 'test' AS split, COUNT(*) AS n FROM b WHERE bucket >= 80
+"""
+
+_Q49_SQL = """
+WITH f AS (
+  SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment),
+idx AS (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment ASC) - 1 AS i
+  FROM f)
+SELECT c_custkey, CAST(i AS DOUBLE) AS c_mktsegment_indexed
+FROM customer JOIN idx USING (c_mktsegment)
+"""
+
+_Q54_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+_Q55_SQL = f"""
+SELECT year(o_orderdate) AS yr,
+  ({_dsum("CASE WHEN sn.n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS mkt_share,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+GROUP BY year(o_orderdate)
+"""
+
+_Q56_SQL = """
+SELECT o_orderpriority,
+  COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS n_late,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+_Q57_SQL = """
+WITH e AS (
+  SELECT d.doc_id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM e a JOIN e b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE sim >= 0.42
+"""
+
+_Q60_SQL = """
+SELECT event_type,
+  quantile_cont(value, 0.5) AS p50,
+  quantile_cont(value, 0.9) AS p90,
+  quantile_cont(value, 0.99) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+_Q58_SQL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{text_ops.BPE_ISH_PATTERN.replace("'", "''")}')) AS n_bpe_tokens,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({_DUCK_TOKENS.format(col='lower(text)')},
+        t -> CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % {text_ops.ROLLING_HASH_MOD})),
+    (acc, h) -> (acc * {text_ops.ROLLING_HASH_BASE} + h) % {text_ops.ROLLING_HASH_MOD}) AS roll_fp
+FROM documents
+"""
+
+_MINHASH_MINS = ",\n    ".join(
+    f"MIN(({a} * h + {b}) % {dedup_ops.MINHASH_PRIME})"
+    for a, b in dedup_ops.minhash_params(64)
+)
+
+_Q70_SQL = f"""
+WITH sh AS (
+  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
+), sig AS (
+  SELECT id, [{_MINHASH_MINS}] AS sig
+  FROM sh GROUP BY id
+), banded AS (
+  SELECT id, sig, bd, array_to_string(sig[(bd*4+1):(bd*4+4)], ',') AS bkey
+  FROM sig, range(16) t(bd)
+)
+SELECT DISTINCT id_a, id_b, est_jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE) / 64.0
+      AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.bkey = b.bkey AND a.id < b.id)
+WHERE est_jaccard >= 0.4
+"""
+
+def _q71_sql() -> str:
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    weights = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {(1 << i) if i < 63 else '(-9223372036854775807 - 1)'}"
+        f" ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id,
+    CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS h1,
+    CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS h2
+  FROM (SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS t
+        FROM documents)
+), votes AS (
+  SELECT id,
+    {votes}
+  FROM tok GROUP BY id
+), sig AS (
+  SELECT id, CAST({weights} AS BIGINT) AS sh FROM votes
+), banded AS (
+  SELECT id, sh, bd, (sh >> (bd * 16)) & 65535 AS key
+  FROM sig, range(4) t(bd)
+)
+SELECT DISTINCT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+  FROM banded a JOIN banded b
+    ON a.bd = b.bd AND a.key = b.key AND a.id < b.id)
+WHERE hamming <= 8
+"""
+
+_Q71_SQL = _q71_sql()
+
+_Q61_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+_Q62_SQL = f"""
+SELECT CAST(s_nationkey AS INTEGER) AS supp_nation,
+  CAST(c_nationkey AS INTEGER) AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+  {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+  AND ((s_nationkey = 1 AND c_nationkey = 2)
+    OR (s_nationkey = 2 AND c_nationkey = 1))
+GROUP BY 1, 2, 3
+"""
+
+_Q63_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+_Q64_SQL = f"""
+SELECT
+  100.0 * ({_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)})
+    / ({_dsum('l_extendedprice * (1 - l_discount)', 4)}) AS promo_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+_Q65_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {_dsum('l_quantity')} > 300)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+_Q66_SQL = f"""
+SELECT {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+_Q67_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem GROUP BY l_orderkey HAVING COUNT(DISTINCT l_suppkey) >= 2
+), sole AS (
+  SELECT l.l_orderkey, MIN(l.l_suppkey) AS sole_supp
+  FROM lineitem l JOIN per_order p
+    ON l.l_orderkey = p.l_orderkey AND l.l_shipdate = p.max_ship
+  GROUP BY l.l_orderkey HAVING COUNT(DISTINCT l.l_suppkey) = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM sole JOIN supplier ON sole_supp = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+_Q68_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS numcust, {_dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT {_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+_Q74_SQL = f"""
+SELECT {_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+_Q75_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+_Q76_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, quartile, pct_rank, cume
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+    RANK() OVER w AS rnk,
+    DENSE_RANK() OVER w AS drnk,
+    NTILE(4) OVER w AS quartile,
+    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+    ROUND(CUME_DIST() OVER w, 6) AS cume
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+WHERE rnk <= 50
+"""
+
+_Q77_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+  COUNT(*) AS n,
+  {_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+_Q78_SQL = """
+SELECT vec_id,
+  CAST(len(v) AS BIGINT) AS dim,
+  ROUND(sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')), 6) AS l2_norm,
+  ROUND(list_aggregate(v, 'sum') / len(v), 6) AS mean_val,
+  ROUND(list_aggregate(v, 'max'), 6) AS max_val,
+  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_positive
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+_Q79_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 AS offer
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT o.*, s_name, s_acctbal, n_name,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY offer ASC, l_suppkey ASC) AS rn
+  FROM offers o
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT p_partkey, p_brand, n_name, s_name, s_acctbal, offer
+FROM eu JOIN part ON l_partkey = p_partkey
+WHERE rn = 1 AND p_size = 15
+ORDER BY s_acctbal DESC, p_partkey ASC LIMIT 30
+"""
+
+_Q80_SQL = f"""
+WITH asia AS (
+  SELECT l_partkey, l_extendedprice, l_discount
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+per_part AS (
+  SELECT l_partkey, {_dsum('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+  FROM asia GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.002 * (SELECT SUM(part_value) FROM per_part)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+_Q81_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'ECONOMY' AND p_size BETWEEN 5 AND 20
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC LIMIT 40
+"""
+
+_Q82_SQL = """
+WITH y AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty96,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                       THEN l_quantity ELSE 0 END) AS BIGINT) AS qty97
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (SELECT l_suppkey FROM y WHERE qty96 > 0 AND qty97 > 2 * qty96)
+ORDER BY s_suppkey
+"""
+
+_Q83_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
+), exact_edges AS (
+  SELECT g.first_id AS id_a, f.doc_id AS id_b
+  FROM fp f JOIN grp g USING (fp)
+  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
+), edges0 AS (
+  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT comp, COUNT(*) AS n_members
+FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+GROUP BY comp ORDER BY comp
+"""
+
+_Q84_SQL = """
+SELECT p_partkey,
+  CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev,
+  lpad(p_brand, 12, '_') AS padded,
+  translate(p_name, 'aeiou', 'AEIOU') AS xlated,
+  repeat(substr(p_type, 1, 2), 2) AS rep2,
+  reverse(p_name) AS rname,
+  CAST(ascii(p_brand) AS BIGINT) AS first_byte,
+  CAST(instr(p_name, 'e') AS BIGINT) AS e_pos,
+  concat_ws('|', p_brand, p_type) AS brand_type,
+  CAST(length(trim(p_name)) AS BIGINT) AS nchars
+FROM part
+"""
+
+_Q85_SQL = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS BIGINT) AS yr,
+  CAST(month(o_orderdate) AS BIGINT) AS mo,
+  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+  CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_epoch_start
+FROM orders
+"""
+
+_Q86_SQL = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'cap-42'), 1, 8)) AS BIGINT) ASC,
+                    doc_id ASC
+         ) AS rn
+  FROM documents)
+SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= 100
+GROUP BY source ORDER BY source
+"""
+
+_Q87_SQL = """
+SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'A'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_A,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'N'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_N,
+  CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+    THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) END), 0) AS BIGINT) / 10000.0 AS rev_R
+FROM lineitem
+GROUP BY year(l_shipdate) ORDER BY yr
+"""
+
+_Q88_SQL = """
+SELECT p_partkey, 'retailprice' AS variable, CAST(p_retailprice AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+"""
+
+_Q89_SQL = """
+SELECT user_id, event_id,
+  FIRST_VALUE(event_type) OVER w_run AS first_type,
+  LAST_VALUE(event_type) OVER w_run AS latest_type,
+  NTH_VALUE(event_type, 2) OVER w_run AS second_type,
+  LEAD(event_type, 1, 'END') OVER w_ord AS next_type
+FROM events
+WINDOW
+  w_run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_ord AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+_Q90_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+GROUP BY 1 ORDER BY k_bucket
+"""
+
+_Q91_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_DUCK_TOKENS.format(col='lower(text)')}) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM tok GROUP BY doc_id, term),
+sized AS (
+  SELECT doc_id, term, cnt,
+         SUM(cnt) OVER (PARTITION BY doc_id) AS doc_len,
+         COUNT(*) OVER (PARTITION BY term) AS df
+  FROM tf),
+scored AS (
+  SELECT doc_id, term,
+         ROUND((CAST(cnt AS DOUBLE) / doc_len)
+               * ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM sized)
+SELECT doc_id, term, tfidf, rn FROM (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored)
+WHERE rn <= 3
+"""
+
+_Q92_SQL = """
+WITH e AS (
+  SELECT d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
+SELECT lang, CAST(g.pos AS BIGINT) AS pos,
+       CAST(SUM(CAST(ROUND(v[g.pos] * 1000000) AS BIGINT)) AS BIGINT)
+         / (COUNT(*) * 1000000.0) AS centroid_val
+FROM e CROSS JOIN generate_series(1, 64) AS g(pos)
+GROUP BY lang, g.pos
+"""
+
+_Q93_SQL = f"""
+SELECT LEAST(GREATEST(CAST(FLOOR(value / 50) AS BIGINT), 0), 19) AS bucket,
+  COUNT(*) AS n, {_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+_Q94_SQL = """
+SELECT l_returnflag,
+  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_Q95_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM jac
+  UNION SELECT id_b, id_a FROM jac
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+"""
+
+_Q96_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t_view
+  FROM events),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2),
+pu AS (
+  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+         MAX(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id)
+SELECT CASE WHEN t_purchase IS NOT NULL THEN 3
+            WHEN t_click IS NOT NULL THEN 2
+            WHEN t_view IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage,
+       COUNT(*) AS n_users
+FROM pu GROUP BY 1
+"""
+
+_Q97_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+s AS (
+  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_d
+  FROM days)
+SELECT strftime(CAST(cohort_d AS DATE), '%Y-%m-%d') AS cohort_day,
+       CAST(FLOOR(date_diff('day', CAST(cohort_d AS DATE), d) / 7.0) AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM s GROUP BY 1, 2
+"""
+
+_Q98_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+j AS (
+  SELECT d.doc_id, e.vec_id
+  FROM d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 'both'
+            WHEN doc_id IS NULL THEN 'embedding_only'
+            ELSE 'doc_only' END AS status,
+       COUNT(*) AS n
+FROM j GROUP BY 1
+"""
+
+_Q99_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       '{' || string_agg(format('"{}":{}', event_type, cnt), ','
+                         ORDER BY event_type) || '}' AS type_counts
+FROM c GROUP BY user_id
+"""
+
+def _q100_sql() -> str:
+    email, phone, ip = (p for p, _ in text_ops.PII_PATTERNS)
+    aug = (
+        "text || ' contact u' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or call 555-867-530' || CAST(doc_id % 10 AS VARCHAR) || "
+        "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    return f"""
+WITH a AS (SELECT doc_id, {aug} AS aug FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(aug, '{phone}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(aug, '{ip}')) AS BIGINT) AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+      '{email}', '<EMAIL>', 'g'),
+      '{phone}', '<PHONE>', 'g'),
+      '{ip}', '<IP>', 'g')) AS scrubbed_fp
+FROM a
+"""
+
+_Q100_SQL = _q100_sql()
+
+_Q101_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS start
+  FROM t)
+SELECT doc_id,
+  CAST((start - 1) / 48 AS BIGINT) AS chunk_id,
+  CAST(len(list_slice(toks, start, start + 63)) AS BIGINT) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(toks, start, start + 63), ' ')) AS chunk_fp
+FROM s
+WHERE len(list_slice(toks, start, start + 63)) > 0
+"""
+
+_Q102_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT * FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM t)
+WHERE running_total - n_tokens < 5000
+"""
+
+_DUCK_LTOKS = _DUCK_TOKENS.format(col="lower(text)")
+
+_Q103_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t)
+SELECT doc_id, n_tokens, mean_token_len, stopword_frac, distinct_ratio,
+  top_token_frac,
+  CAST(n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20 AS BIGINT) AS keep
+FROM s
+"""
+
+_Q104_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+  FROM t)
+SELECT doc_id,
+  CAST(len(grams) AS BIGINT) AS n_ngrams,
+  CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+  CASE WHEN len(grams) > 0 THEN
+    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+  ELSE 0.0 END AS dup_frac
+FROM g
+"""
+
+_DUCK_5GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(ltoks) - 4, 0)),"
+    " i -> ltoks[i] || ' ' || ltoks[i + 1] || ' ' || ltoks[i + 2]"
+    " || ' ' || ltoks[i + 3] || ' ' || ltoks[i + 4]))"
+)
+
+_Q105_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+g AS (
+  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT doc_id, COUNT(*) AS hit_grams FROM tg JOIN ev USING (gram)
+  GROUP BY doc_id)
+SELECT g.doc_id,
+  CAST(len(grams) AS BIGINT) AS n_grams,
+  CAST(COALESCE(hit_grams, 0) AS BIGINT) AS hit_grams,
+  CASE WHEN len(grams) > 0 THEN
+    CAST(COALESCE(hit_grams, 0) AS DOUBLE) / len(grams)
+  ELSE 0.0 END AS hit_frac,
+  CAST(COALESCE(hit_grams, 0) >= 1 AS BIGINT) AS contaminated
+FROM g LEFT JOIN hits USING (doc_id)
+"""
+
+_Q106_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ltoks) AS token FROM t),
+v AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT SUM(cnt) AS n_total FROM v),
+vq AS (
+  SELECT token,
+         CAST(ROUND(log10(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS logp_q
+  FROM v, tot),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp_q) AS sum_q
+  FROM tok JOIN vq USING (token) GROUP BY doc_id)
+SELECT t.doc_id,
+  CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+  CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+    CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+  ELSE 0.0 END AS mean_logp
+FROM t LEFT JOIN pd USING (doc_id)
+"""
+
+_Q107_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT lang, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+k AS (
+  SELECT lang, source, n_tokens,
+    CAST(n_tokens BETWEEN 30 AND 50000
+      AND mean_token_len BETWEEN 2.0 AND 10.0
+      AND stopword_frac >= 0.01
+      AND distinct_ratio >= 0.30
+      AND top_token_frac <= 0.20 AS BIGINT) AS keep
+  FROM s)
+SELECT lang, source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(keep) AS BIGINT) AS n_keep,
+  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS keep_rate,
+  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM k GROUP BY lang, source ORDER BY lang, source
+"""
+
+_Q108_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, text, ltoks,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+q AS (
+  SELECT doc_id, text, ltoks, n_tokens FROM s
+  WHERE n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20),
+tg AS (
+  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT x.doc_id, COUNT(*) AS h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM tg
+        WHERE doc_id IN (SELECT doc_id FROM q)) x
+  JOIN ev USING (gram) GROUP BY x.doc_id),
+clean AS (
+  SELECT q.doc_id, q.text, q.n_tokens FROM q LEFT JOIN hits USING (doc_id)
+  WHERE COALESCE(h, 0) = 0),
+fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS f, n_tokens FROM clean),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT doc_id, n_tokens FROM fp
+WHERE doc_id IN (SELECT doc_id FROM keepers)
+"""
+
+_Q109_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ltoks) AS token FROM t),
+pd AS (
+  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY token, doc_id),
+v AS (
+  SELECT token,
+         CAST(SUM(n) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM pd GROUP BY token)
+SELECT token, n_occurrences, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT token, n_occurrences, doc_freq,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM v)
+WHERE rank <= 100
+"""
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_top_revenue_orders": _Q02_SQL,
+        "q03_segment_stats": _Q03_SQL,
+        "q04_region_rollup": _Q04_SQL,
+        "q05_priority_with_shipped": _Q05_SQL,
+        "q06_customers_without_orders": _Q06_SQL,
+        "q07_ratio_features": _Q07_SQL,
+        "q08_time_features": _Q08_SQL,
+        "q09_interactions": _Q09_SQL,
+        "q10_lag_features": _Q10_SQL,
+        "q11_rolling_features": _Q11_SQL,
+        "q12_agg_join_back": _Q12_SQL,
+        "q13_freq_encode": _Q13_SQL,
+        "q14_target_encode": _Q14_SQL,
+        "q15_zscore_outliers": _Q15_SQL,
+        "q16_rollup_orders": _Q16_SQL,
+        "q17_cube_lineitem": _Q17_SQL,
+        "q18_monthly_orders": _Q18_SQL,
+        "q19_distinct_counts": _Q19_SQL,
+        "q20_setop_union": _Q20_SQL,
+        "q21_setop_except": _Q21_SQL,
+        "q22_json_extract": _Q22_SQL,
+        "q23_top3_per_type": _Q23_SQL,
+        "q24_text_stats": _Q24_SQL,
+        "q25_duplicate_groups": _Q25_SQL,
+        "q26_exact_dedup_count": _Q26_SQL,
+        "q27_jaccard_pairs": _Q27_SQL,
+        "q28_embedding_topk": _Q28_SQL,
+        "q29_events_hourly": _Q29_SQL,
+        "q30_sessionize": _Q30_SQL,
+        "q31_asof_join": _Q31_SQL,
+        "q32_range_join": _Q32_SQL,
+        "q33_region_supplier_revenue": _Q33_SQL,
+        "q34_returned_top_customers": _Q34_SQL,
+        "q35_brand_revenue": _Q35_SQL,
+        "q36_supplier_nation_yearly": _Q36_SQL,
+        "q37_approx_distinct": _Q37_SQL,
+        "q38_knn_join": _Q38_SQL,
+        "q39_small_quantity_revenue": _Q39_SQL,
+        "q53_time_range_rolling": _Q53_SQL,
+        "q54_shipping_priority": _Q54_SQL,
+        "q55_market_share": _Q55_SQL,
+        "q56_late_shipments": _Q56_SQL,
+        "q57_embedding_near_dup": _Q57_SQL,
+        "q58_token_fingerprints": _Q58_SQL,
+        "q60_event_percentiles": _Q60_SQL,
+        "q61_order_priority_check": _Q61_SQL,
+        "q62_volume_shipping": _Q62_SQL,
+        "q63_customer_order_distribution": _Q63_SQL,
+        "q64_promo_revenue": _Q64_SQL,
+        "q65_large_volume_orders": _Q65_SQL,
+        "q66_disjunctive_revenue": _Q66_SQL,
+        "q67_sole_latest_shipper": _Q67_SQL,
+        "q68_rich_quiet_customers": _Q68_SQL,
+        "q70_minhash_oracle_pairs": _Q70_SQL,
+        "q71_simhash_oracle_pairs": _Q71_SQL,
+        "q42_lsh_embedding_pairs": _Q42_SQL,
+        "q43_ivf_topk": _Q43_SQL,
+        "q45_quality_scores": _Q45_SQL,
+        "q46_random_split": _Q46_SQL,
+        "q74_forecast_revenue_change": _Q74_SQL,
+        "q75_top_supplier": _Q75_SQL,
+        "q76_rank_suite": _Q76_SQL,
+        "q77_grouping_sets": _Q77_SQL,
+        "q78_vector_stats": _Q78_SQL,
+        "q79_min_cost_supplier": _Q79_SQL,
+        "q80_important_parts": _Q80_SQL,
+        "q81_supplier_part_counts": _Q81_SQL,
+        "q82_surging_suppliers": _Q82_SQL,
+        "q83_dedup_components": _Q83_SQL,
+        "q84_string_suite": _Q84_SQL,
+        "q85_date_suite": _Q85_SQL,
+        "q86_class_rebalance": _Q86_SQL,
+        "q87_pivot_returnflag": _Q87_SQL,
+        "q88_unpivot_part": _Q88_SQL,
+        "q89_value_windows": _Q89_SQL,
+        "q90_json_struct_agg": _Q90_SQL,
+        "q91_tfidf_terms": _Q91_SQL,
+        "q92_lang_centroids": _Q92_SQL,
+        "q93_value_histogram": _Q93_SQL,
+        "q94_quantity_price_stats": _Q94_SQL,
+        "q95_components_alternating": _Q95_SQL,
+        "q96_event_funnel": _Q96_SQL,
+        "q97_cohort_retention": _Q97_SQL,
+        "q98_embedding_coverage": _Q98_SQL,
+        "q99_event_type_map": _Q99_SQL,
+        "q100_pii_scrub": _Q100_SQL,
+        "q101_token_chunks": _Q101_SQL,
+        "q102_token_budget_sample": _Q102_SQL,
+        "q103_quality_rules": _Q103_SQL,
+        "q104_ngram_repetition": _Q104_SQL,
+        "q105_decontamination": _Q105_SQL,
+        "q106_unigram_loglik": _Q106_SQL,
+        "q107_corpus_quality_report": _Q107_SQL,
+        "q108_corpus_pipeline": _Q108_SQL,
+        "q109_vocabulary": _Q109_SQL,
+        "q49_feature_pipeline": _Q49_SQL,
+    }
