@@ -1991,6 +1991,34 @@ def q109_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.vocabulary(docs, k=100)
 
 
+def q110_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF probe (similarity.ivf_knn_join): approximate top-5
+    corpus neighbours for EVERY query row at once — one equi-join on
+    the probed cell, per-query ranking window. Fully oracle-checked
+    with q43's determinism kit: shared centroid literals, 6-digit
+    rounded assignment cosines, ASC cell/id tie-breaks. Recall floors
+    for the KMeans-fitted variant live in tests/test_recall_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim_ops.ivf_knn_join(
+        emb, queries_df, cents, k=5, nprobe=4, round_assign_digits=6
+    )
+
+
+def q111_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified LSH (lsh_bucketed_pairs n_tables=2): near-dup pairs
+    colliding in EITHER hyperplane table — the recall lever measured in
+    tests/test_recall_quality.py (1 table 0.36 → 4 tables 0.96 on
+    planted dups). Both tables' hyperplanes are seeded literals shared
+    with the SQL twin; pairs dedupe across tables. Uncapped buckets for
+    the same oracle-exactness reason as q42."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.lsh_bucketed_pairs(
+        emb, n_planes=8, threshold=0.3, max_bucket_size=None, n_tables=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2094,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_corpus_quality_report": q107_corpus_quality_report,
         "q108_corpus_pipeline": q108_corpus_pipeline,
         "q109_vocabulary": q109_vocabulary,
+        "q110_ivf_knn_join": q110_ivf_knn_join,
+        "q111_lsh_multitable_pairs": q111_lsh_multitable_pairs,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

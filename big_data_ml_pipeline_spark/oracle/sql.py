@@ -493,6 +493,103 @@ ORDER BY sim DESC, a.vec_id LIMIT 10
 
 _Q43_SQL = _q43_sql()
 
+
+def _q110_sql() -> str:
+    """Twin of q110: the q43 IVF machinery generalized to a query
+    BATCH (vec_id % 100 = 0) — per-query probed cells, exact cosine
+    rank within them, ties by (sim DESC, vec_id ASC)."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id % 100 = 0) t WHERE rn <= 4
+),
+cand AS (
+  SELECT q.qid, a.vec_id,
+         ROUND(list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM assigned a
+  JOIN qcells qc ON a.cell = qc.cell
+  JOIN q ON q.qid = qc.qid
+)
+SELECT qid, vec_id, sim, rn FROM (
+  SELECT qid, vec_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rn
+  FROM cand) t
+WHERE rn <= 5
+"""
+
+
+_Q110_SQL = _q110_sql()
+
+
+def _q111_sql() -> str:
+    """Twin of q111: two hyperplane tables (seeds 42 and 1042 — the
+    n_tables derived-seed rule), pairs colliding in either table,
+    deduped."""
+
+    def bucket_expr(seed: int) -> str:
+        planes = sim_ops.random_hyperplanes(dim=64, n_planes=8, seed=seed)
+        return "\n      + ".join(
+            f"CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0"
+            f" THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    tables = " UNION ALL ".join(
+        f"""
+  SELECT a.id AS id_a, b.id AS id_b,
+    ROUND(list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM t{t} a JOIN t{t} b ON a.bucket = b.bucket AND a.id < b.id"""
+        for t in range(2)
+    )
+    withs = ",\n".join(
+        f"""t{t} AS (
+  SELECT id, v, ({bucket_expr(42 + 1000 * t)}) AS bucket FROM e
+)"""
+        for t in range(2)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+{withs}
+SELECT DISTINCT id_a, id_b, sim FROM ({tables})
+WHERE sim >= 0.3
+"""
+
+
+_Q111_SQL = _q111_sql()
+
 _DUCK_PUNCT = (
     "CASE WHEN length(text) > 0 THEN"
     " CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
@@ -1507,5 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_corpus_quality_report": _Q107_SQL,
         "q108_corpus_pipeline": _Q108_SQL,
         "q109_vocabulary": _Q109_SQL,
+        "q110_ivf_knn_join": _Q110_SQL,
+        "q111_lsh_multitable_pairs": _Q111_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
