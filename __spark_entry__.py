@@ -50,6 +50,7 @@ from big_data_ml_pipeline_spark.operators import text as text_ops
 from big_data_ml_pipeline_spark.operators import windows as win_ops
 from big_data_ml_pipeline_spark.sources.catalog import load_table, load_tables
 from big_data_ml_pipeline_spark.oracle import oracle_sql  # noqa: F401 — driver contract surface
+from big_data_ml_pipeline_spark.oracle.sql import Q115_MIX_WEIGHTS
 
 # ---------------------------------------------------------------------------
 # Query implementations (spark, sf_dir) -> DataFrame
@@ -2019,6 +2020,58 @@ def q111_lsh_multitable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup): coarse-quantize the embedding
+    corpus into the q43 deterministic 16-cell IVF, then flag every
+    vector with a cosine-0.3 twin of lower id in its cell as a
+    semantic duplicate. max_cell_size=None so the oracle sees the
+    exact uncapped pair set (same policy as q42); the star-degrade
+    guard is pytest-covered. Returns (vec_id, cell, is_kept)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.semdedup(
+        emb,
+        cents,
+        threshold=0.3,
+        round_assign_digits=6,
+        max_cell_size=None,
+    )
+
+
+def q113_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing (text.pack_sequences): per-language
+    running token cumsum assigns each document to the 256-token pack
+    it starts in — the data-parallel packing pass of a training-data
+    pipeline (one window shuffle, no driver loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(docs, budget_tokens=256)
+
+
+def q114_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span removal (text.dedup_chunks): keep the
+    corpus-wide first occurrence of every exact 3-token chunk and
+    reassemble documents from the survivors. chunk_size=3 is the
+    test-scale analogue of C4's three-sentence spans — the ~30-word
+    synthetic vocabulary actually produces cross-document duplicate
+    chunks at that width (~19% of chunks at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.dedup_chunks(docs, chunk_size=3)
+
+
+def q115_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional corpus mixing (setops.proportional_mix): downsample
+    the 15 in-mixture sources to exact 3:2:1 ratio counts, rows chosen
+    by content md5 rank so the surviving set is partitioning- and
+    engine-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return set_ops.proportional_mix(
+        docs.select("doc_id", "source"),
+        Q115_MIX_WEIGHTS,
+        group_col="source",
+        key_cols=["doc_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2124,6 +2177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_vocabulary": q109_vocabulary,
         "q110_ivf_knn_join": q110_ivf_knn_join,
         "q111_lsh_multitable_pairs": q111_lsh_multitable_pairs,
+        "q112_semdedup": q112_semdedup,
+        "q113_sequence_packing": q113_sequence_packing,
+        "q114_chunk_dedup": q114_chunk_dedup,
+        "q115_source_mix": q115_source_mix,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

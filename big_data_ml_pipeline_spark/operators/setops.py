@@ -156,3 +156,62 @@ def top_k(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
     """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     which keeps only k rows per partition then k overall (no full sort)."""
     return df.orderBy(*order_exprs).limit(k)
+
+
+def proportional_mix(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    key_cols: list[str] | None = None,
+    salt: str = "mix-42",
+) -> DataFrame:
+    """Deterministic corpus mixing to integer target RATIOS: downsample
+    every group so the surviving counts follow ``weights`` exactly —
+    the "mix sources 3:2:1" step of training-corpus assembly (cf. the
+    domain weights of The Pile / DoReMi-style mixtures), computed as a
+    pure function of row content.
+
+    The feasible scale is ``s = min_g floor(n_g / w_g)`` over the
+    groups named in ``weights``; group g keeps exactly ``w_g * s``
+    rows, chosen by md5 rank (same content-hash policy as
+    :func:`deterministic_class_cap`, so the SAME rows survive on any
+    partitioning, cluster size, or engine). Groups absent from
+    ``weights`` are dropped — the mixture defines the corpus.
+
+    Scale shape: one tiny groupBy(count) whose result joins back as a
+    broadcast (|weights| rows), then one ranking window per group —
+    Spark's WindowGroupLimit cannot bound this one (the cap is a
+    column, not a literal), so the window sorts each group fully; at
+    100 TB pre-filter with a cheap md5-threshold pass if groups are
+    huge. Returns the surviving rows with their group column.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash32
+
+    keys = key_cols or []
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+    counts = (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .select(
+            F.floor(F.col("__n") / wmap[F.col(group_col)]).alias("__scale")
+        )
+        .agg(F.min("__scale").alias("__scale"))
+    )
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in keys], F.lit(salt)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        md5_hash32(key).asc(), *[F.col(c).asc() for c in keys]
+    )
+    return (
+        df.filter(F.col(group_col).isin(list(weights)))
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(counts))
+        .filter(F.col("__rn") <= wmap[F.col(group_col)] * F.col("__scale"))
+        .drop("__rn", "__scale")
+    )

@@ -607,3 +607,66 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    round_digits: int = 6,
+    max_cell_size: int | None = 4096,
+    use_gemm: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse quantizer,
+    find cosine near-duplicate pairs WITHIN each cluster only, and
+    remove every vector that has a qualifying twin with a lower id
+    (the paper keeps one representative per duplicate set; min-id is
+    the deterministic, SQL-expressible greedy version of that rule —
+    a vector survives iff no lower-id vector in its cell is within
+    ``threshold``).
+
+    Returns one row per input vector: (id, cell, is_kept) with
+    ``is_kept`` a BIGINT flag (1 = survivor, 0 = semantic duplicate).
+
+    Scale shape: assignment is the :func:`ivf_index` broadcast-map
+    pass (no shuffle); candidate pairs form only inside a cell via the
+    blocked equi-join of :func:`cosine_near_dup_pairs` (GEMM variant
+    when ``use_gemm``), so the O(n²) is bounded per cell — at 100 TB
+    you grow ``len(centroids)`` with the corpus so cells stay bounded,
+    and ``max_cell_size`` star-degrades any degenerate cell. The final
+    flag join is an id-keyed equi-join against the (small) removed
+    set. The corpus is scanned twice (assignment feeds both the pair
+    join and the output flag join — both branches are map-only above
+    the scan); persist the index (``ivf_index`` → parquet) to make the
+    second read a cheap columnar re-scan at scale.
+    """
+    assigned = ivf_index(embeddings, centroids, id_col, vec_col, round_assign_digits)
+    pair_fn = cosine_near_dup_pairs_gemm if use_gemm else cosine_near_dup_pairs
+    pairs = pair_fn(
+        assigned,
+        block_cols=["cell"],
+        threshold=threshold,
+        id_col=id_col,
+        vec_col="v",
+        round_digits=round_digits,
+        max_block_size=max_cell_size,
+    )
+    removed = (
+        pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn("__rm", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(removed, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.when(F.col("__rm").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )

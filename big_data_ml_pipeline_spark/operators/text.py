@@ -677,3 +677,97 @@ def ngram_repetition(
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Contiguous sequence packing: assign each document to the
+    training pack it STARTS in, walking each group's documents in
+    ``id_col`` order with a running token total — ``pack_id =
+    floor((running_total - n_tokens) / budget_tokens)``.
+
+    This is the window-cumsum formulation of context-window packing
+    (one shuffle per group key, no sequential driver loop): a pack may
+    overflow ``budget_tokens`` by at most one document's tokens minus
+    one (the straggler that starts inside the budget finishes past
+    it), which is the standard approximation used when packing is done
+    as a data-parallel pass rather than a per-pack first-fit loop.
+    Documents longer than the budget occupy their own pack span.
+    Returns (id, group, n_tokens, running_total, pack_id) — feed the
+    assignment to ``chunk_tokens``/a collector to emit the physical
+    packed sequences.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(group_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .withColumn("running_total", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.col("running_total") - F.col("n_tokens"))
+                / F.lit(budget_tokens)
+            ).cast("long"),
+        )
+    )
+
+
+def dedup_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 32,
+) -> DataFrame:
+    """C4-style duplicate-span removal (Raffel et al. 2020 §2.2 dedupe
+    every three-sentence span; spans here are NON-overlapping
+    ``chunk_size``-token windows since the synthetic corpus has no
+    sentence boundaries): keep only the corpus-wide FIRST occurrence —
+    lowest (doc_id, chunk_id) — of every exact chunk text, then
+    reassemble each document from its surviving chunks in order.
+
+    Returns one row per input document: (id, n_chunks, n_kept_chunks,
+    text_deduped); a fully-duplicated document comes back with
+    n_kept_chunks = 0 and empty text (the caller's filter decides
+    whether to drop it).
+
+    Scale shape: chunking is the map-only generator of
+    :func:`chunk_tokens`; the first-occurrence rank is ONE window
+    shuffle keyed on the chunk text (equivalently its fingerprint —
+    at 100 TB hash the chunk first so the shuffle key is 16 bytes,
+    not the text); reassembly is the groupBy(id) shuffle with an
+    array_sort on (chunk_id) structs — per-document state only, no
+    driver collection anywhere.
+    """
+    chunks = chunk_tokens(
+        df, text_col=text_col, id_col=id_col, chunk_size=chunk_size, overlap=0
+    )
+    w = Window.partitionBy("chunk_text").orderBy(id_col, "chunk_id")
+    flagged = chunks.withColumn("__rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("__rn") == 1, F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )

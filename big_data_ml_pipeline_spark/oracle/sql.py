@@ -1506,6 +1506,127 @@ SELECT token, n_occurrences, doc_freq, CAST(rank AS BIGINT) AS rank FROM (
 WHERE rank <= 100
 """
 
+def _q112_sql() -> str:
+    """Twin of q112 SemDeDup: q43's centroid-literal IVF assignment
+    (rounded csim, ASC cell ties), within-cell pairs at rounded cosine
+    >= 0.3, removed = distinct higher id of any qualifying pair."""
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+removed AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+)
+SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+       CAST(CASE WHEN r.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM assigned a LEFT JOIN removed r ON a.vec_id = r.id_b
+"""
+
+
+_Q112_SQL = _q112_sql()
+
+_Q113_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, lang, n_tokens, running_total,
+       CAST(floor((running_total - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM t)
+"""
+
+_Q114_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 3)) AS start
+  FROM t),
+c AS (
+  SELECT doc_id, CAST((start - 1) / 3 AS BIGINT) AS chunk_id,
+         array_to_string(list_slice(toks, start, start + 2), ' ') AS chunk_text
+  FROM s WHERE len(list_slice(toks, start, start + 2)) > 0),
+f AS (
+  SELECT doc_id, chunk_id, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM c)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                           ORDER BY chunk_id), '') AS text_deduped
+FROM f GROUP BY doc_id
+"""
+
+#: q115 target mixture — sources 0-4 at ratio 3, 5-9 at 2, 10-14 at 1;
+#: src15-19 deliberately absent (the mixture drops them). Shared
+#: between __spark_entry__.q115_source_mix and the SQL twin below.
+Q115_MIX_WEIGHTS: dict[str, int] = {
+    **{f"src{i}": 3 for i in range(5)},
+    **{f"src{i}": 2 for i in range(5, 10)},
+    **{f"src{i}": 1 for i in range(10, 15)},
+}
+
+
+def _q115_sql() -> str:
+    """Twin of q115 proportional mix: scale = min over in-mixture
+    sources of floor(count / weight); each source keeps weight*scale
+    rows by md5_hash32 rank (the hash_split/deterministic_class_cap
+    hash: first 8 md5 hex chars as BIGINT, key 'doc_id|mix-42')."""
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(Q115_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(src, wgt) AS (VALUES {values}),
+d AS (
+  SELECT doc_id, source, wgt
+  FROM documents JOIN w ON source = w.src),
+sc AS (
+  SELECT MIN(CAST(floor(CAST(n AS DOUBLE) / wgt) AS BIGINT)) AS scale
+  FROM (SELECT source, wgt, COUNT(*) AS n FROM d GROUP BY source, wgt) t),
+r AS (
+  SELECT doc_id, source, wgt,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(
+                      concat(CAST(doc_id AS VARCHAR), '|mix-42')), 1, 8))
+                    AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM d)
+SELECT doc_id, source FROM r CROSS JOIN sc WHERE rn <= wgt * scale
+"""
+
+
+_Q115_SQL = _q115_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -1606,5 +1727,9 @@ def oracle_sql() -> dict[str, str]:
         "q109_vocabulary": _Q109_SQL,
         "q110_ivf_knn_join": _Q110_SQL,
         "q111_lsh_multitable_pairs": _Q111_SQL,
+        "q112_semdedup": _Q112_SQL,
+        "q113_sequence_packing": _Q113_SQL,
+        "q114_chunk_dedup": _Q114_SQL,
+        "q115_source_mix": _Q115_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -395,3 +395,41 @@ def test_weighted_class_sample_zero_weight_never_wins(spark):
     df = spark.createDataFrame(rows, "id long, cls string, w double")
     sel = sorted(r["id"] for r in set_ops.weighted_class_sample(df, "cls", ["id"], "w", 5).collect())
     assert sel == [5, 6, 7, 8, 9]
+
+
+def test_proportional_mix_exact_ratios_and_partition_invariance(spark):
+    # Groups a:100, b:70, c:40 rows; weights 3:2:1 → scale =
+    # min(33, 35, 40) = 33 → keep exactly 99/66/33. Group d is not in
+    # the mixture and must vanish.
+    rows = (
+        [(i, "a") for i in range(100)]
+        + [(1000 + i, "b") for i in range(70)]
+        + [(2000 + i, "c") for i in range(40)]
+        + [(3000 + i, "d") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    w = {"a": 3, "b": 2, "c": 1}
+    a = sorted(
+        (r["source"], r["doc_id"])
+        for r in set_ops.proportional_mix(df, w, key_cols=["doc_id"]).collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"])
+        for r in set_ops.proportional_mix(
+            df.repartition(9), w, key_cols=["doc_id"]
+        ).collect()
+    )
+    assert a == b
+    from collections import Counter
+
+    assert Counter(s for s, _ in a) == {"a": 99, "b": 66, "c": 33}
+
+
+def test_proportional_mix_infeasible_group_zeroes_the_mix(spark):
+    # A group smaller than its weight forces scale 0 — the mixture is
+    # unsatisfiable and the result is empty, never a skewed ratio.
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    out = set_ops.proportional_mix(df, {"a": 1, "b": 4}, key_cols=["doc_id"])
+    assert out.count() == 0

@@ -802,3 +802,120 @@ def test_token_budget_sample_keeps_first_overshooter(spark):
     assert by_lang["b"] == [10]
     totals = {r["doc_id"]: r["running_total"] for r in kept}
     assert totals[2] == 12  # overshooter included, budget reached
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (similarity.semdedup)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_removes_higher_id_twin_within_cell(spark):
+    # Two centroids split the space; 0/1 identical (cell of [1,0..]),
+    # 3 is 45° off (sim 0.707 ≥ 0.6 with both) but only flagged if it
+    # lands in the same cell; 2 orthogonal survives.
+    emb = _emb_df(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {
+        r["vec_id"]: (r["cell"], r["is_kept"])
+        for r in sim_ops.semdedup(emb, cents, threshold=0.9).collect()
+    }
+    assert len(out) == 5                      # every input row comes back
+    assert out[0][1] == 1 and out[1][1] == 0  # min-id survivor rule
+    assert out[2][1] == 1                     # orthogonal → kept
+    assert out[4][1] == 1                     # opposite: cosine -1 → kept
+
+
+def test_semdedup_gemm_matches_catalyst_and_partitioning(spark):
+    emb = _emb_df(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    a = sorted(tuple(r) for r in sim_ops.semdedup(emb, cents, threshold=0.6).collect())
+    b = sorted(
+        tuple(r)
+        for r in sim_ops.semdedup(
+            emb.repartition(7), cents, threshold=0.6, use_gemm=True
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semdedup_degenerate_cell_star_degrade(spark):
+    # 100 identical vectors in one cell with max_cell_size=10: the
+    # star-degrade compares everyone against the min id only — all
+    # but vec 0 are still removed (identical to the uncapped answer
+    # here), and the n² pair join is never formed.
+    rows = [(i, [1.0, 0.0]) for i in range(100)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim_ops.semdedup(
+        emb, [[1.0, 0.0], [0.0, 1.0]], threshold=0.9, max_cell_size=10
+    )
+    kept = sorted(r["vec_id"] for r in out.filter(F.col("is_kept") == 1).collect())
+    assert kept == [0]
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (text.pack_sequences)
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_boundaries_and_overflow_bound(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),          # 3 tokens → pack 0 (cum 3)
+            (2, "en", "d e f g"),        # 4 → pack 0 (starts at 3 < 5)
+            (3, "en", "h i"),            # starts at 7 → pack 1
+            (4, "en", "j k l m n o p"),  # 7 tokens > budget: starts at 9 → pack 1
+            (5, "en", "q"),              # starts at 16 → pack 3 (long doc skips pack 2)
+            (6, "de", "x y z"),          # separate group restarts at pack 0
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["running_total"])
+        for r in text_ops.pack_sequences(docs, budget_tokens=5).collect()
+    }
+    assert out == {1: (0, 3), 2: (0, 7), 3: (1, 9), 4: (1, 16), 5: (3, 17), 6: (0, 3)}
+
+
+def test_pack_sequences_partition_invariant(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(tuple(r) for r in text_ops.pack_sequences(docs, 256).collect())
+    b = sorted(
+        tuple(r) for r in text_ops.pack_sequences(docs.repartition(13), 256).collect()
+    )
+    assert a == b
+    # every pack's token total overflows the budget by < its last doc
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for doc_id, lang, n_tokens, running, pack_id in a:
+        packs[(lang, pack_id)].append(n_tokens)
+    for toks in packs.values():
+        assert sum(toks) - max(toks) < 256
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-chunk removal (text.dedup_chunks)
+# ---------------------------------------------------------------------------
+
+def test_dedup_chunks_keeps_first_occurrence_and_reassembles(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # chunks: "a b", "c d" — both first
+            (2, "a b x y"),      # "a b" dups doc 1 → dropped; "x y" kept
+            (3, "c d a b"),      # both chunks dup doc 1 → empty survivor
+            (4, "z"),            # short tail chunk, unique
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept_chunks"], r["text_deduped"])
+        for r in text_ops.dedup_chunks(docs, chunk_size=2).collect()
+    }
+    assert out[1] == (2, 2, "a b c d")
+    assert out[2] == (2, 1, "x y")
+    assert out[3] == (2, 0, "")     # fully-duplicated doc reported, not lost
+    assert out[4] == (1, 1, "z")
+
+
+def test_dedup_chunks_within_doc_repeat_collapses(spark):
+    docs = spark.createDataFrame([(7, "a b a b a b")], ["doc_id", "text"])
+    out = text_ops.dedup_chunks(docs, chunk_size=2).collect()[0]
+    assert (out["n_chunks"], out["n_kept_chunks"], out["text_deduped"]) == (3, 1, "a b")
