@@ -2026,7 +2026,11 @@ def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector with a cosine-0.3 twin of lower id in its cell as a
     semantic duplicate. max_cell_size=None so the oracle sees the
     exact uncapped pair set (same policy as q42); the star-degrade
-    guard is pytest-covered. Returns (vec_id, cell, is_kept)."""
+    guard is pytest-covered. use_gemm: the per-cell pair matrix runs
+    as one numpy GEMM — 1.8x faster than the zip_with fold at sf0.1
+    with bit-identical 6-digit-rounded output (equality is asserted in
+    tests/test_text_dedup_similarity.py). Returns (vec_id, cell,
+    is_kept)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
     return sim_ops.semdedup(
@@ -2035,6 +2039,7 @@ def q112_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
         round_assign_digits=6,
         max_cell_size=None,
+        use_gemm=True,
     )
 
 
@@ -2069,6 +2074,33 @@ def q115_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         Q115_MIX_WEIGHTS,
         group_col="source",
         key_cols=["doc_id"],
+    )
+
+
+def q116_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly, end-to-end on one plan: Gopher/C4
+    quality gate (q103 semantics) → proportional 3:2:1 source mixing
+    (q115 semantics, over the gated corpus) → per-language 256-token
+    sequence packing (q113 semantics, reusing the gate's token counts
+    — tokenize once). Like q108 this proves COMPOSITION. The mix's
+    scale branch re-evaluates the gate (divergent column pruning
+    defeats exchange reuse — measured, see proportional_mix docstring;
+    a localCheckpoint A/B at sf0.1 was flat, so the simple lazy form
+    stays); at real scale the mix runs over the LANDED gated corpus,
+    where the branch is a cheap metadata re-scan. The packer adds one
+    lang-keyed window shuffle. Emits (doc_id, lang, n_tokens,
+    running_total, pack_id) for the assembled corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        text_ops.quality_rules(docs, text_col="text", min_tokens=30)
+        .filter(F.col("keep"))
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    mixed = set_ops.proportional_mix(
+        kept, Q115_MIX_WEIGHTS, group_col="source", key_cols=["doc_id"]
+    )
+    return text_ops.pack_sequences(
+        mixed, budget_tokens=256, n_tokens_col="n_tokens"
     )
 
 
@@ -2181,6 +2213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_sequence_packing": q113_sequence_packing,
         "q114_chunk_dedup": q114_chunk_dedup,
         "q115_source_mix": q115_source_mix,
+        "q116_training_mix": q116_training_mix,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -178,12 +178,19 @@ def proportional_mix(
     partitioning, cluster size, or engine). Groups absent from
     ``weights`` are dropped — the mixture defines the corpus.
 
-    Scale shape: one tiny groupBy(count) whose result joins back as a
-    broadcast (|weights| rows), then one ranking window per group —
-    Spark's WindowGroupLimit cannot bound this one (the cap is a
-    column, not a literal), so the window sorts each group fully; at
-    100 TB pre-filter with a cheap md5-threshold pass if groups are
-    huge. Returns the surviving rows with their group column.
+    Scale shape: two consumers of the input — a groupBy(count) whose
+    |weights|-row result folds to the 1-row scale and broadcasts back,
+    and the per-group ranking window. The count branch is map-side
+    partial aggregation (15 longs cross the wire), but it DOES
+    re-evaluate the input plan (its column pruning differs from the
+    window branch, so the exchanges never canonicalize equal and AQE
+    cannot reuse one); when the input is an expensive pipeline stage,
+    materialize it first (parquet/localCheckpoint) — at 100 TB the
+    mix runs over a landed corpus anyway. WindowGroupLimit cannot
+    bound this window (the cap is a column, not a literal), so each
+    group sorts fully; pre-filter with a cheap md5-threshold pass if
+    groups are huge. Returns the surviving rows with their group
+    column.
     """
     from pyspark.sql import Window
 
@@ -193,9 +200,9 @@ def proportional_mix(
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
     )
+    base = df.filter(F.col(group_col).isin(list(weights)))
     counts = (
-        df.filter(F.col(group_col).isin(list(weights)))
-        .groupBy(group_col)
+        base.groupBy(group_col)
         .agg(F.count("*").alias("__n"))
         .select(
             F.floor(F.col("__n") / wmap[F.col(group_col)]).alias("__scale")
@@ -209,8 +216,7 @@ def proportional_mix(
         md5_hash32(key).asc(), *[F.col(c).asc() for c in keys]
     )
     return (
-        df.filter(F.col(group_col).isin(list(weights)))
-        .withColumn("__rn", F.row_number().over(w))
+        base.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(counts))
         .filter(F.col("__rn") <= wmap[F.col(group_col)] * F.col("__scale"))
         .drop("__rn", "__scale")

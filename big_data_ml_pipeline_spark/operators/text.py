@@ -685,6 +685,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "lang",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign each document to the
     training pack it STARTS in, walking each group's documents in
@@ -701,7 +702,16 @@ def pack_sequences(
     Returns (id, group, n_tokens, running_total, pack_id) — feed the
     assignment to ``chunk_tokens``/a collector to emit the physical
     packed sequences.
+
+    ``n_tokens_col``: reuse a token count an upstream stage already
+    computed (tokenize-once rule — a quality gate has usually counted
+    tokens already) instead of re-tokenizing ``text_col``.
     """
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     w = (
         Window.partitionBy(group_col)
         .orderBy(id_col)
@@ -711,7 +721,7 @@ def pack_sequences(
         df.select(
             F.col(id_col),
             F.col(group_col),
-            token_count(F.col(text_col)).alias("n_tokens"),
+            n_tok.alias("n_tokens"),
         )
         .withColumn("running_total", F.sum("n_tokens").over(w))
         .withColumn(

@@ -1627,6 +1627,75 @@ SELECT doc_id, source FROM r CROSS JOIN sc WHERE rn <= wgt * scale
 _Q115_SQL = _q115_sql()
 
 
+def _q116_sql() -> str:
+    """Twin of q116: the q103 quality predicate, the q115 mix, and the
+    q113 pack window composed over the same literals."""
+    values = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(Q115_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, source,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+q AS (
+  SELECT doc_id, lang, source, n_tokens FROM s
+  WHERE n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20),
+w(src, wgt) AS (VALUES {values}),
+d AS (
+  SELECT doc_id, lang, source, n_tokens, wgt
+  FROM q JOIN w ON source = w.src),
+sc AS (
+  SELECT MIN(CAST(floor(CAST(n AS DOUBLE) / wgt) AS BIGINT)) AS scale
+  FROM (SELECT source, wgt, COUNT(*) AS n FROM d GROUP BY source, wgt) x),
+r AS (
+  SELECT doc_id, lang, n_tokens, wgt,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(
+                      concat(CAST(doc_id AS VARCHAR), '|mix-42')), 1, 8))
+                    AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM d),
+m AS (
+  SELECT doc_id, lang, n_tokens FROM r CROSS JOIN sc
+  WHERE rn <= wgt * scale)
+SELECT doc_id, lang, n_tokens, running_total,
+       CAST(floor((running_total - n_tokens) / 256.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM m)
+"""
+
+
+_Q116_SQL = _q116_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -1731,5 +1800,6 @@ def oracle_sql() -> dict[str, str]:
         "q113_sequence_packing": _Q113_SQL,
         "q114_chunk_dedup": _Q114_SQL,
         "q115_source_mix": _Q115_SQL,
+        "q116_training_mix": _Q116_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
