@@ -2104,6 +2104,54 @@ def q116_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection: q83's duplicate clusters
+    (exact-fingerprint stars ∪ Jaccard near-dup pairs → connected
+    components), but each cluster elects its BEST member — highest
+    quality_score, doc_id tie-break — instead of blindly keeping the
+    min id. This is the keep-rule real corpus dedup ships (drop the
+    boilerplate-laden copy, keep the clean one). The election is one
+    ranking window + conditional agg on the SAME comp-keyed exchange
+    (no extra shuffle above the label join). Oracle: the q83 recursive
+    CTE joined to the q45 quality expression. Excluded from bench like
+    q83 (driver-paced fixed-point rounds, not engine throughput)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_ids = docs.select(dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id")
+    groups = fp_ids.groupBy("fp").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
+    )
+    exact_edges = (
+        fp_ids.join(F.broadcast(groups.filter(F.col("n_dups") > 1)), "fp")
+        .filter(F.col("doc_id") != F.col("first_id"))
+        .select(F.col("first_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jac = dedup_ops.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, block_col="source"
+    ).select("id_a", "id_b")
+    labels = dedup_ops.connected_components(exact_edges.unionByName(jac).distinct())
+    quality = docs.select(
+        "doc_id", text_ops.quality_score(F.col("text")).alias("quality")
+    )
+    members = labels.join(quality, labels["id"] == quality["doc_id"]).select(
+        "comp", "doc_id", "quality"
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .groupBy("comp")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max(F.when(F.col("__rn") == 1, F.col("doc_id"))).alias("canonical_id"),
+            F.max(F.when(F.col("__rn") == 1, F.col("quality"))).alias(
+                "canonical_quality"
+            ),
+        )
+        .orderBy("comp")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2214,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_chunk_dedup": q114_chunk_dedup,
         "q115_source_mix": q115_source_mix,
         "q116_training_mix": q116_training_mix,
+        "q117_canonical_docs": q117_canonical_docs,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -47,6 +47,8 @@ EXCLUDE = {
     # Iterative CC fixed-point (like q83): per-round job overhead
     # dominates at bench SF and measures the scheduler, not the engine.
     "q95_components_alternating",
+    # Canonical election on top of the q83 fixed point — same reason.
+    "q117_canonical_docs",
 }
 EXTRA = [
     "q40_minhash_pairs",

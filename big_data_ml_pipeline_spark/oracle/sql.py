@@ -1696,6 +1696,68 @@ FROM (
 _Q116_SQL = _q116_sql()
 
 
+def _q117_sql() -> str:
+    """Twin of q117: the q83 recursive-CTE component resolution joined
+    to the q45 quality expression; per-component election by
+    ROW_NUMBER (quality DESC, doc_id ASC)."""
+    quality = (
+        f"ROUND(0.5 * least(CAST(len({_DUCK_TOKENS.format(col='text')}) AS DOUBLE)"
+        f" / 100.0, 1.0)"
+        f" + 0.5 * (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)), 6)"
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
+), exact_edges AS (
+  SELECT g.first_id AS id_a, f.doc_id AS id_b
+  FROM fp f JOIN grp g USING (fp)
+  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
+), edges0 AS (
+  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+), lab AS (
+  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+), qual AS (
+  SELECT doc_id, {quality} AS quality FROM documents
+), m AS (
+  SELECT comp, doc_id, quality,
+         ROW_NUMBER() OVER (PARTITION BY comp
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM lab JOIN qual ON lab.id = qual.doc_id
+)
+SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+       MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality
+FROM m GROUP BY comp ORDER BY comp
+"""
+
+
+_Q117_SQL = _q117_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -1801,5 +1863,6 @@ def oracle_sql() -> dict[str, str]:
         "q114_chunk_dedup": _Q114_SQL,
         "q115_source_mix": _Q115_SQL,
         "q116_training_mix": _Q116_SQL,
+        "q117_canonical_docs": _Q117_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
