@@ -2152,6 +2152,74 @@ def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding
+    (setops.deterministic_shard): every document lands in one of 8
+    shards at a position given by content hashes only — the export
+    step that feeds a trainer an i.i.d.-looking, bit-reproducible
+    stream. One shard-keyed exchange + per-shard sort on an 8-byte
+    hash; at 100 TB the same plan runs with thousands of shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return set_ops.deterministic_shard(
+        docs.select("doc_id"), key_cols=["doc_id"], n_shards=8
+    )
+
+
+def q119_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (text.dsir_importance): score
+    every document by mean log p_target/p_corpus of its unigrams
+    (target = sources src0-src2, the 'high-quality subset' stand-in)
+    and keep the top 100 — the classifier-free way to tilt a web-scale
+    mix toward wikipedia-like text. Quantized-integer log-ratios make
+    the score exact across engines; top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_ops.dsir_importance(
+        docs, F.col("source").isin("src0", "src1", "src2")
+    )
+    return set_ops.top_k(
+        scored, [F.col("importance").desc(), F.col("doc_id").asc()], 100
+    )
+
+
+def q120_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (similarity.quantization_
+    report): per-dimension max-abs scale and exact mean/max absolute
+    reconstruction error for symmetric 8-bit codes — the go/no-go
+    check before storing a 100 TB vector corpus quantized 4×. Output
+    is 64 rows whatever the corpus size; errors summed as integer
+    nano-units for cross-engine exactness."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantization_report(emb)
+
+
+def q121_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum tiering: per-language quality quartiles (ntile over
+    the q45 quality score with doc_id tie-break — a total order, so
+    tier membership is deterministic) with per-tier doc counts and
+    exact quantized-integer mean quality. The per-language window
+    parallelizes across languages; a global curriculum at 100 TB
+    would swap ntile for precomputed percentile edges broadcast back
+    (the clip_to_percentiles shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", text_ops.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("q").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("tier", F.ntile(4).over(w).cast("long"))
+        .groupBy("lang", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+            (
+                F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+                / (F.count("*") * F.lit(1e6))
+            ).alias("avg_quality"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2263,6 +2331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_source_mix": q115_source_mix,
         "q116_training_mix": q116_training_mix,
         "q117_canonical_docs": q117_canonical_docs,
+        "q118_shard_export": q118_shard_export,
+        "q119_dsir_importance": q119_dsir_importance,
+        "q120_quantization_report": q120_quantization_report,
+        "q121_curriculum_tiers": q121_curriculum_tiers,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

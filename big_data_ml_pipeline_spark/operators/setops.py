@@ -152,6 +152,45 @@ def weighted_class_sample(
     return df.withColumn("__rn", rn).filter(F.col("__rn") <= k_per_class).drop("__rn")
 
 
+def deterministic_shard(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "shard-42",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training export: the
+    final step of a corpus pipeline, where documents must land in
+    ``n_shards`` output files in an order uncorrelated with storage
+    order (so a sequential trainer sees an i.i.d.-looking stream), yet
+    bit-identically reproducible across reruns, cluster sizes, and
+    engines. A row's shard is ``md5(key || salt) % n_shards`` and its
+    position within the shard is its rank under an independent second
+    hash (same md5 family, ``|order`` suffix) — both pure functions of
+    content, like :func:`hash_split`.
+
+    Scale shape: ONE shard-keyed exchange + per-shard sort. At 100 TB
+    use n_shards in the thousands (shards ≈ several × cores) so each
+    shard sorts a bounded slice; the sort key is an 8-byte hash, so
+    this is exactly the repartition+sortWithinPartitions shape Spark's
+    writers execute, expressed as a query. Adding executors or
+    compacting input files never moves a row or changes its position.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.dedup import md5_hash32
+
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in key_cols], F.lit(salt)
+    )
+    order_key = F.concat_ws("|", key, F.lit("order"))
+    w = Window.partitionBy("shard").orderBy(
+        md5_hash32(order_key).asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return df.withColumn(
+        "shard", F.pmod(md5_hash32(key), F.lit(n_shards))
+    ).withColumn("pos", F.row_number().over(w).cast("long"))
+
+
 def top_k(df: DataFrame, order_exprs: list, k: int) -> DataFrame:
     """Global top-k: ``orderBy().limit(k)`` — Spark plans TakeOrderedAndProject,
     which keeps only k rows per partition then k overall (no full sort)."""

@@ -495,6 +495,92 @@ def unigram_loglik(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much its
+    unigram distribution looks like a TARGET subset of the corpus
+    versus the corpus as a whole — the standard cheap way to upsample
+    "wikipedia-like" text out of a web crawl without a trained
+    classifier. Per-token weight is ``log p_target(t) − log p_corpus(t)``
+    with add-1 smoothing over the corpus vocabulary (so tokens unseen
+    in the target get a finite negative weight); a document's score is
+    the mean weight of its tokens.
+
+    Determinism (oracle-checkable): per-token log-ratios are quantized
+    to integer micro-units exactly like :func:`unigram_loglik`, so the
+    per-document SUM is exact integer arithmetic on any partitioning
+    or engine.
+
+    Scale shape: tokenize once → explode_outer → ONE token-key shuffle
+    computes BOTH distributions (corpus count + conditional target
+    count in the same aggregate — the target pass is free) → vocab
+    broadcast back onto the token stream → ONE id-key shuffle of one
+    integer partial per doc. Identical cost to unigram_loglik.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("__is_target"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    tok = base.select(
+        "id", "__is_target", F.explode_outer("__toks").alias("token")
+    )
+    vocab = (
+        tok.filter(F.col("token").isNotNull())
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("c_cnt"),
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("t_cnt"),
+        )
+    )
+    totals = vocab.select(
+        F.sum("c_cnt").alias("c_total"),
+        F.sum("t_cnt").alias("t_total"),
+        F.count("*").alias("v_size"),
+    )
+    vocab_q = vocab.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.round(
+            (
+                F.log10(
+                    (F.col("t_cnt") + 1).cast("double")
+                    / (F.col("t_total") + F.col("v_size")).cast("double")
+                )
+                - F.log10(
+                    (F.col("c_cnt") + 1).cast("double")
+                    / (F.col("c_total") + F.col("v_size")).cast("double")
+                )
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("__w_q"),
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab_q), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.count("token").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("__w_q"), F.lit(0)).cast("long").alias("__sum_q"),
+        )
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("__sum_q").cast("double") / 1_000_000.0 / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("importance"),
+    )
+
+
 def vocabulary(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1000
 ) -> DataFrame:

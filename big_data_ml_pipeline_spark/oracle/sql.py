@@ -1757,6 +1757,89 @@ FROM m GROUP BY comp ORDER BY comp
 
 _Q117_SQL = _q117_sql()
 
+_Q118_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'shard-42'), 1, 8)) AS BIGINT) % 8 AS shard,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || 'shard-42' || '|' || 'order'), 1, 8)) AS BIGINT) AS ok
+  FROM documents)
+SELECT doc_id, shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ok ASC, doc_id ASC) AS BIGINT) AS pos
+FROM h
+"""
+
+_Q119_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_t,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+tok AS (
+  SELECT doc_id, is_t, unnest(ltoks) AS token FROM t),
+v AS (
+  SELECT token, COUNT(*) AS c_cnt,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt
+  FROM tok GROUP BY token),
+tot AS (
+  SELECT SUM(c_cnt) AS c_total, SUM(t_cnt) AS t_total, COUNT(*) AS v_size
+  FROM v),
+vq AS (
+  SELECT token,
+         CAST(ROUND((log10(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_total + v_size AS DOUBLE))
+                   - log10(CAST(c_cnt + 1 AS DOUBLE) / CAST(c_total + v_size AS DOUBLE)))
+                   * 1000000) AS BIGINT) AS w_q
+  FROM v, tot),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(w_q) AS sum_q
+  FROM tok JOIN vq USING (token) GROUP BY doc_id),
+scored AS (
+  SELECT t.doc_id,
+    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+    CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+      CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+    ELSE 0.0 END AS importance
+  FROM t LEFT JOIN pd USING (doc_id))
+SELECT doc_id, n_tokens, importance
+FROM scored ORDER BY importance DESC, doc_id ASC LIMIT 100
+"""
+
+_Q120_SQL = """
+WITH e AS (
+  SELECT vec_id, g.pos AS pos, v[g.pos] AS val
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  CROSS JOIN generate_series(1, 64) AS g(pos)),
+s AS (
+  SELECT pos, MAX(abs(val)) AS scale FROM e GROUP BY pos),
+err AS (
+  SELECT e.pos, s.scale,
+    abs(val - CASE WHEN s.scale > 0
+                   THEN ROUND(val / s.scale * 127.0) * s.scale / 127.0
+                   ELSE 0.0 END) AS abs_err
+  FROM e JOIN s ON e.pos = s.pos)
+SELECT CAST(pos AS BIGINT) AS pos,
+  ROUND(MAX(scale), 6) AS scale,
+  CAST(SUM(CAST(ROUND(abs_err * 1e9) AS BIGINT)) AS DOUBLE)
+    / (COUNT(*) * 1e9) AS mean_abs_err,
+  ROUND(MAX(abs_err), 6) AS max_abs_err,
+  COUNT(*) AS n_vals
+FROM err GROUP BY pos
+"""
+
+_Q121_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+    ROUND(0.5 * least(CAST(len({_DUCK_TOKENS.format(col='text')}) AS DOUBLE) / 100.0, 1.0)
+        + 0.5 * (1.0 - least(({_DUCK_PUNCT}) * 5.0, 1.0)), 6) AS q
+  FROM documents),
+tiered AS (
+  SELECT lang, q,
+         CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY q ASC, doc_id ASC) AS BIGINT) AS tier
+  FROM scored)
+SELECT lang, tier, COUNT(*) AS n_docs,
+  MIN(q) AS min_quality, MAX(q) AS max_quality,
+  CAST(SUM(CAST(ROUND(q * 1e6) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1e6) AS avg_quality
+FROM tiered GROUP BY lang, tier
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1864,5 +1947,9 @@ def oracle_sql() -> dict[str, str]:
         "q115_source_mix": _Q115_SQL,
         "q116_training_mix": _Q116_SQL,
         "q117_canonical_docs": _Q117_SQL,
+        "q118_shard_export": _Q118_SQL,
+        "q119_dsir_importance": _Q119_SQL,
+        "q120_quantization_report": _Q120_SQL,
+        "q121_curriculum_tiers": _Q121_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

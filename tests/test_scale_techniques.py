@@ -128,3 +128,26 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_deterministic_shard_stable_across_partitioning(spark):
+    from big_data_ml_pipeline_spark.operators import setops as set_ops
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    a = set_ops.deterministic_shard(df, ["doc_id"], n_shards=8).collect()
+    b = set_ops.deterministic_shard(
+        df.repartition(11), ["doc_id"], n_shards=8
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # Every shard's positions are contiguous 1..n and every doc appears once.
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == len({r["doc_id"] for r in a}) == len(a)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # The hash spreads: no shard is empty, none holds >40% of the corpus.
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(sizes) == 8 and max(sizes) < 0.4 * len(a)

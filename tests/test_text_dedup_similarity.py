@@ -919,3 +919,68 @@ def test_dedup_chunks_within_doc_repeat_collapses(spark):
     docs = spark.createDataFrame([(7, "a b a b a b")], ["doc_id", "text"])
     out = text_ops.dedup_chunks(docs, chunk_size=2).collect()[0]
     assert (out["n_chunks"], out["n_kept_chunks"], out["text_deduped"]) == (3, 1, "a b")
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance + int8 quantization (round 6)
+# ---------------------------------------------------------------------------
+
+def test_dsir_importance_prefers_target_vocabulary(spark):
+    # Target docs speak "alpha/beta", background speaks "zeta/omega";
+    # a fresh doc written in the target vocabulary must outscore one
+    # written in the background vocabulary.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", True),
+            (2, "alpha beta beta alpha", True),
+            (3, "zeta omega zeta omega", False),
+            (4, "zeta omega omega zeta", False),
+            (5, "alpha beta alpha", False),   # target-like outsider
+            (6, "zeta omega zeta", False),    # background-like outsider
+            (7, "", False),                   # empty doc -> 0.0 exactly
+        ],
+        ["doc_id", "text", "is_t"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.dsir_importance(
+            df, F.col("is_t"), text_col="text", id_col="doc_id"
+        ).collect()
+    }
+    assert out[5]["importance"] > 0 > out[6]["importance"]
+    assert out[7]["importance"] == 0.0 and out[7]["n_tokens"] == 0
+
+
+def test_dsir_importance_partition_invariant(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pred = F.col("source").isin("src0", "src1", "src2")
+    a = text_ops.dsir_importance(df, pred).collect()
+    b = text_ops.dsir_importance(df.repartition(7), pred).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes = sim_ops.quantize_embeddings(emb)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    flat = [c for r in rows for c in r["codes"]]
+    assert min(flat) >= -127 and max(flat) <= 127
+    # Per-dim max error must be <= scale/(2*127) + float slack: the
+    # report's max_abs_err column checks the same bound distributedly.
+    rep = sim_ops.quantization_report(emb).collect()
+    assert len(rep) == 64
+    for r in rep:
+        assert r["max_abs_err"] <= r["scale"] / 254.0 + 1e-6
+        assert 0.0 <= r["mean_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def test_quantization_zero_dimension_maps_to_code_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.0, -2.0])], ["vec_id", "embedding"]
+    )
+    codes = {r["vec_id"]: r["codes"] for r in
+             sim_ops.quantize_embeddings(df).collect()}
+    assert codes[1] == [0, 64] and codes[2] == [0, -127]
+    rep = {r["pos"]: r for r in sim_ops.quantization_report(df).collect()}
+    assert rep[1]["scale"] == 0.0 and rep[1]["max_abs_err"] == 0.0
