@@ -2220,6 +2220,26 @@ def q121_curriculum_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q122_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 over the int8-quantized corpus
+    (similarity.quantized_topk) against the q28 query vector — the
+    retrieval-quality twin of the q120 storage audit: similarities
+    carry exactly the quantization error a code-resident index would.
+    Integer pico-unit dot/norm sums keep it hash-exact; recall vs the
+    exact q28 baseline is asserted in tests/test_recall_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.quantized_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+def q123_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training prep (text.bpe_pair_counts): corpus-weighted
+    adjacent character-pair counts — the candidate table of the first
+    BPE merge. Pair explosion runs over the distinct-token vocabulary
+    only, so the corpus-sized exchange is just the vocab build."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_pair_counts(docs, k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2335,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_dsir_importance": q119_dsir_importance,
         "q120_quantization_report": q120_quantization_report,
         "q121_curriculum_tiers": q121_curriculum_tiers,
+        "q122_quantized_topk": q122_quantized_topk,
+        "q123_bpe_pair_counts": q123_bpe_pair_counts,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

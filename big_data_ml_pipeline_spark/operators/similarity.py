@@ -775,3 +775,84 @@ def quantization_report(
         F.round(F.max("abs_err"), 6).alias("max_abs_err"),
         F.count("*").cast("long").alias("n_vals"),
     )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cosine top-k computed over the int8-quantized corpus — what
+    retrieval looks like AFTER committing to :func:`quantize_embeddings`
+    storage: both sides dequantized to the nearest code level with the
+    corpus's per-dimension scales, so the returned similarities carry
+    exactly the quantization error a code-resident index would.
+    Returns (id, qsim) ordered by qsim desc, id asc.
+
+    Determinism (oracle-checkable): the dot product and norms are
+    sums of per-dimension terms quantized to integer pico-units
+    (ROUND(term·1e12) AS BIGINT — the unigram_loglik pattern at higher
+    precision), so the aggregation is exact integer arithmetic on any
+    partitioning; one sqrt+divide at the end, rounded once.
+
+    Scale shape: corpus exploded once; scales (dim-count rows) and the
+    dequantized query (dim-count rows) broadcast onto the element
+    stream map-side; ONE id-key shuffle of two integer partials; then
+    TakeOrderedAndProject. At 100 TB you'd store the codes (the
+    quantize-once path) and keep only the search half of this plan —
+    fused here so the oracle can check quantize+search end-to-end.
+    """
+    levels = F.lit(float((1 << (bits - 1)) - 1))
+
+    def dq(val):
+        return (
+            F.when(
+                F.col("scale") > 0,
+                F.round(val / F.col("scale") * levels) * F.col("scale") / levels,
+            )
+            .otherwise(F.lit(0.0))
+        )
+
+    e, scales = _dim_scales(df, id_col, vec_col)
+    deq = e.join(F.broadcast(scales), "pos").select(
+        "id", "pos", dq(F.col("val")).alias("dq")
+    )
+    qe, _ = _dim_scales(query_df, id_col, vec_col)
+    qdq = qe.join(F.broadcast(scales), "pos").select(
+        "pos", dq(F.col("val")).alias("qdq")
+    )
+    nb = qdq.select(
+        F.sum(F.round(F.col("qdq") * F.col("qdq") * 1e12).cast("long")).alias(
+            "nb_q"
+        )
+    )
+    pv = (
+        deq.join(F.broadcast(qdq), "pos")
+        .groupBy("id")
+        .agg(
+            F.sum(F.round(F.col("dq") * F.col("qdq") * 1e12).cast("long")).alias(
+                "dot_q"
+            ),
+            F.sum(F.round(F.col("dq") * F.col("dq") * 1e12).cast("long")).alias(
+                "na_q"
+            ),
+        )
+    )
+    sim = F.when(
+        (F.col("na_q") > 0) & (F.col("nb_q") > 0),
+        (F.col("dot_q").cast("double") / 1e12)
+        / (
+            F.sqrt(F.col("na_q").cast("double") / 1e12)
+            * F.sqrt(F.col("nb_q").cast("double") / 1e12)
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        pv.crossJoin(F.broadcast(nb))
+        .select(F.col("id").alias(id_col), F.round(sim, round_digits).alias("qsim"))
+        .orderBy(F.col("qsim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -612,6 +612,44 @@ def vocabulary(
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """First BPE merge iteration (Sennrich et al. 2016) over the
+    corpus: corpus-weighted counts of adjacent character pairs inside
+    case-folded tokens — the candidate table a byte-pair tokenizer
+    trainer greedily merges from. Returns the top ``k`` pairs as
+    (pair, pair_count, n_token_types): total weighted occurrences and
+    how many distinct token types contain the pair.
+
+    Scale shape: the pair explosion runs over the DISTINCT token
+    vocabulary (bounded by vocab size, not corpus size) with each
+    token's corpus count attached — the token-key shuffle that builds
+    the vocab is the only corpus-sized exchange; the pair aggregation
+    shuffles vocab-sized integer partials and top-k is
+    TakeOrderedAndProject. Iterating merges (the full BPE trainer)
+    repeats this plan on a re-segmented vocab — each round is this
+    same bounded shape.
+    """
+    tok = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    pair_arr = F.when(
+        F.length("token") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("token") - 1),
+            lambda i: F.col("token").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select("token", "cnt", F.explode(pair_arr).alias("pair"))
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").alias("pair_count"),
+        F.countDistinct("token").alias("n_token_types"),
+    )
+    return agg.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).limit(k)
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """distinct tokens / total tokens — low values flag boilerplate or
     keyword-stuffed documents (Gopher-style repetition signal).

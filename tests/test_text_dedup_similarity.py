@@ -984,3 +984,17 @@ def test_quantization_zero_dimension_maps_to_code_zero(spark):
     assert codes[1] == [0, 64] and codes[2] == [0, -127]
     rep = {r["pos"]: r for r in sim_ops.quantization_report(df).collect()}
     assert rep[1]["scale"] == 0.0 and rep[1]["max_abs_err"] == 0.0
+
+
+def test_bpe_pair_counts_exact_weighted(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    # "ab" occurs in 'abab' (×2 per occurrence... adjacent PAIRS of
+    # chars: 'abab' -> ab, ba, ab) and 'ab'. Corpus: 'abab ab ab x'
+    # -> vocab {abab:1, ab:2, x:1}; pairs: ab: 2*1 + 1*2 = 4, ba: 1.
+    df = spark.createDataFrame([(1, "abab ab Ab x")], ["doc_id", "text"])
+    out = {r["pair"]: (r["pair_count"], r["n_token_types"])
+           for r in text_ops.bpe_pair_counts(df, k=10).collect()}
+    assert out["ab"] == (4, 2)   # in 'abab' twice, in 'ab' (x2 occurrences) once each
+    assert out["ba"] == (1, 1)
+    assert "x" not in out        # single-char token contributes no pair
