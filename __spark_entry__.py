@@ -2240,6 +2240,27 @@ def q123_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_pair_counts(docs, k=50)
 
 
+def q124_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space train/eval decontamination
+    (similarity.semantic_decontamination): every training vector
+    (vec_id % 100 != 0) flagged if any eval vector (vec_id % 100 == 0)
+    sits within cosine 0.35 of it — the semantic complement of q105's
+    n-gram decontamination, catching paraphrased leakage. q43's
+    deterministic IVF kit (shared centroid literals, rounded
+    assignment, nprobe=4 broadcast eval probes) makes it
+    oracle-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.semantic_decontamination(
+        emb.filter(F.col("vec_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        threshold=0.35,
+        nprobe=4,
+        round_assign_digits=6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2357,6 +2378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_curriculum_tiers": q121_curriculum_tiers,
         "q122_quantized_topk": q122_quantized_topk,
         "q123_bpe_pair_counts": q123_bpe_pair_counts,
+        "q124_semantic_decontamination": q124_semantic_decontamination,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

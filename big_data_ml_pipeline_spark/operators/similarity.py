@@ -856,3 +856,78 @@ def quantized_topk(
         .orderBy(F.col("qsim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def semantic_decontamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-space train/eval decontamination — the semantic
+    complement of :func:`~.dedup.ngram_contamination`: flag every
+    training vector whose cosine similarity to ANY eval-set vector
+    reaches ``threshold`` (paraphrased benchmark leakage that n-gram
+    overlap misses). Returns one row per training vector:
+    (id, max_eval_sim, is_clean BIGINT).
+
+    Scale shape: the training corpus is assigned to IVF cells once (or
+    comes prebuilt via ``index`` — at 100 TB, the same persisted cell
+    index the search path uses); the eval set — small by definition —
+    expands to its ``nprobe`` nearest cells and broadcasts, so
+    candidate scoring is ONE equi-join on ``cell`` touching
+    ~nprobe/n_cells of the corpus. A train vector lives in exactly one
+    cell, so (train, eval) candidate pairs are unique by construction
+    — the per-train max needs no dedup. Like all IVF paths this is
+    approximate: recall of flagged pairs follows the measured IVF
+    recall floors (tests/test_recall_quality.py); nprobe = n_cells is
+    exhaustive.
+    """
+    cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
+    assigned = (
+        index
+        if index is not None
+        else ivf_index(train, centroids, id_col, vec_col, round_assign_digits)
+    )
+    q = F.broadcast(
+        eval_df.select(
+            F.col(eval_id_col).alias("qid"),
+            to_double_array(F.col(eval_vec_col)).alias("qv"),
+        )
+        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .select(
+            "qid",
+            "qv",
+            F.explode(
+                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+            ).alias("cell"),
+        )
+    )
+    worst = (
+        assigned.join(q, on="cell")
+        .groupBy(id_col)
+        .agg(
+            F.max(F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)).alias(
+                "__max_sim"
+            )
+        )
+    )
+    return (
+        assigned.select(id_col)
+        .join(worst, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__max_sim"), F.lit(0.0)).alias("max_eval_sim"),
+            F.when(F.coalesce(F.col("__max_sim"), F.lit(0.0)) < threshold, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_clean"),
+        )
+    )

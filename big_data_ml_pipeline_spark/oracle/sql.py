@@ -1884,6 +1884,62 @@ SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
 FROM p GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 50
 """
 
+def _q124_sql() -> str:
+    """Twin of q124: the q110 IVF probe machinery, but aggregated to a
+    per-training-vector MAX eval similarity with a clean/contaminated
+    flag (threshold 0.35, nprobe 4)."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id % 100 <> 0) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id % 100 = 0) t WHERE rn <= 4
+),
+worst AS (
+  SELECT a.vec_id,
+         MAX(ROUND(list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6)) AS max_sim
+  FROM assigned a
+  JOIN qcells qc ON a.cell = qc.cell
+  JOIN q ON q.qid = qc.qid
+  GROUP BY a.vec_id
+)
+SELECT a.vec_id,
+  COALESCE(max_sim, 0.0) AS max_eval_sim,
+  CAST(CASE WHEN COALESCE(max_sim, 0.0) < 0.35 THEN 1 ELSE 0 END AS BIGINT)
+    AS is_clean
+FROM assigned a LEFT JOIN worst ON a.vec_id = worst.vec_id
+"""
+
+
+_Q124_SQL = _q124_sql()
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1997,5 +2053,6 @@ def oracle_sql() -> dict[str, str]:
         "q121_curriculum_tiers": _Q121_SQL,
         "q122_quantized_topk": _Q122_SQL,
         "q123_bpe_pair_counts": _Q123_SQL,
+        "q124_semantic_decontamination": _Q124_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -231,3 +231,51 @@ def test_quantized_topk_recall_vs_exact(spark, emb_and_queries):
         for vid in exact.keys() & quant.keys():
             assert abs(exact[vid] - quant[vid]) < 0.01
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_semantic_decontamination_exhaustive_and_probe_subset(spark, emb_and_queries):
+    """nprobe = n_cells must reproduce the brute-force per-train max
+    eval cosine exactly; a partial probe (nprobe=4) may only MISS
+    contamination, never invent it (flagged set ⊆ exhaustive set)."""
+    emb, _ = emb_and_queries
+    train = emb.filter(F.col("vec_id") % 100 != 0)
+    ev = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+
+    from big_data_ml_pipeline_spark.functions.vector import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    truth = {
+        r["vec_id"]: r["m"]
+        for r in train.select(
+            "vec_id", to_double_array(F.col("embedding")).alias("tv")
+        )
+        .crossJoin(
+            ev.select(to_double_array(F.col("embedding")).alias("qv"))
+        )
+        .groupBy("vec_id")
+        .agg(F.max(F.round(cosine_similarity(F.col("tv"), F.col("qv")), 6)).alias("m"))
+        .collect()
+    }
+    full = {
+        r["vec_id"]: (r["max_eval_sim"], r["is_clean"])
+        for r in sim_ops.semantic_decontamination(
+            train, ev, cents, threshold=0.35, nprobe=16, round_assign_digits=6
+        ).collect()
+    }
+    assert set(full) == set(truth)
+    for vid, m in truth.items():
+        assert abs(full[vid][0] - m) < 1e-9
+        assert full[vid][1] == (1 if m < 0.35 else 0)
+    probe = {
+        r["vec_id"]: r["is_clean"]
+        for r in sim_ops.semantic_decontamination(
+            train, ev, cents, threshold=0.35, nprobe=4, round_assign_digits=6
+        ).collect()
+    }
+    flagged_probe = {v for v, c in probe.items() if c == 0}
+    flagged_full = {v for v, (_, c) in full.items() if c == 0}
+    assert flagged_probe <= flagged_full
+    assert flagged_full, "corpus must contain at least one contaminated vector"
