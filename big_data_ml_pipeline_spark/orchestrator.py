@@ -84,6 +84,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "budget_tokens": None,
                "budget_group_col": "lang", "chunk_size": None,
                "chunk_overlap": 16,
+               # mix: None disables; {"weights": {src: int, ...},
+               # "group_col": "source"} downsamples groups to exact
+               # integer ratios (setops.proportional_mix). shards:
+               # None disables; an int appends deterministic
+               # (shard, pos) export columns (setops.deterministic_
+               # shard) as the final step.
+               "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None},
 }
 
@@ -273,9 +280,11 @@ class PipelineOrchestrator:
         (``corpus.decontam`` + ``eval_df``: drop docs sharing n-grams
         with the eval corpus, left-semi against the clean keep-list) →
         per-group token budget (left-semi against the budget keep-list)
-        → context-window chunking. Every step is pure Catalyst; a
-        disabled step (None) adds nothing to the plan, so the default
-        config is a no-op passthrough."""
+        → proportional source mixing (``corpus.mix``) → context-window
+        chunking → deterministic shard/pos export columns
+        (``corpus.shards``). Every step is pure Catalyst; a disabled
+        step (None) adds nothing to the plan, so the default config is
+        a no-op passthrough."""
         from pyspark.sql import functions as F
 
         from .operators import text as text_ops
@@ -324,11 +333,26 @@ class PipelineOrchestrator:
                 group_col=c["budget_group_col"],
             ).select(id_col)
             out = out.join(keep, on=id_col, how="left_semi")
+        if c["mix"] is not None:
+            from .operators import setops as set_ops
+
+            out = set_ops.proportional_mix(
+                out, c["mix"]["weights"],
+                group_col=c["mix"].get("group_col", "source"),
+                key_cols=[id_col],
+            )
         if c["chunk_size"] is not None:
             out = text_ops.chunk_tokens(
                 out, text_col=text_col, id_col=id_col,
                 chunk_size=c["chunk_size"], overlap=c["chunk_overlap"],
             )
+        if c["shards"] is not None:
+            from .operators import setops as set_ops
+
+            keys = (
+                [id_col, "chunk_id"] if "chunk_id" in out.columns else [id_col]
+            )
+            out = set_ops.deterministic_shard(out, keys, int(c["shards"]))
         return out
 
     def ingest_corpus_stream(self, in_dir: str, out_dir: str,

@@ -456,3 +456,31 @@ def test_prepare_text_corpus_budget_caps_group(spark):
     df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
     kept = sorted(r["doc_id"] for r in orch.prepare_text_corpus(df).collect())
     assert kept == [0, 1, 2]
+
+
+def test_prepare_text_corpus_mix_and_shards(spark):
+    """corpus.mix downsamples sources to the exact configured ratio and
+    corpus.shards appends deterministic (shard, pos) export columns as
+    the final step — both config-driven, both pure functions of row
+    content."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = [(i, "en", "srcA" if i < 12 else "srcB", "word " * 20)
+            for i in range(18)]  # 12 srcA, 6 srcB
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    orch = PipelineOrchestrator(
+        spark=spark,
+        config={"corpus": {"mix": {"weights": {"srcA": 2, "srcB": 1}},
+                           "shards": 4}},
+    )
+    out = orch.prepare_text_corpus(df)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # scale = min(12//2, 6//1) = 6 -> srcA keeps 12, srcB keeps 6.
+    assert len(by_src["srcA"]) == 12 and len(by_src["srcB"]) == 6
+    assert {"shard", "pos"} <= set(out.columns)
+    assert {r["shard"] for r in got} <= set(range(4))
+    rerun = orch.prepare_text_corpus(df.repartition(5)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, rerun))
