@@ -2261,6 +2261,16 @@ def q124_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q125_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality proxy (text.bigram_loglik): per-document mean
+    log10 probability under the corpus's own bigram model with a
+    unigram first-token term — the KenLM-shaped upgrade of q106 that
+    catches plausible-unigram / improbable-transition gibberish.
+    Quantized-integer terms keep it hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_loglik(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2379,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_quantized_topk": q122_quantized_topk,
         "q123_bpe_pair_counts": q123_bpe_pair_counts,
         "q124_semantic_decontamination": q124_semantic_decontamination,
+        "q125_bigram_loglik": q125_bigram_loglik,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

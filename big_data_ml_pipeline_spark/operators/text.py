@@ -495,6 +495,107 @@ def unigram_loglik(
     )
 
 
+def bigram_loglik(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram LM quality proxy — :func:`unigram_loglik` one order up
+    (closer to the KenLM filter CCNet actually ships): per-document
+    mean log10 probability under the corpus's own bigram model,
+    ``P(w_i | w_{i-1}) = cnt(w_{i-1} w_i) / cnt(w_{i-1})``, with the
+    first token scored by its unigram probability. Gibberish with
+    plausible unigrams but improbable transitions scores low here while
+    passing the unigram filter.
+
+    Because the corpus is scored under its own counts, every observed
+    bigram is in the model — no backoff path is needed, and the
+    quantized-integer trick (per-term ROUND(log10·1e6) AS BIGINT)
+    keeps the per-document sum exact across partitionings and engines.
+
+    Scale shape: tokenize once → one bigram-key shuffle + one
+    unigram-key shuffle build the two count tables (both bounded by
+    vocabulary, not corpus size) → bigram table keyed with its prefix
+    count via a broadcast of the unigram table → both score tables
+    broadcast back onto the gram/token streams → ONE id-key shuffle of
+    integer partials. At 100 TB the bigram table may outgrow a
+    broadcast — drop the hints and AQE picks shuffled joins; the shape
+    is otherwise unchanged.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    base = base.select("id", "__toks", gram_array(F.col("__toks"), 2).alias("__bi"))
+    uni = (
+        base.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("u_cnt"))
+    )
+    n_total = uni.select(F.sum("u_cnt").alias("n_total"))
+    bi = (
+        base.select(F.explode("__bi").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("b_cnt"))
+    )
+    # log10 P(cur | prev) quantized: join each bigram with its prefix
+    # unigram count (broadcast — vocab-bounded).
+    bi_q = (
+        bi.withColumn("__prev", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(uni.withColumnRenamed("token", "__prev")), "__prev")
+        .select(
+            "gram",
+            F.round(
+                F.log10(F.col("b_cnt").cast("double") / F.col("u_cnt")) * 1e6
+            )
+            .cast("long")
+            .alias("__bq"),
+        )
+    )
+    uni_q = uni.crossJoin(F.broadcast(n_total)).select(
+        "token",
+        F.round(
+            F.log10(F.col("u_cnt").cast("double") / F.col("n_total")) * 1e6
+        )
+        .cast("long")
+        .alias("__uq"),
+    )
+    # Per-doc: first-token unigram term + all bigram terms, summed as
+    # integers; positions scored = n_tokens (1 unigram + n-1 bigrams).
+    first = (
+        # F.get is NULL-on-out-of-bounds even under ANSI (element_at
+        # would throw INVALID_ARRAY_INDEX on empty docs).
+        base.select("id", F.get("__toks", 0).alias("token"))
+        .join(F.broadcast(uni_q), "token", "left")
+        .groupBy("id")
+        .agg(F.coalesce(F.sum("__uq"), F.lit(0)).cast("long").alias("__fq"))
+    )
+    grams = (
+        base.select("id", F.explode_outer("__bi").alias("gram"))
+        .join(F.broadcast(bi_q), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("gram").cast("long").alias("__n_bi"),
+            F.coalesce(F.sum("__bq"), F.lit(0)).cast("long").alias("__gq"),
+        )
+    )
+    out = (
+        base.select("id", F.size("__toks").cast("long").alias("n_tokens"))
+        .join(first, "id", "left")
+        .join(grams, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            (F.col("__fq") + F.col("__gq")).cast("double")
+            / 1e6
+            / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logp"),
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred: Column,

@@ -1940,6 +1940,42 @@ FROM assigned a LEFT JOIN worst ON a.vec_id = worst.vec_id
 
 _Q124_SQL = _q124_sql()
 
+_Q125_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (SELECT unnest(ltoks) AS token FROM t),
+uni AS (SELECT token, COUNT(*) AS u_cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(u_cnt) AS n_total FROM uni),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ltoks) - 1),
+                               i -> ltoks[i] || ' ' || ltoks[i + 1])) AS gram
+  FROM t),
+bi AS (SELECT gram, COUNT(*) AS b_cnt FROM g GROUP BY gram),
+biq AS (
+  SELECT gram,
+         CAST(ROUND(log10(CAST(b_cnt AS DOUBLE) / u_cnt) * 1e6) AS BIGINT) AS bq
+  FROM bi JOIN uni ON split_part(gram, ' ', 1) = token),
+uq AS (
+  SELECT token,
+         CAST(ROUND(log10(CAST(u_cnt AS DOUBLE) / n_total) * 1e6) AS BIGINT)
+           AS uq
+  FROM uni, tot),
+fq AS (
+  SELECT f.doc_id, COALESCE(SUM(uq.uq), 0) AS fq
+  FROM (SELECT doc_id, ltoks[1] AS token FROM t) f
+  LEFT JOIN uq USING (token) GROUP BY f.doc_id),
+gq AS (
+  SELECT t.doc_id, COALESCE(SUM(biq.bq), 0) AS gq
+  FROM t LEFT JOIN g USING (doc_id) LEFT JOIN biq USING (gram)
+  GROUP BY t.doc_id)
+SELECT t.doc_id, CAST(len(ltoks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(ltoks) > 0
+       THEN CAST(fq.fq + gq.gq AS DOUBLE) / 1e6 / len(ltoks)
+       ELSE 0.0 END AS mean_logp
+FROM t JOIN fq USING (doc_id) JOIN gq USING (doc_id)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2054,5 +2090,6 @@ def oracle_sql() -> dict[str, str]:
         "q122_quantized_topk": _Q122_SQL,
         "q123_bpe_pair_counts": _Q123_SQL,
         "q124_semantic_decontamination": _Q124_SQL,
+        "q125_bigram_loglik": _Q125_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

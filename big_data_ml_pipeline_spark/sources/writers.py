@@ -81,3 +81,37 @@ def write_range_clustered(
         .format(fmt)
         .save(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_shards: int,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Physical training-export sink: apply
+    :func:`~..operators.setops.deterministic_shard` and land one
+    ``shard=K`` directory per shard with rows ordered by ``pos`` inside
+    the files — a trainer streaming ``shard=K`` sequentially reads the
+    deterministic pseudo-random order with zero further shuffling.
+
+    The shard window already exchanges on the shard key, so the write
+    adds NO extra shuffle: tasks hold whole shards, sortWithinPartitions
+    orders them, partitionBy splits directories. Re-running over
+    re-partitioned input produces byte-identical shard membership and
+    order (content-hash determinism) — at 100 TB that means a resumed
+    or re-run export job never scrambles what a trainer already
+    consumed.
+    """
+    from ..operators.setops import deterministic_shard
+
+    (
+        deterministic_shard(df, key_cols, n_shards)
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

@@ -151,3 +151,24 @@ def test_deterministic_shard_stable_across_partitioning(spark):
     # The hash spreads: no shard is empty, none holds >40% of the corpus.
     sizes = [len(v) for v in by_shard.values()]
     assert len(sizes) == 8 and max(sizes) < 0.4 * len(a)
+
+
+def test_write_training_shards_orders_rows_in_files(spark, tmp_path):
+    from big_data_ml_pipeline_spark.sources.writers import write_training_shards
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, key_cols=["doc_id"], n_shards=4)
+    import os
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    total = 0
+    for d in dirs:
+        rows = spark.read.parquet(f"{path}/{d}").collect()
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss) == list(range(1, len(rows) + 1))
+        total += len(rows)
+    assert total == df.count()

@@ -998,3 +998,20 @@ def test_bpe_pair_counts_exact_weighted(spark):
     assert out["ab"] == (4, 2)   # in 'abab' twice, in 'ab' (x2 occurrences) once each
     assert out["ba"] == (1, 1)
     assert "x" not in out        # single-char token contributes no pair
+
+
+def test_bigram_loglik_rare_transitions_score_lower(spark):
+    # Same unigrams, different transitions: "a b" (seen twice) vs
+    # "b a" (seen once) — the rarer transition must score lower, and
+    # the values must equal the hand-computed quantized model exactly.
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "b a"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_ops.bigram_loglik(df).collect()}
+    q = lambda x: round(math.log10(x) * 1e6) / 1e6
+    # unigrams: a=3, b=3, N=6; bigrams: "a b"=2, "b a"=1.
+    assert abs(out[1]["mean_logp"] - (q(3 / 6) + q(2 / 3)) / 2) < 1e-9
+    assert abs(out[3]["mean_logp"] - (q(3 / 6) + q(1 / 3)) / 2) < 1e-9
+    assert out[3]["mean_logp"] < out[1]["mean_logp"]
+    assert out[4]["mean_logp"] == 0.0 and out[4]["n_tokens"] == 0
