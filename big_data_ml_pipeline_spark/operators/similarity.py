@@ -505,15 +505,31 @@ def ivf_knn_join(
         .select(
             "qid",
             "qv",
+            "__qnorm",
             F.explode(
                 top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
             ).alias("cell"),
         )
     )
-    scored = assigned.join(q, on="cell").select(
-        F.col("qid"),
-        F.col(id_col),
-        F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("sim"),
+    # Norms hoisted to once-per-row projections (corpus side below the
+    # join, query side in the broadcast): cosine_similarity inline
+    # would re-fold ||v|| per probing query and ||qv|| per candidate —
+    # the q43 CSE trap. denom-product + guard matches the inline
+    # expression bit-for-bit.
+    denom = F.col("__n") * F.col("__qnorm")
+    scored = (
+        assigned.withColumn("__n", l2_norm(F.col("v")))
+        .join(q, on="cell")
+        .select(
+            F.col("qid"),
+            F.col(id_col),
+            F.round(
+                F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
@@ -593,16 +609,27 @@ def ivf_topk(
         .withColumn("__qnorm", l2_norm(F.col("qv")))
         .select(
             "qv",
+            "__qnorm",
             F.explode(
                 top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
             ).alias("cell"),
         )
     )
+    # Candidate scoring with once-per-row norms (the same CSE fix as
+    # the assignment pass above); bit-identical to inline
+    # cosine_similarity.
+    denom = F.col("__n") * F.col("__qnorm")
     return (
-        assigned.join(q, on="cell")
+        assigned.withColumn("__n", l2_norm(F.col("v")))
+        .join(q, on="cell")
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col("v"), F.col("qv")), 6).alias("sim"),
+            F.round(
+                F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -905,23 +932,42 @@ def semantic_decontamination(
         .select(
             "qid",
             "qv",
+            "__qnorm",
             F.explode(
                 top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
             ).alias("cell"),
         )
     )
+    # Norms hoisted once per row on each side (the ivf_knn_join CSE
+    # fix); denom-product + guard is bit-identical to the inline
+    # cosine_similarity expression.
+    denom = F.col("__n") * F.col("__qnorm")
     worst = (
-        assigned.join(q, on="cell")
+        assigned.withColumn("__n", l2_norm(F.col("v")))
+        .join(q, on="cell")
         .groupBy(id_col)
         .agg(
-            F.max(F.round(cosine_similarity(F.col("v"), F.col("qv")), 6)).alias(
-                "__max_sim"
-            )
+            F.max(
+                F.round(
+                    F.when(
+                        denom != 0, dot(F.col("v"), F.col("qv")) / denom
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+            ).alias("__max_sim")
         )
     )
+    # Output base: the raw train ids, NOT assigned.select(id) — the
+    # assignment keeps every row, so the id sets are identical, and
+    # re-using `assigned` here would evaluate the 16-cell centroid
+    # fold a second time (measured ~2× the query cost at sf0.1).
+    ids = (
+        index.select(id_col)
+        if index is not None
+        else train.select(F.col(id_col))
+    )
     return (
-        assigned.select(id_col)
-        .join(worst, on=id_col, how="left")
+        ids.join(worst, on=id_col, how="left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__max_sim"), F.lit(0.0)).alias("max_eval_sim"),

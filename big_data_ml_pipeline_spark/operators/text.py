@@ -511,85 +511,93 @@ def bigram_loglik(
     quantized-integer trick (per-term ROUND(log10·1e6) AS BIGINT)
     keeps the per-document sum exact across partitionings and engines.
 
-    Scale shape: tokenize once → one bigram-key shuffle + one
-    unigram-key shuffle build the two count tables (both bounded by
-    vocabulary, not corpus size) → bigram table keyed with its prefix
-    count via a broadcast of the unigram table → both score tables
-    broadcast back onto the gram/token streams → ONE id-key shuffle of
-    integer partials. At 100 TB the bigram table may outgrow a
-    broadcast — drop the hints and AQE picks shuffled joins; the shape
-    is otherwise unchanged.
+    Scale shape (two-stream form; a first/grams/out join chain was 6×
+    slower — 7 re-scans + a sort-merge join at sf0.1): BOTH count
+    tables come from ONE exploded (kind, key) stream — 'u' rows are
+    tokens, 'b' rows are bigrams — so the vocabulary build is a single
+    corpus-sized shuffle whose output is vocab-bounded; its aggregate
+    is consumed three ways (N, prefix counts, score rows) off the same
+    exchange. The quantized score table (union of unigram and bigram
+    rows) broadcasts onto a second exploded stream holding each
+    document's scored positions (first token + its bigrams), and ONE
+    id-key shuffle of an integer partial finishes — the document's
+    n_tokens IS that stream's row count (1 + (n−1)). At 100 TB the
+    score table may outgrow a broadcast — drop the hint and AQE picks
+    a shuffled join; the shape is otherwise unchanged.
     """
     base = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
     base = base.select("id", "__toks", gram_array(F.col("__toks"), 2).alias("__bi"))
-    uni = (
-        base.select(F.explode("__toks").alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("u_cnt"))
+
+    def tag(kind, arr):
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("key"))
+        )
+
+    counts = (
+        base.select(
+            F.explode(F.concat(tag("u", F.col("__toks")), tag("b", F.col("__bi")))).alias(
+                "s"
+            )
+        )
+        .select("s.kind", "s.key")
+        .groupBy("kind", "key")
+        .agg(F.count("*").alias("cnt"))
     )
-    n_total = uni.select(F.sum("u_cnt").alias("n_total"))
-    bi = (
-        base.select(F.explode("__bi").alias("gram"))
-        .groupBy("gram")
-        .agg(F.count("*").alias("b_cnt"))
+    uni = counts.filter(F.col("kind") == "u")
+    n_total = uni.select(F.sum("cnt").alias("n_total"))
+    uni_q = uni.crossJoin(F.broadcast(n_total)).select(
+        "kind",
+        "key",
+        F.round(F.log10(F.col("cnt").cast("double") / F.col("n_total")) * 1e6)
+        .cast("long")
+        .alias("__q"),
     )
-    # log10 P(cur | prev) quantized: join each bigram with its prefix
+    # log10 P(cur | prev) quantized: each bigram keyed with its prefix
     # unigram count (broadcast — vocab-bounded).
     bi_q = (
-        bi.withColumn("__prev", F.split_part(F.col("gram"), F.lit(" "), F.lit(1)))
-        .join(F.broadcast(uni.withColumnRenamed("token", "__prev")), "__prev")
+        counts.filter(F.col("kind") == "b")
+        .withColumn("__prev", F.split_part(F.col("key"), F.lit(" "), F.lit(1)))
+        .join(
+            F.broadcast(
+                uni.select(F.col("key").alias("__prev"), F.col("cnt").alias("u_cnt"))
+            ),
+            "__prev",
+        )
         .select(
-            "gram",
-            F.round(
-                F.log10(F.col("b_cnt").cast("double") / F.col("u_cnt")) * 1e6
-            )
+            "kind",
+            "key",
+            F.round(F.log10(F.col("cnt").cast("double") / F.col("u_cnt")) * 1e6)
             .cast("long")
-            .alias("__bq"),
+            .alias("__q"),
         )
     )
-    uni_q = uni.crossJoin(F.broadcast(n_total)).select(
-        "token",
-        F.round(
-            F.log10(F.col("u_cnt").cast("double") / F.col("n_total")) * 1e6
-        )
-        .cast("long")
-        .alias("__uq"),
-    )
-    # Per-doc: first-token unigram term + all bigram terms, summed as
-    # integers; positions scored = n_tokens (1 unigram + n-1 bigrams).
-    first = (
-        # F.get is NULL-on-out-of-bounds even under ANSI (element_at
-        # would throw INVALID_ARRAY_INDEX on empty docs).
-        base.select("id", F.get("__toks", 0).alias("token"))
-        .join(F.broadcast(uni_q), "token", "left")
-        .groupBy("id")
-        .agg(F.coalesce(F.sum("__uq"), F.lit(0)).cast("long").alias("__fq"))
-    )
-    grams = (
-        base.select("id", F.explode_outer("__bi").alias("gram"))
-        .join(F.broadcast(bi_q), "gram", "left")
+    score = uni_q.unionByName(bi_q)
+    # Scored positions per document: the first token (slice keeps the
+    # empty-doc case an empty array — no ANSI out-of-bounds) + every
+    # bigram; explode_outer keeps empty docs as a NULL row.
+    scored = base.select(
+        "id",
+        F.explode_outer(
+            F.concat(F.slice(tag("u", F.col("__toks")), 1, 1), tag("b", F.col("__bi")))
+        ).alias("s"),
+    ).select("id", "s.kind", "s.key")
+    per_doc = (
+        scored.join(F.broadcast(score), ["kind", "key"], "left")
         .groupBy("id")
         .agg(
-            F.count("gram").cast("long").alias("__n_bi"),
-            F.coalesce(F.sum("__bq"), F.lit(0)).cast("long").alias("__gq"),
+            F.count("key").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("__q"), F.lit(0)).cast("long").alias("__sum_q"),
         )
     )
-    out = (
-        base.select("id", F.size("__toks").cast("long").alias("n_tokens"))
-        .join(first, "id", "left")
-        .join(grams, "id", "left")
-    )
-    return out.select(
+    return per_doc.select(
         F.col("id").alias(id_col),
         "n_tokens",
         F.when(
             F.col("n_tokens") > 0,
-            (F.col("__fq") + F.col("__gq")).cast("double")
-            / 1e6
-            / F.col("n_tokens"),
+            F.col("__sum_q").cast("double") / 1e6 / F.col("n_tokens"),
         )
         .otherwise(F.lit(0.0))
         .alias("mean_logp"),
