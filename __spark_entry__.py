@@ -50,7 +50,12 @@ from big_data_ml_pipeline_spark.operators import text as text_ops
 from big_data_ml_pipeline_spark.operators import windows as win_ops
 from big_data_ml_pipeline_spark.sources.catalog import load_table, load_tables
 from big_data_ml_pipeline_spark.oracle import oracle_sql  # noqa: F401 — driver contract surface
-from big_data_ml_pipeline_spark.oracle.sql import Q115_MIX_WEIGHTS
+from big_data_ml_pipeline_spark.oracle.sql import (
+    Q115_MIX_WEIGHTS,
+    Q126_BM25_B,
+    Q126_BM25_K1,
+    Q126_BM25_TERMS,
+)
 
 # ---------------------------------------------------------------------------
 # Query implementations (spark, sf_dir) -> DataFrame
@@ -2271,6 +2276,56 @@ def q125_bigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_loglik(docs)
 
 
+def q126_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (text.bm25_topk): top-15 documents for a 4-term
+    query under Okapi BM25 with the Lucene idf — the lexical-retrieval
+    baseline next to the embedding top-k (q28/q122) in a RAG /
+    hard-negative-mining pipeline. Terms and the k1/b-derived double
+    constants are shared literals with the SQL twin; idf and
+    per-(doc, term) scores are quantized to integer micro-units so the
+    ranking is hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bm25_topk(
+        docs, Q126_BM25_TERMS, k=15, k1=Q126_BM25_K1, b=Q126_BM25_B
+    )
+
+
+def q127_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing overlap (text.winnowing_overlap_pairs, Schleimer
+    et al. 2003): document pairs sharing a window-min 4-gram
+    fingerprint, with the shared count — POSITIONAL near-dup evidence
+    (a shared fingerprint pins a shared token run of ≥ 8 tokens),
+    complementing the bag-of-shingles MinHash estimate (q40).
+    Uncapped buckets for oracle exactness (the q42 policy); the
+    max_bucket_size guard is the 100 TB path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.winnowing_overlap_pairs(docs, k=4, w=5, min_shared=1)
+
+
+def q128_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (similarity.cluster_balanced_sample): every embedding assigned to
+    its q43 deterministic IVF cell, at most 8 keepers per cell chosen
+    by content-hash rank — the DataComp-style anti-density sampler.
+    Output is every row flagged (vec_id, cell, is_kept)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.cluster_balanced_sample(
+        emb, cents, per_cell=8, round_assign_digits=6
+    )
+
+
+def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (text.source_divergence) — the mixture-design
+    diagnostic behind the q115/q116 source weights: which sources are
+    interchangeable, which contribute distinct text. Per-token
+    contributions and shared masses are quantized to integer nano-units
+    (q106 pattern) so the float result is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.source_divergence(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2390,6 +2445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_bpe_pair_counts": q123_bpe_pair_counts,
         "q124_semantic_decontamination": q124_semantic_decontamination,
         "q125_bigram_loglik": q125_bigram_loglik,
+        "q126_bm25_topk": q126_bm25_topk,
+        "q127_winnowing_pairs": q127_winnowing_pairs,
+        "q128_cluster_balanced_sample": q128_cluster_balanced_sample,
+        "q129_source_divergence": q129_source_divergence,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

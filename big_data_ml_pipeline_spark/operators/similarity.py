@@ -977,3 +977,52 @@ def semantic_decontamination(
             .alias("is_clean"),
         )
     )
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    salt: str = "cbs-42",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the SSL-prototype /
+    DataComp recipe: sample evenly across embedding-space clusters
+    instead of uniformly over rows, so dense regions stop dominating
+    the training mix): assign every vector to its IVF cell (the q43
+    deterministic centroid kit), keep at most ``per_cell`` rows per
+    cell chosen by content-hash rank, and return every input row as
+    (id, cell, is_kept).
+
+    The within-cell rank is ``md5(id || salt)`` (the hash_split /
+    proportional_mix family), so the kept set is a pure function of
+    content — identical across partitionings, reruns, engines — and
+    NOT correlated with storage order the way a LIMIT-per-cell would
+    be.
+
+    Scale shape: assignment is the same broadcast-literal map pass as
+    :func:`ivf_index` (no shuffle); the rank is ONE cell-keyed window
+    shuffle of (id, cell) pairs — 16 bytes a row, never the vectors.
+    Cells are capped at ``per_cell`` regardless of skew, so a
+    degenerate dense cluster cannot blow up any downstream consumer.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash32
+
+    assigned = ivf_index(
+        embeddings,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_assign_digits=round_assign_digits,
+    ).select(id_col, "cell")
+    rank_key = md5_hash32(
+        F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))
+    )
+    w = Window.partitionBy("cell").orderBy(rank_key.asc(), F.col(id_col).asc())
+    return assigned.withColumn(
+        "is_kept", F.row_number().over(w) <= F.lit(per_cell)
+    )

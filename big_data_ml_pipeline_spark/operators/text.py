@@ -1014,3 +1014,281 @@ def dedup_chunks(
             " ",
         ).alias("text_deduped"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval (Robertson & Zaragoza 2009): top-``k`` documents
+    for a bag of query terms under Okapi BM25 with the Lucene idf
+    (``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the lexical-retrieval
+    baseline every RAG / hard-negative-mining pipeline needs next to
+    the embedding top-k (q28/q122).
+
+    Determinism (oracle-checkable): idf is quantized to integer
+    micro-units per term, the per-(doc, term) score is assembled from
+    INTEGER tf / dl / N / Σdl in a fixed expression order and quantized
+    again, and the per-document score is a BIGINT sum — bit-identical
+    across partitionings and engines (the q106 pattern).
+
+    Scale shape: tokenize once → the token stream is filtered to the
+    query terms BEFORE the (id, term) aggregation, so the only
+    corpus-sized work is the scan + map-side filter; doc lengths ride
+    the same tokenized projection as an integer aggregate; df/idf is a
+    query-terms-sized table broadcast back; top-k is
+    TakeOrderedAndProject. At 100 TB this is one filtered shuffle of
+    matched postings — the classic impact-ordered retrieval shape.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.filter("__toks", lambda t: F.array_contains(terms, t)).alias("__hits"),
+    )
+    stats = base.select(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        base.select("id", "dl", F.explode("__hits").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    # stats is consumed ONCE (one scalar-agg corpus pass); n_docs and
+    # sum_dl ride the tiny idf table into the scoring join.
+    idf_q = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "sum_dl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__idf_q"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf_q), "term")
+        .select(
+            "id",
+            F.round(
+                (F.col("__idf_q").cast("double") / 1e6)
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1 * (1.0 - b))
+                    + F.lit(k1 * b)
+                    * (F.col("dl") * F.col("n_docs")).cast("double")
+                    / F.col("sum_dl")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__score_q"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__score_q").cast("long").alias("__sum_q"),
+    )
+    return (
+        per_doc.select(
+            F.col("id").alias(id_col),
+            "n_terms",
+            (F.col("__sum_q").cast("double") / 1e6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash every ``k``-token gram, slide a
+    ``w``-gram window over the hash sequence, and select each window's
+    MINIMUM hash — guaranteeing any shared run of ``w + k - 1`` tokens
+    between two documents yields at least one shared fingerprint, at
+    ~2/(w+1) of the grams stored. Returns the distinct selected
+    fingerprints, one row per (id, fingerprint).
+
+    Documents shorter than ``w`` grams keep their global minimum (one
+    window covering everything); documents with fewer than ``k`` tokens
+    have no grams and yield no rows.
+
+    The gram hash is :func:`~..operators.dedup.md5_hash32` — the one
+    hash both engines compute identically, so the fingerprint SET is
+    oracle-exact. Scale shape: gram hashing is map-side over the
+    materialized token array (tokenize-once rule); the window min is
+    ONE id-keyed window shuffle whose rows are (id, pos, 8-byte hash)
+    — never the text; the distinct collapses within the same exchange.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    grams = base.select(
+        "id", gram_array(F.col("__toks"), k).alias("__grams")
+    ).select(
+        "id",
+        F.size("__grams").cast("long").alias("n_grams"),
+        F.posexplode("__grams").alias("pos", "gram"),
+    )
+    from .dedup import md5_hash32
+
+    hashed = grams.select(
+        "id", "n_grams", "pos", md5_hash32(F.col("gram")).alias("__h")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    fp = hashed.withColumn("fingerprint", F.min("__h").over(win)).filter(
+        F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    )
+    return fp.select(F.col("id").alias(id_col), "fingerprint").distinct()
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing at least
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    plagiarism / boilerplate / near-dup evidence that is positional
+    (a shared fingerprint pins a shared token RUN), unlike the
+    bag-of-shingles MinHash estimate (q40).
+
+    Scale shape: the pair build is a fingerprint-keyed self-equi-join
+    (the q27/q42 blocking pattern — never all-pairs); a fingerprint
+    shared by m documents fans out to m(m-1)/2 pairs, so at 100 TB pass
+    ``max_bucket_size`` to drop degenerate boilerplate fingerprints
+    (the q40 cap policy; None here keeps the oracle exact). The pair
+    aggregation shuffles (id_a, id_b) integer partials only.
+    """
+    fps = winnowing_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col
+    )
+    if max_bucket_size is not None:
+        cap = Window.partitionBy("fingerprint")
+        fps = fps.withColumn("__sz", F.count("*").over(cap)).filter(
+            F.col("__sz") <= max_bucket_size
+        )
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    pairs = a.join(b, "fingerprint").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (in bits) between the unigram
+    token distributions of every pair of corpus sources — the
+    mixture-design diagnostic behind source weighting (q115/q116):
+    near-zero JSD says two sources are interchangeable; high JSD says
+    they contribute distinct text. Returns one row per unordered source
+    pair: (source_a, source_b, n_shared_tokens, jsd_bits).
+
+    JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M), M = ½(P+Q). Tokens present in
+    only one source contribute exactly ½·p (their log ratio is
+    log2 2 = 1), so the shared-token join plus each side's UNSHARED
+    probability mass — computed as 1 − Σ shared p — is the whole sum;
+    no full-outer join is needed.
+
+    Determinism: per-token JSD contributions and shared masses are
+    quantized to integer nano-units and summed as BIGINT (the q106
+    pattern) — the only floats in flight are per-row, never
+    order-dependent aggregates.
+
+    Scale shape: ONE corpus-sized (group, token) aggregation (map-side
+    combine collapses repeats); everything after is vocab×sources
+    bounded — the totals broadcast back, and the pair build is a
+    token-keyed self-equi-join producing ≤ |sources|²/2 rows per token.
+    """
+    tok = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    counts = tok.groupBy("g", "token").agg(F.count("*").cast("long").alias("cnt"))
+    totals = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("total"))
+    c = counts.join(F.broadcast(totals), "g")
+    a = c.select(
+        F.col("g").alias("source_a"),
+        "token",
+        F.col("cnt").alias("ca"),
+        F.col("total").alias("ta"),
+    )
+    b = c.select(
+        F.col("g").alias("source_b"),
+        "token",
+        F.col("cnt").alias("cb"),
+        F.col("total").alias("tb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = (pa + pb) / F.lit(2.0)
+    shared = (
+        a.join(b, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                (
+                    F.lit(0.5) * pa * F.log2(pa / m)
+                    + F.lit(0.5) * pb * F.log2(pb / m)
+                )
+                * 1e9
+            )
+            .cast("long")
+            .alias("__jsd_q"),
+            F.round(pa * 1e9).cast("long").alias("__pa_q"),
+            F.round(pb * 1e9).cast("long").alias("__pb_q"),
+        )
+    )
+    agg = shared.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_shared_tokens"),
+        F.sum("__jsd_q").cast("long").alias("__sum_jsd_q"),
+        F.sum("__pa_q").cast("long").alias("__sum_pa_q"),
+        F.sum("__pb_q").cast("long").alias("__sum_pb_q"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        (
+            (
+                F.col("__sum_jsd_q").cast("double")
+                + F.lit(0.5) * (F.lit(2e9) - F.col("__sum_pa_q") - F.col("__sum_pb_q"))
+            )
+            / 1e9
+        ).alias("jsd_bits"),
+    )

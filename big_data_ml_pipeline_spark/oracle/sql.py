@@ -1977,6 +1977,158 @@ FROM t JOIN fq USING (doc_id) JOIN gq USING (doc_id)
 """
 
 
+#: q126 BM25 literals — shared between __spark_entry__.q126_bm25_topk
+#: and the SQL twin so both engines score from identical constants.
+Q126_BM25_TERMS: tuple[str, ...] = ("spark", "window", "vector", "customer")
+Q126_BM25_K1 = 1.2
+Q126_BM25_B = 0.75
+
+
+def _q126_sql() -> str:
+    """Twin of q126 BM25: identical integer tf/dl/N/Σdl assembly, idf
+    and per-(doc, term) scores quantized to micro-units, k1/b-derived
+    double constants embedded via repr() of the SAME Python floats the
+    Spark literals use."""
+    terms = ", ".join(f"'{t}'" for t in Q126_BM25_TERMS)
+    k1p1 = repr(Q126_BM25_K1 + 1.0)
+    k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
+    k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM documents),
+b2 AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, t -> list_contains([{terms}], t)) AS hits
+  FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+tf AS (
+  SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, dl, unnest(hits) AS term FROM b2) t
+  GROUP BY id, dl, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, n_docs, sum_dl,
+         CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+              AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats),
+scored AS (
+  SELECT id,
+         CAST(ROUND((CAST(idf_q AS DOUBLE) / 1000000.0) * (tf * {k1p1})
+              / (tf + {k1_1mb} + {k1b} * CAST(dl * n_docs AS DOUBLE) / sum_dl)
+              * 1000000.0) AS BIGINT) AS score_q
+  FROM tf JOIN idf USING (term)),
+per_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(score_q) AS BIGINT) AS sum_q
+  FROM scored GROUP BY id)
+SELECT id AS doc_id, n_terms, CAST(sum_q AS DOUBLE) / 1000000.0 AS score
+FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+_Q126_SQL = _q126_sql()
+
+_Q127_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 3)) AS i
+  FROM t WHERE len(toks) >= 4),
+h AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(concat('0x', substr(md5(
+           array_to_string(list_slice(toks, i, i + 3), ' ')), 1, 8))
+           AS BIGINT) AS hh,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM g),
+wmin AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fingerprint
+  FROM h),
+fps AS (
+  SELECT DISTINCT doc_id, fingerprint FROM wmin
+  WHERE pos <= greatest(n_grams - 5, 0))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def _q128_sql() -> str:
+    """Twin of q128 cluster-balanced sampling: the q43 centroid-literal
+    IVF assignment + a per-cell md5-rank cap (hash family of
+    hash_split/proportional_mix, salt 'cbs-42')."""
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1),
+r AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+           CAST(concat('0x', substr(md5(
+             concat(CAST(vec_id AS VARCHAR), '|cbs-42')), 1, 8)) AS BIGINT)
+             ASC,
+           vec_id ASC) AS rn
+  FROM assigned)
+SELECT vec_id, cell, rn <= 8 AS is_kept FROM r
+"""
+
+
+_Q128_SQL = _q128_sql()
+
+_Q129_SQL = f"""
+WITH tok AS (
+  SELECT source AS g, unnest({_DUCK_LTOKS}) AS token FROM documents),
+counts AS (
+  SELECT g, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY g, token),
+totals AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS total FROM counts GROUP BY g),
+c AS (SELECT counts.g, token, cnt, total FROM counts JOIN totals USING (g)),
+shared AS (
+  SELECT a.g AS source_a, b.g AS source_b,
+         CAST(ROUND((
+             0.5 * (CAST(a.cnt AS DOUBLE) / a.total)
+                 * log2((CAST(a.cnt AS DOUBLE) / a.total)
+                        / (((CAST(a.cnt AS DOUBLE) / a.total)
+                            + (CAST(b.cnt AS DOUBLE) / b.total)) / 2.0))
+           + 0.5 * (CAST(b.cnt AS DOUBLE) / b.total)
+                 * log2((CAST(b.cnt AS DOUBLE) / b.total)
+                        / (((CAST(a.cnt AS DOUBLE) / a.total)
+                            + (CAST(b.cnt AS DOUBLE) / b.total)) / 2.0))
+           ) * 1000000000.0) AS BIGINT) AS jsd_q,
+         CAST(ROUND((CAST(a.cnt AS DOUBLE) / a.total) * 1000000000.0)
+              AS BIGINT) AS pa_q,
+         CAST(ROUND((CAST(b.cnt AS DOUBLE) / b.total) * 1000000000.0)
+              AS BIGINT) AS pb_q
+  FROM c a JOIN c b ON a.token = b.token AND a.g < b.g)
+SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared_tokens,
+       (CAST(SUM(jsd_q) AS DOUBLE)
+        + 0.5 * (2000000000.0 - SUM(pa_q) - SUM(pb_q))) / 1000000000.0
+         AS jsd_bits
+FROM shared GROUP BY source_a, source_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2091,5 +2243,9 @@ def oracle_sql() -> dict[str, str]:
         "q123_bpe_pair_counts": _Q123_SQL,
         "q124_semantic_decontamination": _Q124_SQL,
         "q125_bigram_loglik": _Q125_SQL,
+        "q126_bm25_topk": _Q126_SQL,
+        "q127_winnowing_pairs": _Q127_SQL,
+        "q128_cluster_balanced_sample": _Q128_SQL,
+        "q129_source_divergence": _Q129_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -115,3 +115,35 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    n_shards: int,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSONL training-corpus export: the :func:`write_training_shards`
+    layout (deterministic ``shard=K`` directories, rows in the
+    content-hash pseudo-random order) in newline-delimited JSON — the
+    interchange format LLM training stacks actually consume. Spark's
+    json sink writes one object per line, so each part file IS a
+    ``.jsonl`` shard; pass ``compression='gzip'`` for ``.jsonl.gz``.
+
+    Same scale contract as the parquet sink: the shard window already
+    exchanged on the shard key, the write adds no shuffle, and reruns
+    over re-partitioned input are byte-identical per shard.
+    """
+    from ..operators.setops import deterministic_shard
+
+    writer = (
+        deterministic_shard(df, key_cols, n_shards)
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+    )
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.format("json").save(path)

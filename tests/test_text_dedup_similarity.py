@@ -1015,3 +1015,119 @@ def test_bigram_loglik_rare_transitions_score_lower(spark):
     assert abs(out[3]["mean_logp"] - (q(3 / 6) + q(1 / 3)) / 2) < 1e-9
     assert out[3]["mean_logp"] < out[1]["mean_logp"]
     assert out[4]["mean_logp"] == 0.0 and out[4]["n_tokens"] == 0
+
+
+def test_bm25_ranks_matches_and_respects_length_norm(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    # d1: two query hits in a short doc; d2: one hit, same length;
+    # d3: one hit buried in a long doc (length-normalized below d2);
+    # d4: no hits (absent from results).
+    df = spark.createDataFrame(
+        [
+            (1, "cat dog x y"),
+            (2, "cat q x y"),
+            (3, "cat " + " ".join(f"f{i}" for i in range(20))),
+            (4, "u v w z"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = text_ops.bm25_topk(df, ("cat", "dog"), k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1 and 4 not in ids
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_terms"] == 2
+    assert by_id[2]["score"] > by_id[3]["score"]  # shorter doc wins
+
+
+def test_winnowing_guarantee_and_disjoint_docs(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    # Docs 1/2 share a run of w+k-1 = 8 tokens -> the winnowing
+    # guarantee promises >= 1 shared fingerprint. Doc 3 is disjoint.
+    run = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, "p q r " + run),
+            (2, run + " s t u"),
+            (3, "m n o m n o m n o m n o"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in text_ops.winnowing_overlap_pairs(df, k=4, w=5).collect()
+    }
+    assert pairs.get((1, 2), 0) >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_short_doc_keeps_global_min(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    # 5 tokens, k=4 -> 2 grams < w=5 grams: exactly ONE fingerprint
+    # (the global min), not zero.
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    fps = text_ops.winnowing_fingerprints(df, k=4, w=5).collect()
+    assert len(fps) == 1
+
+
+def test_source_divergence_identical_and_disjoint(spark):
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a", "s1"),
+            (2, "a b c a", "s2"),   # identical distribution to s1
+            (3, "x y z x", "s3"),   # disjoint vocabulary
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in text_ops.source_divergence(df).collect()
+    }
+    assert abs(out[("s1", "s2")]["jsd_bits"]) < 1e-8
+    # Disjoint distributions: JSD = 1 bit exactly; no shared tokens
+    # means the pair row is absent from the shared join — the 1-bit
+    # case is reached via a pair sharing SOME mass below.
+    assert ("s1", "s3") not in out  # no shared tokens -> no row
+    df2 = spark.createDataFrame(
+        [(1, "a a a b", "p"), (2, "a c c c", "q")], ["doc_id", "text", "source"]
+    )
+    r = text_ops.source_divergence(df2).collect()[0]
+    # Hand-computed: pa = {a:3/4, b:1/4}, pb = {a:1/4, c:3/4};
+    # shared token 'a': m = 1/2; contrib = .5*(3/4)*log2(3/2) + .5*(1/4)*log2(1/2)
+    import math as _m
+
+    exp = (
+        0.5 * 0.75 * _m.log2(1.5)
+        + 0.5 * 0.25 * _m.log2(0.5)
+        + 0.5 * (1 - 0.75)
+        + 0.5 * (1 - 0.25)
+    )
+    assert abs(r["jsd_bits"] - exp) < 1e-6
+    assert r["n_shared_tokens"] == 1
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from big_data_ml_pipeline_spark.operators import similarity as sim_ops
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    out = sim_ops.cluster_balanced_sample(
+        emb, cents, per_cell=3, round_assign_digits=6
+    )
+    rows_all = out.collect()
+    assert len(rows_all) == emb.count()  # every row flagged, none dropped
+    from collections import Counter
+
+    kept_per_cell = Counter(r["cell"] for r in rows_all if r["is_kept"])
+    assert all(v <= 3 for v in kept_per_cell.values())
+    # Determinism across partitionings: same kept set on repartition(7).
+    out2 = sim_ops.cluster_balanced_sample(
+        emb.repartition(7), cents, per_cell=3, round_assign_digits=6
+    )
+    kept1 = {r["vec_id"] for r in rows_all if r["is_kept"]}
+    kept2 = {r["vec_id"] for r in out2.collect() if r["is_kept"]}
+    assert kept1 == kept2
