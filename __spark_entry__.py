@@ -2326,6 +2326,18 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q130_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash calibration (dedup.minhash_calibration): every banded
+    candidate pair with its sketch ESTIMATE, EXACT shingle Jaccard, and
+    absolute error — the post-LSH verification pass that turns the q40
+    threshold into a measured quantity. All three floats are
+    engine-exact without quantization (dyadic estimate, integer-ratio
+    exact, one IEEE subtraction). Uses the q70 md5 hash family so every
+    step is reproducible in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_calibration(docs, min_est=0.2)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2449,6 +2461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_winnowing_pairs": q127_winnowing_pairs,
         "q128_cluster_balanced_sample": q128_cluster_balanced_sample,
         "q129_source_divergence": q129_source_divergence,
+        "q130_sketch_calibration": q130_sketch_calibration,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -43,6 +43,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXCLUDE = {
     "q70_minhash_oracle_pairs",
     "q71_simhash_oracle_pairs",
+    # Calibration on top of the q70 md5 anchor machinery — same reason.
+    "q130_sketch_calibration",
     "q83_dedup_components",
     # Iterative CC fixed-point (like q83): per-round job overhead
     # dominates at bench SF and measures the scheduler, not the engine.

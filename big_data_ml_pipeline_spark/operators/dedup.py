@@ -1179,3 +1179,73 @@ def ngram_contamination(
         .alias("hit_frac"),
         (F.col("hit_grams") >= min_hits).alias("contaminated"),
     )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est: float = 0.2,
+) -> DataFrame:
+    """Sketch-quality calibration: for every banded-LSH candidate pair,
+    the MinHash ESTIMATE next to the EXACT shingle Jaccard and their
+    absolute error — the in-engine answer to "how much do I trust the
+    sketch?" that turns the q40 pipeline's threshold into a measured
+    quantity (the recall floors in tests/test_recall_quality.py measure
+    *which* pairs surface; this measures *how well* their similarity is
+    estimated).
+
+    Every value is engine-exact without quantization: the estimate is
+    matches/num_hashes (a dyadic rational), the exact Jaccard is an
+    integer-ratio double (|A∩B| / (|A|+|B|−|A∩B|)), and the error is
+    one IEEE subtraction of the two.
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); the exact-Jaccard check joins the candidate list back
+    to the per-doc distinct-shingle stream on (id, shingle) — the
+    post-LSH verification pass a production near-dup pipeline runs
+    anyway, costing one shingle-keyed shuffle of the CANDIDATES' docs
+    only, not the corpus (the candidate semi-join prunes the stream).
+    """
+    cand = minhash_dedup_pairs_oracle(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        min_est=min_est,
+    )
+    shd = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    sizes = shd.groupBy("id").agg(F.count("*").cast("long").alias("n"))
+    sa = shd.select(F.col("id").alias("id_a"), "shingle")
+    sb = shd.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    exact = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+    )

@@ -1137,32 +1137,49 @@ def winnowing_fingerprints(
 
     The gram hash is :func:`~..operators.dedup.md5_hash32` — the one
     hash both engines compute identically, so the fingerprint SET is
-    oracle-exact. Scale shape: gram hashing is map-side over the
-    materialized token array (tokenize-once rule); the window min is
-    ONE id-keyed window shuffle whose rows are (id, pos, 8-byte hash)
-    — never the text; the distinct collapses within the same exchange.
+    oracle-exact. Scale shape: ENTIRELY map-side — gram hashing, the
+    sliding window-min, and the per-doc distinct are all array
+    expressions over the materialized hash array (O(n_grams·w) work
+    per doc, never the text), and only the ~2/(w+1)-sized fingerprint
+    set is exploded; the operator adds NO shuffle at any corpus size.
+    Two traps shaped this: a windowed-aggregate draft paid an id-keyed
+    shuffle of every gram (4.9 s vs 0.8 s warm at sf0.1), and a plain
+    ``posexplode`` let InferFiltersFromGenerate push a
+    ``size(grams) > 0`` filter below the projections with the ENTIRE
+    gram+tokenizer expression re-inlined per element (19 s) —
+    ``explode_outer`` + a null filter on the generated column keeps
+    the tokenize-once projection chain intact.
     """
+    from .dedup import md5_hash32
+
     base = df.select(
         F.col(id_col).alias("id"),
         tokens(F.lower(F.col(text_col))).alias("__toks"),
     )
-    grams = base.select(
-        "id", gram_array(F.col("__toks"), k).alias("__grams")
-    ).select(
-        "id",
-        F.size("__grams").cast("long").alias("n_grams"),
-        F.posexplode("__grams").alias("pos", "gram"),
+    g = base.select("id", gram_array(F.col("__toks"), k).alias("__grams"))
+    h = g.select(
+        "id", F.transform("__grams", lambda x: md5_hash32(x)).alias("__hashes")
     )
-    from .dedup import md5_hash32
-
-    hashed = grams.select(
-        "id", "n_grams", "pos", md5_hash32(F.col("gram")).alias("__h")
+    n = F.size("__hashes")
+    wins = (
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1))),
+                lambda i: F.array_min(F.slice(F.col("__hashes"), i, w)),
+            ),
+        )
+        .when(n > 0, F.array(F.array_min("__hashes")))
+        .otherwise(F.array().cast("array<long>"))
     )
-    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
-    fp = hashed.withColumn("fingerprint", F.min("__h").over(win)).filter(
-        F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0))
+    return (
+        h.select("id", F.array_distinct(wins).alias("__fps"))
+        .select(
+            F.col("id").alias(id_col),
+            F.explode_outer("__fps").alias("fingerprint"),
+        )
+        .filter(F.col("fingerprint").isNotNull())
     )
-    return fp.select(F.col("id").alias(id_col), "fingerprint").distinct()
 
 
 def winnowing_overlap_pairs(

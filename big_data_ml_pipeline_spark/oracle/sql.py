@@ -2129,6 +2129,46 @@ FROM shared GROUP BY source_a, source_b
 """
 
 
+_Q130_SQL = f"""
+WITH shd AS (
+  SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
+), sh AS (
+  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM shd
+), sig AS (
+  SELECT id, [{_MINHASH_MINS}] AS sig
+  FROM sh GROUP BY id
+), banded AS (
+  SELECT id, sig, bd, array_to_string(sig[(bd*4+1):(bd*4+4)], ',') AS bkey
+  FROM sig, range(16) t(bd)
+), cand AS (
+  SELECT DISTINCT id_a, id_b, est_jaccard FROM (
+    SELECT a.id AS id_a, b.id AS id_b,
+      CAST(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) AS DOUBLE)
+        / 64.0 AS est_jaccard
+    FROM banded a JOIN banded b
+      ON a.bd = b.bd AND a.bkey = b.bkey AND a.id < b.id)
+  WHERE est_jaccard >= 0.2
+), sizes AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY id
+), inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN shd a ON a.id = c.id_a
+  JOIN shd b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b, c.est_jaccard,
+  CAST(COALESCE(n_inter, 0) AS DOUBLE)
+    / (na.n + nb.n - COALESCE(n_inter, 0)) AS exact_jaccard,
+  abs(c.est_jaccard - CAST(COALESCE(n_inter, 0) AS DOUBLE)
+      / (na.n + nb.n - COALESCE(n_inter, 0))) AS abs_err
+FROM cand c
+LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+JOIN sizes na ON na.id = c.id_a
+JOIN sizes nb ON nb.id = c.id_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2247,5 +2287,6 @@ def oracle_sql() -> dict[str, str]:
         "q127_winnowing_pairs": _Q127_SQL,
         "q128_cluster_balanced_sample": _Q128_SQL,
         "q129_source_divergence": _Q129_SQL,
+        "q130_sketch_calibration": _Q130_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -1131,3 +1131,31 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
     kept1 = {r["vec_id"] for r in rows_all if r["is_kept"]}
     kept2 = {r["vec_id"] for r in out2.collect() if r["is_kept"]}
     assert kept1 == kept2
+
+
+def test_minhash_calibration_exact_on_identical_docs(spark):
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                       # identical: est == exact == 1.0
+            (3, base + " extra tail words"), # high-overlap near-dup
+            (4, "totally different text about nothing shared here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup_ops.minhash_calibration(df, min_est=0.2).collect()
+    }
+    assert out[(1, 2)]["est_jaccard"] == 1.0
+    assert out[(1, 2)]["exact_jaccard"] == 1.0
+    assert out[(1, 2)]["abs_err"] == 0.0
+    near = out[(1, 3)]
+    # Doc 1: 10 tokens -> 8 shingles, all contained in doc 3's 11
+    # shingles -> exact Jaccard = 8 / (8 + 11 - 8) = 8/11.
+    assert abs(near["exact_jaccard"] - 8 / 11) < 1e-12
+    assert abs(near["abs_err"] - abs(near["est_jaccard"] - 8 / 11)) < 1e-12
+    assert all(k[1] != 4 and k[0] != 4 for k in out)
