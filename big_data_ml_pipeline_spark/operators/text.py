@@ -1058,8 +1058,12 @@ def bm25_topk(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("sum_dl"),
     )
+    # explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    # would push size(__hits) > 0 below the projection with the whole
+    # tokenizer+filter expression re-inlined (see winnowing_fingerprints).
     tf = (
-        base.select("id", "dl", F.explode("__hits").alias("term"))
+        base.select("id", "dl", F.explode_outer("__hits").alias("term"))
+        .filter(F.col("term").isNotNull())
         .groupBy("id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
