@@ -666,9 +666,15 @@ def simhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 #: Mersenne prime for the universal hash family (a·h + b) mod P.
-#: h < 2^32 and a < 2^30 keep a·h + b < 2^63 — no overflow under ANSI
-#: arithmetic on either engine, so results are bit-exact BIGINTs.
-MINHASH_PRIME = (1 << 61) - 1
+#: h < 2^32 and a < P < 2^31 keep a·h + b < 2^63 — no overflow under
+#: ANSI arithmetic on either engine, so results are bit-exact BIGINTs.
+#: P must be SMALL relative to a·h (here a·h/P ~ 2^31): an earlier
+#: P = 2^61 − 1 made a·h + b wrap AT MOST ONCE, a near-monotone
+#: transform under which most of the 64 functions picked the same
+#: argmin shingle — signatures matched 64/64 for docs sharing one
+#: shingle and est_jaccard was no estimator at all (caught by the q130
+#: calibration surface; max |est−exact| was 0.99, now ≤ ~0.15).
+MINHASH_PRIME = (1 << 31) - 1
 
 
 def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]]:
@@ -678,7 +684,7 @@ def minhash_params(num_hashes: int = 64, seed: int = 42) -> list[tuple[int, int]
 
     rng = random.Random(seed)
     return [
-        (rng.randrange(1, 1 << 30) | 1, rng.randrange(0, 1 << 31))
+        (rng.randrange(1, MINHASH_PRIME) | 1, rng.randrange(0, MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
 

@@ -279,3 +279,43 @@ def test_semantic_decontamination_exhaustive_and_probe_subset(spark, emb_and_que
     flagged_full = {v for v, (_, c) in full.items() if c == 0}
     assert flagged_probe <= flagged_full
     assert flagged_full, "corpus must contain at least one contaminated vector"
+
+
+def test_winnowing_recall_vs_exact_jaccard(spark):
+    """Winnowing overlap pairs vs the exact jaccard baseline on sf0.01
+    documents: every true near-dup pair (jaccard ≥ 0.5 on 3-token
+    shingles) shares a long common token run, and the winnowing
+    guarantee (any shared run of w+k-1 = 8 tokens yields a shared
+    fingerprint) makes recall exactly 1.0 — positional overlap
+    subsumes bag overlap at this similarity level."""
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_ops.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert len(exact) >= 10
+    winnow = {
+        (r["id_a"], r["id_b"])
+        for r in text_ops.winnowing_overlap_pairs(
+            docs, k=4, w=5, min_shared=2
+        ).collect()
+    }
+    hit = exact & winnow
+    rec = len(hit) / len(exact)
+    print(f"Winnowing vs exact jaccard: {len(exact)} true pairs, recall {rec:.3f}")
+    assert rec >= 0.95
+
+
+def test_sketch_calibration_error_bound(spark):
+    """The q130 calibration surface itself: over every banded candidate
+    at sf0.01, the 64-hash MinHash estimate stays within 0.2 of the
+    exact Jaccard everywhere and within 0.06 on average — the sketch is
+    usable as a THRESHOLD, not just a rank."""
+    docs = load_table(spark, SF001, "documents").select("doc_id", "text")
+    rows = dedup_ops.minhash_calibration(docs, min_est=0.2).collect()
+    assert len(rows) >= 10
+    errs = [r["abs_err"] for r in rows]
+    assert max(errs) <= 0.2
+    assert sum(errs) / len(errs) <= 0.06
