@@ -2326,6 +2326,16 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q131_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture design (setops.temperature_mix_report,
+    alpha=0.3, budget=10k): per-source natural share, tempered share
+    q ∝ p^alpha, and the pure-integer document quota — the
+    multilingual-LM sampling recipe as an engine query. Engine-exact:
+    quantized pow, BIGINT normalizer, integer DIV quota."""
+    docs = load_table(spark, sf_dir, "documents")
+    return set_ops.temperature_mix_report(docs, alpha=0.3, budget=10_000)
+
+
 def q130_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash calibration (dedup.minhash_calibration): every banded
     candidate pair with its sketch ESTIMATE, EXACT shingle Jaccard, and
@@ -2462,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_cluster_balanced_sample": q128_cluster_balanced_sample,
         "q129_source_divergence": q129_source_divergence,
         "q130_sketch_calibration": q130_sketch_calibration,
+        "q131_temperature_mix": q131_temperature_mix,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -260,3 +260,57 @@ def proportional_mix(
         .filter(F.col("__rn") <= wmap[F.col(group_col)] * F.col("__scale"))
         .drop("__rn", "__scale")
     )
+
+
+def temperature_mix_report(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.3,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mixture design (the multilingual-LM sampling
+    recipe: draw group g with probability q_g ∝ p_g^α, α < 1 upweights
+    the tail): per-group natural share p, tempered share q, and the
+    integer document quota a ``budget``-sized sample should take from
+    each group (capped at the group's size). The quota column is what
+    :func:`proportional_mix` / :func:`deterministic_class_cap` then
+    materialize.
+
+    Determinism: p^α is quantized to integer nano-units per group; the
+    normalizer is a BIGINT sum; the quota is PURE integer arithmetic
+    (``(budget · w_q) DIV Σw_q``) — no float ever crosses an aggregate
+    or a floor boundary, so the report is engine-exact.
+
+    Scale shape: ONE map-side-combined count shuffle over the corpus;
+    everything after runs on a |groups|-row table (two scalar
+    broadcasts). At 100 TB this is the cheapest query in the pipeline.
+    """
+    c = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    t = c.select(F.sum("n_docs").cast("long").alias("n_total"))
+    w = c.crossJoin(F.broadcast(t)).select(
+        "g",
+        "n_docs",
+        "n_total",
+        F.round(
+            F.pow(F.col("n_docs").cast("double") / F.col("n_total"), F.lit(alpha))
+            * 1e9
+        )
+        .cast("long")
+        .alias("w_q"),
+    )
+    s = w.select(F.sum("w_q").cast("long").alias("sum_w"))
+    return (
+        w.crossJoin(F.broadcast(s))
+        .select(
+            F.col("g").alias(group_col),
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("p"),
+            (F.col("w_q").cast("double") / F.col("sum_w")).alias("q"),
+            F.least(
+                F.col("n_docs"),
+                F.expr(f"({budget} * w_q) DIV sum_w"),
+            ).alias("quota"),
+        )
+    )

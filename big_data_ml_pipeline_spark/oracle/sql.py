@@ -2169,6 +2169,25 @@ JOIN sizes nb ON nb.id = c.id_b
 """
 
 
+_Q131_SQL = """
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM c),
+w AS (
+  SELECT source, n_docs, n_total,
+         CAST(ROUND(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3)
+              * 1000000000.0) AS BIGINT) AS w_q
+  FROM c CROSS JOIN t),
+s AS (SELECT CAST(SUM(w_q) AS BIGINT) AS sum_w FROM w)
+SELECT source, n_docs,
+  CAST(n_docs AS DOUBLE) / n_total AS p,
+  CAST(w_q AS DOUBLE) / sum_w AS q,
+  least(n_docs, (10000 * w_q) // sum_w) AS quota
+FROM w CROSS JOIN s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2288,5 +2307,6 @@ def oracle_sql() -> dict[str, str]:
         "q128_cluster_balanced_sample": _Q128_SQL,
         "q129_source_divergence": _Q129_SQL,
         "q130_sketch_calibration": _Q130_SQL,
+        "q131_temperature_mix": _Q131_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -172,3 +172,22 @@ def test_write_training_shards_orders_rows_in_files(spark, tmp_path):
         assert poss == sorted(poss) == list(range(1, len(rows) + 1))
         total += len(rows)
     assert total == df.count()
+
+
+def test_temperature_mix_report_quotas(spark):
+    """alpha=1 reproduces natural proportions; alpha=0 flattens to the
+    uniform mixture; quotas never exceed group sizes and their sum
+    stays within |groups| of the budget (integer flooring)."""
+    from big_data_ml_pipeline_spark.operators.setops import temperature_mix_report
+
+    rows = [(i, "big") for i in range(90)] + [(i + 90, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    nat = {r["source"]: r for r in temperature_mix_report(df, alpha=1.0, budget=50).collect()}
+    assert abs(nat["big"]["q"] - 0.9) < 1e-9 and nat["big"]["quota"] == 45
+    flat = {r["source"]: r for r in temperature_mix_report(df, alpha=0.0, budget=50).collect()}
+    assert abs(flat["big"]["q"] - 0.5) < 1e-9
+    assert flat["small"]["quota"] == 10  # capped at group size
+    mid = {r["source"]: r for r in temperature_mix_report(df, alpha=0.3, budget=50).collect()}
+    assert 0.5 < mid["big"]["q"] < 0.9  # tempering sits between the extremes
+    for r in mid.values():
+        assert r["quota"] <= r["n_docs"]
