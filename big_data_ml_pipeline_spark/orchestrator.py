@@ -92,6 +92,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # shard) as the final step.
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None},
+    # Streaming EMBEDDING ingestion (ingest_embeddings_stream):
+    # centroids None -> the deterministic q43 kit at (dim, n_cells);
+    # threshold is the cosine twin cut-off; compact_every rewrites the
+    # landed corpus range-clustered on cell every N batches.
+    "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
+                   "ingest_dim": 64, "ingest_n_cells": 16,
+                   "ingest_compact_every": None},
 }
 
 
@@ -382,6 +389,33 @@ class PipelineOrchestrator:
             near_dup_threshold=c["ingest_near_dup_threshold"],
             apply_quality=rules is not None,
             **(rules or {}),
+        )
+
+    def ingest_embeddings_stream(self, in_dir: str, out_dir: str,
+                                 checkpoint_dir: str,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding"):
+        """Config-driven streaming embedding ingestion: replay
+        embedding shards from ``in_dir`` through streaming/embeddings
+        with the ``embeddings.ingest_*`` config (cosine threshold,
+        centroid kit, compaction cadence). Runs to completion
+        (Trigger.AvailableNow) and returns the finished query."""
+        from .operators.similarity import deterministic_ivf_centroids
+        from .streaming.embeddings import (
+            ingest_embeddings_stream,
+            read_embeddings_stream,
+        )
+
+        c = self.config["embeddings"]
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        stream = read_embeddings_stream(self.spark, in_dir)
+        return ingest_embeddings_stream(
+            stream, out_dir, checkpoint_dir,
+            centroids=cents, threshold=c["ingest_threshold"],
+            id_col=id_col, vec_col=vec_col,
+            compact_every=c["ingest_compact_every"],
         )
 
     # -- predict ------------------------------------------------------------

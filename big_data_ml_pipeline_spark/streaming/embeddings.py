@@ -1,0 +1,194 @@
+"""Streaming embedding ingestion with semantic dedup (north-star
+extension).
+
+The embedding-space sibling of :mod:`.corpus`: replay embedding shards
+as a stream and land only vectors that are neither exact nor SEMANTIC
+(cosine) duplicates of anything already ingested — SemDeDup on the
+ingest path instead of as a batch pass. The landed table IS the dedup
+state: every row carries its IVF cell (the q43 deterministic centroid
+kit), so the cross-batch screen is ONE cell-keyed equi-join of the
+batch against the landed rows of the same cells — never an all-pairs
+scan, at any corpus size.
+
+This is the 100 TB design: new embedding shards arrive continuously →
+broadcast-literal cell assignment at wire speed (map-only) → exact
+anti-join on the vector fingerprint → per-cell cosine screen against
+the landed corpus → append survivors. State lives in the output table
+itself (no streaming state store), so a restart is free and the dedup
+horizon is the whole corpus.
+
+Reference parity: none — the reference has no streaming code at all
+(SURVEY.md §2i); this composes our own IVF assignment + semdedup
+operators with Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity, to_double_array
+from ..operators.similarity import ivf_index, semdedup
+from ..session import apply_runtime_confs
+
+
+def embeddings_file_schema(spark: SparkSession, path_dir: str):
+    """Probe parquet footers for the stream schema (driver-side batch
+    read, no job) — same vintage-proofing as corpus.documents_file_schema."""
+    apply_runtime_confs(spark)
+    emb_file = os.path.join(path_dir, "embeddings.parquet")
+    target = emb_file if os.path.exists(emb_file) else path_dir
+    return spark.read.parquet(target).schema
+
+
+def read_embeddings_stream(
+    spark: SparkSession, path_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream replaying embedding shards as they land."""
+    apply_runtime_confs(spark)
+    emb_only = os.path.exists(os.path.join(path_dir, "embeddings.parquet"))
+    return (
+        spark.readStream.schema(embeddings_file_schema(spark, path_dir))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "embeddings.parquet" if emb_only else "*.parquet")
+        .parquet(path_dir)
+    )
+
+
+def ingest_embeddings_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    compact_every: int | None = None,
+):
+    """Append only semantically-novel vectors to the landed IVF corpus.
+
+    Per micro-batch (inside foreachBatch, batch semantics):
+     1. exact dedup — the vector fingerprint is ``xxhash64`` of the
+        raw float array; min-id per fingerprint survives within the
+        batch, and fingerprints already landed are anti-joined out.
+        Running the EXACT screen first also makes at-least-once replay
+        safe: a replayed batch's landed rows are removed here, BEFORE
+        the semantic screen could see them as their own cosine-1.0
+        twins and drop them without them being truly landed twice.
+     2. within-batch semantic dedup — :func:`~..operators.similarity.
+        semdedup` keeps the min-id representative of every cosine-
+        ``threshold`` clique per IVF cell.
+     3. cross-batch semantic screen — batch survivors join the LANDED
+        rows of the same cell; any batch vector with a landed cosine-
+        ``threshold`` neighbour is dropped. The landed table is the
+        index: (id, v, cell), one cell-keyed equi-join, no side state.
+     4. append survivors to ``out_dir`` (single write — nothing else
+        to keep consistent).
+
+    With ``compact_every=N`` the landed table is rewritten every N
+    batches range-clustered on ``cell`` (one file set per cell range),
+    so per-cell probes prune files by footer min/max instead of
+    reading every appended fragment — the same fragmentation bound as
+    the MinHash index compaction.
+
+    Returns the finished StreamingQuery (Trigger.AvailableNow).
+    """
+    from pyspark.errors import AnalysisException
+
+    def _read_state(spark, path):
+        if not os.path.exists(path):
+            return None
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+                return None
+            raise
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tagged = batch_df.withColumn("fp", F.xxhash64(F.col(vec_col)))
+        cached = tagged.persist()
+        try:
+            # 1: exact dedup, within-batch then vs landed.
+            keep = cached.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            batch = cached.join(keep, on=[id_col, "fp"], how="left_semi")
+            landed = _read_state(spark, out_dir)
+            if landed is not None:
+                batch = batch.join(landed.select("fp"), on="fp", how="left_anti")
+            # 2: within-batch semantic dedup (min-id rep per clique).
+            kept_ids = (
+                semdedup(batch, centroids, threshold=threshold,
+                         id_col=id_col, vec_col=vec_col)
+                .filter(F.col("is_kept") == 1)
+                .select(id_col)
+            )
+            batch = batch.join(kept_ids, on=id_col, how="left_semi")
+            # 3: cross-batch semantic screen via the landed cells.
+            assigned = ivf_index(batch, centroids, id_col=id_col, vec_col=vec_col)
+            assigned = assigned.join(
+                batch.select(id_col, "fp"), on=id_col
+            )
+            if landed is not None:
+                near = (
+                    assigned.join(
+                        landed.select(
+                            F.col("cell"), F.col("v").alias("__lv")
+                        ),
+                        on="cell",
+                    )
+                    .filter(
+                        cosine_similarity(F.col("v"), F.col("__lv"))
+                        >= F.lit(threshold)
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                assigned = assigned.join(near, on=id_col, how="left_anti")
+            # 4: single append — the survivors ARE the new state.
+            survivors = assigned.select(id_col, "v", "cell", "fp").localCheckpoint(
+                eager=True
+            )
+            survivors.write.mode("append").parquet(out_dir)
+            if compact_every and (batch_id + 1) % compact_every == 0 and os.path.exists(out_dir):
+                compact_embedding_corpus(spark, out_dir)
+        finally:
+            cached.unpersist()
+
+    query = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
+def compact_embedding_corpus(
+    spark: SparkSession, path: str, num_files: int | None = None
+) -> None:
+    """Rewrite the landed embedding corpus range-clustered on ``cell``
+    so per-cell probes and the streaming screen's cell join prune files
+    by parquet footer min/max — appends fragment the table one file per
+    batch otherwise. Atomic-ish swap: write to a sibling, move the old
+    dir aside, rename, drop the old (the corpus.compaction pattern)."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = num_files or max(2, spark.sparkContext.defaultParallelism // 4)
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        df.repartitionByRange(n, F.col("cell"))
+        .sortWithinPartitions("cell")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__precompact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

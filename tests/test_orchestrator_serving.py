@@ -484,3 +484,32 @@ def test_prepare_text_corpus_mix_and_shards(spark):
     assert {r["shard"] for r in got} <= set(range(4))
     rerun = orch.prepare_text_corpus(df.repartition(5)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, rerun))
+
+
+def test_orchestrator_ingest_embeddings_stream(spark, tmp_path):
+    """Config round-trip for streaming embedding ingestion: threshold
+    and centroid kit flow from embeddings config into
+    streaming/embeddings, landing only semantically-novel vectors."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, e1, 0), (2, e1, 0), (3, [0.0, 1.0, 0.0, 0.0], 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    orch = PipelineOrchestrator(
+        config={"embeddings": {"ingest_threshold": 0.9,
+                               "ingest_centroids": cents}},
+        spark=spark,
+    )
+    orch.ingest_embeddings_stream(
+        str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    landed = sorted(
+        r["vec_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert landed == [1, 3]  # 2 is an exact duplicate of 1

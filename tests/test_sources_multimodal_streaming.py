@@ -791,3 +791,100 @@ def test_write_jsonl_shards_roundtrip_and_layout(spark, tmp_path):
     a = {(r["shard"], r["pos"], r["doc_id"]) for r in spark.read.json(out).collect()}
     b = {(r["shard"], r["pos"], r["doc_id"]) for r in spark.read.json(out2).collect()}
     assert a == b
+
+
+def test_streaming_embedding_ingestion_semantic_dedup(spark, tmp_path):
+    """Streaming SemDeDup: exact duplicates drop via the vector
+    fingerprint, within-batch cosine twins collapse to the min-id
+    representative, cross-batch twins drop against the landed
+    cell-tagged corpus, and a replayed shard (same vectors, new file)
+    lands nothing."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+    def unit(*xs):
+        import math as m
+        n = m.sqrt(sum(x * x for x in xs))
+        return [float(x / n) for x in xs]
+
+    e1 = unit(1.0, 0.0, 0.0, 0.0)
+    e2 = unit(0.0, 1.0, 0.0, 0.0)
+    e1_near = unit(1.0, 0.05, 0.0, 0.0)   # cos ~0.999 with e1
+    e3 = unit(0.0, 0.0, 1.0, 0.0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shard1 = spark.createDataFrame(
+        [(1, e1, 0), (2, e2, 0), (3, e1, 0)],  # 3 = exact dup of 1
+        ["vec_id", "embedding", "label"],
+    )
+    shard2 = spark.createDataFrame(
+        [
+            (10, e1, 0),       # exact cross-batch dup -> dropped
+            (11, e1_near, 0),  # semantic cross-batch dup -> dropped
+            (12, e3, 0),       # novel -> lands
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    shard3 = spark.createDataFrame(  # full replay of shard1's vectors
+        [(20, e1, 0), (21, e2, 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    for i, shard in enumerate([shard1, shard2, shard3]):
+        p = str(in_dir / f"shard{i}.parquet")
+        shard.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = se.read_embeddings_stream(spark, str(in_dir))
+    assert stream.isStreaming
+    se.ingest_embeddings_stream(
+        stream, out_dir, ckpt, centroids=cents, threshold=0.95
+    )
+    landed = spark.read.parquet(out_dir)
+    assert set(landed.columns) == {"vec_id", "v", "cell", "fp"}
+    got = sorted(r["vec_id"] for r in landed.collect())
+    assert got == [1, 2, 12]
+    # Cells are the argmax assignment of the deterministic centroids.
+    cells = {r["vec_id"]: r["cell"] for r in landed.collect()}
+    assert cells == {1: 0, 2: 1, 12: 2}
+
+
+def test_streaming_embedding_compaction_preserves_state(spark, tmp_path):
+    """compact_every rewrites the landed corpus range-clustered on
+    cell; the surviving set and the post-compaction screen behavior
+    are unchanged."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+    dim = 4
+    vecs = [(i, [1.0 if j == i % dim else 0.1 * i for j in range(dim)], 0)
+            for i in range(8)]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(4):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(vecs[i * 2:(i + 1) * 2],
+                              ["vec_id", "embedding", "label"]
+                              ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in_dir)), out_a,
+        str(tmp_path / "cka"), centroids=cents, threshold=0.98,
+    )
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in_dir)), out_b,
+        str(tmp_path / "ckb"), centroids=cents, threshold=0.98,
+        compact_every=2,
+    )
+    a = sorted((r["vec_id"], r["cell"]) for r in spark.read.parquet(out_a).collect())
+    b = sorted((r["vec_id"], r["cell"]) for r in spark.read.parquet(out_b).collect())
+    assert a == b
+    assert len(os.listdir(out_b)) <= len(os.listdir(out_a))
