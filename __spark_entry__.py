@@ -2326,6 +2326,20 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q132_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-document contamination audit
+    (dedup.eval_contamination_report) — the reverse view of q105:
+    which benchmark items are already burned by the training corpus,
+    their compromised n-gram fraction, and how many distinct training
+    documents touch them. Same deterministic eval slice and 5-gram
+    width as q105; the eval side broadcasts, hits are deduplicated
+    AFTER the broadcast match so the corpus-sized stream never takes a
+    distinct."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup_ops.eval_contamination_report(docs, eval_df, n=5, min_hits=1)
+
+
 def q131_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture design (setops.temperature_mix_report,
     alpha=0.3, budget=10k): per-source natural share, tempered share
@@ -2473,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_source_divergence": q129_source_divergence,
         "q130_sketch_calibration": q130_sketch_calibration,
         "q131_temperature_mix": q131_temperature_mix,
+        "q132_eval_contamination": q132_eval_contamination,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1255,3 +1255,71 @@ def minhash_calibration(
         exact.alias("exact_jaccard"),
         F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
     )
+
+
+def eval_contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The reverse view of :func:`ngram_contamination`: per EVAL
+    document, how compromised it is by the training corpus — distinct
+    n-gram count, how many of those n-grams occur anywhere in training,
+    the compromised fraction, and how many DISTINCT training documents
+    share at least one n-gram. ``ngram_contamination`` answers "which
+    training docs must I drop"; this answers "which benchmark items are
+    already burned and by how much" — the audit table a decontamination
+    run reports.
+
+    Scale shape: the eval side (benchmark-sized) collapses to distinct
+    per-doc n-grams and is BROADCAST onto the training gram stream, so
+    the 100 TB side is explode → broadcast semi-match, and only the
+    matching (eval_id, gram, train_id) hits — bounded by eval size ×
+    contamination, not corpus size — are deduplicated and aggregated.
+    No full train-side distinct ever happens.
+    """
+    ev_base = eval_df.select(
+        F.col(id_col).alias("eid"),
+        _lower_tokens(F.col(text_col)).alias("__toks"),
+    ).select("eid", shingles_from_tokens(F.col("__toks"), n).alias("__grams"))
+    ev_docs = ev_base.select(
+        "eid", F.size("__grams").cast("long").alias("n_grams")
+    )
+    ev_grams = ev_base.select("eid", F.explode("__grams").alias("gram"))
+    tr_grams = (
+        _ensure_parallelism(train)
+        .select(
+            F.col(id_col).alias("tid"),
+            _lower_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select("tid", F.explode_outer(shingles_from_tokens(F.col("__toks"), n)).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    hits = (
+        tr_grams.join(F.broadcast(ev_grams), "gram")
+        .select("eid", "gram", "tid")
+        .distinct()
+    )
+    agg = hits.groupBy("eid").agg(
+        F.countDistinct("gram").cast("long").alias("hit_grams"),
+        F.countDistinct("tid").cast("long").alias("n_train_docs"),
+    )
+    return (
+        ev_docs.join(agg, "eid", "left")
+        .select(
+            F.col("eid").alias(id_col),
+            "n_grams",
+            F.coalesce("hit_grams", F.lit(0)).cast("long").alias("hit_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("hit_grams", F.lit(0)).cast("double") / F.col("n_grams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("hit_frac"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            (F.coalesce("hit_grams", F.lit(0)) >= min_hits).alias("compromised"),
+        )
+    )

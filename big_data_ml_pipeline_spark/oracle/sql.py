@@ -2188,6 +2188,35 @@ FROM w CROSS JOIN s
 """
 
 
+_Q132_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+g AS (
+  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
+ev_docs AS (
+  SELECT doc_id AS eid, CAST(len(grams) AS BIGINT) AS n_grams
+  FROM g WHERE doc_id % 20 = 0),
+ev_g AS (
+  SELECT doc_id AS eid, unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+tr_g AS (
+  SELECT doc_id AS tid, unnest(grams) AS gram FROM g),
+hits AS (
+  SELECT DISTINCT eid, gram, tid FROM tr_g JOIN ev_g USING (gram)),
+agg AS (
+  SELECT eid, CAST(COUNT(DISTINCT gram) AS BIGINT) AS hit_grams,
+         CAST(COUNT(DISTINCT tid) AS BIGINT) AS n_train_docs
+  FROM hits GROUP BY eid)
+SELECT eid AS doc_id, n_grams,
+  COALESCE(hit_grams, 0) AS hit_grams,
+  CASE WHEN n_grams > 0
+       THEN CAST(COALESCE(hit_grams, 0) AS DOUBLE) / n_grams
+       ELSE 0.0 END AS hit_frac,
+  COALESCE(n_train_docs, 0) AS n_train_docs,
+  COALESCE(hit_grams, 0) >= 1 AS compromised
+FROM ev_docs LEFT JOIN agg USING (eid)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2308,5 +2337,6 @@ def oracle_sql() -> dict[str, str]:
         "q129_source_divergence": _Q129_SQL,
         "q130_sketch_calibration": _Q130_SQL,
         "q131_temperature_mix": _Q131_SQL,
+        "q132_eval_contamination": _Q132_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
