@@ -147,3 +147,73 @@ def write_jsonl_shards(
     if compression:
         writer = writer.option("compression", compression)
     writer.format("json").save(path)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits_per_col: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Multi-column interleaved (Z-order) clustering: the
+    :func:`write_range_clustered` idea for MORE THAN ONE high-
+    cardinality predicate column. Range clustering makes files disjoint
+    in ONE column; a filter on any other column still touches every
+    file. Z-ordering quantile-buckets each column, interleaves the
+    bucket bits into a Morton code, and range-clusters on the code —
+    every listed column's values are then locally concentrated per
+    file, so parquet footer min/max prunes files for predicates on ANY
+    of them (the Delta/Iceberg OPTIMIZE ZORDER layout, expressed as a
+    plain Spark write).
+
+    Quantile bucketing (not fixed-width) keeps buckets balanced under
+    skew; the cut points come from one ``approxQuantile`` pass
+    (driver-side array of 2^bits values per column — KBs) and are
+    embedded as broadcast literals, so the bucket assignment is
+    map-only. The write is the same repartitionByRange +
+    sortWithinPartitions shape as range clustering: ONE shuffle.
+
+    NULLs sort to bucket 0 (the first file range), matching
+    repartitionByRange's null placement.
+    """
+    from pyspark.sql import functions as F
+
+    n_buckets = 1 << bits_per_col
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = {
+        c: q
+        for c, q in zip(
+            cols, df.stat.approxQuantile(cols, probs, 0.001)
+        )
+    }
+
+    def bucket(c: str):
+        lit_cuts = F.array(*[F.lit(float(x)) for x in cuts[c]])
+        col = F.col(c).cast("double")
+        return F.when(col.isNull(), F.lit(0)).otherwise(
+            F.size(F.filter(lit_cuts, lambda x: x < col))
+        )
+
+    morton = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        b = bucket(c).cast("long")
+        for i in range(bits_per_col):
+            morton = morton + (
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    tagged = df.withColumn("__z", morton)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        tagged.repartitionByRange(n, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -888,3 +888,59 @@ def test_streaming_embedding_compaction_preserves_state(spark, tmp_path):
     b = sorted((r["vec_id"], r["cell"]) for r in spark.read.parquet(out_b).collect())
     assert a == b
     assert len(os.listdir(out_b)) <= len(os.listdir(out_a))
+
+
+def test_write_zorder_concentrates_both_columns(spark, tmp_path):
+    """Z-order layout: with two independent high-cardinality columns,
+    every file's footer min/max range is materially narrower than the
+    global range on BOTH columns — single-column range clustering
+    leaves the second column spanning ~everything per file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_ml_pipeline_spark.sources.writers import (
+        write_range_clustered,
+        write_zorder,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+
+    def mean_span(path, col, lo, hi):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+
+            def stat(i, which):
+                names = [md.row_group(i).column(j).path_in_schema
+                         for j in range(md.row_group(i).num_columns)]
+                s = md.row_group(i).column(names.index(col)).statistics
+                return s.min if which == "min" else s.max
+
+            cmin = min(stat(i, "min") for i in range(md.num_row_groups))
+            cmax = max(stat(i, "max") for i in range(md.num_row_groups))
+            spans.append((cmax - cmin) / (hi - lo))
+        return sum(spans) / len(spans)
+
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+
+    z_dir = str(tmp_path / "z")
+    write_zorder(li, z_dir, ["l_orderkey", "l_partkey"],
+                 bits_per_col=4, num_files=16)
+    r_dir = str(tmp_path / "r")
+    write_range_clustered(li, r_dir, "l_orderkey", num_files=16)
+
+    # Both columns concentrate under Z-order...
+    assert mean_span(z_dir, "l_orderkey", lo_o, hi_o) < 0.5
+    assert mean_span(z_dir, "l_partkey", lo_p, hi_p) < 0.5
+    # ...while range clustering concentrates only its own column.
+    assert mean_span(r_dir, "l_orderkey", lo_o, hi_o) < 0.2
+    assert mean_span(r_dir, "l_partkey", lo_p, hi_p) > 0.8
+    # No rows lost, helper column dropped.
+    back = spark.read.parquet(z_dir)
+    assert back.count() == li.count() and set(back.columns) == {"l_orderkey", "l_partkey"}
