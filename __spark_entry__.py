@@ -2326,6 +2326,18 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q133_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram LM with stupid backoff (text.trigram_backoff_loglik,
+    Brants et al. 2007): the model counts on the train slice
+    (doc_id % 20 != 0), every document scored HELD-OUT — eval docs hit
+    genuinely unseen grams, so the 0.4-per-level backoff actually
+    fires (unlike q125's self-scored bigram). The production-shaped
+    web-LM quality score: quantized per-position terms keep it
+    hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.trigram_backoff_loglik(docs, F.col("doc_id") % 20 != 0)
+
+
 def q132_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-EVAL-document contamination audit
     (dedup.eval_contamination_report) — the reverse view of q105:
@@ -2488,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_sketch_calibration": q130_sketch_calibration,
         "q131_temperature_mix": q131_temperature_mix,
         "q132_eval_contamination": q132_eval_contamination,
+        "q133_trigram_backoff": q133_trigram_backoff,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1313,3 +1313,154 @@ def source_divergence(
             / 1e9
         ).alias("jsd_bits"),
     )
+
+
+def trigram_backoff_loglik(
+    df: DataFrame,
+    train_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Trigram LM with stupid backoff (Brants et al. 2007) — the web-
+    scale LM scoring recipe: the model is counted on the TRAIN slice
+    (``train_pred``), every document is scored held-out, and unseen
+    higher-order grams back off with a fixed ``backoff`` penalty per
+    level instead of a normalized discount:
+
+      S(w|u v) = cnt(uvw)/cnt(uv)          if the trigram was seen
+               = 0.4·cnt(vw)/cnt(v)        elif the bigram was seen
+               = 0.4²·cnt(w)/N             elif the unigram was seen
+               = 0.4³/N                    (OOV floor)
+
+    with the analogous one- and two-level rules for the first two
+    positions. Because the model is held-out, backoff genuinely fires
+    on eval-side novel grams (unlike q125's self-scored bigram where
+    every observed gram is in the model). Per-position scores are
+    quantized to integer micro-units (the q106 pattern) so the
+    per-document mean is engine-exact.
+
+    Scale shape: the three count tables come from ONE exploded train
+    stream each (vocab-bounded outputs); context counts ride each
+    table via a prefix join at vocab scale. Scoring is the corpus-
+    sized position stream (one struct per token, map-only) left-joined
+    against the three BROADCAST score tables, then ONE id-keyed
+    integer-partial shuffle. At 100 TB drop the broadcast hints and
+    the same plan degrades to shuffled equi-joins.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        train_pred.alias("__is_train"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    train_toks = base.filter(F.col("__is_train")).select("__toks")
+
+    # Three independent vocab builds, NOT the q125 single (kind, key)
+    # stream: A/B'd at sf0.1 — the tagged-union stream was ~35% SLOWER
+    # warm (3.9 s vs 2.9 s; the concat of three struct arrays per doc
+    # plus one fat string-struct shuffle costs more than three narrow
+    # parallel shuffles). q125's lesson applied to a JOIN CHAIN of
+    # per-doc partials, not independent count builds.
+    def grams(n):
+        if n == 1:
+            src = train_toks.select(F.explode_outer("__toks").alias("key"))
+        else:
+            src = train_toks.select(
+                gram_array(F.col("__toks"), n).alias("__g")
+            ).select(F.explode_outer("__g").alias("key"))
+        return (
+            src.filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+
+    uni = grams(1)
+    bi = grams(2)
+    tri = grams(3)
+    n_total = uni.select(F.sum("cnt").cast("long").alias("n_total"))
+    # Context counts ride each table: tri carries cnt(prefix bigram),
+    # bi carries cnt(first unigram). Vocab-scale joins.
+    tri_t = tri.withColumn(
+        "__ctx", F.regexp_replace("key", r" [^ ]+$", "")
+    ).join(
+        F.broadcast(bi.select(F.col("key").alias("__ctx"), F.col("cnt").alias("ctx_cnt"))),
+        "__ctx",
+    ).select(F.col("key").alias("k3"), F.col("cnt").alias("tri_cnt"),
+             F.col("ctx_cnt").alias("tri_ctx"))
+    bi_t = bi.withColumn(
+        "__ctx", F.split_part(F.col("key"), F.lit(" "), F.lit(1))
+    ).join(
+        F.broadcast(uni.select(F.col("key").alias("__ctx"), F.col("cnt").alias("ctx_cnt"))),
+        "__ctx",
+    ).select(F.col("key").alias("k2"), F.col("cnt").alias("bi_cnt"),
+             F.col("ctx_cnt").alias("bi_ctx"))
+    uni_t = uni.crossJoin(F.broadcast(n_total)).select(
+        F.col("key").alias("k1"), F.col("cnt").alias("uni_cnt"), "n_total"
+    )
+
+    # Position stream: one struct per token with its (k3, k2, k1) keys;
+    # k3/k2 are NULL at the first positions.
+    def tok_at(i):
+        return F.element_at(F.col("__toks"), i)
+
+    pos_struct = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+        lambda i: F.struct(
+            F.when(i >= 3, F.concat(tok_at(i - 2), F.lit(" "), tok_at(i - 1),
+                                    F.lit(" "), tok_at(i))).alias("k3"),
+            F.when(i >= 2, F.concat(tok_at(i - 1), F.lit(" "), tok_at(i))).alias("k2"),
+            tok_at(i).alias("k1"),
+        ),
+    )
+    scored = (
+        base.select(
+            "id",
+            F.explode_outer(
+                F.when(F.size("__toks") > 0, pos_struct).otherwise(
+                    F.array().cast(
+                        "array<struct<k3:string,k2:string,k1:string>>"
+                    )
+                )
+            ).alias("s"),
+        )
+        .select("id", "s.k3", "s.k2", "s.k1")
+        .join(F.broadcast(tri_t), "k3", "left")
+        .join(F.broadcast(bi_t), "k2", "left")
+        .join(F.broadcast(uni_t.drop("n_total")), "k1", "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    b1, b2, b3 = backoff, backoff * backoff, backoff ** 3
+    ratio_tri = F.col("tri_cnt").cast("double") / F.col("tri_ctx")
+    ratio_bi = F.col("bi_cnt").cast("double") / F.col("bi_ctx")
+    ratio_uni = F.col("uni_cnt").cast("double") / F.col("n_total")
+    p = (
+        F.when(F.col("k3").isNotNull() & F.col("tri_cnt").isNotNull(), ratio_tri)
+        .when(F.col("k3").isNotNull() & F.col("bi_cnt").isNotNull(),
+              F.lit(b1) * ratio_bi)
+        .when(F.col("k3").isNotNull() & F.col("uni_cnt").isNotNull(),
+              F.lit(b2) * ratio_uni)
+        .when(F.col("k3").isNotNull(), F.lit(b3) / F.col("n_total"))
+        .when(F.col("k2").isNotNull() & F.col("bi_cnt").isNotNull(), ratio_bi)
+        .when(F.col("k2").isNotNull() & F.col("uni_cnt").isNotNull(),
+              F.lit(b1) * ratio_uni)
+        .when(F.col("k2").isNotNull(), F.lit(b2) / F.col("n_total"))
+        .when(F.col("uni_cnt").isNotNull(), ratio_uni)
+        .otherwise(F.lit(b1) / F.col("n_total"))
+    )
+    per_pos = scored.select(
+        "id",
+        F.when(F.col("k1").isNotNull(),
+               F.round(F.log10(p) * 1e6).cast("long")).alias("__q"),
+    )
+    per_doc = per_pos.groupBy("id").agg(
+        F.count("__q").cast("long").alias("n_tokens"),
+        F.coalesce(F.sum("__q"), F.lit(0)).cast("long").alias("__sum_q"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.col("__sum_q").cast("double") / 1e6 / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_logp"),
+    )

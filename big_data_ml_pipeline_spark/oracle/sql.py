@@ -2217,6 +2217,81 @@ FROM ev_docs LEFT JOIN agg USING (eid)
 """
 
 
+def _q133_sql() -> str:
+    """Twin of q133 stupid backoff: train slice doc_id % 20 <> 0, the
+    same CASE priority as the Spark when-chain, and the backoff
+    constants embedded via repr() of the SAME Python floats
+    (0.4² = 0.16000000000000003 — the literal must match bit-for-bit)."""
+    b1, b2, b3 = 0.4, 0.4 * 0.4, 0.4 ** 3
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+trn AS (SELECT ltoks FROM base WHERE doc_id % 20 <> 0),
+uni AS (
+  SELECT t AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(ltoks) AS t FROM trn) GROUP BY t),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM uni),
+big AS (
+  SELECT g AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ltoks) - 1),
+           i -> ltoks[i] || ' ' || ltoks[i + 1])) AS g FROM trn) GROUP BY g),
+trig AS (
+  SELECT g AS key, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ltoks) - 2),
+           i -> ltoks[i] || ' ' || ltoks[i + 1] || ' ' || ltoks[i + 2])) AS g
+    FROM trn) GROUP BY g),
+tri_t AS (
+  SELECT trig.key AS k3, trig.cnt AS tri_cnt, big.cnt AS tri_ctx
+  FROM trig JOIN big ON regexp_replace(trig.key, ' [^ ]+$', '') = big.key),
+bi_t AS (
+  SELECT big.key AS k2, big.cnt AS bi_cnt, uni.cnt AS bi_ctx
+  FROM big JOIN uni ON split_part(big.key, ' ', 1) = uni.key),
+uni_t AS (SELECT key AS k1, cnt AS uni_cnt FROM uni),
+pos AS (
+  SELECT doc_id,
+    CASE WHEN i >= 3
+         THEN ltoks[i-2] || ' ' || ltoks[i-1] || ' ' || ltoks[i] END AS k3,
+    CASE WHEN i >= 2 THEN ltoks[i-1] || ' ' || ltoks[i] END AS k2,
+    ltoks[i] AS k1
+  FROM base, unnest(generate_series(1, len(ltoks))) AS u(i)),
+scored AS (
+  SELECT p.doc_id,
+    CAST(ROUND(log10(CASE
+      WHEN p.k3 IS NOT NULL AND t.tri_cnt IS NOT NULL
+        THEN CAST(t.tri_cnt AS DOUBLE) / t.tri_ctx
+      WHEN p.k3 IS NOT NULL AND b.bi_cnt IS NOT NULL
+        THEN {b1!r} * (CAST(b.bi_cnt AS DOUBLE) / b.bi_ctx)
+      WHEN p.k3 IS NOT NULL AND u.uni_cnt IS NOT NULL
+        THEN {b2!r} * (CAST(u.uni_cnt AS DOUBLE) / n_total)
+      WHEN p.k3 IS NOT NULL THEN {b3!r} / n_total
+      WHEN p.k2 IS NOT NULL AND b.bi_cnt IS NOT NULL
+        THEN CAST(b.bi_cnt AS DOUBLE) / b.bi_ctx
+      WHEN p.k2 IS NOT NULL AND u.uni_cnt IS NOT NULL
+        THEN {b1!r} * (CAST(u.uni_cnt AS DOUBLE) / n_total)
+      WHEN p.k2 IS NOT NULL THEN {b2!r} / n_total
+      WHEN u.uni_cnt IS NOT NULL THEN CAST(u.uni_cnt AS DOUBLE) / n_total
+      ELSE {b1!r} / n_total END) * 1000000.0) AS BIGINT) AS q
+  FROM pos p
+  LEFT JOIN tri_t t ON p.k3 = t.k3
+  LEFT JOIN bi_t b ON p.k2 = b.k2
+  LEFT JOIN uni_t u ON p.k1 = u.k1
+  CROSS JOIN tot),
+agg AS (
+  SELECT doc_id, CAST(COUNT(q) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(q), 0) AS BIGINT) AS sum_q
+  FROM scored GROUP BY doc_id)
+SELECT base.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(n_tokens, 0) > 0
+       THEN CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+       ELSE 0.0 END AS mean_logp
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+
+_Q133_SQL = _q133_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2338,5 +2413,6 @@ def oracle_sql() -> dict[str, str]:
         "q130_sketch_calibration": _Q130_SQL,
         "q131_temperature_mix": _Q131_SQL,
         "q132_eval_contamination": _Q132_SQL,
+        "q133_trigram_backoff": _Q133_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -1159,3 +1159,30 @@ def test_minhash_calibration_exact_on_identical_docs(spark):
     assert abs(near["exact_jaccard"] - 8 / 11) < 1e-12
     assert abs(near["abs_err"] - abs(near["est_jaccard"] - 8 / 11)) < 1e-12
     assert all(k[1] != 4 and k[0] != 4 for k in out)
+
+
+def test_trigram_backoff_hand_computed(spark):
+    """Held-out stupid backoff: seen trigrams use the trigram ratio;
+    unseen grams back off with 0.4 per level down to the OOV floor.
+    Values must equal the hand-computed quantized model exactly."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b c"), (4, "x a b")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text_ops.trigram_backoff_loglik(
+            df, F.col("doc_id") <= 2
+        ).collect()
+    }
+    q = lambda x: round(math.log10(x) * 1e6) / 1e6
+    # Model from docs 1-2: uni a:2 b:2 c:1 d:1 (N=6); bi 'a b':2,
+    # 'b c':1, 'b d':1; tri 'a b c':1, 'a b d':1.
+    exp3 = (q(2 / 6) + q(2 / 2) + q(1 / 2)) / 3
+    assert abs(out[3]["mean_logp"] - exp3) < 1e-9
+    # Doc 4 'x a b': OOV unigram floor, bigram-missing backoff to
+    # uni(a), trigram-missing backoff to 0.4*bi(a b)/uni(a).
+    exp4 = (q(0.4 / 6) + q(0.4 * 2 / 6) + q(0.4 * 2 / 2)) / 3
+    assert abs(out[4]["mean_logp"] - exp4) < 1e-9
+    assert out[4]["mean_logp"] < out[3]["mean_logp"]
+    assert out[3]["n_tokens"] == 3
