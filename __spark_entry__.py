@@ -2326,6 +2326,33 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q134_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse,
+    Cormack et al. 2009): the q126 BM25 lexical top-20 fused with the
+    q28 embedding-cosine top-20 (query = vec_id 0) at k=60 — the RAG
+    retrieval stack's standard score-free combiner. Ranks are integers,
+    each RRF term one IEEE division in fixed order: engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = text_ops.bm25_topk(
+        docs, Q126_BM25_TERMS, k=20, k1=Q126_BM25_K1, b=Q126_BM25_B
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("rank")
+    )
+    sem = sim_ops.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    ws = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    sem_r = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("long").alias("rank"),
+    )
+    fused = sim_ops.rrf_fuse([(lex_r, "lex"), (sem_r, "sem")], k=60)
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
 def q133_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram LM with stupid backoff (text.trigram_backoff_loglik,
     Brants et al. 2007): the model counts on the train slice
@@ -2501,6 +2528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_temperature_mix": q131_temperature_mix,
         "q132_eval_contamination": q132_eval_contamination,
         "q133_trigram_backoff": q133_trigram_backoff,
+        "q134_hybrid_retrieval": q134_hybrid_retrieval,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

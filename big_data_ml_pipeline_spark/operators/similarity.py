@@ -1026,3 +1026,35 @@ def cluster_balanced_sample(
     return assigned.withColumn(
         "is_kept", F.row_number().over(w) <= F.lit(per_cell)
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): combine any number
+    of (id, rank) rankings into ``score = Σ 1/(k+rank)``, the
+    hybrid-retrieval glue between a lexical ranking (BM25, q126) and a
+    semantic one (embedding cosine, q28/q122) that needs no score
+    calibration between systems. Each input contributes its rank as a
+    ``{name}_rank`` column (NULL when the item is absent from that
+    system, contributing 0 to the score).
+
+    Determinism: ranks are small integers and each term is one IEEE
+    division — the sum has a fixed expression order, so the fused
+    score is engine-exact. Scale shape: a chain of full-outer
+    id-equi-joins over TOP-K-sized inputs (retrieval candidates, not
+    corpora) — trivially broadcastable.
+    """
+    out = None
+    for df, name in rankings:
+        side = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        out = side if out is None else out.join(side, on=id_col, how="full_outer")
+    score = None
+    for _, name in rankings:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return out.withColumn("rrf_score", score)

@@ -2292,6 +2292,76 @@ FROM base LEFT JOIN agg USING (doc_id)
 _Q133_SQL = _q133_sql()
 
 
+def _q134_sql() -> str:
+    """Twin of q134 RRF hybrid retrieval: the q126 BM25 chain at k=20,
+    the q28 cosine top-20, integer ranks, 1/(60+rank) terms summed in
+    the (lex, sem) order, full-outer fusion."""
+    terms = ", ".join(f"'{t}'" for t in Q126_BM25_TERMS)
+    k1p1 = repr(Q126_BM25_K1 + 1.0)
+    k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
+    k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
+    return f"""
+WITH base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM documents),
+b2 AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, t -> list_contains([{terms}], t)) AS hits
+  FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+tf AS (
+  SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, dl, unnest(hits) AS term FROM b2) t
+  GROUP BY id, dl, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, n_docs, sum_dl,
+         CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+              AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats),
+scored AS (
+  SELECT id,
+         CAST(ROUND((CAST(idf_q AS DOUBLE) / 1000000.0) * (tf * {k1p1})
+              / (tf + {k1_1mb} + {k1b} * CAST(dl * n_docs AS DOUBLE) / sum_dl)
+              * 1000000.0) AS BIGINT) AS score_q
+  FROM tf JOIN idf USING (term)),
+lex AS (
+  SELECT id AS doc_id, CAST(SUM(score_q) AS BIGINT) AS sum_q
+  FROM scored GROUP BY id
+  ORDER BY CAST(SUM(score_q) AS DOUBLE) / 1000000.0 DESC, id ASC LIMIT 20),
+lex_r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(sum_q AS DOUBLE) / 1000000.0 DESC, doc_id ASC)
+           AS BIGINT) AS lex_rank
+  FROM lex),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM e CROSS JOIN q
+  ORDER BY sim DESC, e.vec_id ASC LIMIT 20),
+sem_r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS BIGINT)
+           AS sem_rank
+  FROM sem)
+SELECT COALESCE(lex_r.doc_id, sem_r.doc_id) AS doc_id,
+       lex_rank, sem_rank,
+       COALESCE(1.0 / (60 + lex_rank), 0.0)
+         + COALESCE(1.0 / (60 + sem_rank), 0.0) AS rrf_score
+FROM lex_r FULL OUTER JOIN sem_r ON lex_r.doc_id = sem_r.doc_id
+ORDER BY rrf_score DESC, COALESCE(lex_r.doc_id, sem_r.doc_id) ASC LIMIT 10
+"""
+
+
+_Q134_SQL = _q134_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2414,5 +2484,6 @@ def oracle_sql() -> dict[str, str]:
         "q131_temperature_mix": _Q131_SQL,
         "q132_eval_contamination": _Q132_SQL,
         "q133_trigram_backoff": _Q133_SQL,
+        "q134_hybrid_retrieval": _Q134_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
