@@ -2326,6 +2326,41 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q135_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report (similarity.ivf_cell_stats): per-cell
+    vector count, corpus fraction, and load factor — with EMPTY cells
+    present (they waste nprobe budget; hot cells skew probe latency).
+    The ANN-operations observability query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_cell_stats(emb, cents, round_assign_digits=6)
+
+
+def q136_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (text.pack_efficiency over q113's
+    assignment): per (lang, pack) doc count, token total, and fill
+    ratio vs the 256-token budget — the wasted-context-window audit of
+    the packing pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.pack_efficiency(docs, budget_tokens=256)
+
+
+def q137_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining (similarity.hard_negative_pairs): per
+    query vector (vec_id % 100 == 0), 5 IVF-probe nearest neighbours
+    (label 1, self excluded) + 5 content-hash-drawn non-neighbours
+    (label 0) — the training table for a retriever/embedding model.
+    Deterministic end-to-end: q43 centroid kit for positives, md5 rank
+    for negatives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.hard_negative_pairs(
+        emb, cents, k_pos=5, k_neg=5,
+        query_pred=F.col("vec_id") % 100 == 0,
+        nprobe=4, round_assign_digits=6,
+    )
+
+
 def q134_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (similarity.rrf_fuse,
     Cormack et al. 2009): the q126 BM25 lexical top-20 fused with the
@@ -2529,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_eval_contamination": q132_eval_contamination,
         "q133_trigram_backoff": q133_trigram_backoff,
         "q134_hybrid_retrieval": q134_hybrid_retrieval,
+        "q135_ivf_cell_stats": q135_ivf_cell_stats,
+        "q136_pack_efficiency": q136_pack_efficiency,
+        "q137_hard_negatives": q137_hard_negatives,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1058,3 +1058,152 @@ def rrf_fuse(
         )
         score = term if score is None else score + term
     return out.withColumn("rrf_score", score)
+
+
+def ivf_cell_stats(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+) -> DataFrame:
+    """IVF index health report: one row per CELL (including empty
+    ones) with its vector count, corpus fraction, and load factor
+    (count / perfectly-balanced count). The observability query behind
+    ANN operations at scale — a load factor ≫ 1 on a hot cell means
+    probe latency skew and a stale centroid set; empty cells mean
+    wasted nprobe budget. Pure integers + one ratio, engine-exact.
+
+    Scale shape: the assignment is the broadcast-literal map pass of
+    :func:`ivf_index`; the aggregation shuffles |cells| integer
+    partials. The full cell list comes from the centroid literals, so
+    empty cells survive via a left join at |cells| scale.
+    """
+    n_cells = len(centroids)
+    assigned = ivf_index(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col,
+        round_assign_digits=round_assign_digits,
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors")
+    )
+    total = counts.select(F.sum("n_vectors").cast("long").alias("n_total"))
+    spark = embeddings.sparkSession
+    all_cells = spark.range(n_cells).select(F.col("id").cast("int").alias("cell"))
+    return (
+        all_cells.join(counts, "cell", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cell",
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias("n_vectors"),
+            (F.coalesce("n_vectors", F.lit(0)).cast("double") / F.col("n_total"))
+            .alias("frac"),
+            (
+                F.coalesce("n_vectors", F.lit(0)).cast("double")
+                * F.lit(n_cells)
+                / F.col("n_total")
+            ).alias("load_factor"),
+        )
+    )
+
+
+def hard_negative_pairs(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    k_pos: int = 5,
+    k_neg: int = 5,
+    query_pred=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+    round_assign_digits: int | None = None,
+    salt: str = "neg-42",
+) -> DataFrame:
+    """Contrastive-training pair mining: for every query vector, its
+    ``k_pos`` nearest corpus neighbours (label 1, via the q110 batch
+    IVF probe) plus ``k_neg`` deterministic random non-neighbours
+    (label 0, content-hash-ranked rows that did NOT surface as
+    positives) — the (query, candidate, sim-or-null, label) table a
+    retriever/embedding trainer consumes.
+
+    The negative pool is an EQUI-join on content-hash buckets: every
+    query owns the pseudo-random bucket ``md5(qid) % n_buckets`` and
+    pairs only with candidates whose ``md5(cand_id) % n_buckets``
+    matches — a 1/n_buckets slice of the corpus per query, never the
+    query × corpus cross join. Within the pool, negatives are md5-rank
+    selected over (qid, cand_id, salt) and anti-joined against the
+    positives so labels never collide; self-pairs are excluded from
+    both sides. Everything is a pure content function — reproducible
+    on any partitioning or engine.
+
+    Scale shape: positives are the :func:`ivf_knn_join` banded probe
+    (never all-pairs); the negative pool is one bucket-keyed equi-join
+    whose per-query fan-out is corpus/n_buckets — raise ``n_buckets``
+    with the corpus so the pool stays bounded.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import md5_hash32
+
+    queries = (
+        embeddings.filter(query_pred)
+        if query_pred is not None
+        else embeddings
+    )
+    pos = ivf_knn_join(
+        embeddings, queries, centroids, k=k_pos + 1, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+        round_assign_digits=round_assign_digits,
+    )
+    # ivf_knn_join returns (qid, vec_id, sim, rn); drop self-matches and
+    # re-rank to k_pos.
+    pos = (
+        pos.filter(F.col("qid") != F.col(id_col))
+        .withColumn(
+            "rn2",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("sim").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("rn2") <= k_pos)
+        .select("qid", F.col(id_col).alias("cand_id"), "sim")
+        .withColumn("label", F.lit(1))
+    )
+    n_buckets = 8
+    qids = queries.select(F.col(id_col).alias("qid")).withColumn(
+        "__bkt",
+        F.pmod(
+            md5_hash32(F.concat_ws("|", F.col("qid"), F.lit(salt + "-q"))),
+            F.lit(n_buckets),
+        ),
+    )
+    cands = embeddings.select(F.col(id_col).alias("cand_id")).withColumn(
+        "__bkt",
+        F.pmod(
+            md5_hash32(F.concat_ws("|", F.col("cand_id"), F.lit(salt + "-c"))),
+            F.lit(n_buckets),
+        ),
+    )
+    pool = (
+        qids.join(cands, "__bkt")
+        .filter(F.col("qid") != F.col("cand_id"))
+        .join(pos.select("qid", "cand_id"), ["qid", "cand_id"], "left_anti")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        md5_hash32(
+            F.concat_ws("|", F.col("qid"), F.col("cand_id"), F.lit(salt))
+        ).asc(),
+        F.col("cand_id").asc(),
+    )
+    neg = (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k_neg)
+        .select(
+            "qid", "cand_id",
+            F.lit(None).cast("double").alias("sim"),
+            F.lit(0).alias("label"),
+        )
+    )
+    return pos.unionByName(neg)

@@ -1464,3 +1464,38 @@ def trigram_backoff_loglik(
         .otherwise(F.lit(0.0))
         .alias("mean_logp"),
     )
+
+
+def pack_efficiency(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences`: one row
+    per (group, pack) with its document count, token total, and fill
+    ratio vs the budget. Fill > 1 marks the overflow packs (the
+    straggler document that starts inside the budget finishes past
+    it); a tail of fill ≪ 1 packs means the corpus order fragments
+    badly and a length-aware sort would tighten wasted context-window
+    tokens. Integer aggregates + one ratio — engine-exact.
+
+    Scale shape: the pack assignment's group-keyed window shuffle is
+    reused by the aggregation (same key); nothing else moves.
+    """
+    packs = pack_sequences(
+        df, budget_tokens, text_col=text_col, id_col=id_col,
+        group_col=group_col,
+    )
+    return (
+        packs.groupBy(group_col, "pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "fill",
+            F.col("sum_tokens").cast("double") / F.lit(float(budget_tokens)),
+        )
+    )

@@ -2362,6 +2362,152 @@ ORDER BY rrf_score DESC, COALESCE(lex_r.doc_id, sem_r.doc_id) ASC LIMIT 10
 _Q134_SQL = _q134_sql()
 
 
+def _q135_sql() -> str:
+    """Twin of q135 IVF cell stats: q43 assignment + a full cell list
+    from generate_series so empty cells survive."""
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1),
+counts AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cell),
+tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total FROM counts),
+cells AS (SELECT unnest(generate_series(0, 15)) AS cell)
+SELECT CAST(cells.cell AS INTEGER) AS cell,
+  COALESCE(n_vectors, 0) AS n_vectors,
+  CAST(COALESCE(n_vectors, 0) AS DOUBLE) / n_total AS frac,
+  CAST(COALESCE(n_vectors, 0) AS DOUBLE) * 16 / n_total AS load_factor
+FROM cells LEFT JOIN counts ON cells.cell = counts.cell CROSS JOIN tot
+"""
+
+
+_Q135_SQL = _q135_sql()
+
+_Q136_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((running_total - n_tokens) / 256.0) AS BIGINT) AS pack_id
+  FROM (
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_total
+    FROM t))
+SELECT lang, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_tokens) AS DOUBLE) / 256.0 AS fill
+FROM p GROUP BY lang, pack_id
+"""
+
+
+def _q137_sql() -> str:
+    """Twin of q137 hard negatives: the q110 probe at k=6, self-match
+    dropped then re-ranked to 5 positives, negatives by md5 rank over
+    the anti-joined query×corpus pool (salt 'neg-42')."""
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id % 100 = 0) t WHERE rn <= 4),
+cand AS (
+  SELECT q.qid, a.vec_id,
+         ROUND(list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM assigned a
+  JOIN qcells qc ON a.cell = qc.cell
+  JOIN q ON q.qid = qc.qid),
+p1 AS (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM cand),
+p2 AS (SELECT qid, vec_id, sim FROM p1 WHERE rn <= 6 AND vec_id <> qid),
+p3 AS (
+  SELECT qid, vec_id AS cand_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rn2
+  FROM p2),
+pos AS (SELECT qid, cand_id, sim, 1 AS label FROM p3 WHERE rn2 <= 5),
+qb AS (
+  SELECT vec_id AS qid,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(vec_id AS VARCHAR), '|neg-42-q')), 1, 8)) AS BIGINT) % 8
+           AS bkt
+  FROM e WHERE vec_id % 100 = 0),
+cb AS (
+  SELECT vec_id AS cand_id,
+         CAST(concat('0x', substr(md5(concat(
+           CAST(vec_id AS VARCHAR), '|neg-42-c')), 1, 8)) AS BIGINT) % 8
+           AS bkt
+  FROM e),
+pool AS (
+  SELECT a.qid, a.cand_id FROM (
+    SELECT qb.qid, cb.cand_id
+    FROM qb JOIN cb ON qb.bkt = cb.bkt WHERE qb.qid <> cb.cand_id) a
+  LEFT JOIN pos p ON p.qid = a.qid AND p.cand_id = a.cand_id
+  WHERE p.qid IS NULL),
+neg AS (
+  SELECT qid, cand_id, CAST(NULL AS DOUBLE) AS sim, 0 AS label FROM (
+    SELECT qid, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+             CAST(concat('0x', substr(md5(concat(
+               CAST(qid AS VARCHAR), '|', CAST(cand_id AS VARCHAR),
+               '|neg-42')), 1, 8)) AS BIGINT) ASC,
+             cand_id ASC) AS rn
+    FROM pool) t WHERE rn <= 5)
+SELECT qid, cand_id, sim, label FROM pos
+UNION ALL SELECT qid, cand_id, sim, label FROM neg
+"""
+
+
+_Q137_SQL = _q137_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2485,5 +2631,8 @@ def oracle_sql() -> dict[str, str]:
         "q132_eval_contamination": _Q132_SQL,
         "q133_trigram_backoff": _Q133_SQL,
         "q134_hybrid_retrieval": _Q134_SQL,
+        "q135_ivf_cell_stats": _Q135_SQL,
+        "q136_pack_efficiency": _Q136_SQL,
+        "q137_hard_negatives": _Q137_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

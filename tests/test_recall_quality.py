@@ -319,3 +319,38 @@ def test_sketch_calibration_error_bound(spark):
     errs = [r["abs_err"] for r in rows]
     assert max(errs) <= 0.2
     assert sum(errs) / len(errs) <= 0.06
+
+
+def test_hard_negative_pairs_structure(spark, emb_and_queries):
+    """Mining table invariants at sf0.01: every query gets exactly 5
+    positives (self excluded, sim present) and 5 negatives (sim NULL),
+    positive/negative sets are disjoint, and the selection is
+    identical on a repartitioned input (content-hash determinism)."""
+    emb, _ = emb_and_queries
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    out = sim_ops.hard_negative_pairs(
+        emb, cents, k_pos=5, k_neg=5,
+        query_pred=F.col("vec_id") % 100 == 0,
+        nprobe=4, round_assign_digits=6,
+    ).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(lambda: {"pos": set(), "neg": set()})
+    for r in out:
+        kind = "pos" if r["label"] == 1 else "neg"
+        per_q[r["qid"]][kind].add(r["cand_id"])
+        if r["label"] == 1:
+            assert r["sim"] is not None and r["cand_id"] != r["qid"]
+        else:
+            assert r["sim"] is None
+    for q, d in per_q.items():
+        assert len(d["pos"]) == 5 and len(d["neg"]) == 5, q
+        assert not d["pos"] & d["neg"], q
+        assert q not in d["neg"], q
+    out2 = sim_ops.hard_negative_pairs(
+        emb.repartition(7), cents, k_pos=5, k_neg=5,
+        query_pred=F.col("vec_id") % 100 == 0,
+        nprobe=4, round_assign_digits=6,
+    ).collect()
+    key = lambda rows: sorted((r["qid"], r["cand_id"], r["label"]) for r in rows)
+    assert key(out) == key(out2)
