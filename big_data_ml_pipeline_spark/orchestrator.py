@@ -391,6 +391,32 @@ class PipelineOrchestrator:
             **(rules or {}),
         )
 
+    def build_embedding_index(self, df: DataFrame, out_dir: str,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+        """Build and land the batch IVF retrieval index: assign every
+        vector with the configured centroid kit (``embeddings.ingest_*``
+        config — same centroids the streaming path and probes use),
+        write the (id, v, cell) table range-clustered on ``cell`` (so
+        per-cell probes prune files by parquet footer min/max), and
+        return the :func:`~.operators.similarity.ivf_cell_stats` health
+        report. The build/probe split at scale: the corpus is assigned
+        ONCE; every later query batch reads only its nprobe cells."""
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            ivf_cell_stats,
+            ivf_index,
+        )
+        from .sources.writers import write_range_clustered
+
+        c = self.config["embeddings"]
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        index = ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
+        write_range_clustered(index, out_dir, "cell")
+        return ivf_cell_stats(df, cents, id_col=id_col, vec_col=vec_col)
+
     def ingest_embeddings_stream(self, in_dir: str, out_dir: str,
                                  checkpoint_dir: str,
                                  id_col: str = "vec_id",

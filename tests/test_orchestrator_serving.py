@@ -513,3 +513,26 @@ def test_orchestrator_ingest_embeddings_stream(spark, tmp_path):
         r["vec_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert landed == [1, 3]  # 2 is an exact duplicate of 1
+
+
+def test_orchestrator_build_embedding_index(spark, tmp_path):
+    """Index-build step: lands the cell-assigned corpus range-clustered
+    on cell, probing the landed index equals the inline probe, and the
+    returned health report covers every configured cell."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        ivf_topk,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orch = PipelineOrchestrator(spark=spark)
+    out = str(tmp_path / "ivf")
+    stats = orch.build_embedding_index(emb, out).collect()
+    assert len(stats) == 16 and sum(r["n_vectors"] for r in stats) == emb.count()
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    loaded = spark.read.parquet(out)
+    q = emb.filter(F.col("vec_id") == 0)
+    from_index = ivf_topk(emb, q, k=5, centroids=cents, index=loaded).collect()
+    inline = ivf_topk(emb, q, k=5, centroids=cents).collect()
+    assert [tuple(r) for r in from_index] == [tuple(r) for r in inline]
