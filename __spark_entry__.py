@@ -2326,6 +2326,27 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy (text.token_entropy):
+    Shannon bits + length-normalized variant — the information-
+    theoretic repetition/diversity signal next to the Gopher ratios.
+    Entirely map-side (array ops, no explode, no shuffle); nano-unit
+    quantized terms with an integer fold keep it hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_entropy(docs)
+
+
+def q139_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level corpus overlap from MERGED MinHash signatures
+    (dedup.source_minhash_overlap): per-source element-wise-min
+    signature, pairwise est Jaccard = matching positions / 64 — the
+    sketch-mergeability demo: comparing two petabyte sources costs 64
+    integer equality checks. q70's md5 family; (position, value)
+    equi-join pair build, no cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.source_minhash_overlap(docs)
+
+
 def q135_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index health report (similarity.ivf_cell_stats): per-cell
     vector count, corpus fraction, and load factor — with EMPTY cells
@@ -2567,6 +2588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_ivf_cell_stats": q135_ivf_cell_stats,
         "q136_pack_efficiency": q136_pack_efficiency,
         "q137_hard_negatives": q137_hard_negatives,
+        "q138_token_entropy": q138_token_entropy,
+        "q139_source_overlap": q139_source_overlap,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1323,3 +1323,63 @@ def eval_contamination_report(
             (F.coalesce("hit_grams", F.lit(0)) >= min_hits).alias("compromised"),
         )
     )
+
+
+def source_minhash_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Source-level corpus overlap from MERGED MinHash signatures: each
+    source's signature is the element-wise MIN over every shingle hash
+    it contains, and a pair's estimated shingle-set Jaccard is the
+    fraction of matching signature positions. The point is sketch
+    MERGEABILITY — min is associative and commutative, so at 100 TB
+    the per-source signature reduces with map-side partial mins to
+    |sources| × num_hashes longs, and comparing two petabyte-scale
+    sources costs 64 integer equality checks. Pairs with zero matching
+    positions (est 0) are absent from the output.
+
+    Same md5/universal family as q70 (cross-engine exact). The pair
+    build is a (position, value) equi-join on the exploded signatures
+    — |sources| × num_hashes rows — never a cross join.
+    """
+    params = minhash_params(num_hashes)
+    sh = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(group_col).alias("g"),
+            _lower_tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "g",
+            F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+        .select("g", md5_hash32(F.col("shingle")).alias("h"))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("g").agg(*mins).select(
+        "g", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+    posed = sig.select("g", F.posexplode("sig").alias("i", "m"))
+    a = posed.select(F.col("g").alias("source_a"), "i", "m")
+    b = posed.select(F.col("g").alias("source_b"), "i", "m")
+    return (
+        a.join(b, ["i", "m"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_matching"))
+        .withColumn(
+            "est_jaccard", F.col("n_matching") / F.lit(float(num_hashes))
+        )
+    )

@@ -1499,3 +1499,59 @@ def pack_efficiency(
             F.col("sum_tokens").cast("double") / F.lit(float(budget_tokens)),
         )
     )
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    plus the length-normalized variant ``entropy / log2(n_tokens)`` —
+    the repetition/diversity quality signal: near-0 normalized entropy
+    is token soup ('spam spam spam…'), near-1 is maximally diverse.
+    Complements the Gopher ratios (q103) with a single
+    information-theoretic number.
+
+    Entirely map-side: per-token counts come from array ops over the
+    materialized token array (O(n·distinct) per document — documents
+    are bounded, the corpus is not), no explode and NO shuffle at any
+    corpus size. Per-token terms are quantized to nano-units and
+    summed with an integer fold, so the result is engine-exact.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    # Per-DISTINCT-token occurrence counts materialized ONCE (the
+    # O(n·distinct) pass); the entropy fold then runs over small ints.
+    counted = base.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.transform(
+            F.array_distinct(F.col("__toks")),
+            lambda t: F.size(F.filter(F.col("__toks"), lambda x: x == t))
+            .cast("long"),
+        ).alias("__cnts"),
+    )
+    n = F.col("n_tokens")
+    contrib = F.transform(
+        F.col("__cnts"),
+        lambda c: F.round(
+            -(c.cast("double") / n) * F.log2(c.cast("double") / n) * 1e9
+        ).cast("long"),
+    )
+    ent_q = F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    ent = ent_q.cast("double") / 1e9
+    return counted.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.size("__cnts").cast("long").alias("n_distinct"),
+        F.when(n > 0, ent).otherwise(F.lit(0.0)).alias("entropy_bits"),
+        F.when(
+            (n > 1) & (F.size("__cnts") > 1),
+            # Quantized: JVM and libm log2 differ in the last ulp, so
+            # the raw ratio hash-mismatches the oracle at 1e-16.
+            F.round(ent / F.log2(n.cast("double")) * 1e9) / 1e9,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -2508,6 +2508,50 @@ UNION ALL SELECT qid, cand_id, sim, label FROM neg
 _Q137_SQL = _q137_sql()
 
 
+_Q138_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_LTOKS} AS ltoks FROM documents),
+c AS (
+  SELECT doc_id, CAST(len(ltoks) AS BIGINT) AS n_tokens,
+         list_transform(list_distinct(ltoks),
+           t -> CAST(len(list_filter(ltoks, x -> x = t)) AS BIGINT)) AS cnts
+  FROM t),
+e AS (
+  SELECT doc_id, n_tokens, CAST(len(cnts) AS BIGINT) AS n_distinct,
+         list_sum(list_transform(cnts,
+           c -> CAST(ROUND(-(CAST(c AS DOUBLE) / n_tokens)
+                * log2(CAST(c AS DOUBLE) / n_tokens)
+                * 1000000000.0) AS BIGINT))) AS ent_q
+  FROM c)
+SELECT doc_id, n_tokens, n_distinct,
+  CASE WHEN n_tokens > 0 THEN CAST(ent_q AS DOUBLE) / 1000000000.0
+       ELSE 0.0 END AS entropy_bits,
+  CASE WHEN n_tokens > 1 AND n_distinct > 1
+       THEN ROUND((CAST(ent_q AS DOUBLE) / 1000000000.0)
+            / log2(CAST(n_tokens AS DOUBLE)) * 1000000000.0) / 1000000000.0
+       ELSE 0.0 END AS norm_entropy
+FROM e
+"""
+
+_Q139_SQL = f"""
+WITH sh AS (
+  SELECT g, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT source AS g, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM documents)),
+sig AS (
+  SELECT g, [{_MINHASH_MINS}] AS sig FROM sh GROUP BY g),
+posed AS (
+  SELECT g, i - 1 AS i, sig[i] AS m
+  FROM sig, unnest(generate_series(1, 64)) AS t(i))
+SELECT a.g AS source_a, b.g AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_matching,
+  COUNT(*) / 64.0 AS est_jaccard
+FROM posed a JOIN posed b
+  ON a.i = b.i AND a.m = b.m AND a.g < b.g
+GROUP BY 1, 2
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2634,5 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         "q135_ivf_cell_stats": _Q135_SQL,
         "q136_pack_efficiency": _Q136_SQL,
         "q137_hard_negatives": _Q137_SQL,
+        "q138_token_entropy": _Q138_SQL,
+        "q139_source_overlap": _Q139_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

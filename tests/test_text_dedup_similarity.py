@@ -1186,3 +1186,41 @@ def test_trigram_backoff_hand_computed(spark):
     assert abs(out[4]["mean_logp"] - exp4) < 1e-9
     assert out[4]["mean_logp"] < out[3]["mean_logp"]
     assert out[3]["n_tokens"] == 3
+
+
+def test_token_entropy_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),  # 0 bits
+            (2, "a b c d"),              # uniform over 4: 2 bits, norm 1.0
+            (3, "a a b"),               # H = 2/3*log2(3/2) + 1/3*log2(3)
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text_ops.token_entropy(df).collect()}
+    assert out[1]["entropy_bits"] == 0.0 and out[1]["norm_entropy"] == 0.0
+    assert abs(out[2]["entropy_bits"] - 2.0) < 1e-8
+    assert abs(out[2]["norm_entropy"] - 1.0) < 1e-8
+    want3 = (2 / 3) * math.log2(3 / 2) + (1 / 3) * math.log2(3)
+    assert abs(out[3]["entropy_bits"] - want3) < 1e-8
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy_bits"] == 0.0
+
+
+def test_source_minhash_overlap_extremes(spark):
+    # Two identical sources -> all 64 positions match (est 1.0);
+    # a disjoint-vocabulary source shares ~nothing with either.
+    rows = []
+    for i in range(6):
+        text = f"alpha beta gamma delta epsilon zeta token{i} eta theta"
+        rows.append((i, text, "s1"))
+        rows.append((100 + i, text, "s2"))
+        rows.append((200 + i, f"uno dos tres cuatro cinco seis w{i} siete ocho", "s3"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in dedup_ops.source_minhash_overlap(df).collect()
+    }
+    assert out[("s1", "s2")] == 1.0
+    assert out.get(("s1", "s3"), 0.0) < 0.2
+    assert out.get(("s2", "s3"), 0.0) < 0.2
