@@ -290,3 +290,140 @@ def test_unigram_loglik_matches_python(docs):
         want = sum(q[t] for t in toks) / 1_000_000 / len(toks) if toks else 0.0
         assert r["mean_logp"] == pytest.approx(want, abs=1e-9)
         assert r["mean_logp"] <= 0.0
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+)
+def test_winnowing_fingerprints_match_python(docs):
+    """winnowing_fingerprints == a literal Python implementation of the
+    Schleimer et al. selection (k=3 grams, w=4 windows, short-doc
+    global-min rule) over random token lists, including the md5 gram
+    hash."""
+    import hashlib
+
+    from big_data_ml_pipeline_spark.operators.text import winnowing_fingerprints
+
+    k, w = 3, 4
+
+    def md5_32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    want = set()
+    for i, toks in enumerate(docs):
+        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        hashes = [md5_32(g) for g in grams]
+        if not hashes:
+            continue
+        if len(hashes) < w:
+            fps = {min(hashes)}
+        else:
+            fps = {min(hashes[j:j + w]) for j in range(len(hashes) - w + 1)}
+        want |= {(i, fp) for fp in fps}
+
+    df = _spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=20),
+        min_size=1, max_size=6,
+    ),
+)
+def test_token_entropy_matches_python(docs):
+    """token_entropy == the quantized Python Shannon entropy for every
+    random corpus (including empty and single-token docs)."""
+    import math as m
+    from collections import Counter
+
+    from big_data_ml_pipeline_spark.operators.text import token_entropy
+
+    df = _spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        counts = Counter(toks)
+        ent_q = sum(
+            round(-(c / n) * m.log2(c / n) * 1e9) for c in counts.values()
+        ) if n else 0
+        ent = ent_q / 1e9
+        assert got[i]["n_tokens"] == n
+        assert got[i]["n_distinct"] == len(counts)
+        assert abs(got[i]["entropy_bits"] - (ent if n else 0.0)) < 1e-12
+        if n > 1 and len(counts) > 1:
+            want_norm = round(ent / m.log2(n) * 1e9) / 1e9
+            assert abs(got[i]["norm_entropy"] - want_norm) < 1e-12
+        else:
+            assert got[i]["norm_entropy"] == 0.0
+        assert 0.0 <= got[i]["norm_entropy"] <= 1.0 + 1e-9
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corp=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=12),
+        min_size=2, max_size=8,
+    ),
+    terms=st.lists(st.sampled_from("abcdef"), min_size=1, max_size=3,
+                   unique=True),
+)
+def test_bm25_matches_python(corp, terms):
+    """bm25_topk == a literal quantized-Okapi Python implementation
+    (Lucene idf) for random corpora and query term sets."""
+    import math as m
+
+    from big_data_ml_pipeline_spark.operators.text import bm25_topk
+
+    k1, b = 1.2, 0.75
+    N = len(corp)
+    sum_dl = sum(len(d) for d in corp)
+    dfreq = {
+        t: sum(1 for d in corp if t in d) for t in terms
+    }
+    want = {}
+    for i, d in enumerate(corp):
+        score_q = 0
+        n_terms = 0
+        for t in terms:
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf_q = round(
+                m.log(1.0 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5)) * 1e6
+            )
+            denom = tf + k1 * (1.0 - b) + (k1 * b) * (len(d) * N) / sum_dl
+            score_q += round((idf_q / 1e6) * (tf * (k1 + 1.0)) / denom * 1e6)
+        if n_terms:
+            want[i] = (n_terms, score_q / 1e6)
+
+    df = _spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(corp)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"])
+        for r in bm25_topk(df, tuple(terms), k=100, k1=k1, b=b).collect()
+    }
+    assert got.keys() == want.keys()
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert abs(got[i][1] - want[i][1]) < 1e-9
