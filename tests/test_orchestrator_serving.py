@@ -536,3 +536,28 @@ def test_orchestrator_build_embedding_index(spark, tmp_path):
     from_index = ivf_topk(emb, q, k=5, centroids=cents, index=loaded).collect()
     inline = ivf_topk(emb, q, k=5, centroids=cents).collect()
     assert [tuple(r) for r in from_index] == [tuple(r) for r in inline]
+
+
+def test_shipped_example_config_loads_and_merges(spark):
+    """config/pipeline_config.yaml parses, merges over DEFAULT_CONFIG,
+    and drives an orchestrator without errors."""
+    import os
+
+    from big_data_ml_pipeline_spark.orchestrator import (
+        PipelineOrchestrator,
+        load_config,
+    )
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "config", "pipeline_config.yaml")
+    cfg = load_config(path)
+    assert cfg["model"]["algorithm"] == "random_forest"
+    assert cfg["model"]["params"]["numTrees"] == 100
+    assert cfg["corpus"]["quality_rules"] == {"min_tokens": 10}
+    assert cfg["embeddings"]["ingest_n_cells"] == 16
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    docs = spark.createDataFrame(
+        [(1, "the cat and a dog ran to of the barn fast today", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    assert orch.prepare_text_corpus(docs).count() == 1
