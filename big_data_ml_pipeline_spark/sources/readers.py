@@ -37,8 +37,12 @@ def load_data(
     if fmt == "csv":
         opts = {"header": "true", "inferSchema": schema is None, **options}
         return reader.options(**opts).csv(path)
-    if fmt == "json":
+    if fmt in ("json", "jsonl"):
         return reader.options(**options).json(path)
+    if fmt in ("text", "txt"):
+        # Raw text corpora: one row per line, column `value` (the LLM
+        # ingestion entry format next to JSONL).
+        return reader.options(**options).text(path)
     if fmt == "orc":
         return reader.options(**options).orc(path)
     if fmt == "delta":
@@ -53,7 +57,7 @@ def load_data(
 
 def _infer_format(path: str) -> str:
     lowered = path.rstrip("/").lower()
-    for ext in ("parquet", "csv", "json", "orc"):
+    for ext in ("parquet", "csv", "json", "jsonl", "orc", "txt"):
         if lowered.endswith("." + ext):
             return ext
     # The reference defaults unknown extensions to delta

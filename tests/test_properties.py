@@ -427,3 +427,44 @@ def test_bm25_matches_python(corp, terms):
     for i in want:
         assert got[i][0] == want[i][0]
         assert abs(got[i][1] - want[i][1]) < 1e-9
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    a=st.lists(st.sampled_from("abcde"), min_size=1, max_size=15),
+    b=st.lists(st.sampled_from("abcde"), min_size=1, max_size=15),
+)
+def test_source_divergence_matches_python_jsd(a, b):
+    """source_divergence == the quantized Python Jensen-Shannon
+    divergence for any two random sources sharing >= 1 token
+    (the no-shared-token case legitimately emits no row)."""
+    import math as m
+    from collections import Counter
+
+    from big_data_ml_pipeline_spark.operators.text import source_divergence
+
+    ca, cb = Counter(a), Counter(b)
+    shared = set(ca) & set(cb)
+    df = _spark.createDataFrame(
+        [(1, " ".join(a), "sa"), (2, " ".join(b), "sb")],
+        ["doc_id", "text", "source"],
+    )
+    rows = source_divergence(df).collect()
+    if not shared:
+        assert rows == []
+        return
+    (r,) = rows
+    na, nb = len(a), len(b)
+    jsd_q = pa_q = pb_q = 0
+    for t in shared:
+        pa, pb = ca[t] / na, cb[t] / nb
+        mm = (pa + pb) / 2.0
+        jsd_q += round((0.5 * pa * m.log2(pa / mm)
+                        + 0.5 * pb * m.log2(pb / mm)) * 1e9)
+        pa_q += round(pa * 1e9)
+        pb_q += round(pb * 1e9)
+    want = (jsd_q + 0.5 * (2e9 - pa_q - pb_q)) / 1e9
+    assert r["n_shared_tokens"] == len(shared)
+    assert abs(r["jsd_bits"] - want) < 1e-12
+    assert -1e-9 <= r["jsd_bits"] <= 1.0 + 1e-9  # JSD in bits is [0, 1]

@@ -944,3 +944,18 @@ def test_write_zorder_concentrates_both_columns(spark, tmp_path):
     # No rows lost, helper column dropped.
     back = spark.read.parquet(z_dir)
     assert back.count() == li.count() and set(back.columns) == {"l_orderkey", "l_partkey"}
+
+
+def test_text_and_jsonl_reader_dispatch(spark, tmp_path):
+    """Raw-corpus entry formats: .txt reads line-per-row (column
+    `value`), .jsonl dispatches to the json reader."""
+    from big_data_ml_pipeline_spark.sources.readers import load_data
+
+    t = tmp_path / "corpus.txt"
+    t.write_text("first line\nsecond line\n")
+    df = load_data(spark, str(t))
+    assert df.columns == ["value"] and df.count() == 2
+    j = tmp_path / "docs.jsonl"
+    j.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
+    back = load_data(spark, str(j))
+    assert back.count() == 2 and {"doc_id", "text"} <= set(back.columns)
