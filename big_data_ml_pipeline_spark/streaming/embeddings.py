@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, to_double_array
+from ..functions.vector import cosine_similarity
 from ..operators.similarity import ivf_index, semdedup
 from ..session import apply_runtime_confs
 
