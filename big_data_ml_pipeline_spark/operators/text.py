@@ -1555,3 +1555,80 @@ def token_entropy(
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+def distribution_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the unigram token
+    distributions of two corpora — :func:`source_divergence` for one
+    explicit pair: returns ONE row (n_tokens_a, n_tokens_b,
+    n_shared_tokens, jsd_bits). The drift primitive: score an incoming
+    batch against the landed corpus, a new crawl snapshot against the
+    last, a filtered corpus against its input.
+
+    Same quantized-integer determinism and scale shape as q129: one
+    (token) aggregation per side (map-side combined, vocab-bounded
+    output), a token-keyed equi-join of the two vocabularies, and the
+    unshared mass closed in constant time via 1 − Σ shared p. Two
+    corpora with NO shared tokens still return a row (jsd = 1 bit).
+    """
+    def counts(df, side):
+        tok = df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        c = tok.groupBy("token").agg(
+            F.count("*").cast("long").alias(f"c{side}")
+        )
+        return c.crossJoin(
+            F.broadcast(
+                c.select(F.sum(f"c{side}").cast("long").alias(f"t{side}"))
+            )
+        )
+
+    a, b = counts(df_a, "a"), counts(df_b, "b")
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = (pa + pb) / F.lit(2.0)
+    shared = a.join(b, "token").select(
+        F.col("ta"),
+        F.col("tb"),
+        F.round(
+            (F.lit(0.5) * pa * F.log2(pa / m) + F.lit(0.5) * pb * F.log2(pb / m))
+            * 1e9
+        )
+        .cast("long")
+        .alias("__jsd_q"),
+        F.round(pa * 1e9).cast("long").alias("__pa_q"),
+        F.round(pb * 1e9).cast("long").alias("__pb_q"),
+    )
+    # Totals must survive the empty-join case: take them from the
+    # (always 1-row) per-side aggregates, not the joined rows.
+    ta = a.select(
+        F.coalesce(F.first("ta"), F.lit(0)).cast("long").alias("n_tokens_a")
+    ).crossJoin(
+        b.select(
+            F.coalesce(F.first("tb"), F.lit(0)).cast("long").alias("n_tokens_b")
+        )
+    )
+    agg = shared.agg(
+        F.count("*").cast("long").alias("n_shared_tokens"),
+        F.coalesce(F.sum("__jsd_q"), F.lit(0)).cast("long").alias("__sum_jsd_q"),
+        F.coalesce(F.sum("__pa_q"), F.lit(0)).cast("long").alias("__sum_pa_q"),
+        F.coalesce(F.sum("__pb_q"), F.lit(0)).cast("long").alias("__sum_pb_q"),
+    )
+    return ta.crossJoin(agg).select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "n_shared_tokens",
+        (
+            (
+                F.col("__sum_jsd_q").cast("double")
+                + F.lit(0.5)
+                * (F.lit(2e9) - F.col("__sum_pa_q") - F.col("__sum_pb_q"))
+            )
+            / 1e9
+        ).alias("jsd_bits"),
+    )

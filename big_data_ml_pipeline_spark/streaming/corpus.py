@@ -68,6 +68,7 @@ def ingest_documents_stream(
     near_dup_threshold: float | None = None,
     apply_quality: bool = True,
     compact_every: int | None = None,
+    track_drift: bool = False,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -102,6 +103,18 @@ def ingest_documents_stream(
         cannot lazily re-scan the corpus files the first write just
         appended (which would anti-join the survivors against
         themselves).
+
+    With ``track_drift=True``, each batch appends one row to
+    ``{out_dir}_drift`` — (batch_id, n_batch_docs, n_landed_docs,
+    n_tokens_batch, n_tokens_corpus, n_shared_tokens, jsd_bits) from
+    :func:`~..operators.text.distribution_shift` of the POST-quality
+    batch against the landed corpus — the ingest-time observability
+    table that catches a crawl source drifting away from (or
+    collapsing into) the corpus distribution. The first batch (empty
+    corpus) records jsd 1.0 by convention. Costs one token aggregation
+    of batch + corpus per batch; the corpus side at 100 TB should
+    sample or roll a summary table instead — the primitive is
+    unchanged.
 
     With ``compact_every=N``, every N batches the index is rewritten by
     :func:`~..operators.dedup.compact_minhash_index` — re-deduped,
@@ -189,6 +202,31 @@ def ingest_documents_stream(
             survivors = batch_df.localCheckpoint(eager=True)
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
+            if track_drift:
+                # After the corpus append (observability must never
+                # block landing); measured on the CHECKPOINTED
+                # survivors vs the pre-batch corpus snapshot `seen`
+                # (read before the append — the lineage-pin rule).
+                from ..operators.text import distribution_shift
+
+                landed_docs = seen.count() if seen is not None else 0
+                base_side = (
+                    seen if seen is not None
+                    else spark.createDataFrame([], survivors.schema)
+                )
+                drift = (
+                    distribution_shift(survivors, base_side, text_col=text_col)
+                    .select(
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        F.lit(survivors.count()).cast("long").alias("n_batch_docs"),
+                        F.lit(landed_docs).cast("long").alias("n_landed_docs"),
+                        F.col("n_tokens_a").alias("n_tokens_batch"),
+                        F.col("n_tokens_b").alias("n_tokens_corpus"),
+                        "n_shared_tokens",
+                        "jsd_bits",
+                    )
+                )
+                drift.write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
             if near_dup_threshold is not None:
                 minhash_index(survivors, text_col, id_col).write.mode(
                     "append"

@@ -959,3 +959,44 @@ def test_text_and_jsonl_reader_dispatch(spark, tmp_path):
     j.write_text('{"doc_id": 1, "text": "a"}\n{"doc_id": 2, "text": "b"}\n')
     back = load_data(spark, str(j))
     assert back.count() == 2 and {"doc_id", "text"} <= set(back.columns)
+
+
+def test_streaming_corpus_drift_tracking(spark, tmp_path):
+    """track_drift=True lands one row per micro-batch in {out}_drift:
+    batch 0 (empty corpus) records jsd 1.0; a batch replaying the same
+    distribution records jsd ~0; a distribution-shifted batch records
+    a materially higher jsd."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    base = "the cat and a dog ran to of the barn fast today"
+    shifted = "zonk quix blerg flom zonk quix blerg flom zonk quix blerg"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shards = [
+        [(1, base + " one", "en")],
+        [(10, base + " two", "en")],       # same distribution -> low jsd
+        [(20, shifted + " three", "en")],  # shifted vocabulary -> high jsd
+    ]
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(rows, ["doc_id", "text", "lang"]
+                              ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False, track_drift=True,
+    )
+    drift = {r["batch_id"]: r for r in
+             spark.read.parquet(out + "_drift").collect()}
+    assert sorted(drift) == [0, 1, 2]
+    assert drift[0]["n_landed_docs"] == 0 and drift[0]["jsd_bits"] == 1.0
+    assert drift[1]["jsd_bits"] < 0.2            # same distribution
+    assert drift[2]["jsd_bits"] > 0.6            # shifted vocabulary
+    assert drift[2]["n_landed_docs"] == 2
+    # Corpus itself is unaffected by the observability writes.
+    assert spark.read.parquet(out).count() == 3

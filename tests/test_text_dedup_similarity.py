@@ -1224,3 +1224,27 @@ def test_source_minhash_overlap_extremes(spark):
     assert out[("s1", "s2")] == 1.0
     assert out.get(("s1", "s3"), 0.0) < 0.2
     assert out.get(("s2", "s3"), 0.0) < 0.2
+
+
+def test_distribution_shift_matches_source_divergence(spark):
+    """distribution_shift(a, b) == the q129 pairwise JSD for the same
+    two corpora; identical corpora -> 0; disjoint -> 1 bit; empty side
+    handled."""
+    a = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "a c c c")], ["doc_id", "text"])
+    r = text_ops.distribution_shift(a, b).collect()[0]
+    both = a.withColumn("source", F.lit("p")).unionByName(
+        b.withColumn("source", F.lit("q"))
+    )
+    want = text_ops.source_divergence(both).collect()[0]
+    assert abs(r["jsd_bits"] - want["jsd_bits"]) < 1e-12
+    assert r["n_shared_tokens"] == want["n_shared_tokens"]
+    assert (r["n_tokens_a"], r["n_tokens_b"]) == (4, 4)
+    same = text_ops.distribution_shift(a, a).collect()[0]
+    assert abs(same["jsd_bits"]) < 1e-9
+    dis = spark.createDataFrame([(3, "x y z")], ["doc_id", "text"])
+    far = text_ops.distribution_shift(a, dis).collect()[0]
+    assert abs(far["jsd_bits"] - 1.0) < 1e-9 and far["n_shared_tokens"] == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    e = text_ops.distribution_shift(a, empty).collect()[0]
+    assert e["n_tokens_b"] == 0 and e["jsd_bits"] == 1.0
