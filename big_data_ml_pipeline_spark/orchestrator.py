@@ -91,7 +91,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # (shard, pos) export columns (setops.deterministic_
                # shard) as the final step.
                "mix": None, "shards": None,
-               "ingest_quality_rules": {}, "ingest_near_dup_threshold": None},
+               "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
+               "ingest_track_drift": False},
     # Streaming EMBEDDING ingestion (ingest_embeddings_stream):
     # centroids None -> the deterministic q43 kit at (dim, n_cells);
     # threshold is the cosine twin cut-off; compact_every rewrites the
@@ -388,6 +389,7 @@ class PipelineOrchestrator:
             text_col=text_col, id_col=id_col,
             near_dup_threshold=c["ingest_near_dup_threshold"],
             apply_quality=rules is not None,
+            track_drift=c.get("ingest_track_drift", False),
             **(rules or {}),
         )
 
