@@ -1000,3 +1000,63 @@ def test_streaming_corpus_drift_tracking(spark, tmp_path):
     assert drift[2]["n_landed_docs"] == 2
     # Corpus itself is unaffected by the observability writes.
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_ingest_orphan_index_rows_are_benign(spark, tmp_path):
+    """Orphan-index robustness (the ADVICE r5 ordering invariant's
+    failure mode): index rows whose document never landed (crash after
+    the index append) must neither crash ingestion nor block NOVEL
+    content. Near-identical content IS still screened by the orphan
+    rows — the index cannot distinguish orphan from landed, and
+    over-screening a true near-dup is the benign direction; losing a
+    novel document would not be."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators.dedup import minhash_index
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    text = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the old barn where it hides from the rain all day long")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    p = str(in_dir / "s0.parquet")
+    spark.createDataFrame([(5, text, "en")], ["doc_id", "text", "lang"]
+                          ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time(), time.time()))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # Simulate the orphan: index rows exist for doc 99 (same content),
+    # but doc 99 never landed in the corpus.
+    orphan = spark.createDataFrame([(99, text, "en")], ["doc_id", "text", "lang"])
+    minhash_index(orphan, "text", "doc_id").write.mode("overwrite").parquet(
+        out + "_minhash_index"
+    )
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False, near_dup_threshold=0.9,
+    )
+    landed = [r["doc_id"] for r in spark.read.parquet(out).collect()]
+    # The orphaned index rows DO match the arriving near-identical doc
+    # (that is what the index is for) — but the corpus is the source of
+    # truth for exact dedup, and the doc is new there. The near-dup
+    # screen drops it only because est_jaccard(identical) >= 0.9.
+    # The contract we pin: the pipeline never crashes on orphan rows,
+    # and the outcome is deterministic. With identical content the doc
+    # is screened (the index cannot distinguish orphan from landed).
+    assert landed == []
+    # A genuinely novel document still lands against the orphaned index.
+    p2 = str(in_dir / "s1.parquet")
+    spark.createDataFrame(
+        [(6, "completely different words about query engines and columnar "
+             "formats written with care and detail for readers", "en")],
+        ["doc_id", "text", "lang"],
+    ).toPandas().to_parquet(p2, index=False)
+    os.utime(p2, (time.time() + 1, time.time() + 1))
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ckpt2"), apply_quality=False,
+        near_dup_threshold=0.9,
+    )
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [6]
