@@ -299,3 +299,63 @@ def test_new_registry_algorithms_fit_and_predict(spark):
         est = build_estimator(algo, task, **params)
         preds = est.fit(df).transform(df)
         assert preds.select("prediction").count() == 60, (algo, task)
+
+
+def test_text_feature_pipeline_exact_counts(spark):
+    """Tokenize -> stopword -> CountVectorizer -> IDF: the sparse TF
+    vector carries EXACT token counts (stopwords removed), and the
+    fitted vocabulary matches the corpus."""
+    from big_data_ml_pipeline_spark.features.text_features import (
+        fit_text_features,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat cat sat"),
+            (2, "the dog sat sat sat"),
+        ],
+        ["doc_id", "text"],
+    )
+    model, out = fit_text_features(
+        df, vocab_size=10, stopwords=["the"]
+    )
+    cv = model.stages[-2]  # CountVectorizerModel
+    vocab = list(cv.vocabulary)
+    assert set(vocab) == {"cat", "dog", "sat"}
+    rows = {r["doc_id"]: r["text_features"] for r in out.collect()}
+    # IDF('sat') = ln((N+1)/(df+1)) with df=2, N=2 -> 0: the
+    # everywhere-token is zeroed; rare tokens keep weight.
+    sat_idx = vocab.index("sat")
+    cat_idx = vocab.index("cat")
+    assert rows[1][sat_idx] == 0.0
+    assert rows[1][cat_idx] > 0.0
+    assert rows[2][vocab.index("dog")] > 0.0
+    assert "text_features" in out.columns and "__tf" not in out.columns
+
+
+def test_text_pipeline_ngram_mode(spark):
+    from big_data_ml_pipeline_spark.features.text_features import (
+        fit_text_features,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")], ["doc_id", "text"])
+    model, out = fit_text_features(df, ngram_n=2, stopwords=[])
+    cv = model.stages[-2]
+    assert set(cv.vocabulary) == {"a b", "b c", "b d"}
+    assert out.count() == 2
+
+
+def test_word2vec_trains_and_embeds(spark):
+    from big_data_ml_pipeline_spark.features.text_features import (
+        train_word2vec,
+    )
+
+    docs = [(i, "spark query engine " + ("fast " * (i % 3 + 1)).strip())
+            for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    model, out = train_word2vec(df, vector_size=8)
+    vecs = {r["word"]: r["vector"] for r in model.getVectors().collect()}
+    assert {"spark", "query", "engine", "fast"} <= set(vecs)
+    assert all(len(v) == 8 for v in vecs.values())
+    row = out.first()
+    assert len(row["w2v"]) == 8 and "__tokens" not in out.columns
