@@ -99,7 +99,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
     # landed corpus range-clustered on cell every N batches.
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
-                   "ingest_compact_every": None},
+                   "ingest_compact_every": None,
+                   "ingest_track_drift": False},
 }
 
 
@@ -444,6 +445,7 @@ class PipelineOrchestrator:
             centroids=cents, threshold=c["ingest_threshold"],
             id_col=id_col, vec_col=vec_col,
             compact_every=c["ingest_compact_every"],
+            track_drift=c.get("ingest_track_drift", False),
         )
 
     # -- predict ------------------------------------------------------------

@@ -66,6 +66,7 @@ def ingest_embeddings_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     compact_every: int | None = None,
+    track_drift: bool = False,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -86,6 +87,15 @@ def ingest_embeddings_stream(
         index: (id, v, cell), one cell-keyed equi-join, no side state.
      4. append survivors to ``out_dir`` (single write — nothing else
         to keep consistent).
+
+    With ``track_drift=True``, each batch appends one row to
+    ``{out_dir}_drift`` — (batch_id, n_batch_vecs, n_landed_vecs,
+    n_shared_cells, jsd_bits): the Jensen-Shannon divergence between
+    the batch's and the landed corpus's IVF CELL histograms — the
+    embedding-space analogue of the document path's token-distribution
+    drift. A crawl source drifting in embedding space shows up as mass
+    moving across cells long before any per-vector screen fires. Cost:
+    one |cells|-sized aggregate per side per batch.
 
     With ``compact_every=N`` the landed table is rewritten every N
     batches range-clustered on ``cell`` (one file set per cell range),
@@ -152,6 +162,37 @@ def ingest_embeddings_stream(
                 eager=True
             )
             survivors.write.mode("append").parquet(out_dir)
+            if track_drift:
+                # Cell-histogram JSD of the checkpointed survivors vs
+                # the pre-append landed snapshot (file listing pinned
+                # at _read_state time). Written after the corpus
+                # append — observability never blocks landing.
+                def cell_hist(df_):
+                    c = df_.groupBy("cell").agg(
+                        F.count("*").cast("long").alias("cnt")
+                    )
+                    return {r["cell"]: r["cnt"] for r in c.collect()}
+
+                hb = cell_hist(survivors)
+                hl = cell_hist(landed) if landed is not None else {}
+                tb, tl = sum(hb.values()), sum(hl.values())
+                shared = set(hb) & set(hl)
+                jsd_q = pa_q = pb_q = 0
+                import math as _m
+
+                for cell in shared:
+                    pa, pb = hb[cell] / tb, hl[cell] / tl
+                    mm = (pa + pb) / 2.0
+                    jsd_q += round((0.5 * pa * _m.log2(pa / mm)
+                                    + 0.5 * pb * _m.log2(pb / mm)) * 1e9)
+                    pa_q += round(pa * 1e9)
+                    pb_q += round(pb * 1e9)
+                jsd = (jsd_q + 0.5 * (2e9 - pa_q - pb_q)) / 1e9 if tb else 1.0
+                spark.createDataFrame(
+                    [(int(batch_id), int(tb), int(tl), len(shared), float(jsd))],
+                    "batch_id long, n_batch_vecs long, n_landed_vecs long, "
+                    "n_shared_cells int, jsd_bits double",
+                ).write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
             if compact_every and (batch_id + 1) % compact_every == 0 and os.path.exists(out_dir):
                 compact_embedding_corpus(spark, out_dir)
         finally:

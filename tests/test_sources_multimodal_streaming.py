@@ -1060,3 +1060,42 @@ def test_streaming_ingest_orphan_index_rows_are_benign(spark, tmp_path):
     )
     landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert landed == [6]
+
+
+def test_streaming_embedding_drift_tracking(spark, tmp_path):
+    """Embedding-path drift: per-batch cell-histogram JSD vs the
+    landed corpus — same-cell batches score ~0, a batch landing in a
+    disjoint cell scores 1."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e0b = [0.8, 0.6, 0.0, 0.0]   # same cell as e0, cos 0.8 (below screen)
+    e2 = [0.0, 0.0, 1.0, 0.0]    # different cell
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shards = [
+        [(1, e0, 0)],
+        [(2, e0b, 0)],   # same cell distribution -> jsd 0
+        [(3, e2, 0)],    # disjoint cell -> jsd 1
+    ]
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(rows, ["vec_id", "embedding", "label"]
+                              ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in_dir)), out, ckpt,
+        centroids=cents, threshold=0.99, track_drift=True,
+    )
+    drift = {r["batch_id"]: r for r in
+             spark.read.parquet(out + "_drift").collect()}
+    assert sorted(drift) == [0, 1, 2]
+    assert drift[0]["n_landed_vecs"] == 0 and drift[0]["jsd_bits"] == 1.0
+    assert abs(drift[1]["jsd_bits"]) < 1e-9      # same single cell
+    assert abs(drift[2]["jsd_bits"] - 1.0) < 1e-9  # disjoint cell
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
