@@ -1574,13 +1574,38 @@ def distribution_shift(
     output), a token-keyed equi-join of the two vocabularies, and the
     unshared mass closed in constant time via 1 − Σ shared p. Two
     corpora with NO shared tokens still return a row (jsd = 1 bit).
+
+    At 100 TB, don't rescan a corpus to drift-check every batch: keep
+    a rolled (token, cnt) summary (streaming/corpus.py maintain_vocab)
+    and call :func:`distribution_shift_from_counts` on it.
     """
-    def counts(df, side):
-        tok = df.select(
-            F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
-        )
-        c = tok.groupBy("token").agg(
-            F.count("*").cast("long").alias(f"c{side}")
+    return distribution_shift_from_counts(
+        token_counts(df_a, text_col), token_counts(df_b, text_col)
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus (token, cnt) table — ONE map-side-combined aggregation;
+    the mergeable summary unit behind vocabulary / drift / LM state
+    (partials from different slices re-aggregate with a plain SUM)."""
+    return (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def distribution_shift_from_counts(
+    counts_a: DataFrame, counts_b: DataFrame
+) -> DataFrame:
+    """:func:`distribution_shift` over pre-aggregated (token, cnt)
+    tables — the form that scales: the corpus side is a rolled summary
+    (KBs–MBs) that is NEVER rescanned from text. Inputs may carry
+    unmerged partials (duplicate token rows); they are re-aggregated
+    here, so appended summary tables work as-is."""
+    def norm(c, side):
+        c = c.groupBy("token").agg(
+            F.sum("cnt").cast("long").alias(f"c{side}")
         )
         return c.crossJoin(
             F.broadcast(
@@ -1588,7 +1613,7 @@ def distribution_shift(
             )
         )
 
-    a, b = counts(df_a, "a"), counts(df_b, "b")
+    a, b = norm(counts_a, "a"), norm(counts_b, "b")
     pa = F.col("ca").cast("double") / F.col("ta")
     pb = F.col("cb").cast("double") / F.col("tb")
     m = (pa + pb) / F.lit(2.0)

@@ -69,6 +69,7 @@ def ingest_documents_stream(
     apply_quality: bool = True,
     compact_every: int | None = None,
     track_drift: bool = False,
+    maintain_vocab: bool = False,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -104,6 +105,17 @@ def ingest_documents_stream(
         appended (which would anti-join the survivors against
         themselves).
 
+    With ``maintain_vocab=True``, each batch's surviving (token, cnt)
+    partials are appended to ``{out_dir}_vocab`` — a mergeable corpus
+    summary (re-aggregate with SUM on read; compacted to one row per
+    token on the ``compact_every`` cadence). When both flags are on,
+    the drift check reads THIS table instead of re-tokenizing the
+    landed corpus — the shape that holds at 100 TB (the summary is
+    vocab-sized; the corpus is not). A crash between the corpus and
+    vocab appends loses that batch's partials from the summary — an
+    accepted observability gap, never a correctness one (dedup state
+    is the corpus itself, not the vocab).
+
     With ``track_drift=True``, each batch appends one row to
     ``{out_dir}_drift`` — (batch_id, n_batch_docs, n_landed_docs,
     n_tokens_batch, n_tokens_corpus, n_shared_tokens, jsd_bits) from
@@ -111,10 +123,10 @@ def ingest_documents_stream(
     batch against the landed corpus — the ingest-time observability
     table that catches a crawl source drifting away from (or
     collapsing into) the corpus distribution. The first batch (empty
-    corpus) records jsd 1.0 by convention. Costs one token aggregation
-    of batch + corpus per batch; the corpus side at 100 TB should
-    sample or roll a summary table instead — the primitive is
-    unchanged.
+    corpus) records jsd 1.0 by convention. With ``maintain_vocab`` the
+    corpus side reads the rolled summary; without it, one token
+    aggregation of the full corpus per batch (fine at test scale,
+    turn on the vocab at 100 TB).
 
     With ``compact_every=N``, every N batches the index is rewritten by
     :func:`~..operators.dedup.compact_minhash_index` — re-deduped,
@@ -160,6 +172,7 @@ def ingest_documents_stream(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        vocab_dir = out_dir.rstrip("/") + "_vocab"
         cached = batch_df.persist()
         batch_df = cached
         try:
@@ -168,6 +181,9 @@ def ingest_documents_stream(
             batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
             # 3: cross-batch exact dedup against the landed corpus.
             seen = _read_state(spark, out_dir)
+            vocab_pre = (
+                _read_state(spark, vocab_dir) if maintain_vocab else None
+            )
             if seen is not None:
                 batch_df = batch_df.join(
                     seen.select("fp"), on="fp", how="left_anti"
@@ -202,20 +218,40 @@ def ingest_documents_stream(
             survivors = batch_df.localCheckpoint(eager=True)
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
+            if maintain_vocab:
+                from ..operators.text import token_counts
+
+                token_counts(survivors, text_col).write.mode(
+                    "append"
+                ).parquet(vocab_dir)
             if track_drift:
                 # After the corpus append (observability must never
                 # block landing); measured on the CHECKPOINTED
-                # survivors vs the pre-batch corpus snapshot `seen`
-                # (read before the append — the lineage-pin rule).
-                from ..operators.text import distribution_shift
+                # survivors vs the pre-batch corpus snapshot — the
+                # rolled vocab summary when maintained (never
+                # re-tokenizes the corpus), else the full `seen` text
+                # (both read before the append — the lineage-pin rule).
+                from ..operators.text import (
+                    distribution_shift,
+                    distribution_shift_from_counts,
+                    token_counts,
+                )
 
                 landed_docs = seen.count() if seen is not None else 0
-                base_side = (
-                    seen if seen is not None
-                    else spark.createDataFrame([], survivors.schema)
-                )
+                if maintain_vocab and vocab_pre is not None:
+                    shift = distribution_shift_from_counts(
+                        token_counts(survivors, text_col), vocab_pre
+                    )
+                else:
+                    base_side = (
+                        seen if seen is not None
+                        else spark.createDataFrame([], survivors.schema)
+                    )
+                    shift = distribution_shift(
+                        survivors, base_side, text_col=text_col
+                    )
                 drift = (
-                    distribution_shift(survivors, base_side, text_col=text_col)
+                    shift
                     .select(
                         F.lit(batch_id).cast("long").alias("batch_id"),
                         F.lit(survivors.count()).cast("long").alias("n_batch_docs"),
@@ -237,6 +273,13 @@ def ingest_documents_stream(
                     and os.path.exists(index_dir)
                 ):
                     compact_minhash_index(spark, index_dir)
+            if (
+                maintain_vocab
+                and compact_every
+                and (batch_id + 1) % compact_every == 0
+                and os.path.exists(vocab_dir)
+            ):
+                compact_vocab(spark, vocab_dir)
         finally:
             cached.unpersist()
 
@@ -248,3 +291,21 @@ def ingest_documents_stream(
     )
     query.awaitTermination()
     return query
+
+
+def compact_vocab(spark: SparkSession, path: str) -> None:
+    """Fold the appended (token, cnt) vocabulary partials to one row
+    per token — a plain SUM, because the summary is mergeable by
+    construction. Atomic-ish swap like the index compaction."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    folded = df.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt"))
+    tmp = path.rstrip("/") + "__compacting"
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)

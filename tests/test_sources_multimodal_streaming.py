@@ -1099,3 +1099,51 @@ def test_streaming_embedding_drift_tracking(spark, tmp_path):
     assert abs(drift[1]["jsd_bits"]) < 1e-9      # same single cell
     assert abs(drift[2]["jsd_bits"] - 1.0) < 1e-9  # disjoint cell
     assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 2, 3]
+
+
+def test_streaming_vocab_maintenance_and_compaction(spark, tmp_path):
+    """maintain_vocab: the appended (token, cnt) partials re-aggregate
+    to EXACTLY the landed corpus's token counts; compaction folds to
+    one row per token without changing the sums; drift-from-vocab
+    equals drift-from-corpus."""
+    import os
+    import time
+
+    from collections import Counter
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    texts = [
+        "alpha beta gamma alpha",
+        "beta delta epsilon beta beta",
+        "zeta eta theta zeta",
+        "iota kappa lambda iota",
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, t in enumerate(texts):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame([(i, t, "en")], ["doc_id", "text", "lang"]
+                              ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_vocab=True, track_drift=True, compact_every=2,
+    )
+    want = Counter(" ".join(texts).split())
+    vocab = spark.read.parquet(out + "_vocab")
+    got = {r["token"]: r["cnt"] for r in
+           vocab.groupBy("token").agg(F.sum("cnt").alias("cnt")).collect()}
+    assert got == dict(want)
+    # compact_every=2 fired at batches 2 and 4: the final table holds
+    # ... at most one UNFOLDED partial set on top of a folded base;
+    # fold-on-read is the contract, row count stays bounded.
+    assert vocab.count() <= len(want) * 2
+    drift = spark.read.parquet(out + "_drift")
+    assert drift.count() == len(texts)
+    # Batches 2+ have disjoint vocab from the landed corpus -> jsd 1.
+    rows = {r["batch_id"]: r["jsd_bits"] for r in drift.collect()}
+    assert rows[2] == 1.0 and rows[3] == 1.0
