@@ -92,7 +92,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # shard) as the final step.
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
-               "ingest_track_drift": False},
+               "ingest_track_drift": False, "ingest_maintain_vocab": False},
     # Streaming EMBEDDING ingestion (ingest_embeddings_stream):
     # centroids None -> the deterministic q43 kit at (dim, n_cells);
     # threshold is the cosine twin cut-off; compact_every rewrites the
@@ -100,7 +100,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
                    "ingest_compact_every": None,
-                   "ingest_track_drift": False},
+                   "ingest_track_drift": False, "ingest_maintain_vocab": False},
 }
 
 
@@ -391,6 +391,7 @@ class PipelineOrchestrator:
             near_dup_threshold=c["ingest_near_dup_threshold"],
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
+            maintain_vocab=c.get("ingest_maintain_vocab", False),
             **(rules or {}),
         )
 
