@@ -1657,3 +1657,84 @@ def distribution_shift_from_counts(
             / 1e9
         ).alias("jsd_bits"),
     )
+
+
+def unigram_loglik_from_counts(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`unigram_loglik` scored against an EXTERNAL unigram model
+    given as a (token, cnt) table — the form that composes with the
+    streaming vocabulary summary (score arriving documents under the
+    corpus-so-far model) or any reference-corpus counts (DSIR-style
+    target models). Unseen tokens are Laplace-smoothed:
+    ``p(t) = (cnt(t)+1) / (N+V+1)`` with V the model's vocabulary size
+    (the dsir_importance convention), so OOV-heavy gibberish scores
+    low instead of −∞.
+
+    Same quantized-integer exactness and scale shape as
+    :func:`unigram_loglik`: the model collapses to quantized per-token
+    log-probs and broadcasts; the corpus side is one explode + one
+    id-keyed integer shuffle. ``counts`` may carry unmerged partials
+    (appended summary tables work as-is)."""
+    model = counts.groupBy("token").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    stats = model.select(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    model_q = model.crossJoin(F.broadcast(stats)).select(
+        "token",
+        "n_total",
+        "v_size",
+        F.round(
+            F.log10(
+                (F.col("cnt") + F.lit(1)).cast("double")
+                / (F.col("n_total") + F.col("v_size") + F.lit(1))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__logp_q"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    )
+    tok = base.select("id", F.explode_outer("__toks").alias("token"))
+    scored = tok.join(F.broadcast(model_q), "token", "left").crossJoin(
+        F.broadcast(stats.select(
+            F.col("n_total").alias("__nt"), F.col("v_size").alias("__vs")
+        ))
+    )
+    oov_q = F.round(
+        F.log10(
+            F.lit(1.0) / (F.col("__nt") + F.col("__vs") + F.lit(1))
+        )
+        * 1e6
+    ).cast("long")
+    per_doc = scored.groupBy("id").agg(
+        F.count("token").cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("token").isNotNull(),
+                       F.coalesce(F.col("__logp_q"), oov_q))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__sum_q"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("__sum_q").cast("double") / 1e6 / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_logp"),
+    )

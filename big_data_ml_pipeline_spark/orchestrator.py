@@ -92,7 +92,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # shard) as the final step.
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
-               "ingest_track_drift": False, "ingest_maintain_vocab": False},
+               "ingest_track_drift": False, "ingest_maintain_vocab": False,
+               "ingest_lm_floor": None},
     # Streaming EMBEDDING ingestion (ingest_embeddings_stream):
     # centroids None -> the deterministic q43 kit at (dim, n_cells);
     # threshold is the cosine twin cut-off; compact_every rewrites the
@@ -100,7 +101,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
                    "ingest_compact_every": None,
-                   "ingest_track_drift": False, "ingest_maintain_vocab": False},
+                   "ingest_track_drift": False, "ingest_maintain_vocab": False,
+               "ingest_lm_floor": None},
 }
 
 
@@ -392,6 +394,7 @@ class PipelineOrchestrator:
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
+            lm_floor=c.get("ingest_lm_floor"),
             **(rules or {}),
         )
 

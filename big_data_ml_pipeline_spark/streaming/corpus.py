@@ -70,6 +70,7 @@ def ingest_documents_stream(
     compact_every: int | None = None,
     track_drift: bool = False,
     maintain_vocab: bool = False,
+    lm_floor: float | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -115,6 +116,17 @@ def ingest_documents_stream(
     vocab appends loses that batch's partials from the summary — an
     accepted observability gap, never a correctness one (dedup state
     is the corpus itself, not the vocab).
+
+    With ``lm_floor`` set (requires ``maintain_vocab=True``), each
+    batch is ALSO gated by the corpus's own incremental language
+    model — the CCNet recipe running live: documents whose mean log10
+    unigram probability under the rolled vocabulary (Laplace-smoothed,
+    :func:`~..operators.text.unigram_loglik_from_counts`) falls below
+    the floor are dropped BEFORE dedup. The first batch (no vocabulary
+    yet) passes ungated; from then on the model is everything landed
+    so far, so the gate adapts as the corpus grows. Gibberish whose
+    rule signals look fine (plausible lengths/ratios, OOV-heavy soup)
+    is exactly what this catches.
 
     With ``track_drift=True``, each batch appends one row to
     ``{out_dir}_drift`` — (batch_id, n_batch_docs, n_landed_docs,
@@ -176,14 +188,26 @@ def ingest_documents_stream(
         cached = batch_df.persist()
         batch_df = cached
         try:
+            vocab_pre = (
+                _read_state(spark, vocab_dir) if maintain_vocab else None
+            )
+            # 1b: incremental-LM gate against the corpus-so-far model.
+            if lm_floor is not None and vocab_pre is not None:
+                from ..operators.text import unigram_loglik_from_counts
+
+                passing = (
+                    unigram_loglik_from_counts(
+                        batch_df, vocab_pre, text_col=text_col, id_col=id_col
+                    )
+                    .filter(F.col("mean_logp") >= F.lit(lm_floor))
+                    .select(id_col)
+                )
+                batch_df = batch_df.join(passing, on=id_col, how="left_semi")
             # 2: within-batch exact dedup — one shuffle of (fp, id).
             keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
             batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
             # 3: cross-batch exact dedup against the landed corpus.
             seen = _read_state(spark, out_dir)
-            vocab_pre = (
-                _read_state(spark, vocab_dir) if maintain_vocab else None
-            )
             if seen is not None:
                 batch_df = batch_df.join(
                     seen.select("fp"), on="fp", how="left_anti"

@@ -1147,3 +1147,41 @@ def test_streaming_vocab_maintenance_and_compaction(spark, tmp_path):
     # Batches 2+ have disjoint vocab from the landed corpus -> jsd 1.
     rows = {r["batch_id"]: r["jsd_bits"] for r in drift.collect()}
     assert rows[2] == 1.0 and rows[3] == 1.0
+
+
+def test_streaming_incremental_lm_gate(spark, tmp_path):
+    """lm_floor + maintain_vocab: batch 0 passes ungated (no model
+    yet); from batch 1 on, OOV-heavy gibberish scores below the floor
+    under the corpus-so-far model and is dropped, while in-distribution
+    text lands."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shards = [
+        [(1, common + " one", "en")],
+        [
+            (10, common + " two", "en"),          # in-distribution -> lands
+            (11, "qq ww ee rr tt yy uu ii", "en"),  # all OOV -> gated
+        ],
+    ]
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(rows, ["doc_id", "text", "lang"]
+                              ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # Model after batch 0: 9 tokens, 9 types -> seen p=(1+1)/19 ~ -0.98,
+    # OOV p=1/19 ~ -1.28. Floor -1.1 separates them.
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_vocab=True, lm_floor=-1.1,
+    )
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [1, 10]

@@ -1248,3 +1248,27 @@ def test_distribution_shift_matches_source_divergence(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     e = text_ops.distribution_shift(a, empty).collect()[0]
     assert e["n_tokens_b"] == 0 and e["jsd_bits"] == 1.0
+
+
+def test_unigram_loglik_from_counts_hand_computed(spark):
+    """External-model LM scoring with Laplace smoothing: seen tokens
+    score by (cnt+1)/(N+V+1); OOV tokens by 1/(N+V+1); empty docs 0."""
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 1)], ["token", "cnt"]
+    )  # N=4, V=2 -> denominator 7
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "zzz"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in
+           text_ops.unigram_loglik_from_counts(df, counts).collect()}
+    q = lambda x: round(math.log10(x) * 1e6) / 1e6
+    assert abs(out[1]["mean_logp"] - (q(4 / 7) + q(2 / 7)) / 2) < 1e-9
+    assert abs(out[2]["mean_logp"] - q(1 / 7)) < 1e-9
+    assert out[3]["mean_logp"] == 0.0 and out[3]["n_tokens"] == 0
+    # Partial-unmerged counts fold identically.
+    parts = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1)], ["token", "cnt"]
+    )
+    out2 = {r["doc_id"]: r["mean_logp"] for r in
+            text_ops.unigram_loglik_from_counts(df, parts).collect()}
+    assert out2[1] == out[1]["mean_logp"]
