@@ -2326,6 +2326,20 @@ def q129_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.source_divergence(docs)
 
 
+def q140_external_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-model LM scoring (text.unigram_loglik_from_counts):
+    every document scored under the src0-src2 subset's Laplace-
+    smoothed unigram counts — the batch form of the streaming
+    incremental-LM gate (lm_floor) and the scoring half of DSIR
+    (q119). Quantized per-token log-probs + integer sums keep it
+    hash-exact; OOV tokens take the 1/(N+V+1) floor instead of −∞."""
+    docs = load_table(spark, sf_dir, "documents")
+    model = text_ops.token_counts(
+        docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    )
+    return text_ops.unigram_loglik_from_counts(docs, model)
+
+
 def q138_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution entropy (text.token_entropy):
     Shannon bits + length-normalized variant — the information-
@@ -2590,6 +2604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_hard_negatives": q137_hard_negatives,
         "q138_token_entropy": q138_token_entropy,
         "q139_source_overlap": q139_source_overlap,
+        "q140_external_lm_score": q140_external_lm_score,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -2552,6 +2552,41 @@ GROUP BY 1, 2
 """
 
 
+_Q140_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, {_DUCK_LTOKS} AS ltoks FROM documents),
+model AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(ltoks) AS token FROM t
+    WHERE source IN ('src0', 'src1', 'src2')) GROUP BY token),
+stats AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+         CAST(COUNT(*) AS BIGINT) AS v_size FROM model),
+mq AS (
+  SELECT token,
+         CAST(ROUND(log10(CAST(cnt + 1 AS DOUBLE) / (n_total + v_size + 1))
+              * 1000000.0) AS BIGINT) AS logp_q
+  FROM model CROSS JOIN stats),
+tok AS (SELECT doc_id, unnest(ltoks) AS token FROM t),
+scored AS (
+  SELECT doc_id,
+         COALESCE(mq.logp_q,
+           CAST(ROUND(log10(1.0 / (stats.n_total + stats.v_size + 1))
+                * 1000000.0) AS BIGINT)) AS q
+  FROM tok LEFT JOIN mq USING (token) CROSS JOIN stats),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(q) AS BIGINT) AS sum_q
+  FROM scored GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  CASE WHEN COALESCE(n_tokens, 0) > 0
+       THEN CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+       ELSE 0.0 END AS mean_logp
+FROM t LEFT JOIN agg USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2680,5 +2715,6 @@ def oracle_sql() -> dict[str, str]:
         "q137_hard_negatives": _Q137_SQL,
         "q138_token_entropy": _Q138_SQL,
         "q139_source_overlap": _Q139_SQL,
+        "q140_external_lm_score": _Q140_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
