@@ -1117,6 +1117,7 @@ def hard_negative_pairs(
     nprobe: int = 4,
     round_assign_digits: int | None = None,
     salt: str = "neg-42",
+    n_buckets: int = 8,
 ) -> DataFrame:
     """Contrastive-training pair mining: for every query vector, its
     ``k_pos`` nearest corpus neighbours (label 1, via the q110 batch
@@ -1138,7 +1139,8 @@ def hard_negative_pairs(
     Scale shape: positives are the :func:`ivf_knn_join` banded probe
     (never all-pairs); the negative pool is one bucket-keyed equi-join
     whose per-query fan-out is corpus/n_buckets — raise ``n_buckets``
-    with the corpus so the pool stays bounded.
+    with the corpus so the pool stays bounded (the default 8 keeps the
+    q137 oracle twin stable; it is a knob, not a constant).
     """
     from pyspark.sql import Window
 
@@ -1170,7 +1172,6 @@ def hard_negative_pairs(
         .select("qid", F.col(id_col).alias("cand_id"), "sim")
         .withColumn("label", F.lit(1))
     )
-    n_buckets = 8
     qids = queries.select(F.col(id_col).alias("qid")).withColumn(
         "__bkt",
         F.pmod(

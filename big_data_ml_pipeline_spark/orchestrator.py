@@ -101,8 +101,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
                    "ingest_compact_every": None,
-                   "ingest_track_drift": False, "ingest_maintain_vocab": False,
-               "ingest_lm_floor": None},
+                   "ingest_track_drift": False},
 }
 
 

@@ -178,9 +178,19 @@ def write_zorder(
 
     NULLs sort to bucket 0 (the first file range), matching
     repartitionByRange's null placement.
+
+    ``bits_per_col`` is auto-reduced so the interleaved code fits in the
+    63 non-sign bits of a long — otherwise the top bucket bits would
+    land in the sign bit and scramble the cluster order for high
+    buckets.
     """
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("write_zorder requires at least one column")
+    bits_per_col = min(bits_per_col, 63 // len(cols))
+    if bits_per_col < 1:
+        raise ValueError(f"too many z-order columns ({len(cols)}) for a 63-bit code")
     n_buckets = 1 << bits_per_col
     probs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = {

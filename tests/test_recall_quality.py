@@ -354,3 +354,25 @@ def test_hard_negative_pairs_structure(spark, emb_and_queries):
     ).collect()
     key = lambda rows: sorted((r["qid"], r["cand_id"], r["label"]) for r in rows)
     assert key(out) == key(out2)
+
+
+def test_hard_negative_pairs_n_buckets_knob(spark, emb_and_queries):
+    """ADVICE r6: n_buckets is a real parameter (the scale lever the
+    docstring promises). A finer bucketing still yields k_neg negatives
+    per query, disjoint from positives."""
+    emb, _ = emb_and_queries
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    out = sim_ops.hard_negative_pairs(
+        emb, cents, k_pos=3, k_neg=4,
+        query_pred=F.col("vec_id") % 200 == 0,
+        nprobe=4, round_assign_digits=6, n_buckets=32,
+    ).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(lambda: {1: set(), 0: set()})
+    for r in out:
+        per_q[r["qid"]][r["label"]].add(r["cand_id"])
+    assert per_q
+    for q, d in per_q.items():
+        assert len(d[1]) == 3 and len(d[0]) == 4, q
+        assert not d[1] & d[0], q

@@ -946,6 +946,28 @@ def test_write_zorder_concentrates_both_columns(spark, tmp_path):
     assert back.count() == li.count() and set(back.columns) == {"l_orderkey", "l_partkey"}
 
 
+def test_write_zorder_bit_budget(spark, tmp_path):
+    """ADVICE r6: bits_per_col × n_cols must fit in a long's 63 value
+    bits. 8 columns at the default 8 bits auto-reduces (to 7) instead
+    of pushing bucket bits into the sign bit; an impossible column
+    count raises."""
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.sources.writers import write_zorder
+
+    cols = [f"c{i}" for i in range(8)]
+    df = spark.range(2000).select(
+        *[(F.col("id") * (i + 3) % 997).cast("double").alias(c)
+          for i, c in enumerate(cols)]
+    )
+    out = str(tmp_path / "z8")
+    write_zorder(df, out, cols, num_files=8)  # default bits_per_col=8
+    back = spark.read.parquet(out)
+    assert back.count() == 2000 and set(back.columns) == set(cols)
+    with _pytest.raises(ValueError):
+        write_zorder(df, str(tmp_path / "z64"), [f"x{i}" for i in range(64)])
+
+
 def test_text_and_jsonl_reader_dispatch(spark, tmp_path):
     """Raw-corpus entry formats: .txt reads line-per-row (column
     `value`), .jsonl dispatches to the json reader."""
