@@ -720,7 +720,13 @@ def minhash_dedup_pairs_oracle(
     sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    ).select("id", md5_hash32(F.col("shingle")).alias("h"))
+    ).select(
+        # Reduce h below P BEFORE the family: md5_hash32 spans [0, 2^32)
+        # while (a·h+b) mod P is universal only over Z_P — without this,
+        # two shingles congruent mod P collide under ALL 64 functions
+        # (ADVICE r6). Mirrored in the oracle's `% P` on the same CTE.
+        "id", (md5_hash32(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("h")
+    )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"__m{i}")
         for i, (a, b) in enumerate(params)
@@ -1360,7 +1366,9 @@ def source_minhash_overlap(
                 "shingle"
             ),
         )
-        .select("g", md5_hash32(F.col("shingle")).alias("h"))
+        # h reduced below P — see minhash_dedup_pairs_oracle (universal
+        # family domain; mirrored in the q139 oracle).
+        .select("g", (md5_hash32(F.col("shingle")) % F.lit(MINHASH_PRIME)).alias("h"))
     )
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(

@@ -710,7 +710,8 @@ _MINHASH_MINS = ",\n    ".join(
 
 _Q70_SQL = f"""
 WITH sh AS (
-  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+             % {dedup_ops.MINHASH_PRIME} AS h
   FROM (SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents)
 ), sig AS (
   SELECT id, [{_MINHASH_MINS}] AS sig
@@ -2133,7 +2134,8 @@ _Q130_SQL = f"""
 WITH shd AS (
   SELECT doc_id AS id, unnest({_DUCK_SHINGLES}) AS shingle FROM documents
 ), sh AS (
-  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  SELECT id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+             % {dedup_ops.MINHASH_PRIME} AS h
   FROM shd
 ), sig AS (
   SELECT id, [{_MINHASH_MINS}] AS sig
@@ -2535,7 +2537,8 @@ FROM e
 
 _Q139_SQL = f"""
 WITH sh AS (
-  SELECT g, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+  SELECT g, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT)
+            % {dedup_ops.MINHASH_PRIME} AS h
   FROM (SELECT source AS g, unnest({_DUCK_SHINGLES}) AS shingle
         FROM documents)),
 sig AS (
