@@ -591,12 +591,13 @@ def _compact_banded_index(
          prune per-bucket lookups.
 
     The rewrite goes to a sibling temp dir first and is swapped in with
-    directory renames — readers never observe a half-written index. On
-    a real cluster this is a table-format job (Delta OPTIMIZE); here it
-    is the same operation expressed on plain parquet.
+    directory renames — readers never observe a half-written index
+    (crash mid-swap is repaired by sources.state.recover_interrupted_
+    swap on the next ingest start). On a real cluster this is a
+    table-format job (Delta OPTIMIZE); here it is the same operation
+    expressed on plain parquet.
     """
-    import shutil
-
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
     from ..sources.writers import write_range_clustered
 
     idx = spark.read.parquet(path).dropDuplicates(["id", *bucket_cols])
@@ -607,13 +608,10 @@ def _compact_banded_index(
             .filter(F.col("__rn") <= max_bucket_size)
             .drop("__rn")
         )
-    tmp = path.rstrip("/") + "__compacting"
-    write_range_clustered(idx, tmp, bucket_cols[-1], num_files=num_files)
-    old = path.rstrip("/") + "__precompact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    write_range_clustered(
+        idx, path.rstrip("/") + TMP_SUFFIX, bucket_cols[-1], num_files=num_files
+    )
+    atomic_swap_dirs(path)
 
 
 def compact_minhash_index(

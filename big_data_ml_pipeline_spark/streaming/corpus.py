@@ -158,6 +158,18 @@ def ingest_documents_stream(
         query_minhash_index,
     )
 
+    from ..sources.state import recover_interrupted_swap
+
+    # Repair any compaction swap a previous run crashed in the middle
+    # of — these dirs ARE the dedup state; a missing one would read as
+    # "first batch" and silently re-ingest duplicates (ADVICE r6).
+    for state_dir in (
+        out_dir.rstrip("/"),
+        out_dir.rstrip("/") + "_minhash_index",
+        out_dir.rstrip("/") + "_vocab",
+    ):
+        recover_interrupted_swap(state_dir)
+
     orig_cols = [c for c in stream.columns]
     if apply_quality:
         gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
@@ -320,16 +332,13 @@ def ingest_documents_stream(
 def compact_vocab(spark: SparkSession, path: str) -> None:
     """Fold the appended (token, cnt) vocabulary partials to one row
     per token — a plain SUM, because the summary is mergeable by
-    construction. Atomic-ish swap like the index compaction."""
-    import shutil
+    construction. Swapped in like the index compaction; an interrupted
+    swap is repaired on the next ingest start."""
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
     df = spark.read.parquet(path)
     folded = df.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt"))
-    tmp = path.rstrip("/") + "__compacting"
-    folded.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + "__precompact"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + TMP_SUFFIX
+    )
+    atomic_swap_dirs(path)

@@ -107,6 +107,13 @@ def ingest_embeddings_stream(
     """
     from pyspark.errors import AnalysisException
 
+    from ..sources.state import recover_interrupted_swap
+
+    # The landed table IS the dedup state: finish/roll back any
+    # compaction swap a previous run crashed inside, or a restarted
+    # stream would see landed=None and re-ingest duplicates (ADVICE r6).
+    recover_interrupted_swap(out_dir.rstrip("/"))
+
     def _read_state(spark, path):
         if not os.path.exists(path):
             return None
@@ -214,22 +221,19 @@ def compact_embedding_corpus(
     """Rewrite the landed embedding corpus range-clustered on ``cell``
     so per-cell probes and the streaming screen's cell join prune files
     by parquet footer min/max — appends fragment the table one file per
-    batch otherwise. Atomic-ish swap: write to a sibling, move the old
-    dir aside, rename, drop the old (the corpus.compaction pattern)."""
-    import shutil
+    batch otherwise. Swapped in via sources.state.atomic_swap_dirs; an
+    interrupted swap of THIS table is the dangerous one (the landed
+    table is the dedup state — a missing dir reads as 'no state' and
+    re-ingests duplicates), so ingest_embeddings_stream repairs any
+    leftover swap before its first batch."""
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
     df = spark.read.parquet(path)
     n = num_files or max(2, spark.sparkContext.defaultParallelism // 4)
-    tmp = path.rstrip("/") + "__compacting"
     (
         df.repartitionByRange(n, F.col("cell"))
         .sortWithinPartitions("cell")
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(path.rstrip("/") + TMP_SUFFIX)
     )
-    old = path.rstrip("/") + "__precompact"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    atomic_swap_dirs(path)

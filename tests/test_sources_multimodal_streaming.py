@@ -853,6 +853,122 @@ def test_streaming_embedding_ingestion_semantic_dedup(spark, tmp_path):
     assert cells == {1: 0, 2: 1, 12: 2}
 
 
+def test_recover_interrupted_swap_state_machine(tmp_path):
+    """Every reachable crash state of the compaction swap maps to a
+    recovery that restores 'path holds a complete state table'
+    (ADVICE r6 — two os.rename calls are not atomic)."""
+    import os
+
+    from big_data_ml_pipeline_spark.sources.state import (
+        OLD_SUFFIX,
+        TMP_SUFFIX,
+        atomic_swap_dirs,
+        recover_interrupted_swap,
+    )
+
+    def mk(name, tag):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "marker").write_text(tag)
+        return str(d)
+
+    def tag(path):
+        with open(os.path.join(path, "marker")) as fh:
+            return fh.read()
+
+    # Happy path: swap promotes tmp, retires old, cleans up.
+    p = mk("a", "old-data")
+    mk("a" + TMP_SUFFIX, "new-data")
+    atomic_swap_dirs(p)
+    assert tag(p) == "new-data"
+    assert not os.path.exists(p + TMP_SUFFIX) and not os.path.exists(p + OLD_SUFFIX)
+
+    # Crash between the renames: path missing, old+tmp present → finish.
+    mk("b" + OLD_SUFFIX, "old-data")
+    mk("b" + TMP_SUFFIX, "new-data")
+    assert recover_interrupted_swap(str(tmp_path / "b")) == "finished interrupted swap"
+    assert tag(str(tmp_path / "b")) == "new-data"
+
+    # Crash mid-rewrite: path + stale tmp → drop tmp, keep path.
+    p = mk("c", "live")
+    mk("c" + TMP_SUFFIX, "half-written")
+    assert "dropped stale rewrite" in recover_interrupted_swap(p)
+    assert tag(p) == "live" and not os.path.exists(p + TMP_SUFFIX)
+
+    # Crash after swap, before cleanup: path + old → drop old.
+    p = mk("d", "new-data")
+    mk("d" + OLD_SUFFIX, "old-data")
+    assert "dropped retired copy" in recover_interrupted_swap(p)
+    assert tag(p) == "new-data" and not os.path.exists(p + OLD_SUFFIX)
+
+    # Only the retired copy survives → roll back.
+    mk("e" + OLD_SUFFIX, "old-data")
+    assert recover_interrupted_swap(str(tmp_path / "e")) == "rolled back interrupted swap"
+    assert tag(str(tmp_path / "e")) == "old-data"
+
+    # Consistent state (or nothing at all) → no-op.
+    assert recover_interrupted_swap(mk("f", "live")) is None
+    assert recover_interrupted_swap(str(tmp_path / "ghost")) is None
+
+
+def test_embedding_ingest_repairs_crashed_compaction(spark, tmp_path):
+    """A crash between the compaction swap's two renames leaves the
+    landed table missing; since that table IS the dedup state, a
+    restarted stream used to see landed=None and re-ingest duplicates.
+    ingest_embeddings_stream now repairs the swap before its first
+    batch (ADVICE r6)."""
+    import os
+    import shutil
+    import time
+
+    from big_data_ml_pipeline_spark.sources.state import OLD_SUFFIX, TMP_SUFFIX
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+    def unit(*xs):
+        import math as m
+        n = m.sqrt(sum(x * x for x in xs))
+        return [float(x / n) for x in xs]
+
+    e1, e2, e3 = unit(1, 0, 0, 0), unit(0, 1, 0, 0), unit(0, 0, 1, 0)
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0], [0, 0, 0, 1.0]]
+    in1 = tmp_path / "in1"
+    in1.mkdir()
+    spark.createDataFrame(
+        [(1, e1, 0), (2, e2, 0)], ["vec_id", "embedding", "label"]
+    ).toPandas().to_parquet(str(in1 / "s0.parquet"), index=False)
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in1)), out,
+        str(tmp_path / "ck1"), centroids=cents, threshold=0.95,
+    )
+    assert sorted(r["vec_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+
+    # Simulate the crash window: the compacted rewrite is complete in
+    # __compacting, the live dir was renamed aside — and the process
+    # died before the second rename.
+    shutil.copytree(out, out + TMP_SUFFIX)
+    os.rename(out, out + OLD_SUFFIX)
+    assert not os.path.exists(out)
+
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    p = str(in2 / "s1.parquet")
+    spark.createDataFrame(
+        [(10, e1, 0), (11, e3, 0)],  # 10 duplicates landed vec 1
+        ["vec_id", "embedding", "label"],
+    ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time() + 5, time.time() + 5))
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in2)), out,
+        str(tmp_path / "ck2"), centroids=cents, threshold=0.95,
+    )
+    landed = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    # Recovery restored {1, 2}; the exact duplicate 10 was screened out.
+    assert landed == [1, 2, 11]
+    assert not os.path.exists(out + TMP_SUFFIX)
+    assert not os.path.exists(out + OLD_SUFFIX)
+
+
 def test_streaming_embedding_compaction_preserves_state(spark, tmp_path):
     """compact_every rewrites the landed corpus range-clustered on
     cell; the surviving set and the post-compaction screen behavior
