@@ -273,7 +273,6 @@ def ingest_documents_stream(
                     token_counts,
                 )
 
-                landed_docs = seen.count() if seen is not None else 0
                 if maintain_vocab and vocab_pre is not None:
                     shift = distribution_shift_from_counts(
                         token_counts(survivors, text_col), vocab_pre
@@ -286,12 +285,26 @@ def ingest_documents_stream(
                     shift = distribution_shift(
                         survivors, base_side, text_col=text_col
                     )
+                # The doc counts ride INSIDE the drift job as one-row
+                # broadcast aggregates (VERDICT r6 item 6) — the write
+                # below is the batch's single observability action, not
+                # three (two bare .count() jobs used to precede it).
+                n_batch = survivors.agg(
+                    F.count("*").cast("long").alias("n_batch_docs")
+                )
+                n_landed = (
+                    seen.agg(F.count("*").cast("long").alias("n_landed_docs"))
+                    if seen is not None
+                    else spark.createDataFrame([(0,)], "n_landed_docs long")
+                )
                 drift = (
                     shift
+                    .crossJoin(F.broadcast(n_batch))
+                    .crossJoin(F.broadcast(n_landed))
                     .select(
                         F.lit(batch_id).cast("long").alias("batch_id"),
-                        F.lit(survivors.count()).cast("long").alias("n_batch_docs"),
-                        F.lit(landed_docs).cast("long").alias("n_landed_docs"),
+                        "n_batch_docs",
+                        "n_landed_docs",
                         F.col("n_tokens_a").alias("n_tokens_batch"),
                         F.col("n_tokens_b").alias("n_tokens_corpus"),
                         "n_shared_tokens",

@@ -331,6 +331,105 @@ def test_streaming_corpus_ingestion_near_dup_index(spark, tmp_path):
     assert idx_ids == {1, 3, 11}
 
 
+def test_streaming_ingest_crash_between_corpus_and_index_writes(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection for the corpus-before-index write order
+    (VERDICT r6 item 4): kill the batch AFTER the corpus (and vocab)
+    append but BEFORE the index append, replay it, and assert zero
+    lost docs, zero duplicate docs, and vocab partials not
+    double-appended. The at-least-once replay self-heals because the
+    landed corpus — not the index — is the dedup state."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_mod
+    from big_data_ml_pipeline_spark.operators.text import token_counts
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the old barn where it hides from the rain all day long")
+    other = ("a completely different story about query engines and columnar "
+             "formats written with care for the reader and full of detail")
+    fresh = ("meanwhile the harbor lights flicker as ships unload crates "
+             "of spice and sailors trade maps beneath the crescent moon")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shard1 = spark.createDataFrame(
+        [(1, base, "en"), (2, other, "en")], ["doc_id", "text", "lang"]
+    )
+    shard2 = spark.createDataFrame(
+        [(10, base, "en"),   # exact dup of landed doc 1 -> must drop
+         (11, fresh, "en")],  # novel -> must land exactly once
+        ["doc_id", "text", "lang"],
+    )
+    for i, shard in enumerate([shard1, shard2]):
+        p = str(in_dir / f"shard{i}.parquet")
+        shard.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    real_index = dedup_mod.minhash_index
+    calls = {"n": 0}
+
+    def exploding_index(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash between corpus and index writes")
+        return real_index(*a, **k)
+
+    monkeypatch.setattr(dedup_mod, "minhash_index", exploding_index)
+
+    out_dir, ckpt = str(tmp_path / "corpus"), str(tmp_path / "ckpt")
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out_dir, ckpt, apply_quality=False,
+            near_dup_threshold=0.5, maintain_vocab=True,
+        )
+    # The crash window is real: corpus + vocab landed, index did not.
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    ) == [1, 2]
+    assert not os.path.exists(out_dir + "_minhash_index")
+
+    # Restart with the SAME checkpoint: batch 0 was never committed, so
+    # it replays; the corpus anti-join drops its already-landed rows.
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out_dir, ckpt, apply_quality=False,
+        near_dup_threshold=0.5, maintain_vocab=True,
+    )
+    landed = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    # Zero lost, zero duplicated — despite the replay.
+    assert sorted(landed) == [1, 2, 11]
+    assert len(landed) == len(set(landed))
+    # Vocab partials were appended once by the crashed attempt and NOT
+    # re-appended on replay: the rolled summary equals a fresh count of
+    # the landed corpus exactly.
+    vocab = {
+        r["token"]: r["cnt"]
+        for r in spark.read.parquet(out_dir + "_vocab")
+        .groupBy("token").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    expect = {
+        r["token"]: r["cnt"]
+        for r in token_counts(spark.read.parquet(out_dir), "text").collect()
+    }
+    assert vocab == expect
+    # The index heals on replay: batch 0's rows are missing until the
+    # next compaction (documented), but batch 1's landed doc is indexed
+    # and no id appears with duplicate band rows.
+    idx = spark.read.parquet(out_dir + "_minhash_index")
+    per_band = (
+        idx.groupBy("id", "band").count().filter(F.col("count") > 1).count()
+    )
+    assert per_band == 0
+    assert {r["id"] for r in idx.select("id").distinct().collect()} == {11}
+
+
 def test_streaming_ingest_quality_gate_disabled(spark, tmp_path):
     """apply_quality=False skips the gate entirely (ADVICE r5: the
     config path maps ingest_quality_rules=None here, mirroring the
