@@ -2471,6 +2471,27 @@ def q130_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_calibration(docs, min_est=0.2)
 
 
+def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (text.duplicate_spans,
+    Lee et al. 2021 exact-substring dedup as positional 5-gram matches,
+    min span 10 tokens): cross-document shared substrings at ANY
+    alignment — the spans the fixed-boundary q114 chunk dedup provably
+    misses when they straddle a chunk edge. Pure integer output
+    (0-based token indices), hash-exact by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.duplicate_spans(docs, k=5, min_len=10)
+
+
+def q142_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span EXCISION with document reassembly
+    (text.excise_duplicate_spans): every q141 span removed from its
+    non-keeper document, remaining tokens rejoined in order — one row
+    per input document, exactly one copy of every duplicated substring
+    surviving corpus-wide. String + integer output only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2605,6 +2626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_token_entropy": q138_token_entropy,
         "q139_source_overlap": q139_source_overlap,
         "q140_external_lm_score": q140_external_lm_score,
+        "q141_duplicate_spans": q141_duplicate_spans,
+        "q142_span_excision": q142_span_excision,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

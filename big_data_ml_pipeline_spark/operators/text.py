@@ -1016,6 +1016,158 @@ def dedup_chunks(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+) -> DataFrame:
+    """Substring-level (duplicate-span) detection — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    exact-substring pass, re-expressed as k-gram rolling matches instead
+    of a suffix array: any run of ≥ ``min_len`` consecutive tokens that
+    also appears in an EARLIER document is a duplicate span. Unlike the
+    q114 chunk dedup (fixed 50-token boundaries), a span straddling any
+    chunk boundary is still caught: every token position starts its own
+    k-gram, so a shared substring of length L ≥ k yields L−k+1
+    consecutive matching positions regardless of alignment.
+
+    Method: positional k-grams per document → grams seen in ≥2 distinct
+    documents keep their MIN doc id (the keeper retains its text; every
+    other document's matching positions are duplicate evidence) →
+    per-document interval merge of the overlapping [pos, pos+k−1]
+    windows (gaps-and-islands: a new span starts when the position gap
+    exceeds k) → spans shorter than ``min_len`` tokens are dropped.
+    Within-document repetition (a gram repeated only inside one doc) is
+    deliberately NOT flagged — that is q104's repetition signal; this
+    operator removes cross-document plagiarism/boilerplate.
+
+    Returns (doc_id, span_start, span_end, span_len): 0-based inclusive
+    TOKEN indices into the whitespace tokenization, one row per merged
+    span of a non-keeper document.
+
+    Scale shape: ONE gram-keyed shuffle — keeper and cross-doc flags
+    are unordered window aggregates over the gram key, not an
+    aggregate-plus-join-back (A/B'd at sf0.1: 0.8s vs 1.9s warm — the
+    join-back shape shuffles the gram stream twice because the partial
+    agg and the probe side carry different payloads and can't share
+    the exchange). Then one id-keyed window over MATCHED positions
+    only (duplicate evidence, not the corpus). A boilerplate gram
+    shared by M docs concentrates M (id,pos) rows on one reducer —
+    linear unordered aggregation, no blow-up, but pre-filter known
+    boilerplate upstream if M reaches corpus scale. With
+    ``hashed=True`` the shuffle key is ``xxhash64`` of the gram
+    (8 bytes) instead of the k-token string — the 100 TB path (cf.
+    q70's bkey note); a 64-bit collision could merge two unrelated
+    grams into a span, which is why the oracle-checked default stays
+    on strings.
+
+    ``min_len`` defaults to ``2*k`` (a single-gram match never excises
+    on its own — the span must extend past one window, mirroring the
+    reference practice of verifying LSH candidates before acting).
+    """
+    if min_len is None:
+        min_len = 2 * k
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    gram = F.col("gram")
+    grams = (
+        base.select(
+            "id",
+            F.posexplode_outer(gram_array(F.col("__toks"), k)).alias(
+                "pos", "gram"
+            ),
+        )
+        # _outer + null filter on the GENERATED column: keeps
+        # InferFiltersFromGenerate from re-inlining the whole gram
+        # build below the projection (the q127 19s lesson).
+        .filter(gram.isNotNull())
+    )
+    if hashed:
+        grams = grams.select("id", "pos", F.xxhash64(gram).alias("gram"))
+    # min != max over the gram partition <=> present in >= 2 distinct
+    # docs — no countDistinct, no join-back.
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("__keeper", F.min("id").over(wg))
+        .withColumn("__mx", F.max("id").over(wg))
+        .filter(
+            (F.col("__mx") > F.col("__keeper"))
+            & (F.col("id") != F.col("__keeper"))
+        )
+        .select("id", "pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = hits.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn("__isl", F.sum("__brk").over(w))
+    return (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .withColumn(
+            "span_len", (F.col("span_end") - F.col("span_start") + 1)
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "span_len"
+        )
+    )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every :func:`duplicate_spans` span from its document and
+    reassemble the remaining tokens in order (the q114 reassembly
+    shape) — one row per INPUT document: (doc_id, clean_text, n_tokens,
+    n_removed). Keeper documents (and documents with no qualifying
+    span) come back untouched, so exactly one copy of every duplicated
+    substring survives the corpus-wide pass.
+
+    Scale shape: the span table is per-document-tiny; it rolls up to
+    one array per affected doc (id shuffle) and broadcast-joins back
+    onto the corpus; excision itself is a map-only indexed array
+    filter — the corpus is never shuffled.
+    """
+    spans = duplicate_spans(
+        df, k=k, min_len=min_len, text_col=text_col, id_col=id_col
+    )
+    sp_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).join(F.broadcast(sp_arr), on=id_col, how="left")
+    sps = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            sps, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: tuple[str, ...],

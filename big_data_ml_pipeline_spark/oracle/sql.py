@@ -2590,6 +2590,76 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+# q141/q142: substring-level duplicate-span detection + excision
+# (Lee et al. 2021 exact-substring dedup as k-gram matches; k=5,
+# min_len=10). The span CTE chain mirrors the Spark operator step for
+# step: positional 5-grams -> cross-doc grams keep MIN(doc_id) ->
+# non-keeper positions -> gaps-and-islands interval merge -> spans of
+# >= 10 tokens.
+_DUCK_SPANS_CTES = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - 4)) AS s(i)),
+dup AS (
+  SELECT gram, MIN(doc_id) AS keeper
+  FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+hits AS (
+  SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+  WHERE g.doc_id <> dup.keeper),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS b
+  FROM hits),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM brk)
+"""
+
+_Q141_SQL = f"""
+{_DUCK_SPANS_CTES}
+SELECT doc_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+  CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, grp
+HAVING MAX(pos) - MIN(pos) + 5 >= 10
+"""
+
+_Q142_SQL = f"""
+{_DUCK_SPANS_CTES},
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+  FROM isl GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + 5 >= 10),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
+  FROM t, unnest(generate_series(1, len(toks))) AS s(i)),
+removed AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM tok tk JOIN spans sp
+    ON tk.doc_id = sp.doc_id AND tk.pos BETWEEN sp.span_start AND sp.span_end),
+keptagg AS (
+  SELECT tk.doc_id,
+    COALESCE(array_to_string(
+      list(tk.tok ORDER BY tk.pos) FILTER (WHERE rm.pos IS NULL), ' '),
+      '') AS clean_text,
+    CAST(any_value(tk.n) AS BIGINT) AS n_tokens,
+    CAST(COUNT(rm.pos) AS BIGINT) AS n_removed
+  FROM tok tk
+  LEFT JOIN removed rm ON rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+  GROUP BY tk.doc_id)
+SELECT d.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+  CAST(COALESCE(ka.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(ka.n_removed, 0) AS BIGINT) AS n_removed
+FROM t d LEFT JOIN keptagg ka USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2719,5 +2789,7 @@ def oracle_sql() -> dict[str, str]:
         "q138_token_entropy": _Q138_SQL,
         "q139_source_overlap": _Q139_SQL,
         "q140_external_lm_score": _Q140_SQL,
+        "q141_duplicate_spans": _Q141_SQL,
+        "q142_span_excision": _Q142_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

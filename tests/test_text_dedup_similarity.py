@@ -1272,3 +1272,137 @@ def test_unigram_loglik_from_counts_hand_computed(spark):
     out2 = {r["doc_id"]: r["mean_logp"] for r in
             text_ops.unigram_loglik_from_counts(df, parts).collect()}
     assert out2[1] == out[1]["mean_logp"]
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate-span dedup (VERDICT r6 item 1)
+# ---------------------------------------------------------------------------
+
+def _mk_words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_duplicate_spans_catch_chunk_straddling_dup(spark):
+    """A 24-token substring shared across two docs but OFFSET so it
+    straddles the q114 chunk boundary: chunk-level dedup (fixed
+    boundaries) provably finds NO duplicate chunk, while the span
+    operator recovers the exact token range."""
+    shared = _mk_words("dup", 24)
+    # doc 1: shared at positions 0..23; doc 2: shared at 20..43 —
+    # with chunk_size=16 doc1 splits it [0:16)+[16:24), doc2 [20:32)+...
+    # no chunk text can match (different alignment, unique padding).
+    d1 = shared + " " + _mk_words("a", 20)
+    d2 = _mk_words("b", 20) + " " + shared + " " + _mk_words("c", 8)
+    df = spark.createDataFrame([(1, d1), (2, d2)], ["doc_id", "text"])
+
+    chunk = text_ops.dedup_chunks(df, chunk_size=16)
+    assert all(
+        r["n_kept_chunks"] == r["n_chunks"] for r in chunk.collect()
+    ), "precondition: chunk dedup must miss the straddling span"
+
+    spans = text_ops.duplicate_spans(df, k=5, min_len=10).collect()
+    assert [(r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+            for r in spans] == [(2, 20, 43, 24)]
+
+
+def test_duplicate_spans_keeper_and_merge_semantics(spark):
+    """Min-id doc keeps its text; two nearby shared runs in one doc
+    merge into a single span when their gap <= k, stay separate
+    otherwise; within-doc-only repetition is NOT flagged."""
+    s1, s2 = _mk_words("x", 12), _mk_words("y", 12)
+    owner = s1 + " " + _mk_words("o", 30) + " " + s2
+    # borrower: s1 then a 3-token gap then s2 (gap < k=5 -> one span).
+    borrower = _mk_words("p", 7) + " " + s1 + " q0 q1 q2 " + s2
+    # self-repeater: its own phrase twice, shared with nobody.
+    rep = _mk_words("z", 8) + " " + _mk_words("z", 8)
+    df = spark.createDataFrame(
+        [(10, owner), (20, borrower), (30, rep)], ["doc_id", "text"]
+    )
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in
+        text_ops.duplicate_spans(df, k=5, min_len=10).collect()
+    )
+    # borrower: s1 at 7..18, gap q0-q2 at 19..21, s2 at 22..33.
+    # Last matching 5-gram of s1 starts at 14; first of s2 at 22 —
+    # gap 8 > k with the 3 filler tokens? positions 14 and 22 differ
+    # by 8 > 5 -> SEPARATE spans.
+    assert spans == [(20, 7, 18), (20, 22, 33)]
+    # Owner (min id) keeps everything; self-repetition unflagged.
+    assert {d for d, _, _ in spans} == {20}
+
+    # Shrink the gap to 1 token -> positions 14 and 20 differ by 6 > 5
+    # still separate; remove the gap entirely -> contiguous, one span.
+    fused = _mk_words("p", 7) + " " + s1 + " " + s2
+    df2 = spark.createDataFrame([(10, owner), (20, fused)], ["doc_id", "text"])
+    spans2 = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in text_ops.duplicate_spans(df2, k=5, min_len=10).collect()
+    ]
+    assert spans2 == [(20, 7, 30, 24)]
+
+
+def test_excise_duplicate_spans_reassembly(spark):
+    """Excision removes exactly the span tokens from non-keeper docs,
+    keeps every other token in order, and leaves keepers untouched;
+    hashed=True produces the identical span set."""
+    shared = _mk_words("dup", 16)
+    d1 = "alpha beta " + shared + " gamma delta"
+    d2 = "one two three four " + shared + " five six"
+    d3 = "completely unrelated text with enough words to stand alone here"
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           text_ops.excise_duplicate_spans(df, k=5, min_len=10).collect()}
+    assert len(out) == 3
+    assert out[1]["clean_text"] == d1 and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[2]["n_removed"] == 16 and out[2]["n_tokens"] == 22
+    assert out[3]["clean_text"] == d3 and out[3]["n_removed"] == 0
+    # One copy of the substring survives corpus-wide.
+    survivors = sum(shared in r["clean_text"] for r in out.values())
+    assert survivors == 1
+
+    a = sorted(map(tuple, text_ops.duplicate_spans(df, k=5, min_len=10).collect()))
+    b = sorted(map(tuple, text_ops.duplicate_spans(
+        df, k=5, min_len=10, hashed=True).collect()))
+    assert a == b
+
+
+def test_duplicate_spans_vs_literal_python(spark):
+    """Cross-check the full pipeline against a literal Python
+    implementation (positional k-grams, min-id keeper, interval merge)
+    on the sf0.001 corpus head — every span identical."""
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(120).collect()
+    )
+    k, min_len = 4, 8
+    docs = {r["doc_id"]: r["text"].split() for r in rows}
+    gram_where = {}
+    for did, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            gram_where.setdefault(" ".join(toks[p:p + k]), set()).add(did)
+    expected = set()
+    for did, toks in docs.items():
+        hits = [
+            p for p in range(len(toks) - k + 1)
+            if (lambda ds: len(ds) >= 2 and min(ds) != did)(
+                gram_where[" ".join(toks[p:p + k])]
+            )
+        ]
+        run: list[int] = []
+        for p in hits + [None]:
+            if run and (p is None or p - run[-1] > k):
+                s, e = run[0], run[-1] + k - 1
+                if e - s + 1 >= min_len:
+                    expected.add((did, s, e, e - s + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    sub = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in text_ops.duplicate_spans(sub, k=k, min_len=min_len).collect()
+    }
+    assert got == expected and expected
