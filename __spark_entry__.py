@@ -2471,6 +2471,32 @@ def q130_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_calibration(docs, min_est=0.2)
 
 
+#: Fixed merge table for q143 — a deterministic stand-in for a learned
+#: BPE merge list (the pairs q123-style training would learn first on
+#: English text), applied in rank order by the GPT-2-style min-rank
+#: loop. Content-independent so the query is reproducible on any
+#: engine/session without a training job.
+Q143_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("s", "t"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"),
+    ("in", "g"), ("a", "l"), ("o", "f"), ("t", "o"), ("e", "d"),
+]
+
+
+def q143_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization (text.bpe_encode): apply a learned merge list
+    with the greedy min-rank loop (Sennrich 2016 / GPT-2 encoder) —
+    the step that turns q123's trained pair counts into an actual
+    token stream, so token budgets/packing run on tokenizer tokens
+    instead of whitespace words. Rows-only: the data-dependent merge
+    loop is an Arrow-batched mapInPandas edge with no SQL equivalent;
+    exactness is pinned by pytest against a literal Python encoder and
+    the losslessness invariant (concat(units) == word)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_encode(docs, Q143_BPE_MERGES)
+
+
 def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate-span detection (text.duplicate_spans,
     Lee et al. 2021 exact-substring dedup as positional 5-gram matches,
@@ -2628,6 +2654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q140_external_lm_score": q140_external_lm_score,
         "q141_duplicate_spans": q141_duplicate_spans,
         "q142_span_excision": q142_span_excision,
+        "q143_bpe_encode": q143_bpe_encode,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

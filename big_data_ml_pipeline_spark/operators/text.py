@@ -8,6 +8,8 @@ reference corpus.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,6 +197,7 @@ def chunk_tokens(
     id_col: str = "doc_id",
     chunk_size: int = 64,
     overlap: int = 16,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     context-window packing primitive of an LLM training pipeline.
@@ -205,7 +208,11 @@ def chunk_tokens(
     tail instead of emitting a sub-overlap fragment), then
     ``posexplode`` — the whole thing is one narrow projection + one
     generator, NO shuffle and no Python: chunking 100 TB is a map-only
-    job. Returns (id, chunk_id, n_chunk_tokens, chunk_text)."""
+    job. Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+
+    With ``tokens_col`` set, chunks a PRE-TOKENIZED array column (e.g.
+    :func:`bpe_encode`'s ``bpe_tokens``) instead of whitespace-splitting
+    ``text_col`` — context windows measured in tokenizer tokens."""
     if overlap >= chunk_size:
         raise ValueError("overlap must be < chunk_size")
     stride = chunk_size - overlap
@@ -217,10 +224,11 @@ def chunk_tokens(
         F.greatest(F.size("__toks") - overlap, F.lit(1)),
         F.lit(stride),
     )
+    tok_expr = (
+        F.col(tokens_col) if tokens_col is not None else tokens(F.col(text_col))
+    )
     return (
-        df.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-        )
+        df.select(F.col(id_col), tok_expr.alias("__toks"))
         .select(F.col(id_col), "__toks", starts.alias("__starts"))
         .select(
             F.col(id_col),
@@ -757,6 +765,119 @@ def bpe_pair_counts(
         F.countDistinct("token").alias("n_token_types"),
     )
     return agg.orderBy(F.col("pair_count").desc(), F.col("pair").asc()).limit(k)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a LEARNED byte-pair-encoding merge list (Sennrich et al.
+    2016; the greedy min-rank loop GPT-2's encoder uses) — the step
+    q123's pair counts train toward. Each case-folded whitespace word
+    starts as its character sequence; while any adjacent unit pair is
+    in the merge table, the LOWEST-rank pair present is merged at all
+    its occurrences (left-to-right), then the word is re-scanned — a
+    later merge can expose an earlier-rank pair, which sequential
+    one-pass-per-merge application would miss. Segmentation is
+    lossless: concatenating a word's units reproduces the word.
+
+    Returns (id, bpe_tokens array<string>, n_tokens, n_bpe_tokens):
+    the real tokenizer token stream and its count, so budget/packing
+    operators (q101/q102/q113) can run on tokenizer tokens instead of
+    whitespace words (feed ``n_bpe_tokens`` to
+    :func:`pack_sequences`'s ``n_tokens_col``, or ``bpe_tokens`` to
+    :func:`chunk_tokens`'s ``tokens_col``).
+
+    The merge loop is data-dependent iteration per word — not
+    expressible as bounded Catalyst HOFs — so this is an Arrow-batched
+    ``mapInPandas`` edge (the UDF policy's sanctioned escape hatch,
+    like the media codecs and the GEMM kernel). Encodings are memoized
+    per DISTINCT word within each Arrow batch: natural text repeats
+    words heavily, so the Python loop runs per vocab word, not per
+    token. No shuffle — encoding 100 TB is map-only.
+    """
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+    def _encode_word(word: str, cache: dict) -> list[str]:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        units = list(word)
+        while len(units) > 1:
+            best_rank, best_pair = None, None
+            for i in range(len(units) - 1):
+                r = ranks.get((units[i], units[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (units[i], units[i + 1])
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out: list[str] = []
+            i = 0
+            while i < len(units):
+                if i < len(units) - 1 and units[i] == a and units[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(units[i])
+                    i += 1
+            units = out
+        cache[word] = units
+        return units
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cache: dict = {}
+            toks_col, nt, nb = [], [], []
+            for text in pdf["__text"]:
+                words = [w for w in (text or "").lower().split() if w]
+                units: list[str] = []
+                for w in words:
+                    units.extend(_encode_word(w, cache))
+                toks_col.append(units)
+                nt.append(len(words))
+                nb.append(len(units))
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"],
+                    "bpe_tokens": toks_col,
+                    "n_tokens": nt,
+                    "n_bpe_tokens": nb,
+                }
+            )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("bpe_tokens", ArrayType(StringType()), False),
+            StructField("n_tokens", LongType(), False),
+            StructField("n_bpe_tokens", LongType(), False),
+        ]
+    )
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
+    )
+    out = narrow.mapInPandas(encode, schema=schema)
+    return out.withColumnRenamed("id", id_col)
 
 
 def distinct_token_ratio(text: Column) -> Column:

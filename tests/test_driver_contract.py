@@ -54,6 +54,10 @@ ROWS_ONLY = {
     "q51_streaming_sliding", "q52_streaming_stateful_totals",
     "q59_streaming_dedup", "q69_streaming_sessions",
     "q72_multimodal_resize", "q73_ml_regression",
+    # r7: the BPE merge loop is data-dependent per-word iteration — an
+    # Arrow-batched mapInPandas edge with no SQL twin; exactness pinned
+    # by pytest vs a literal Python encoder + invariants below.
+    "q143_bpe_encode",
 }
 
 
@@ -261,6 +265,28 @@ def test_q72_resize_invariants(spark):
     for r in rows:
         assert (r["width"], r["height"]) == (16, 16)
         assert r["n_bytes"] == 16 * 16
+
+
+def test_q143_bpe_invariants(spark):
+    """BPE segmentation is lossless (concat of a doc's units ==
+    concat of its lowered words), token counts bracket correctly
+    (n_tokens <= n_bpe_tokens <= total chars), and at least one merge
+    actually fired corpus-wide (n_bpe_tokens < chars for some doc)."""
+    rows = _q("q143_bpe_encode")(spark, SF0001).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF0001}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    merged_somewhere = False
+    for r in rows:
+        words = [w for w in docs[r["doc_id"]].lower().split() if w]
+        assert "".join(r["bpe_tokens"]) == "".join(words), r["doc_id"]
+        n_chars = sum(len(w) for w in words)
+        assert r["n_tokens"] == len(words)
+        assert r["n_tokens"] <= r["n_bpe_tokens"] <= max(n_chars, 0) or n_chars == 0
+        merged_somewhere |= 0 < r["n_bpe_tokens"] < n_chars
+    assert merged_somewhere
 
 
 def test_q73_regression_invariants(spark):

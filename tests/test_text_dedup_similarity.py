@@ -1406,3 +1406,116 @@ def test_duplicate_spans_vs_literal_python(spark):
         for r in text_ops.duplicate_spans(sub, k=k, min_len=min_len).collect()
     }
     assert got == expected and expected
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (VERDICT r6 item 2)
+# ---------------------------------------------------------------------------
+
+def _literal_bpe(word, merges):
+    """Reference implementation: GPT-2-style greedy min-rank loop."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    units = list(word)
+    while len(units) > 1:
+        cand = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(units, units[1:]))
+            if (a, b) in ranks
+        ]
+        if not cand:
+            break
+        rank = min(cand)[0]
+        a, b = merges[rank]
+        out, i = [], 0
+        while i < len(units):
+            if i < len(units) - 1 and units[i] == a and units[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(units[i])
+                i += 1
+        units = out
+    return units
+
+
+def test_bpe_encode_adversarial_hand_computed(spark):
+    """Hand-computed adversarial cases: a later merge EXPOSING an
+    earlier-rank pair (one-pass-per-merge application gets this wrong),
+    left-to-right greedy runs on repeated characters, and unknown
+    characters passing through as singletons."""
+    merges = [("x", "ab"), ("a", "b"), ("aa", "a"), ("a", "a")]
+    df = spark.createDataFrame(
+        [(1, "xab"), (2, "aaaa"), (3, "aaaaa"), (4, "q"), (5, "ab xab AB")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["bpe_tokens"] for r in
+           text_ops.bpe_encode(df, merges).collect()}
+    # (a,b) fires first (rank 1), creating (x, ab) at rank 0 — the
+    # re-scan MUST pick it up.
+    assert out[1] == ["xab"]
+    # (a,a) rank 3: left-to-right pairing.
+    assert out[2] == ["aa", "aa"]
+    # [a]*5 -> [aa, aa, a] -> (aa,a) rank 2 applies -> [aa, aaa].
+    assert out[3] == ["aa", "aaa"]
+    assert out[4] == ["q"]
+    # Case-folded; whitespace words concatenate in order.
+    assert out[5] == ["ab", "xab", "ab"]
+
+
+def test_bpe_encode_matches_literal_python_on_corpus(spark):
+    """Spark encoding == the literal Python encoder for every word of
+    the sf0.001 corpus head under the q143 merge table."""
+    from __spark_entry__ import Q143_BPE_MERGES
+
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text").orderBy("doc_id").limit(60).collect()
+    )
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in
+           text_ops.bpe_encode(df, Q143_BPE_MERGES).collect()}
+    for r in rows:
+        expect = []
+        for w in r["text"].lower().split():
+            if w:
+                expect.extend(_literal_bpe(w, Q143_BPE_MERGES))
+        assert got[r["doc_id"]] == expect, r["doc_id"]
+
+
+def test_bpe_feeds_packing_and_chunking(spark):
+    """The wiring VERDICT asked for: pack_sequences budgets on
+    n_bpe_tokens via n_tokens_col, and chunk_tokens windows over the
+    bpe_tokens array via tokens_col — context budgets measured in
+    tokenizer tokens, not whitespace words."""
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+    df = spark.createDataFrame(
+        [(i, "the quick and steady hand then struck " * 3) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    enc = text_ops.bpe_encode(df, merges)
+    one = enc.first()
+    assert one["n_bpe_tokens"] > one["n_tokens"]  # chars split > words
+
+    packed = text_ops.pack_sequences(
+        enc.withColumn("grp", F.lit("g")),
+        budget_tokens=64, id_col="doc_id", group_col="grp",
+        n_tokens_col="n_bpe_tokens",
+    ).collect()
+    assert {r["n_tokens"] for r in packed} == {one["n_bpe_tokens"]}
+    # Packs respect the BPE budget: each doc's running total // 64.
+    per = one["n_bpe_tokens"]
+    expect_pack = [(i * per) // 64 for i in range(6)]
+    assert sorted(r["pack_id"] for r in packed) == sorted(expect_pack)
+
+    chunks = text_ops.chunk_tokens(
+        enc, chunk_size=16, overlap=0, id_col="doc_id",
+        tokens_col="bpe_tokens",
+    )
+    got = chunks.filter(F.col("doc_id") == 0).orderBy("chunk_id").collect()
+    # Chunk token counts sum to the doc's BPE token count and every
+    # chunk text is whitespace-joined BPE units.
+    assert sum(r["n_chunk_tokens"] for r in got) == per
+    flat = " ".join(r["chunk_text"] for r in got).split()
+    assert flat == list(one["bpe_tokens"])
