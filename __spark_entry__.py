@@ -2497,6 +2497,29 @@ def q143_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_encode(docs, Q143_BPE_MERGES)
 
 
+def q144_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-conditional quality gating (text.quality_rules with
+    text.GOPHER_LANG_PROFILES): lang_id tags each document, then every
+    threshold becomes a CASE over the detected language — the English
+    stopword floor applies only to English, German gets a longer
+    mean-token-length floor, undetermined text a stricter repetition
+    bar (the Gopher per-language tables). Map-only; CASE mirrored 1:1
+    in the twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "text", text_ops.lang_id(F.col("text")).alias("lang_pred")
+    )
+    out = text_ops.quality_rules(
+        tagged, lang_col="lang_pred",
+        lang_profiles=text_ops.GOPHER_LANG_PROFILES,
+    )
+    return out.select(
+        "doc_id", "lang_pred", "n_tokens", "mean_token_len",
+        "stopword_frac", "distinct_ratio", "top_token_frac",
+        F.col("keep").cast("bigint").alias("keep"),
+    )
+
+
 def q141_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplicate-span detection (text.duplicate_spans,
     Lee et al. 2021 exact-substring dedup as positional 5-gram matches,
@@ -2655,6 +2678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_duplicate_spans": q141_duplicate_spans,
         "q142_span_excision": q142_span_excision,
         "q143_bpe_encode": q143_bpe_encode,
+        "q144_lang_quality": q144_lang_quality,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

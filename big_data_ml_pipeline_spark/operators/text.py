@@ -23,6 +23,21 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("el", "y", "de"),
 }
 
+#: Per-language quality-threshold overrides for :func:`quality_rules`
+#: (the Gopher paper's per-language tables, in miniature): the default
+#: stopword floor uses an ENGLISH stopword list, so non-English text
+#: must not be gated on it; German's compounding pushes mean token
+#: length up; undetermined-language text gets a stricter repetition
+#: bar instead. Shared literal between the Spark operator and the
+#: generated oracle SQL (q144).
+GOPHER_LANG_PROFILES: dict[str, dict[str, float]] = {
+    "en": {"min_stopword_ratio": 0.05},
+    "de": {"min_stopword_ratio": 0.0, "min_avg_token_len": 3.0},
+    "fr": {"min_stopword_ratio": 0.0},
+    "es": {"min_stopword_ratio": 0.0},
+    "und": {"min_stopword_ratio": 0.0, "min_distinct_ratio": 0.4},
+}
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string> (drops empty tokens)."""
@@ -944,6 +959,8 @@ def quality_rules(
     min_stopword_ratio: float = 0.01,
     min_distinct_ratio: float = 0.30,
     max_top_token_share: float = 0.20,
+    lang_col: str | None = None,
+    lang_profiles: dict[str, dict[str, float]] | None = None,
 ) -> DataFrame:
     """Gopher/C4-style rule-based quality filter (one map-only pass).
 
@@ -953,12 +970,46 @@ def quality_rules(
     single division of exactly-computed integers, so the doubles are
     bit-identical across engines and the filter is oracle-checkable.
 
+    With ``lang_profiles`` (+ ``lang_col`` naming an existing language
+    column, e.g. :func:`lang_id` materialized upstream), each threshold
+    becomes a CASE over the language: ``{"de": {"min_avg_token_len":
+    3.0}, ...}`` overrides just the named thresholds for that language,
+    falling back to the keyword defaults otherwise — the Gopher paper's
+    per-language threshold tables (stopword ratio and token length
+    differ structurally across languages; an English stopword floor
+    rejects most German text). Still a pure-Catalyst map; the CASE is
+    mirrored 1:1 in ANSI SQL, so the gate stays oracle-checkable.
+
     Scale: pure Catalyst projections — predicate-pushdown friendly, no
     shuffle, no UDFs; at 100 TB this is a straight map over the scan.
     Tokenizes ONCE per case-form (raw + lowered arrays materialized in
     their own select); the five signals then read the arrays — the
     helper-per-signal form re-tokenized the document five times.
     """
+    if lang_profiles and lang_col is None:
+        raise ValueError("lang_profiles requires lang_col")
+
+    defaults = {
+        "min_tokens": min_tokens,
+        "max_tokens": max_tokens,
+        "min_avg_token_len": min_avg_token_len,
+        "max_avg_token_len": max_avg_token_len,
+        "min_stopword_ratio": min_stopword_ratio,
+        "min_distinct_ratio": min_distinct_ratio,
+        "max_top_token_share": max_top_token_share,
+    }
+
+    def thr(name: str) -> Column:
+        if not lang_profiles:
+            return F.lit(defaults[name])
+        expr = None
+        for lang in sorted(lang_profiles):
+            v = lang_profiles[lang].get(name, defaults[name])
+            cond = F.col(lang_col) == lang
+            expr = (
+                F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+            )
+        return expr.otherwise(F.lit(defaults[name]))
     t = F.col(text_col)
     base = df.select(
         "*", tokens(t).alias("__toks"), tokens(F.lower(t)).alias("__ltoks")
@@ -993,11 +1044,13 @@ def quality_rules(
         *df.columns, *[expr.alias(name) for name, expr in signals.items()]
     )
     keep = (
-        F.col("n_tokens").between(min_tokens, max_tokens)
-        & F.col("mean_token_len").between(min_avg_token_len, max_avg_token_len)
-        & (F.col("stopword_frac") >= min_stopword_ratio)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-        & (F.col("top_token_frac") <= max_top_token_share)
+        (F.col("n_tokens") >= thr("min_tokens"))
+        & (F.col("n_tokens") <= thr("max_tokens"))
+        & (F.col("mean_token_len") >= thr("min_avg_token_len"))
+        & (F.col("mean_token_len") <= thr("max_avg_token_len"))
+        & (F.col("stopword_frac") >= thr("min_stopword_ratio"))
+        & (F.col("distinct_ratio") >= thr("min_distinct_ratio"))
+        & (F.col("top_token_frac") <= thr("max_top_token_share"))
     )
     return out.withColumn("keep", keep)
 

@@ -2590,6 +2590,81 @@ FROM t LEFT JOIN agg USING (doc_id)
 """
 
 
+# q144: language-conditional quality gate. Threshold CASEs are
+# GENERATED from the same text_ops.GOPHER_LANG_PROFILES dict the Spark
+# operator reads, so the two sides cannot drift.
+_Q144_DEFAULTS = {
+    "min_tokens": 30, "max_tokens": 50_000,
+    "min_avg_token_len": 2.0, "max_avg_token_len": 10.0,
+    "min_stopword_ratio": 0.01, "min_distinct_ratio": 0.30,
+    "max_top_token_share": 0.20,
+}
+
+
+def _lang_thr_case(name: str) -> str:
+    default = _Q144_DEFAULTS[name]
+    branches = " ".join(
+        f"WHEN lang_pred = '{lang}' THEN {prof.get(name, default)}"
+        for lang, prof in sorted(text_ops.GOPHER_LANG_PROFILES.items())
+    )
+    return f"(CASE {branches} ELSE {default} END)"
+
+
+_DUCK_LANG_CASE = """
+  CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %'
+         OR ' ' || lower(text) || ' ' LIKE '% and %'
+         OR ' ' || lower(text) || ' ' LIKE '% a %' THEN 'en'
+       WHEN ' ' || lower(text) || ' ' LIKE '% der %'
+         OR ' ' || lower(text) || ' ' LIKE '% und %'
+         OR ' ' || lower(text) || ' ' LIKE '% die %' THEN 'de'
+       WHEN ' ' || lower(text) || ' ' LIKE '% le %'
+         OR ' ' || lower(text) || ' ' LIKE '% et %'
+         OR ' ' || lower(text) || ' ' LIKE '% la %' THEN 'fr'
+       WHEN ' ' || lower(text) || ' ' LIKE '% el %'
+         OR ' ' || lower(text) || ' ' LIKE '% y %'
+         OR ' ' || lower(text) || ' ' LIKE '% de %' THEN 'es'
+       ELSE 'und' END
+"""
+
+_Q144_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         {_DUCK_LANG_CASE} AS lang_pred,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, lang_pred,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t)
+SELECT doc_id, lang_pred, n_tokens, mean_token_len, stopword_frac,
+  distinct_ratio, top_token_frac,
+  CAST(n_tokens >= {_lang_thr_case('min_tokens')}
+    AND n_tokens <= {_lang_thr_case('max_tokens')}
+    AND mean_token_len >= {_lang_thr_case('min_avg_token_len')}
+    AND mean_token_len <= {_lang_thr_case('max_avg_token_len')}
+    AND stopword_frac >= {_lang_thr_case('min_stopword_ratio')}
+    AND distinct_ratio >= {_lang_thr_case('min_distinct_ratio')}
+    AND top_token_frac <= {_lang_thr_case('max_top_token_share')}
+    AS BIGINT) AS keep
+FROM s
+"""
+
+
 # q141/q142: substring-level duplicate-span detection + excision
 # (Lee et al. 2021 exact-substring dedup as k-gram matches; k=5,
 # min_len=10). The span CTE chain mirrors the Spark operator step for
@@ -2791,5 +2866,6 @@ def oracle_sql() -> dict[str, str]:
         "q140_external_lm_score": _Q140_SQL,
         "q141_duplicate_spans": _Q141_SQL,
         "q142_span_excision": _Q142_SQL,
+        "q144_lang_quality": _Q144_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

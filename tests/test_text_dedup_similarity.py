@@ -1519,3 +1519,45 @@ def test_bpe_feeds_packing_and_chunking(spark):
     assert sum(r["n_chunk_tokens"] for r in got) == per
     flat = " ".join(r["chunk_text"] for r in got).split()
     assert flat == list(one["bpe_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality profiles (VERDICT r6 item 7)
+# ---------------------------------------------------------------------------
+
+def test_quality_rules_lang_profiles(spark):
+    """A German document with zero ENGLISH stopwords fails the default
+    gate but passes under the 'de' profile (stopword floor lifted);
+    an English doc is still held to the English floor; an unknown
+    language falls back to the defaults; profiles without lang_col
+    raise."""
+    de = ("der schnelle braune fuchs springt über den faulen hund "
+          "während die sonne hinter den bergen langsam untergeht "
+          "und der alte müller seine mühle am rauschenden bach öffnet") * 2
+    en_bad = ("quick brown fox jumps over lazy dog near riverbank "
+              "while evening sunlight fades behind distant mountain peaks "
+              "casting long shadows across quiet meadow grass tonight") * 2
+    en_good = ("the quick brown fox jumps over the lazy dog and then "
+               "returns to the den of a fox family near the edge of a "
+               "quiet forest while the sun sets over the hills") * 2
+    df = spark.createDataFrame(
+        [(1, de, "de"), (2, en_bad, "en"), (3, en_good, "en"),
+         (4, en_bad, "xx")],
+        ["doc_id", "text", "lang"],
+    )
+    default = {r["doc_id"]: r["keep"] for r in
+               text_ops.quality_rules(df).collect()}
+    assert default == {1: False, 2: False, 3: True, 4: False}
+
+    prof = {r["doc_id"]: r["keep"] for r in text_ops.quality_rules(
+        df, lang_col="lang",
+        lang_profiles=text_ops.GOPHER_LANG_PROFILES,
+    ).collect()}
+    # de: stopword floor lifted -> passes; en without stopwords still
+    # fails (floor RAISED to 0.05); unknown 'xx' -> defaults -> fails.
+    assert prof == {1: True, 2: False, 3: True, 4: False}
+
+    with pytest.raises(ValueError, match="lang_col"):
+        text_ops.quality_rules(
+            df, lang_profiles=text_ops.GOPHER_LANG_PROFILES
+        )
