@@ -2497,6 +2497,39 @@ def q143_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bpe_encode(docs, Q143_BPE_MERGES)
 
 
+def q145_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib text-feature stack on the driver surface (VERDICT r6
+    item 8 — features/text_features.py was pytest-only): tokenize →
+    stopword-filter → CountVectorizer → IDF pipeline plus a seeded
+    Word2Vec, reduced to DETERMINISTIC integers per document — TF-IDF
+    nonzero count (distinct in-vocabulary terms; the full vocabulary
+    fits under the 2^15 cap, so the set is partition-invariant) and
+    the embedding dimensionality. Rows-only: MLlib estimator fits have
+    no SQL twin; value-level invariants live in the driver-contract
+    tests."""
+    from pyspark.ml.functions import vector_to_array
+
+    from big_data_ml_pipeline_spark.features.text_features import (
+        fit_text_features,
+        train_word2vec,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    _, tf = fit_text_features(docs, vocab_size=1 << 15)
+    _, wv = train_word2vec(docs, vector_size=16)
+    a = tf.select(
+        "doc_id",
+        F.size(
+            F.filter(vector_to_array("text_features"), lambda v: v != 0.0)
+        ).cast("long").alias("tfidf_nnz"),
+    )
+    b = wv.select(
+        "doc_id",
+        F.size(vector_to_array("w2v")).cast("long").alias("w2v_dim"),
+    )
+    return a.join(b, "doc_id")
+
+
 def q144_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-conditional quality gating (text.quality_rules with
     text.GOPHER_LANG_PROFILES): lang_id tags each document, then every
@@ -2679,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_span_excision": q142_span_excision,
         "q143_bpe_encode": q143_bpe_encode,
         "q144_lang_quality": q144_lang_quality,
+        "q145_text_features": q145_text_features,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

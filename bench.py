@@ -58,6 +58,10 @@ EXTRA = [
     "q42_lsh_embedding_pairs",
     "q44_multimodal_features",
     "q45_quality_scores",
+    # Arrow-batched BPE encoding (rows-only) — the one mapInPandas
+    # corpus operator, worth tracking (~0.9s warm at sf0.1). The MLlib
+    # fit queries (q47/q48/q73/q145) stay out: they measure training.
+    "q143_bpe_encode",
 ]
 
 

@@ -58,6 +58,9 @@ ROWS_ONLY = {
     # Arrow-batched mapInPandas edge with no SQL twin; exactness pinned
     # by pytest vs a literal Python encoder + invariants below.
     "q143_bpe_encode",
+    # r7: MLlib estimator fits (CountVectorizer/IDF/Word2Vec) have no
+    # SQL twin; invariants below.
+    "q145_text_features",
 }
 
 
@@ -287,6 +290,27 @@ def test_q143_bpe_invariants(spark):
         assert r["n_tokens"] <= r["n_bpe_tokens"] <= max(n_chars, 0) or n_chars == 0
         merged_somewhere |= 0 < r["n_bpe_tokens"] < n_chars
     assert merged_somewhere
+
+
+def test_q145_text_feature_invariants(spark):
+    """MLlib text stack: one row per document; tfidf_nnz counts the
+    doc's distinct in-vocabulary (non-stopword) terms — positive for
+    every real doc, bounded by its distinct lowered token count — and
+    the Word2Vec column has the configured dimensionality on every
+    row. Determinism: a second run yields identical rows."""
+    rows = _q("q145_text_features")(spark, SF0001).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF0001}/documents.parquet").collect()
+    }
+    assert len(rows) == len(docs)
+    for r in rows:
+        distinct = len(set(docs[r["doc_id"]].lower().split()))
+        assert 0 < r["tfidf_nnz"] <= distinct, r["doc_id"]
+        assert r["w2v_dim"] == 16
+    again = _q("q145_text_features")(spark, SF0001).collect()
+    key = lambda rs: sorted((r["doc_id"], r["tfidf_nnz"], r["w2v_dim"]) for r in rs)
+    assert key(rows) == key(again)
 
 
 def test_q73_regression_invariants(spark):
