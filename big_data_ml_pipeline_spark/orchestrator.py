@@ -90,6 +90,16 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # None disables; an int appends deterministic
                # (shard, pos) export columns (setops.deterministic_
                # shard) as the final step.
+               # span_dedup: None disables; {"k": 5, "min_len": 10}
+               # excises cross-document duplicate token spans
+               # (text.excise_duplicate_spans) after the quality/
+               # decontam gates, so budgets count post-excision tokens.
+               "span_dedup": None,
+               # bpe_merges: None chunks on whitespace tokens; an
+               # ordered [[left, right], ...] merge list makes the
+               # chunk step window over BPE tokenizer tokens
+               # (text.bpe_encode -> chunk_tokens tokens_col).
+               "bpe_merges": None,
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
@@ -318,12 +328,24 @@ class PipelineOrchestrator:
         if c["quality_rules"] is not None:
             # Gopher/C4 rule filter: score, keep, then drop the signal
             # columns so downstream steps see the caller's schema.
-            scored = text_ops.quality_rules(
-                out, text_col=text_col, **c["quality_rules"]
-            )
+            # lang_profiles with lang_col "auto" (or omitted) derives
+            # the language via text.lang_id for the duration of the
+            # gate — language-conditional thresholds without requiring
+            # a language column in the input.
+            qr = dict(c["quality_rules"])
+            gated = out
+            auto_lang = bool(qr.get("lang_profiles")) and qr.get(
+                "lang_col", "auto"
+            ) == "auto"
+            if auto_lang:
+                gated = out.withColumn(
+                    "__lang_auto", text_ops.lang_id(F.col(text_col))
+                )
+                qr["lang_col"] = "__lang_auto"
+            scored = text_ops.quality_rules(gated, text_col=text_col, **qr)
             out = scored.filter(F.col("keep")).drop(
                 "n_tokens", "mean_token_len", "stopword_frac",
-                "distinct_ratio", "top_token_frac", "keep",
+                "distinct_ratio", "top_token_frac", "keep", "__lang_auto",
             )
         if c["decontam"] is not None:
             if eval_df is None:
@@ -337,6 +359,20 @@ class PipelineOrchestrator:
                 out, eval_df, text_col=text_col, id_col=id_col, **c["decontam"]
             ).filter(~F.col("contaminated")).select(id_col)
             out = out.join(clean, on=id_col, how="left_semi")
+        if c["span_dedup"] is not None:
+            # Cross-document duplicate-span excision: text is REPLACED
+            # by its reassembled clean form (other columns preserved);
+            # downstream budgets/chunks count post-excision tokens.
+            clean = text_ops.excise_duplicate_spans(
+                out, text_col=text_col, id_col=id_col, **c["span_dedup"]
+            ).select(id_col, F.col("clean_text").alias("__clean"))
+            out = (
+                out.join(clean, on=id_col, how="left")
+                .withColumn(
+                    text_col, F.coalesce(F.col("__clean"), F.col(text_col))
+                )
+                .drop("__clean")
+            )
         if c["budget_tokens"] is not None:
             keep = text_ops.token_budget_sample(
                 out, c["budget_tokens"], text_col=text_col, id_col=id_col,
@@ -352,10 +388,20 @@ class PipelineOrchestrator:
                 key_cols=[id_col],
             )
         if c["chunk_size"] is not None:
-            out = text_ops.chunk_tokens(
-                out, text_col=text_col, id_col=id_col,
-                chunk_size=c["chunk_size"], overlap=c["chunk_overlap"],
-            )
+            if c["bpe_merges"]:
+                enc = text_ops.bpe_encode(
+                    out, [tuple(m) for m in c["bpe_merges"]],
+                    text_col=text_col, id_col=id_col,
+                )
+                out = text_ops.chunk_tokens(
+                    enc, id_col=id_col, chunk_size=c["chunk_size"],
+                    overlap=c["chunk_overlap"], tokens_col="bpe_tokens",
+                )
+            else:
+                out = text_ops.chunk_tokens(
+                    out, text_col=text_col, id_col=id_col,
+                    chunk_size=c["chunk_size"], overlap=c["chunk_overlap"],
+                )
         if c["shards"] is not None:
             from .operators import setops as set_ops
 

@@ -561,3 +561,85 @@ def test_shipped_example_config_loads_and_merges(spark):
         ["doc_id", "text", "lang"],
     )
     assert orch.prepare_text_corpus(docs).count() == 1
+
+
+def test_corpus_config_span_dedup_step(spark):
+    """corpus.span_dedup excises cross-document duplicate spans inside
+    the config pipeline: the borrower's text loses the shared run
+    (other columns intact), the keeper is untouched, and downstream
+    steps see the cleaned text."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    shared = " ".join(f"dup{i}" for i in range(16))
+    rows = [
+        (1, "en", "alpha beta " + shared + " gamma delta"),
+        (2, "en", "one two three four " + shared + " five six"),
+        (3, "en", "totally unrelated words that stand alone here fine"),
+    ]
+    orch = PipelineOrchestrator(
+        config={"corpus": {"span_dedup": {"k": 5, "min_len": 10}}},
+        spark=spark,
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["doc_id"]: r for r in orch.prepare_text_corpus(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text"] == rows[0][2]          # keeper untouched
+    assert out[2]["text"] == "one two three four five six"
+    assert out[3]["text"] == rows[2][2]
+    assert out[2]["lang"] == "en"                # other columns survive
+
+
+def test_corpus_config_bpe_chunking(spark):
+    """corpus.bpe_merges switches the chunk step to BPE tokenizer
+    tokens: chunk token counts sum to the documents' BPE counts, not
+    their whitespace counts."""
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    merges = [["t", "h"], ["th", "e"], ["a", "n"], ["an", "d"]]
+    rows = [(i, "the quick and steady hand then struck " * 2) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orch = PipelineOrchestrator(
+        config={"corpus": {"chunk_size": 16, "chunk_overlap": 0,
+                           "bpe_merges": merges}},
+        spark=spark,
+    )
+    out = orch.prepare_text_corpus(df).collect()
+    enc = text_ops.bpe_encode(df, [tuple(m) for m in merges]).first()
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_chunk_tokens"]
+    assert per_doc == {i: enc["n_bpe_tokens"] for i in range(3)}
+
+
+def test_corpus_config_auto_lang_profiles(spark):
+    """quality_rules lang_profiles with lang_col 'auto' derives the
+    language via lang_id inside the gate: German text with zero
+    English stopwords survives, stopword-free English does not, and
+    the helper column never leaks into the output schema."""
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    de = ("der schnelle braune fuchs springt über den faulen hund "
+          "während die sonne hinter den bergen langsam untergeht "
+          "und der alte müller seine mühle am rauschenden bach öffnet") * 2
+    # One 'the' makes lang_id say 'en', but 1 stopword in ~100 tokens
+    # is under the English profile's 0.05 floor (and over the 0.01
+    # default — the language-blind gate would have kept it).
+    en_bad = "the " + ("quick brown fox jumps over lazy dog near riverbank "
+                       "while evening sunlight fades behind distant mountain "
+                       "peaks casting long shadows across quiet meadow grass "
+                       "tonight differs each word onward never repeating") * 2
+    df = spark.createDataFrame(
+        [(1, de), (2, en_bad)], ["doc_id", "text"]
+    )
+    orch = PipelineOrchestrator(
+        config={"corpus": {"quality_rules": {
+            "lang_profiles": text_ops.GOPHER_LANG_PROFILES,
+            "lang_col": "auto",
+        }}},
+        spark=spark,
+    )
+    out = orch.prepare_text_corpus(df)
+    assert set(out.columns) == {"doc_id", "text"}
+    assert [r["doc_id"] for r in out.collect()] == [1]
