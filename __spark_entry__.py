@@ -2574,6 +2574,18 @@ def q142_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
 
 
+def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition excision (text.excise_duplicate_spans
+    scope='within_doc', 2-grams, min span 4): each document keeps the
+    FIRST occurrence of any repeated token run — the C4-style
+    within-doc pass that q104 only measures. The shuffle key is
+    (doc_id, gram): perfectly spread, no cross-document hot keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.excise_duplicate_spans(
+        docs, k=2, min_len=4, scope="within_doc"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2713,6 +2725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_bpe_encode": q143_bpe_encode,
         "q144_lang_quality": q144_lang_quality,
         "q145_text_features": q145_text_features,
+        "q146_repeat_excision": q146_repeat_excision,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1190,6 +1190,34 @@ def dedup_chunks(
     )
 
 
+def _merge_positions_to_spans(
+    hits: DataFrame, k: int, min_len: int, id_col: str
+) -> DataFrame:
+    """(id, pos) duplicate-evidence positions → merged token spans.
+    Each position covers tokens [pos, pos+k-1]; overlapping/adjacent
+    windows merge via gaps-and-islands (a new span starts when the
+    position gap exceeds k — window ends are monotone in pos, so the
+    running-max interval merge reduces to a lag comparison)."""
+    w = Window.partitionBy("id").orderBy("pos")
+    flagged = hits.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn("__isl", F.sum("__brk").over(w))
+    return (
+        islands.groupBy("id", "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .withColumn("span_len", (F.col("span_end") - F.col("span_start") + 1))
+        .filter(F.col("span_len") >= min_len)
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "span_len"
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     k: int = 8,
@@ -1197,6 +1225,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hashed: bool = False,
+    scope: str = "cross_doc",
 ) -> DataFrame:
     """Substring-level (duplicate-span) detection — the Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better")
@@ -1214,9 +1243,18 @@ def duplicate_spans(
     per-document interval merge of the overlapping [pos, pos+k−1]
     windows (gaps-and-islands: a new span starts when the position gap
     exceeds k) → spans shorter than ``min_len`` tokens are dropped.
-    Within-document repetition (a gram repeated only inside one doc) is
-    deliberately NOT flagged — that is q104's repetition signal; this
-    operator removes cross-document plagiarism/boilerplate.
+    ``scope`` selects what counts as a duplicate:
+
+    - ``"cross_doc"`` (default): grams shared by ≥2 documents; the
+      MIN-id document keeps its text, every other document's matching
+      positions are evidence. Within-document repetition is NOT
+      flagged — this removes cross-document plagiarism/boilerplate.
+    - ``"within_doc"``: positions whose gram occurred EARLIER in the
+      SAME document — the C4-style within-document repetition excision
+      (q104 only *flags* the dup fraction; this locates the spans, and
+      :func:`excise_duplicate_spans` removes all but each first
+      occurrence). Other documents are irrelevant, so the shuffle key
+      is (id, gram) — perfectly spread, no cross-doc hot keys at all.
 
     Returns (doc_id, span_start, span_end, span_len): 0-based inclusive
     TOKEN indices into the whitespace tokenization, one row per merged
@@ -1262,38 +1300,31 @@ def duplicate_spans(
     )
     if hashed:
         grams = grams.select("id", "pos", F.xxhash64(gram).alias("gram"))
-    # min != max over the gram partition <=> present in >= 2 distinct
-    # docs — no countDistinct, no join-back.
-    wg = Window.partitionBy("gram")
-    hits = (
-        grams.withColumn("__keeper", F.min("id").over(wg))
-        .withColumn("__mx", F.max("id").over(wg))
-        .filter(
-            (F.col("__mx") > F.col("__keeper"))
-            & (F.col("id") != F.col("__keeper"))
+    if scope == "cross_doc":
+        # min != max over the gram partition <=> present in >= 2
+        # distinct docs — no countDistinct, no join-back.
+        wg = Window.partitionBy("gram")
+        hits = (
+            grams.withColumn("__keeper", F.min("id").over(wg))
+            .withColumn("__mx", F.max("id").over(wg))
+            .filter(
+                (F.col("__mx") > F.col("__keeper"))
+                & (F.col("id") != F.col("__keeper"))
+            )
+            .select("id", "pos")
         )
-        .select("id", "pos")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    flagged = hits.withColumn(
-        "__brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) > k, 1).otherwise(0),
-    )
-    islands = flagged.withColumn("__isl", F.sum("__brk").over(w))
-    return (
-        islands.groupBy("id", "__isl")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+    elif scope == "within_doc":
+        # A position repeats iff an earlier position of the same doc
+        # holds the same gram: min-pos over (id, gram) < pos.
+        wig = Window.partitionBy("id", "gram")
+        hits = (
+            grams.withColumn("__first", F.min("pos").over(wig))
+            .filter(F.col("pos") > F.col("__first"))
+            .select("id", "pos")
         )
-        .withColumn(
-            "span_len", (F.col("span_end") - F.col("span_start") + 1)
-        )
-        .filter(F.col("span_len") >= min_len)
-        .select(
-            F.col("id").alias(id_col), "span_start", "span_end", "span_len"
-        )
-    )
+    else:
+        raise ValueError(f"unknown scope {scope!r}")
+    return _merge_positions_to_spans(hits, k, min_len, id_col)
 
 
 def excise_duplicate_spans(
@@ -1302,13 +1333,15 @@ def excise_duplicate_spans(
     min_len: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    scope: str = "cross_doc",
 ) -> DataFrame:
     """Remove every :func:`duplicate_spans` span from its document and
     reassemble the remaining tokens in order (the q114 reassembly
     shape) — one row per INPUT document: (doc_id, clean_text, n_tokens,
-    n_removed). Keeper documents (and documents with no qualifying
-    span) come back untouched, so exactly one copy of every duplicated
-    substring survives the corpus-wide pass.
+    n_removed). Under ``scope="cross_doc"`` keeper documents come back
+    untouched, so exactly one copy of every duplicated substring
+    survives the corpus-wide pass; under ``scope="within_doc"`` each
+    document keeps the FIRST occurrence of its repeated runs.
 
     Scale shape: the span table is per-document-tiny; it rolls up to
     one array per affected doc (id shuffle) and broadcast-joins back
@@ -1316,7 +1349,8 @@ def excise_duplicate_spans(
     filter — the corpus is never shuffled.
     """
     spans = duplicate_spans(
-        df, k=k, min_len=min_len, text_col=text_col, id_col=id_col
+        df, k=k, min_len=min_len, text_col=text_col, id_col=id_col,
+        scope=scope,
     )
     sp_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

@@ -2665,28 +2665,40 @@ FROM s
 """
 
 
-# q141/q142: substring-level duplicate-span detection + excision
-# (Lee et al. 2021 exact-substring dedup as k-gram matches; k=5,
-# min_len=10). The span CTE chain mirrors the Spark operator step for
-# step: positional 5-grams -> cross-doc grams keep MIN(doc_id) ->
-# non-keeper positions -> gaps-and-islands interval merge -> spans of
-# >= 10 tokens.
-_DUCK_SPANS_CTES = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
-g AS (
-  SELECT doc_id, i - 1 AS pos,
-         array_to_string(list_slice(toks, i, i + 4), ' ') AS gram
-  FROM t, unnest(generate_series(1, len(toks) - 4)) AS s(i)),
-dup AS (
+# q141/q142/q146: substring-level duplicate-span detection + excision
+# (Lee et al. 2021 exact-substring dedup as k-gram matches). The span
+# CTE chain mirrors text.duplicate_spans step for step: positional
+# k-grams -> duplicate-evidence positions (cross-doc: grams keep
+# MIN(doc_id); within-doc: an earlier same-gram position exists) ->
+# gaps-and-islands interval merge -> spans of >= min_len tokens.
+
+
+def _duck_span_ctes(k: int, scope: str) -> str:
+    if scope == "cross_doc":
+        hits = """dup AS (
   SELECT gram, MIN(doc_id) AS keeper
   FROM g GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
 hits AS (
   SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
-  WHERE g.doc_id <> dup.keeper),
+  WHERE g.doc_id <> dup.keeper)"""
+    else:
+        hits = """hits AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(pos) OVER (PARTITION BY doc_id, gram) AS first_pos
+    FROM g)
+  WHERE pos > first_pos)"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
+g AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {k - 1}), ' ') AS gram
+  FROM t, unnest(generate_series(1, len(toks) - {k - 1})) AS s(i)),
+{hits},
 brk AS (
   SELECT doc_id, pos,
-         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
               THEN 1 ELSE 0 END AS b
   FROM hits),
 isl AS (
@@ -2695,22 +2707,24 @@ isl AS (
   FROM brk)
 """
 
-_Q141_SQL = f"""
-{_DUCK_SPANS_CTES}
+
+def _duck_span_select(k: int, min_len: int) -> str:
+    return f"""
 SELECT doc_id,
   CAST(MIN(pos) AS BIGINT) AS span_start,
-  CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
-  CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_len
+  CAST(MAX(pos) + {k - 1} AS BIGINT) AS span_end,
+  CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, grp
-HAVING MAX(pos) - MIN(pos) + 5 >= 10
+HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}
 """
 
-_Q142_SQL = f"""
-{_DUCK_SPANS_CTES},
+
+def _duck_excision_tail(k: int, min_len: int) -> str:
+    return f""",
 spans AS (
-  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 4 AS span_end
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end
   FROM isl GROUP BY doc_id, grp
-  HAVING MAX(pos) - MIN(pos) + 5 >= 10),
+  HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}),
 tok AS (
   SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
   FROM t, unnest(generate_series(1, len(toks))) AS s(i)),
@@ -2733,6 +2747,11 @@ SELECT d.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
   CAST(COALESCE(ka.n_removed, 0) AS BIGINT) AS n_removed
 FROM t d LEFT JOIN keptagg ka USING (doc_id)
 """
+
+
+_Q141_SQL = _duck_span_ctes(5, "cross_doc") + _duck_span_select(5, 10)
+_Q142_SQL = _duck_span_ctes(5, "cross_doc") + _duck_excision_tail(5, 10)
+_Q146_SQL = _duck_span_ctes(2, "within_doc") + _duck_excision_tail(2, 4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2867,5 +2886,6 @@ def oracle_sql() -> dict[str, str]:
         "q141_duplicate_spans": _Q141_SQL,
         "q142_span_excision": _Q142_SQL,
         "q144_lang_quality": _Q144_SQL,
+        "q146_repeat_excision": _Q146_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

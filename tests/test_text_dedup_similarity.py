@@ -1561,3 +1561,31 @@ def test_quality_rules_lang_profiles(spark):
         text_ops.quality_rules(
             df, lang_profiles=text_ops.GOPHER_LANG_PROFILES
         )
+
+
+def test_within_doc_repeat_excision(spark):
+    """scope='within_doc': a repeated run collapses to its first
+    occurrence, isolated word repeats below min_len survive, and the
+    cross-doc keeper rule does not apply (a doc sharing text with
+    another doc but with no internal repeats is untouched)."""
+    d1 = "intro words then a b c d e a b c d e closing remark"
+    d2 = "a b c d e completely separate document with fresh words here"
+    d3 = "one two one two one two padding padding more filler words"
+    df = spark.createDataFrame([(1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in text_ops.duplicate_spans(
+            df, k=2, min_len=4, scope="within_doc"
+        ).collect()
+    }
+    # d1: second 'a b c d e' at tokens 8-12; d3: 'one two' x3 — repeat
+    # evidence at positions 2..4 covering tokens 2-5.
+    assert (1, 8, 12) in spans
+    assert any(d == 3 for d, _, _ in spans)
+    assert not any(d == 2 for d, _, _ in spans)  # cross-doc is ignored
+    out = {r["doc_id"]: r for r in text_ops.excise_duplicate_spans(
+        df, k=2, min_len=4, scope="within_doc").collect()}
+    assert out[1]["clean_text"] == "intro words then a b c d e closing remark"
+    assert out[2]["clean_text"] == d2 and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"].startswith("one two ")
+    assert "one two one" not in out[3]["clean_text"]
