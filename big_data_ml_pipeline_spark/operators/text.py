@@ -1334,6 +1334,7 @@ def excise_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     scope: str = "cross_doc",
+    broadcast_spans: bool = True,
 ) -> DataFrame:
     """Remove every :func:`duplicate_spans` span from its document and
     reassemble the remaining tokens in order (the q114 reassembly
@@ -1343,10 +1344,14 @@ def excise_duplicate_spans(
     survives the corpus-wide pass; under ``scope="within_doc"`` each
     document keeps the FIRST occurrence of its repeated runs.
 
-    Scale shape: the span table is per-document-tiny; it rolls up to
-    one array per affected doc (id shuffle) and broadcast-joins back
-    onto the corpus; excision itself is a map-only indexed array
-    filter — the corpus is never shuffled.
+    Scale shape: the span table rolls up to one array per AFFECTED doc
+    (id shuffle of duplicate evidence only) and joins back onto the
+    corpus; excision itself is a map-only indexed array filter. With
+    ``broadcast_spans=True`` (default) the join is a broadcast — the
+    corpus is never shuffled, correct while affected docs are the
+    minority. On a corpus where duplication is pervasive (web crawl
+    before any dedup), set it False so the join-strategy choice falls
+    to Catalyst/AQE instead of forcing an oversized broadcast.
     """
     spans = duplicate_spans(
         df, k=k, min_len=min_len, text_col=text_col, id_col=id_col,
@@ -1355,9 +1360,11 @@ def excise_duplicate_spans(
     sp_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
+    if broadcast_spans:
+        sp_arr = F.broadcast(sp_arr)
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).join(F.broadcast(sp_arr), on=id_col, how="left")
+    ).join(sp_arr, on=id_col, how="left")
     sps = F.coalesce(
         F.col("__spans"),
         F.array().cast("array<struct<span_start:long,span_end:long>>"),
