@@ -2574,6 +2574,19 @@ def q142_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
 
 
+def q147_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance (similarity.ivf_recenter): one
+    deterministic Lloyd update — every embedding assigned with the q43
+    centroid kit, each cell recentered on the quantized-integer mean
+    of its members (the q92 pattern, partition-order independent).
+    The recenter-on-drift step the streaming embedding ingest's JSD
+    drift table triggers at scale; |cells|×dim output rows, map-side
+    partials only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_recenter(emb, cents, round_assign_digits=6)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -2726,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_lang_quality": q144_lang_quality,
         "q145_text_features": q145_text_features,
         "q146_repeat_excision": q146_repeat_excision,
+        "q147_ivf_recenter": q147_ivf_recenter,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1106,6 +1106,54 @@ def ivf_cell_stats(
     )
 
 
+def ivf_recenter(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+) -> DataFrame:
+    """One deterministic Lloyd update of the IVF centroid set — the
+    index-MAINTENANCE operator for a drifting corpus: when the ingest
+    drift table (streaming/embeddings cell-histogram JSD) or
+    :func:`ivf_cell_stats` load factors show mass migrating across
+    cells, recenter each cell on the mean of its current members and
+    rebuild the index with the updated centroids.
+
+    Returns one row per (cell, pos): (cell, pos, n_members,
+    centroid_val) — the pos-th coordinate (1-based) of the cell's new
+    centroid and the membership count; empty cells emit no rows (keep
+    their old centroid or retire them — the caller's policy). The mean
+    uses the q92 quantized-integer pattern (coordinates scaled to 1e-6
+    integers before the SUM), so the result is partition-order
+    independent and engine-exact — a *verifiable* KMeans step, unlike
+    an MLlib refit.
+
+    Scale shape: assignment is the broadcast-literal map pass of
+    :func:`ivf_index`; the update is ONE (cell, pos) aggregation with
+    map-side partials — |cells|·dim output rows, no window, no
+    collect, nothing driver-side.
+    """
+    assigned = ivf_index(
+        embeddings, centroids, id_col=id_col, vec_col=vec_col,
+        round_assign_digits=round_assign_digits,
+    )
+    ex = assigned.select("cell", F.posexplode("v").alias("pos0", "x"))
+    return (
+        ex.groupBy(
+            F.col("cell").cast("long").alias("cell"),
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            (
+                F.sum(F.round(F.col("x") * 1_000_000).cast("long")).cast("bigint")
+                / (F.count("*") * F.lit(1_000_000.0))
+            ).alias("centroid_val"),
+        )
+    )
+
+
 def hard_negative_pairs(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -2754,6 +2754,46 @@ _Q142_SQL = _duck_span_ctes(5, "cross_doc") + _duck_excision_tail(5, 10)
 _Q146_SQL = _duck_span_ctes(2, "within_doc") + _duck_excision_tail(2, 4)
 
 
+def _q147_sql() -> str:
+    """Twin of q147: the q43 deterministic assignment (rounded argmax
+    cosine, ASC cell ties) followed by the q92 quantized-integer mean
+    per (cell, dimension)."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+)
+SELECT CAST(cell AS BIGINT) AS cell, CAST(g.pos AS BIGINT) AS pos,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  CAST(SUM(CAST(ROUND(v[g.pos] * 1000000) AS BIGINT)) AS BIGINT)
+    / (COUNT(*) * 1000000.0) AS centroid_val
+FROM assigned CROSS JOIN generate_series(1, 64) AS g(pos)
+GROUP BY cell, g.pos
+"""
+
+
+_Q147_SQL = _q147_sql()
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_pricing_summary": _Q01_SQL,
@@ -2887,5 +2927,6 @@ def oracle_sql() -> dict[str, str]:
         "q142_span_excision": _Q142_SQL,
         "q144_lang_quality": _Q144_SQL,
         "q146_repeat_excision": _Q146_SQL,
+        "q147_ivf_recenter": _Q147_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -490,3 +490,40 @@ def test_semantic_decontamination_recall_on_clustered_corpus(
         print(f"decontam clustered recall nprobe={nprobe}: {rec:.3f}")
         assert rec >= 0.98
         assert not flagged - truth
+
+
+def test_ivf_recenter_lloyd_invariant(spark, clustered_corpus):
+    """One Lloyd step on the planted-cluster corpus. The PROVABLE
+    update property: with assignments fixed, moving each centroid to
+    its members' mean never increases the within-cell squared-distance
+    objective (the mean is the unique minimizer) — asserted per cell
+    up to the 1e-6 quantization. Also: membership counts partition the
+    corpus, and the new centroid equals the numpy member mean to
+    quantization accuracy."""
+    import numpy as np
+
+    emb, cents, V, seeds = clustered_corpus
+    rows = sim_ops.ivf_recenter(emb, cents, round_assign_digits=6).collect()
+    assert sum(r["n_members"] for r in rows) / 64 == len(V)  # 64 dims each
+    new, counts = {}, {}
+    for r in rows:
+        new.setdefault(r["cell"], [0.0] * 64)[r["pos"] - 1] = r["centroid_val"]
+        counts[r["cell"]] = r["n_members"]
+
+    # Recompute the assignment with the same rounded-argmax rule.
+    C = np.array(cents)
+    sims = np.round(
+        (V @ C.T)
+        / (np.linalg.norm(V, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]),
+        6,
+    )
+    assign = np.argmax(sims, axis=1)  # first occurrence wins = ASC tie
+    members = {c: V[assign == c] for c in new}
+    for cell, m in members.items():
+        assert counts[cell] == len(m)
+        c_old, c_new = np.array(cents[cell]), np.array(new[cell])
+        # new centroid == member mean, to quantization accuracy
+        assert np.max(np.abs(c_new - m.mean(axis=0))) < 1e-5
+        inertia_old = float(((m - c_old) ** 2).sum())
+        inertia_new = float(((m - c_new) ** 2).sum())
+        assert inertia_new <= inertia_old + 1e-6 * len(m)
