@@ -2574,6 +2574,21 @@ def q142_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
 
 
+def q148_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal.sample_frames): one
+    (media_id, frame_ts_ms) row per sampled timestamp of every video
+    row — explode BEFORE decode so per-frame work parallelizes across
+    tasks (the stubbed codec then runs per row at wire width). Pure
+    Catalyst sequence+explode, so unlike the codec-backed q44/q72 this
+    multimodal query is fully oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm_ops.attach_binary_payload(docs, "text", "doc_id")
+    return mm_ops.sample_frames(media, every_ms=1000).select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_ts_ms").cast("long").alias("frame_ts_ms"),
+    )
+
+
 def q147_ivf_recenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index maintenance (similarity.ivf_recenter): one
     deterministic Lloyd update — every embedding assigned with the q43
@@ -2740,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_text_features": q145_text_features,
         "q146_repeat_excision": q146_repeat_excision,
         "q147_ivf_recenter": q147_ivf_recenter,
+        "q148_frame_sample": q148_frame_sample,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

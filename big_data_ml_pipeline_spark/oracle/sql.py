@@ -2793,6 +2793,15 @@ GROUP BY cell, g.pos
 
 _Q147_SQL = _q147_sql()
 
+# q148: video frame-sampling plan. attach_binary_payload assigns
+# modality round-robin (doc_id % 3 == 2 -> video); sample_frames emits
+# one row per 1000ms step over the default 5000ms duration.
+_Q148_SQL = """
+SELECT doc_id AS media_id, CAST(ts AS BIGINT) AS frame_ts_ms
+FROM documents, unnest(generate_series(0, 5000, 1000)) t(ts)
+WHERE doc_id % 3 = 2
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2928,5 +2937,6 @@ def oracle_sql() -> dict[str, str]:
         "q144_lang_quality": _Q144_SQL,
         "q146_repeat_excision": _Q146_SQL,
         "q147_ivf_recenter": _Q147_SQL,
+        "q148_frame_sample": _Q148_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
