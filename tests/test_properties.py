@@ -468,3 +468,69 @@ def test_source_divergence_matches_python_jsd(a, b):
     assert r["n_shared_tokens"] == len(shared)
     assert abs(r["jsd_bits"] - want) < 1e-12
     assert -1e-9 <= r["jsd_bits"] <= 1.0 + 1e-9  # JSD in bits is [0, 1]
+
+
+def _py_duplicate_spans(docs, k, min_len, scope):
+    """Literal Python twin of text.duplicate_spans (both scopes)."""
+    grams = {}
+    for did, toks in docs.items():
+        for p in range(len(toks) - k + 1):
+            g = " ".join(toks[p:p + k])
+            grams.setdefault(g, []).append((did, p))
+    spans = set()
+    for did, toks in docs.items():
+        if scope == "cross_doc":
+            hits = [
+                p for p in range(len(toks) - k + 1)
+                if (lambda occ: len({d for d, _ in occ}) >= 2
+                    and min(d for d, _ in occ) != did)(
+                    grams[" ".join(toks[p:p + k])])
+            ]
+        else:
+            hits = [
+                p for p in range(len(toks) - k + 1)
+                if min(q for d, q in grams[" ".join(toks[p:p + k])]
+                       if d == did) < p
+            ]
+        run = []
+        for p in hits + [None]:
+            if run and (p is None or p - run[-1] > k):
+                s, e = run[0], run[-1] + k - 1
+                if e - s + 1 >= min_len:
+                    spans.add((did, s, e, e - s + 1))
+                run = []
+            if p is not None:
+                run.append(p)
+    return spans
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=30),
+        min_size=1, max_size=6,
+    ),
+    k=st.integers(2, 4),
+    scope=st.sampled_from(["cross_doc", "within_doc"]),
+)
+def test_duplicate_spans_match_literal_python(docs, k, scope):
+    """duplicate_spans == the literal Python implementation for random
+    highly-repetitive token streams (4-letter alphabet maximizes gram
+    collisions within and across docs), both scopes, arbitrary k."""
+    from big_data_ml_pipeline_spark.operators.text import duplicate_spans
+
+    corpus = {i: list(ws) for i, ws in enumerate(docs)}
+    min_len = k + 1
+    expected = _py_duplicate_spans(corpus, k, min_len, scope)
+    df = _spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicate_spans(
+            df, k=k, min_len=min_len, scope=scope
+        ).collect()
+    }
+    assert got == expected
