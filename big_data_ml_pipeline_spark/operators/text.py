@@ -1327,6 +1327,127 @@ def duplicate_spans(
     return _merge_positions_to_spans(hits, k, min_len, id_col)
 
 
+def gram_hash_stream(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional k-gram hash stream: (id, pos, gram) with ``gram`` the
+    ``xxhash64`` of the space-joined k tokens — the 8-byte shuffle-key
+    form of the :func:`duplicate_spans` gram build (same explode-outer
+    guard)."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return (
+        base.select(
+            "id",
+            F.posexplode_outer(gram_array(F.col("__toks"), k)).alias(
+                "pos", "gram"
+            ),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select("id", "pos", F.xxhash64("gram").alias("gram"))
+    )
+
+
+def gram_index(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct k-gram hashes of a corpus — the persistable state table
+    behind incremental substring-level dedup (streaming/corpus.py):
+    one ``gram`` BIGINT column, O(corpus tokens) rows before
+    distinct. The substring analogue of the MinHash banded index."""
+    return gram_hash_stream(df, k, text_col, id_col).select("gram").distinct()
+
+
+def duplicate_spans_vs_index(
+    df: DataFrame,
+    index: DataFrame | None,
+    k: int = 5,
+    min_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate spans of ``df`` against BOTH itself (cross-doc,
+    hashed — :func:`duplicate_spans` semantics) and a persisted
+    :func:`gram_index` of previously-landed content: any position
+    whose gram hash is in the index is duplicate evidence (the landed
+    corpus is the keeper by arrival), merged with the within-batch
+    evidence before the interval merge. This is the incremental form
+    of exact-substring dedup: the index grows with the corpus, each
+    new shard pays one gram equi-join against it.
+
+    Scale note: the index join is the heaviest of the three streaming
+    screens (the index is corpus-token-sized — the honest cost of
+    substring-level guarantees; Lee et al.'s suffix array is larger).
+    Compaction range-clusters it; on a real cluster, bucket BOTH sides
+    by ``gram`` so the per-batch join is co-located.
+    """
+    if min_len is None:
+        min_len = 2 * k
+    grams = gram_hash_stream(df, k, text_col, id_col)
+    wg = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("__keeper", F.min("id").over(wg))
+        .withColumn("__mx", F.max("id").over(wg))
+        .filter(
+            (F.col("__mx") > F.col("__keeper"))
+            & (F.col("id") != F.col("__keeper"))
+        )
+        .select("id", "pos")
+    )
+    if index is not None:
+        idx_hits = grams.join(
+            index.select("gram"), on="gram", how="left_semi"
+        ).select("id", "pos")
+        hits = hits.unionByName(idx_hits).dropDuplicates(["id", "pos"])
+    return _merge_positions_to_spans(hits, k, min_len, id_col)
+
+
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_spans: bool = True,
+) -> DataFrame:
+    """Excise a precomputed span table — (doc_id, span_start,
+    span_end[, ...]) token ranges — from ``df`` and reassemble each
+    document: (doc_id, clean_text, n_tokens, n_removed), one row per
+    INPUT document. The reassembly half of
+    :func:`excise_duplicate_spans`, usable with any span source
+    (:func:`duplicate_spans`, :func:`duplicate_spans_vs_index`)."""
+    sp_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    if broadcast_spans:
+        sp_arr = F.broadcast(sp_arr)
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).join(sp_arr, on=id_col, how="left")
+    sps = F.coalesce(
+        F.col("__spans"),
+        F.array().cast("array<struct<span_start:long,span_end:long>>"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            sps, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
+        ),
+    )
+    return base.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def excise_duplicate_spans(
     df: DataFrame,
     k: int = 8,
@@ -1357,29 +1478,9 @@ def excise_duplicate_spans(
         df, k=k, min_len=min_len, text_col=text_col, id_col=id_col,
         scope=scope,
     )
-    sp_arr = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-    )
-    if broadcast_spans:
-        sp_arr = F.broadcast(sp_arr)
-    base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).join(sp_arr, on=id_col, how="left")
-    sps = F.coalesce(
-        F.col("__spans"),
-        F.array().cast("array<struct<span_start:long,span_end:long>>"),
-    )
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.exists(
-            sps, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
-        ),
-    )
-    return base.select(
-        F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
-        F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    return excise_spans(
+        df, spans, text_col=text_col, id_col=id_col,
+        broadcast_spans=broadcast_spans,
     )
 
 

@@ -103,7 +103,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
-               "ingest_lm_floor": None},
+               "ingest_lm_floor": None,
+               # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
+               # substrings duplicated within the batch or against the
+               # persisted gram index of everything already landed.
+               "ingest_span_dedup": None,
+               # ingest_compact_every: compact the minhash/gram/vocab
+               # state tables every N batches.
+               "ingest_compact_every": None},
     # Streaming EMBEDDING ingestion (ingest_embeddings_stream):
     # centroids None -> the deterministic q43 kit at (dim, n_cells);
     # threshold is the cosine twin cut-off; compact_every rewrites the
@@ -440,6 +447,8 @@ class PipelineOrchestrator:
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
             lm_floor=c.get("ingest_lm_floor"),
+            span_dedup=c.get("ingest_span_dedup"),
+            compact_every=c.get("ingest_compact_every"),
             **(rules or {}),
         )
 

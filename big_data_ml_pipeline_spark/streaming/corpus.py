@@ -71,6 +71,7 @@ def ingest_documents_stream(
     track_drift: bool = False,
     maintain_vocab: bool = False,
     lm_floor: float | None = None,
+    span_dedup: dict | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -105,6 +106,25 @@ def ingest_documents_stream(
         cannot lazily re-scan the corpus files the first write just
         appended (which would anti-join the survivors against
         themselves).
+
+    With ``span_dedup`` (e.g. ``{"k": 5, "min_len": 10}``):
+    SUBSTRING-level dedup on ingest — the incremental form of the
+    batch :func:`~..operators.text.excise_duplicate_spans` pass. Each
+    batch's duplicate spans are located against (a) the batch itself
+    (cross-doc, min-id keeper) and (b) the persisted
+    ``{out_dir}_gram_index`` of every k-gram hash already landed
+    (earlier content is the keeper by arrival), then EXCISED — the
+    document still lands, minus the copied runs; exactly one copy of
+    every ≥min_len token run survives the whole ingest history.
+    Fully-excised docs land with empty text (the caller's filter
+    decides). The index appends the survivors' post-excision gram
+    hashes AFTER the corpus write (same at-least-once ordering as the
+    MinHash index) and is compacted (dedupe + range-cluster) on the
+    ``compact_every`` cadence. Cost note: the index is
+    corpus-token-sized and the per-batch equi-join against it is the
+    heaviest screen here — the honest price of substring-level
+    guarantees (a suffix array is bigger); bucket both sides by
+    ``gram`` on a real cluster.
 
     With ``maintain_vocab=True``, each batch's surviving (token, cnt)
     partials are appended to ``{out_dir}_vocab`` — a mergeable corpus
@@ -167,6 +187,7 @@ def ingest_documents_stream(
         out_dir.rstrip("/"),
         out_dir.rstrip("/") + "_minhash_index",
         out_dir.rstrip("/") + "_vocab",
+        out_dir.rstrip("/") + "_gram_index",
     ):
         recover_interrupted_swap(state_dir)
 
@@ -179,6 +200,7 @@ def ingest_documents_stream(
         gated = stream
     gated = gated.withColumn("fp", fingerprint(F.col(text_col)))
     index_dir = out_dir.rstrip("/") + "_minhash_index"
+    gram_dir = out_dir.rstrip("/") + "_gram_index"
 
     def _read_state(spark, path):
         """Landed-state read that treats ONLY a missing/empty path as
@@ -249,6 +271,34 @@ def ingest_documents_stream(
                         .distinct()
                     )
                     batch_df = batch_df.join(matched, on=id_col, how="left_anti")
+            if span_dedup is not None:
+                # 4c: substring-level excision — spans duplicated
+                # within the batch OR against the landed gram index
+                # are cut out; the doc still lands, minus the copies.
+                from ..operators.text import (
+                    duplicate_spans_vs_index,
+                    excise_spans,
+                )
+
+                sd_k = span_dedup.get("k", 5)
+                sd_min = span_dedup.get("min_len", 2 * sd_k)
+                gram_idx = _read_state(spark, gram_dir)
+                spans = duplicate_spans_vs_index(
+                    batch_df, gram_idx, k=sd_k, min_len=sd_min,
+                    text_col=text_col, id_col=id_col,
+                )
+                cleaned = excise_spans(
+                    batch_df, spans, text_col=text_col, id_col=id_col
+                ).select(id_col, F.col("clean_text").alias("__clean"))
+                cols = batch_df.columns
+                batch_df = (
+                    batch_df.join(cleaned, on=id_col, how="left")
+                    .withColumn(
+                        text_col,
+                        F.coalesce(F.col("__clean"), F.col(text_col)),
+                    )
+                    .select(*cols)
+                )
             # Pin the survivor set: truncate lineage so the writes below
             # cannot trigger a re-read of state files this batch mutates.
             survivors = batch_df.localCheckpoint(eager=True)
@@ -322,6 +372,19 @@ def ingest_documents_stream(
                     and os.path.exists(index_dir)
                 ):
                     compact_minhash_index(spark, index_dir)
+            if span_dedup is not None:
+                from ..operators.text import gram_index as build_gram_index
+
+                build_gram_index(
+                    survivors, k=span_dedup.get("k", 5),
+                    text_col=text_col, id_col=id_col,
+                ).write.mode("append").parquet(gram_dir)
+                if (
+                    compact_every
+                    and (batch_id + 1) % compact_every == 0
+                    and os.path.exists(gram_dir)
+                ):
+                    compact_gram_index(spark, gram_dir)
             if (
                 maintain_vocab
                 and compact_every
@@ -340,6 +403,21 @@ def ingest_documents_stream(
     )
     query.awaitTermination()
     return query
+
+
+def compact_gram_index(spark: SparkSession, path: str) -> None:
+    """Fold the appended gram-hash partials to distinct hashes and
+    range-cluster on ``gram`` so the per-batch index join prunes files
+    by footer min/max. Swapped in like the other state compactions; an
+    interrupted swap is repaired on the next ingest start. Benign
+    duplicate rows (retry appends) disappear here; the index only ever
+    needs set semantics."""
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+    from ..sources.writers import write_range_clustered
+
+    idx = spark.read.parquet(path).dropDuplicates(["gram"])
+    write_range_clustered(idx, path.rstrip("/") + TMP_SUFFIX, "gram")
+    atomic_swap_dirs(path)
 
 
 def compact_vocab(spark: SparkSession, path: str) -> None:

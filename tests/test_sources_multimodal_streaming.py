@@ -1422,3 +1422,105 @@ def test_streaming_incremental_lm_gate(spark, tmp_path):
     )
     landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert landed == [1, 10]
+
+
+def test_streaming_ingest_span_dedup(spark, tmp_path):
+    """Substring-level dedup on ingest: a batch-2 document containing a
+    run already landed in batch 1 (at a different alignment) lands with
+    that run EXCISED; a full replay shard lands nothing; and because
+    doc ids follow arrival order, the final corpus text equals the
+    batch-mode excise_duplicate_spans over the same documents."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shared = " ".join(f"dup{i}" for i in range(14))
+    d1 = shared + " " + " ".join(f"a{i}" for i in range(10))
+    d2 = " ".join(f"b{i}" for i in range(7)) + " " + shared + " tail0 tail1"
+    d3 = " ".join(f"c{i}" for i in range(12))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    shards = [
+        [(1, d1, "en")],
+        [(2, d2, "en"), (3, d3, "en")],
+        [(10, d1, "en")],  # replay of landed content -> exact-dup drop
+    ]
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    out_dir = str(tmp_path / "corpus")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out_dir, str(tmp_path / "ckpt"), apply_quality=False,
+        span_dedup={"k": 5, "min_len": 10},
+    )
+    landed = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(out_dir).collect()}
+    assert set(landed) == {1, 2, 3}
+    assert landed[1] == d1                      # keeper by arrival
+    assert landed[2] == " ".join(f"b{i}" for i in range(7)) + " tail0 tail1"
+    assert landed[3] == d3
+    # Gram index exists and holds the landed (post-excision) grams.
+    idx = spark.read.parquet(out_dir + "_gram_index")
+    assert idx.columns == ["gram"] and idx.count() > 0
+
+    # Arrival order == id order here, so streaming == batch excision.
+    batch = {
+        r["doc_id"]: r["clean_text"]
+        for r in text_ops.excise_duplicate_spans(
+            spark.createDataFrame(
+                [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+            ),
+            k=5, min_len=10,
+        ).collect()
+    }
+    assert landed == batch
+
+
+def test_streaming_span_dedup_compaction_preserves_behavior(spark, tmp_path):
+    """ingest with compact_every: the gram index is folded to distinct
+    range-clustered hashes, and a later batch still excises against it
+    identically (same landed corpus as the uncompacted run)."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shared = " ".join(f"x{i}" for i in range(12))
+    shards = [
+        [(1, shared + " extra words here now", "en")],
+        [(2, "prefix words " + shared + " suffix", "en")],
+        [(3, "fresh content " + shared + " trailing bits", "en")],
+    ]
+
+    def run(sub, compact_every):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), apply_quality=False,
+            span_dedup={"k": 4, "min_len": 8}, compact_every=compact_every,
+        )
+        return {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(out).collect()}, out
+
+    plain, _ = run("plain", None)
+    compacted, out_c = run("compacted", 1)
+    assert plain == compacted
+    assert plain[2].startswith("prefix words") and "x3" not in plain[2]
+    # Compaction left one distinct-hash set behind.
+    idx = spark.read.parquet(out_c + "_gram_index")
+    assert idx.count() == idx.select("gram").distinct().count()
