@@ -118,7 +118,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
                    "ingest_compact_every": None,
-                   "ingest_track_drift": False},
+                   "ingest_track_drift": False,
+                   # recenter_iters: N bounded Lloyd steps refining the
+                   # centroid kit before build_embedding_index assigns.
+                   "recenter_iters": 0},
 }
 
 
@@ -462,11 +465,21 @@ class PipelineOrchestrator:
         per-cell probes prune files by parquet footer min/max), and
         return the :func:`~.operators.similarity.ivf_cell_stats` health
         report. The build/probe split at scale: the corpus is assigned
-        ONCE; every later query batch reads only its nprobe cells."""
+        ONCE; every later query batch reads only its nprobe cells.
+
+        With ``embeddings.recenter_iters = N`` the centroid kit is
+        refined by N bounded Lloyd steps first
+        (:func:`~.operators.similarity.ivf_recenter` — each step one
+        distributed (cell, pos) mean aggregation; the |cells|·dim
+        update lands on the driver, the same KB-scale boundary as the
+        centroid literals themselves). An empty cell keeps its old
+        centroid. The recenter-on-drift maintenance the streaming
+        drift table calls for."""
         from .operators.similarity import (
             deterministic_ivf_centroids,
             ivf_cell_stats,
             ivf_index,
+            ivf_recenter,
         )
         from .sources.writers import write_range_clustered
 
@@ -474,6 +487,14 @@ class PipelineOrchestrator:
         cents = c["ingest_centroids"] or deterministic_ivf_centroids(
             dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
         )
+        for _ in range(int(c.get("recenter_iters") or 0)):
+            rows = ivf_recenter(
+                df, cents, id_col=id_col, vec_col=vec_col
+            ).collect()
+            new = [list(cvec) for cvec in cents]  # empty cells keep theirs
+            for r in rows:
+                new[r["cell"]][r["pos"] - 1] = r["centroid_val"]
+            cents = new
         index = ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
         write_range_clustered(index, out_dir, "cell")
         return ivf_cell_stats(df, cents, id_col=id_col, vec_col=vec_col)
