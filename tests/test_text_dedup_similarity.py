@@ -1589,3 +1589,15 @@ def test_within_doc_repeat_excision(spark):
     assert out[2]["clean_text"] == d2 and out[2]["n_removed"] == 0
     assert out[3]["clean_text"].startswith("one two ")
     assert "one two one" not in out[3]["clean_text"]
+
+
+def test_duplicate_spans_skew_safe_identical(spark):
+    """skew_safe=True (aggregate+join-back, map-side partials — the
+    boilerplate-flood guard) produces the identical span set to the
+    default window path on the sf0.001 corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, text_ops.duplicate_spans(
+        docs, k=5, min_len=10).collect()))
+    b = sorted(map(tuple, text_ops.duplicate_spans(
+        docs, k=5, min_len=10, skew_safe=True).collect()))
+    assert a == b and a
