@@ -193,7 +193,20 @@ def ingest_documents_stream(
 
     orig_cols = [c for c in stream.columns]
     if apply_quality:
-        gated = quality_rules(stream, text_col=text_col, **quality_kwargs).filter(
+        # Mirror the batch path's "auto" language mode: lang_profiles
+        # with lang_col omitted/"auto" derives the language via
+        # lang_id for the duration of the (map-only, streaming-safe)
+        # gate; the helper column never lands.
+        qk = dict(quality_kwargs)
+        src = stream
+        if qk.get("lang_profiles") and qk.get("lang_col", "auto") == "auto":
+            from ..operators.text import lang_id
+
+            src = stream.withColumn(
+                "__lang_auto", lang_id(F.col(text_col))
+            )
+            qk["lang_col"] = "__lang_auto"
+        gated = quality_rules(src, text_col=text_col, **qk).filter(
             F.col("keep")
         ).select(*orig_cols)
     else:

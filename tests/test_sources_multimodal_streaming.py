@@ -1524,3 +1524,34 @@ def test_streaming_span_dedup_compaction_preserves_behavior(spark, tmp_path):
     # Compaction left one distinct-hash set behind.
     idx = spark.read.parquet(out_c + "_gram_index")
     assert idx.count() == idx.select("gram").distinct().count()
+
+
+def test_streaming_ingest_lang_profiles_auto(spark, tmp_path):
+    """The streaming quality gate honors per-language profiles with
+    auto language derivation: German text with zero English stopwords
+    lands, marker-tagged English without stopwords is gated out, and
+    the helper column never lands."""
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    de = ("der schnelle braune fuchs springt über den faulen hund "
+          "während die sonne hinter den bergen langsam untergeht "
+          "und der alte müller seine mühle am rauschenden bach öffnet") * 2
+    en_bad = "the " + ("quick brown fox jumps over lazy dog near riverbank "
+                       "while evening sunlight fades behind distant mountain "
+                       "peaks casting long shadows across quiet meadow grass "
+                       "tonight differs each word onward never repeating") * 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(1, de, "x"), (2, en_bad, "x")], ["doc_id", "text", "lang"]
+    ).toPandas().to_parquet(str(in_dir / "s0.parquet"), index=False)
+    out = str(tmp_path / "out")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"),
+        lang_profiles=text_ops.GOPHER_LANG_PROFILES,
+    )
+    landed = spark.read.parquet(out)
+    assert [r["doc_id"] for r in landed.collect()] == [1]
+    assert "__lang_auto" not in landed.columns
