@@ -2574,6 +2574,30 @@ def q142_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
 
 
+def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill resampling (windows.gap_fill_resample):
+    per sampled user (user_id % 10 == 0), an hourly grid over the
+    user's observed span carrying the forward-filled last event value
+    at each grid instant (NULL before the first event). One key
+    shuffle + one sort — grid and events merge into a single running
+    last() window; no as-of join. Grid instants emitted as epoch
+    seconds BIGINT."""
+    from big_data_ml_pipeline_spark.operators.windows import gap_fill_resample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    out = gap_fill_resample(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", step="1 hour",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("grid_ts").cast("long").alias("hour_ts"),
+        "value_ff",
+    )
+
+
 def q148_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (multimodal.sample_frames): one
     (media_id, frame_ts_ms) row per sampled timestamp of every video
@@ -2756,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_repeat_excision": q146_repeat_excision,
         "q147_ivf_recenter": q147_ivf_recenter,
         "q148_frame_sample": q148_frame_sample,
+        "q149_gap_fill": q149_gap_fill,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -106,3 +106,67 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def gap_fill_resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Gap-filled forward-fill resampling — the time-series
+    regularization every feature pipeline over event data needs: per
+    key, an evenly-spaced grid from ``date_trunc(step_unit, min(ts))``
+    to the truncated max, carrying the LAST observed value at or
+    before each grid instant (NULL before the first observation).
+    Returns (key, grid_ts timestamp, value_ff).
+
+    Method: grid points (null value) union the raw events into one
+    per-key stream; a single ``last(value, ignorenulls=True)`` running
+    window ordered by (ts, events-before-grid-at-ties, id) fills
+    forward; grid rows are kept. ONE shuffle on the key, one sort —
+    no as-of join, no per-grid-point probe. The tiebreak means an
+    observation exactly ON a grid instant is included in it.
+
+    Scale: grid size is span/step per key — bound the step to the
+    analysis resolution. The union stream is events + grid rows; both
+    scan-shaped, no driver involvement.
+    """
+    step_unit = step.split()[-1]
+    bounds = df.groupBy(key_col).agg(
+        F.date_trunc(step_unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(step_unit, F.max(ts_col)).alias("__hi"),
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval {step})")
+        ).alias("__ots"),
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(-1).cast("long").alias("__tie"),
+        F.lit(0).alias("__is_evt"),
+    )
+    evts = df.select(
+        key_col,
+        F.col(ts_col).alias("__ots"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(id_col).cast("long").alias("__tie"),
+        F.lit(1).alias("__is_evt"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__ots").asc(), F.col("__is_evt").desc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        evts.unionByName(grid)
+        .withColumn("__ff", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_evt") == 0)
+        .select(
+            F.col(key_col),
+            F.col("__ots").alias("grid_ts"),
+            F.col("__ff").alias("value_ff"),
+        )
+    )

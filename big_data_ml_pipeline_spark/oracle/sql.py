@@ -2793,6 +2793,36 @@ GROUP BY cell, g.pos
 
 _Q147_SQL = _q147_sql()
 
+# q149: gap-filled forward-fill resampling. Events and hourly grid
+# points merge into one per-user stream; last_value IGNORE NULLS over
+# (ts, events-before-grid-at-ties, event_id) fills forward. The grid
+# tiebreak (-1) mirrors the Spark operator exactly.
+_Q149_SQL = """
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS value, event_id
+  FROM events WHERE user_id % 10 = 0),
+b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM e GROUP BY user_id),
+g AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ots
+  FROM b),
+u AS (
+  SELECT user_id, ts AS ots, value, event_id AS tie, 1 AS is_evt FROM e
+  UNION ALL
+  SELECT user_id, ots, NULL, -1, 0 FROM g),
+f AS (
+  SELECT user_id, ots, is_evt,
+    LAST_VALUE(value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ots ASC, is_evt DESC, tie ASC
+      ROWS UNBOUNDED PRECEDING) AS value_ff
+  FROM u)
+SELECT user_id, CAST(floor(epoch(ots)) AS BIGINT) AS hour_ts, value_ff
+FROM f WHERE is_evt = 0
+"""
+
+
 # q148: video frame-sampling plan. attach_binary_payload assigns
 # modality round-robin (doc_id % 3 == 2 -> video); sample_frames emits
 # one row per 1000ms step over the default 5000ms duration.
@@ -2938,5 +2968,6 @@ def oracle_sql() -> dict[str, str]:
         "q146_repeat_excision": _Q146_SQL,
         "q147_ivf_recenter": _Q147_SQL,
         "q148_frame_sample": _Q148_SQL,
+        "q149_gap_fill": _Q149_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -433,3 +433,37 @@ def test_proportional_mix_infeasible_group_zeroes_the_mix(spark):
     )
     out = set_ops.proportional_mix(df, {"a": 1, "b": 4}, key_cols=["doc_id"])
     assert out.count() == 0
+
+
+def test_gap_fill_resample_hand_computed(spark):
+    """Forward-fill semantics on a hand-built series: grid spans the
+    truncated observation range, values carry forward between events,
+    an event exactly ON a grid instant is included in it, and the
+    grid before the first event is NULL."""
+    from datetime import datetime
+
+    from big_data_ml_pipeline_spark.operators.windows import gap_fill_resample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0, 100),
+        (1, datetime(2024, 1, 1, 2, 0), 20.0, 101),   # exactly on grid
+        (1, datetime(2024, 1, 1, 4, 45), 30.0, 102),
+        (2, datetime(2024, 1, 1, 1, 15), 5.0, 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {
+        (r["user_id"], r["grid_ts"].hour): r["value_ff"]
+        for r in gap_fill_resample(
+            df, "user_id", "ts", "value", "event_id", step="1 hour"
+        ).collect()
+    }
+    assert out == {
+        (1, 0): None,    # grid 00:00 precedes the first event (00:30)
+        (1, 1): 10.0,
+        (1, 2): 20.0,    # on-grid event included at its own instant
+        (1, 3): 20.0,
+        (1, 4): 20.0,    # 04:45 event is after the 04:00 grid point
+        (2, 1): None,
+    }
