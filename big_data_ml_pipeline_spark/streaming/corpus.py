@@ -392,12 +392,15 @@ def ingest_documents_stream(
                     survivors, k=span_dedup.get("k", 5),
                     text_col=text_col, id_col=id_col,
                 ).write.mode("append").parquet(gram_dir)
-                if (
-                    compact_every
-                    and (batch_id + 1) % compact_every == 0
-                    and os.path.exists(gram_dir)
-                ):
-                    compact_gram_index(spark, gram_dir)
+                if compact_every and (batch_id + 1) % compact_every == 0:
+                    # Rebuild from the landed corpus: exact state, and
+                    # it heals index rows lost to a crash between the
+                    # corpus and index appends (see compact_gram_index).
+                    compact_gram_index(
+                        spark, gram_dir, corpus_dir=out_dir,
+                        k=span_dedup.get("k", 5),
+                        text_col=text_col, id_col=id_col,
+                    )
             if (
                 maintain_vocab
                 and compact_every
@@ -418,19 +421,50 @@ def ingest_documents_stream(
     return query
 
 
-def compact_gram_index(spark: SparkSession, path: str) -> None:
-    """Fold the appended gram-hash partials to distinct hashes and
-    range-cluster on ``gram`` so the per-batch index join prunes files
-    by footer min/max. Swapped in like the other state compactions; an
-    interrupted swap is repaired on the next ingest start. Benign
-    duplicate rows (retry appends) disappear here; the index only ever
-    needs set semantics."""
+def compact_gram_index(
+    spark: SparkSession,
+    path: str,
+    corpus_dir: str | None = None,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Compact the substring-dedup gram index, range-clustered on
+    ``gram`` so the per-batch join prunes files by footer min/max.
+
+    With ``corpus_dir`` the index is REBUILT from the landed corpus —
+    the corpus is the source of truth, so this is an exact state
+    reconstruction that also HEALS the at-least-once crash window
+    (corpus appended, index append lost: the replayed batch's
+    survivors are empty, so append-only maintenance can never recover
+    those grams — only a rebuild can). Cost: one full corpus
+    re-tokenization per compaction; at ingest cadence that amortizes,
+    and it is the price of making "misses until the next compaction"
+    literally true. Without ``corpus_dir`` it only folds the appended
+    partials to distinct hashes (no heal, no corpus scan).
+
+    Swapped in atomically like the other state compactions; an
+    interrupted swap is repaired on the next ingest start."""
+    import shutil
+
+    from ..operators.text import gram_index as build_gram_index
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
     from ..sources.writers import write_range_clustered
 
-    idx = spark.read.parquet(path).dropDuplicates(["gram"])
-    write_range_clustered(idx, path.rstrip("/") + TMP_SUFFIX, "gram")
-    atomic_swap_dirs(path)
+    if corpus_dir is not None:
+        idx = build_gram_index(
+            spark.read.parquet(corpus_dir), k=k,
+            text_col=text_col, id_col=id_col,
+        )
+    else:
+        idx = spark.read.parquet(path).dropDuplicates(["gram"])
+    tmp = path.rstrip("/") + TMP_SUFFIX
+    write_range_clustered(idx, tmp, "gram")
+    if os.path.exists(path):
+        atomic_swap_dirs(path)
+    else:  # healing a crash that lost the very first index write
+        os.rename(tmp, path)
+        shutil.rmtree(path.rstrip("/") + "__precompact", ignore_errors=True)
 
 
 def compact_vocab(spark: SparkSession, path: str) -> None:

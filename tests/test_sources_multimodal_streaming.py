@@ -1555,3 +1555,72 @@ def test_streaming_ingest_lang_profiles_auto(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert [r["doc_id"] for r in landed.collect()] == [1]
     assert "__lang_auto" not in landed.columns
+
+
+def test_streaming_span_dedup_crash_before_gram_index(spark, tmp_path, monkeypatch):
+    """Kill the batch AFTER the corpus append but BEFORE the gram-index
+    append (same at-least-once ordering as the MinHash index): replay
+    lands nothing twice, the batch's spans were already excised before
+    landing, and the index heals forward — later batches still excise
+    against content whose grams ARE indexed."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_ml_pipeline_spark.operators import text as text_mod
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    shards = [
+        [(1, shared + " first batch filler words", "en")],
+        [(2, "other opening " + shared + " closing words", "en")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    real = text_mod.gram_index
+    calls = {"n": 0}
+
+    def exploding(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash before gram-index append")
+        return real(*a, **k)
+
+    monkeypatch.setattr(text_mod, "gram_index", exploding)
+    out, ck = str(tmp_path / "corpus"), str(tmp_path / "ck")
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, ck, apply_quality=False,
+            span_dedup={"k": 4, "min_len": 8}, compact_every=1,
+        )
+    # Crash window is real: doc 1 landed, gram index missing. The
+    # replayed batch's survivors are EMPTY (fp anti-join), so
+    # append-only maintenance could never rebuild doc 1's grams —
+    # the rebuild-from-corpus compaction is what heals this.
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+    assert not os.path.exists(out + "_gram_index")
+
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ck, apply_quality=False,
+        span_dedup={"k": 4, "min_len": 8}, compact_every=1,
+    )
+    landed = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # Zero lost, zero duplicated, and the post-replay compaction
+    # rebuilt the index from the landed corpus, so batch 2 still
+    # excised its copied run despite the crash.
+    assert sorted(landed) == [1, 2]
+    assert landed[1] == shards[0][0][1]
+    assert landed[2] == "other opening closing words"
+    idx = spark.read.parquet(out + "_gram_index")
+    assert idx.count() > 0
