@@ -309,12 +309,16 @@ class PipelineOrchestrator:
         verdict, signal columns dropped) → benchmark decontamination
         (``corpus.decontam`` + ``eval_df``: drop docs sharing n-grams
         with the eval corpus, left-semi against the clean keep-list) →
-        per-group token budget (left-semi against the budget keep-list)
+        duplicate-span excision (``corpus.span_dedup``: cross-document
+        substring runs cut out, text replaced in place) → per-group
+        token budget (left-semi against the budget keep-list)
         → proportional source mixing (``corpus.mix``) → context-window
-        chunking → deterministic shard/pos export columns
-        (``corpus.shards``). Every step is pure Catalyst; a disabled
-        step (None) adds nothing to the plan, so the default config is
-        a no-op passthrough."""
+        chunking (on whitespace tokens, or BPE tokenizer tokens when
+        ``corpus.bpe_merges`` is set) → deterministic shard/pos export
+        columns (``corpus.shards``). Every step is pure Catalyst
+        (BPE chunking adds the one Arrow-batched encode stage); a
+        disabled step (None) adds nothing to the plan, so the default
+        config is a no-op passthrough."""
         from pyspark.sql import functions as F
 
         from .operators import text as text_ops
