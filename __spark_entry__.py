@@ -2598,6 +2598,29 @@ def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q150_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling (windows.gap_fill_resample
+    method='linear'): the q149 hourly grid carrying the value
+    interpolated between each grid instant's neighbouring observations
+    (microsecond-exact time ratio; last value after the final
+    observation, NULL before the first). Same single union-stream
+    sort as q149 — the forward frame shares the window ordering."""
+    from big_data_ml_pipeline_spark.operators.windows import gap_fill_resample
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    )
+    out = gap_fill_resample(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        id_col="event_id", step="1 hour", method="linear",
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("grid_ts").cast("long").alias("hour_ts"),
+        F.col("value_ff").alias("value_interp"),
+    )
+
+
 def q148_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (multimodal.sample_frames): one
     (media_id, frame_ts_ms) row per sampled timestamp of every video
@@ -2781,6 +2804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_ivf_recenter": q147_ivf_recenter,
         "q148_frame_sample": q148_frame_sample,
         "q149_gap_fill": q149_gap_fill,
+        "q150_interpolate": q150_interpolate,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -115,6 +115,7 @@ def gap_fill_resample(
     value_col: str,
     id_col: str,
     step: str = "1 hour",
+    method: str = "ffill",
 ) -> DataFrame:
     """Gap-filled forward-fill resampling — the time-series
     regularization every feature pipeline over event data needs: per
@@ -129,6 +130,16 @@ def gap_fill_resample(
     forward; grid rows are kept. ONE shuffle on the key, one sort —
     no as-of join, no per-grid-point probe. The tiebreak means an
     observation exactly ON a grid instant is included in it.
+
+    ``method="linear"`` interpolates instead: each grid instant gets
+    ``v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)``
+    between its neighbouring observations (microsecond-exact time
+    ratio), the last observation's value after it, and NULL before the
+    first — the same single union-stream sort, with a second
+    (current-row → following) frame over the SAME window ordering, so
+    Spark still sorts each key once. Both neighbour picks and the one
+    IEEE mul-add are order-independent, keeping the result
+    engine-exact without quantization.
 
     Scale: grid size is span/step per key — bound the step to the
     analysis resolution. The union stream is events + grid rows; both
@@ -155,18 +166,49 @@ def gap_fill_resample(
         F.col(id_col).cast("long").alias("__tie"),
         F.lit(1).alias("__is_evt"),
     )
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col("__ots").asc(), F.col("__is_evt").desc(), F.col("__tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if method not in ("ffill", "linear"):
+        raise ValueError(f"unknown method {method!r}")
+    base_w = Window.partitionBy(key_col).orderBy(
+        F.col("__ots").asc(), F.col("__is_evt").desc(), F.col("__tie").asc()
+    )
+    back = base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u = evts.unionByName(grid)
+    if method == "ffill":
+        return (
+            u.withColumn("__ff", F.last("__v", ignorenulls=True).over(back))
+            .filter(F.col("__is_evt") == 0)
+            .select(
+                F.col(key_col),
+                F.col("__ots").alias("grid_ts"),
+                F.col("__ff").alias("value_ff"),
+            )
+        )
+    fwd = base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # Neighbour values + their microsecond instants; the event-before-
+    # grid tiebreak makes an on-grid observation its own "previous"
+    # neighbour (ratio 0 — exact value carried).
+    usec = F.when(F.col("__is_evt") == 1, F.unix_micros(F.col("__ots")))
+    tagged = (
+        u.withColumn("__pv", F.last("__v", ignorenulls=True).over(back))
+        .withColumn("__pt", F.last(usec, ignorenulls=True).over(back))
+        .withColumn("__nv", F.first("__v", ignorenulls=True).over(fwd))
+        .withColumn("__nt", F.first(usec, ignorenulls=True).over(fwd))
+    )
+    gt = F.unix_micros(F.col("__ots"))
+    frac = (gt - F.col("__pt")).cast("double") / (
+        F.col("__nt") - F.col("__pt")
+    ).cast("double")
+    interp = (
+        F.when(F.col("__pv").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__nv").isNull(), F.col("__pv"))
+        .when(F.col("__nt") == F.col("__pt"), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
     )
     return (
-        evts.unionByName(grid)
-        .withColumn("__ff", F.last("__v", ignorenulls=True).over(w))
-        .filter(F.col("__is_evt") == 0)
+        tagged.filter(F.col("__is_evt") == 0)
         .select(
             F.col(key_col),
             F.col("__ots").alias("grid_ts"),
-            F.col("__ff").alias("value_ff"),
+            interp.alias("value_ff"),
         )
     )

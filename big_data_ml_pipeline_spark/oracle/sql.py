@@ -2823,6 +2823,50 @@ FROM f WHERE is_evt = 0
 """
 
 
+# q150: linear-interpolation resampling — the q149 union-stream with a
+# second (current-row -> following) frame over the same ordering;
+# neighbour instants are microsecond-exact BIGINTs, the interpolation
+# is the identical IEEE expression on both engines.
+_Q150_SQL = """
+WITH e AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS value, event_id
+  FROM events WHERE user_id % 10 = 0),
+b AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS lo,
+         date_trunc('hour', MAX(ts)) AS hi
+  FROM e GROUP BY user_id),
+g AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ots
+  FROM b),
+u AS (
+  SELECT user_id, ts AS ots, value, event_id AS tie, 1 AS is_evt FROM e
+  UNION ALL
+  SELECT user_id, ots, NULL, -1, 0 FROM g),
+f AS (
+  SELECT user_id, ots, is_evt,
+    LAST_VALUE(value IGNORE NULLS) OVER wback AS pv,
+    LAST_VALUE(CASE WHEN is_evt = 1 THEN epoch_us(ots) END IGNORE NULLS)
+      OVER wback AS pt,
+    FIRST_VALUE(value IGNORE NULLS) OVER wfwd AS nv,
+    FIRST_VALUE(CASE WHEN is_evt = 1 THEN epoch_us(ots) END IGNORE NULLS)
+      OVER wfwd AS nt
+  FROM u
+  WINDOW
+    wback AS (PARTITION BY user_id ORDER BY ots ASC, is_evt DESC, tie ASC
+              ROWS UNBOUNDED PRECEDING),
+    wfwd AS (PARTITION BY user_id ORDER BY ots ASC, is_evt DESC, tie ASC
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(floor(epoch(ots)) AS BIGINT) AS hour_ts,
+  CASE WHEN pv IS NULL THEN NULL
+       WHEN nv IS NULL THEN pv
+       WHEN nt = pt THEN pv
+       ELSE pv + (nv - pv) * (CAST(epoch_us(ots) - pt AS DOUBLE)
+                              / CAST(nt - pt AS DOUBLE))
+  END AS value_interp
+FROM f WHERE is_evt = 0
+"""
+
+
 # q148: video frame-sampling plan. attach_binary_payload assigns
 # modality round-robin (doc_id % 3 == 2 -> video); sample_frames emits
 # one row per 1000ms step over the default 5000ms duration.
@@ -2969,5 +3013,6 @@ def oracle_sql() -> dict[str, str]:
         "q147_ivf_recenter": _Q147_SQL,
         "q148_frame_sample": _Q148_SQL,
         "q149_gap_fill": _Q149_SQL,
+        "q150_interpolate": _Q150_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

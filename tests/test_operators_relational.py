@@ -467,3 +467,39 @@ def test_gap_fill_resample_hand_computed(spark):
         (1, 4): 20.0,    # 04:45 event is after the 04:00 grid point
         (2, 1): None,
     }
+
+
+def test_gap_fill_linear_interpolation_hand_computed(spark):
+    """method='linear': interior grid points interpolate between their
+    neighbouring observations by the exact time ratio, an on-grid
+    event is its own neighbour (exact value), the tail forward-fills
+    the last observation, and the head is NULL."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators.windows import gap_fill_resample
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 10.0, 100),
+        (1, datetime(2024, 1, 1, 2, 0), 20.0, 101),
+        (1, datetime(2024, 1, 1, 4, 45), 30.0, 102),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    out = {
+        r["grid_ts"].hour: r["value_ff"]
+        for r in gap_fill_resample(
+            df, "user_id", "ts", "value", "event_id",
+            step="1 hour", method="linear",
+        ).collect()
+    }
+    assert out[0] is None
+    assert out[1] == _pytest.approx(10 + 10 * 30 / 90)       # 13.333…
+    assert out[2] == 20.0                                     # on-grid
+    assert out[3] == _pytest.approx(20 + 10 * 60 / 165)      # 23.636…
+    assert out[4] == _pytest.approx(20 + 10 * 120 / 165)     # 27.272…
+    with _pytest.raises(ValueError, match="method"):
+        gap_fill_resample(df, "user_id", "ts", "value", "event_id",
+                          method="cubic")
