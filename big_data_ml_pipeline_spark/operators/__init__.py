@@ -7,7 +7,12 @@ from .projection import (
 )
 from .aggregates import freq_counts, global_stats, grouped_stats, target_means
 from .joins import broadcast_join, join_back
-from .windows import lag_features, rolling_features, top_k_per_group
+from .windows import (
+    gap_fill_resample,
+    lag_features,
+    rolling_features,
+    top_k_per_group,
+)
 from .setops import random_split
 
 __all__ = [
@@ -25,5 +30,6 @@ __all__ = [
     "lag_features",
     "rolling_features",
     "top_k_per_group",
+    "gap_fill_resample",
     "random_split",
 ]

@@ -1601,3 +1601,40 @@ def test_duplicate_spans_skew_safe_identical(spark):
     b = sorted(map(tuple, text_ops.duplicate_spans(
         docs, k=5, min_len=10, skew_safe=True).collect()))
     assert a == b and a
+
+
+def test_bpe_encode_degenerate_inputs(spark):
+    """Empty text, whitespace-only text, and NULL text all encode to
+    empty token streams with zero counts; single-char words pass
+    through untouched."""
+    from __spark_entry__ import Q143_BPE_MERGES
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, None), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text_ops.bpe_encode(df, Q143_BPE_MERGES).collect()}
+    for i in (1, 2, 3):
+        assert list(out[i]["bpe_tokens"]) == []
+        assert out[i]["n_tokens"] == 0 and out[i]["n_bpe_tokens"] == 0
+    assert list(out[4]["bpe_tokens"]) == ["a", "b", "c"]
+
+
+def test_duplicate_spans_short_and_empty_docs(spark):
+    """Documents shorter than k produce no grams and never appear in
+    the span table; excision returns them untouched (empty text stays
+    empty)."""
+    shared = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, shared + " longer doc body here"),
+         (4, "prefix " + shared)],
+        "doc_id long, text string",
+    )
+    spans = text_ops.duplicate_spans(df, k=5, min_len=10).collect()
+    assert {r["doc_id"] for r in spans} == {4}
+    out = {r["doc_id"]: r for r in
+           text_ops.excise_duplicate_spans(df, k=5, min_len=10).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_tokens"] == 0
+    assert out[2]["clean_text"] == "one two" and out[2]["n_removed"] == 0
+    assert out[4]["clean_text"] == "prefix"
