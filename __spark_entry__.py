@@ -2598,6 +2598,38 @@ def q149_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q151_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two excision scopes CHAINED into the full 'clean corpus'
+    accounting: cross-document span dedup (q142 semantics) first, then
+    within-document repeat excision (q146) over the ALREADY-CLEANED
+    text — per document, the original token count, tokens removed by
+    each stage, and the final count. Proves the round-7 operators
+    compose in one Catalyst plan (the q108 composition precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st1 = text_ops.excise_duplicate_spans(docs, k=5, min_len=10)
+    st2 = text_ops.excise_duplicate_spans(
+        st1.select("doc_id", F.col("clean_text").alias("text")),
+        k=2, min_len=4, scope="within_doc",
+    )
+    return (
+        st1.select(
+            "doc_id",
+            F.col("n_tokens").alias("n_tokens_orig"),
+            F.col("n_removed").alias("n_cross_removed"),
+        )
+        .join(
+            st2.select(
+                "doc_id",
+                F.col("n_removed").alias("n_within_removed"),
+                (F.col("n_tokens") - F.col("n_removed"))
+                .cast("long")
+                .alias("n_tokens_final"),
+            ),
+            "doc_id",
+        )
+    )
+
+
 def q150_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear-interpolation resampling (windows.gap_fill_resample
     method='linear'): the q149 hourly grid carrying the value
@@ -2805,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_frame_sample": q148_frame_sample,
         "q149_gap_fill": q149_gap_fill,
         "q150_interpolate": q150_interpolate,
+        "q151_clean_corpus": q151_clean_corpus,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -2754,6 +2754,86 @@ _Q142_SQL = _duck_span_ctes(5, "cross_doc") + _duck_excision_tail(5, 10)
 _Q146_SQL = _duck_span_ctes(2, "within_doc") + _duck_excision_tail(2, 4)
 
 
+def _span_excision_block(
+    src: str, text_expr: str, k: int, min_len: int, scope: str, s: str
+) -> str:
+    """Suffixed CTE block (``t{s}`` … ``res{s}``) running one full
+    span-excision stage over ``src``(doc_id, {text_expr}) — lets q151
+    CHAIN two stages in a single statement without name clashes."""
+    if scope == "cross_doc":
+        hits = f"""dup{s} AS (
+  SELECT gram, MIN(doc_id) AS keeper
+  FROM g{s} GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+hits{s} AS (
+  SELECT g{s}.doc_id, g{s}.pos FROM g{s} JOIN dup{s} USING (gram)
+  WHERE g{s}.doc_id <> dup{s}.keeper)"""
+    else:
+        hits = f"""hits{s} AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           MIN(pos) OVER (PARTITION BY doc_id, gram) AS first_pos
+    FROM g{s})
+  WHERE pos > first_pos)"""
+    return f"""t{s} AS (
+  SELECT doc_id, {_DUCK_TOKENS.format(col=text_expr)} AS toks FROM {src}),
+g{s} AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + {k - 1}), ' ') AS gram
+  FROM t{s}, unnest(generate_series(1, len(toks) - {k - 1})) AS q(i)),
+{hits},
+brk{s} AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS b
+  FROM hits{s}),
+isl{s} AS (
+  SELECT doc_id, pos,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM brk{s}),
+spans{s} AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {k - 1} AS span_end
+  FROM isl{s} GROUP BY doc_id, grp
+  HAVING MAX(pos) - MIN(pos) + {k} >= {min_len}),
+tok{s} AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok, len(toks) AS n
+  FROM t{s}, unnest(generate_series(1, len(toks))) AS q(i)),
+removed{s} AS (
+  SELECT DISTINCT tk.doc_id, tk.pos
+  FROM tok{s} tk JOIN spans{s} sp
+    ON tk.doc_id = sp.doc_id AND tk.pos BETWEEN sp.span_start AND sp.span_end),
+keptagg{s} AS (
+  SELECT tk.doc_id,
+    COALESCE(array_to_string(
+      list(tk.tok ORDER BY tk.pos) FILTER (WHERE rm.pos IS NULL), ' '),
+      '') AS clean_text,
+    CAST(any_value(tk.n) AS BIGINT) AS n_tokens,
+    CAST(COUNT(rm.pos) AS BIGINT) AS n_removed
+  FROM tok{s} tk
+  LEFT JOIN removed{s} rm ON rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+  GROUP BY tk.doc_id),
+res{s} AS (
+  SELECT d.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+    CAST(COALESCE(ka.n_tokens, 0) AS BIGINT) AS n_tokens,
+    CAST(COALESCE(ka.n_removed, 0) AS BIGINT) AS n_removed
+  FROM t{s} d LEFT JOIN keptagg{s} ka USING (doc_id))"""
+
+
+# q151: the two excision scopes CHAINED — cross-document span dedup
+# first, then within-document repeat excision over the already-cleaned
+# text; the full "clean corpus" token accounting as one statement.
+_Q151_SQL = f"""
+WITH
+{_span_excision_block('documents', 'text', 5, 10, 'cross_doc', '_a')},
+{_span_excision_block('res_a', 'clean_text', 2, 4, 'within_doc', '_b')}
+SELECT a.doc_id,
+  a.n_tokens AS n_tokens_orig,
+  a.n_removed AS n_cross_removed,
+  b.n_removed AS n_within_removed,
+  CAST(b.n_tokens - b.n_removed AS BIGINT) AS n_tokens_final
+FROM res_a a JOIN res_b b USING (doc_id)
+"""
+
+
 def _q147_sql() -> str:
     """Twin of q147: the q43 deterministic assignment (rounded argmax
     cosine, ASC cell ties) followed by the q92 quantized-integer mean
@@ -3014,5 +3094,6 @@ def oracle_sql() -> dict[str, str]:
         "q148_frame_sample": _Q148_SQL,
         "q149_gap_fill": _Q149_SQL,
         "q150_interpolate": _Q150_SQL,
+        "q151_clean_corpus": _Q151_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

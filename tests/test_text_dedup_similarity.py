@@ -1638,3 +1638,24 @@ def test_duplicate_spans_short_and_empty_docs(spark):
     assert out[1]["clean_text"] == "" and out[1]["n_tokens"] == 0
     assert out[2]["clean_text"] == "one two" and out[2]["n_removed"] == 0
     assert out[4]["clean_text"] == "prefix"
+
+
+def test_clean_corpus_accounting(spark):
+    """q151 composition invariant on the corpus: per document,
+    n_tokens_final == n_tokens_orig - n_cross_removed -
+    n_within_removed (each excision removes exactly the tokens it
+    accounts for), all non-negative, and at least one doc was touched
+    by each stage."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["q151_clean_corpus"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 500
+    assert any(r["n_cross_removed"] > 0 for r in rows)
+    assert any(r["n_within_removed"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_tokens_final"] == (
+            r["n_tokens_orig"] - r["n_cross_removed"] - r["n_within_removed"]
+        ), r["doc_id"]
+        assert 0 <= r["n_tokens_final"] <= r["n_tokens_orig"]
