@@ -740,7 +740,13 @@ def vocabulary(
     top = vocab.orderBy(
         F.col("n_occurrences").desc(), F.col("token").asc()
     ).limit(k)
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    # The ranking window sees only the ≤k post-limit rows, so a single
+    # partition is the intended shape; partitioning on the constant
+    # pmod(occurrences, 1) (non-foldable, always 0) keeps WindowExec
+    # from logging its all-data-to-one-partition warning on every run.
+    w = Window.partitionBy(
+        F.pmod(F.col("n_occurrences"), F.lit(1))
+    ).orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
@@ -1093,6 +1099,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     group_col: str = "lang",
     n_tokens_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign each document to the
     training pack it STARTS in, walking each group's documents in
@@ -1113,31 +1120,96 @@ def pack_sequences(
     ``n_tokens_col``: reuse a token count an upstream stage already
     computed (tokenize-once rule — a quality gate has usually counted
     tokens already) instead of re-tokenizing ``text_col``.
+
+    ``n_buckets``: the 100 TB skew lever. The default single-window
+    cumsum serializes each group key on ONE reducer — on a real corpus
+    where English is half the data, that reducer holds half the corpus.
+    With ``n_buckets=B`` the cumsum becomes a TWO-LEVEL prefix sum:
+    one ``approxQuantile`` pass picks B global ``id_col`` cut points
+    (contiguous id ranges, so per-group bucket order == id order), each
+    (group, bucket) computes its LOCAL running total on its own reducer
+    — the hot group now spreads over B reducers — and a per-group
+    cumulative bucket-offset table (G×B rows, broadcast) lifts local
+    totals to the exact global running total. Output is IDENTICAL to
+    the single-window path (pytest-pinned): the offsets are exact
+    sums, only the physical partitioning changes. Cost: one extra
+    driver-side quantile job + a broadcast join — noise next to
+    un-serializing the hottest key in the corpus.
     """
     n_tok = (
         F.col(n_tokens_col).cast("long")
         if n_tokens_col is not None
         else token_count(F.col(text_col))
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.alias("n_tokens"),
     )
-    return (
-        df.select(
+    if n_buckets is None or n_buckets <= 1:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        running = base.withColumn("running_total", F.sum("n_tokens").over(w))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # Quantiles over the bare id column — never evaluates n_tok.
+        cuts = df.select(F.col(id_col)).stat.approxQuantile(
+            id_col, probs, 0.001
+        )
+        lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
+        idc = F.col(id_col).cast("double")
+        bucket = F.when(idc.isNull(), F.lit(-1)).otherwise(
+            F.size(F.filter(lit_cuts, lambda x: x < idc))
+        )
+        staged = base.withColumn("__bkt", bucket)
+        w1 = (
+            Window.partitionBy(group_col, "__bkt")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        staged = staged.withColumn("__local", F.sum("n_tokens").over(w1))
+        # Bucket totals reuse the (group, bucket) exchange the window
+        # just created; the offset cumsum runs over G×B rows only.
+        w2 = (
+            Window.partitionBy(group_col)
+            .orderBy("__bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        off = (
+            staged.groupBy(group_col, "__bkt")
+            .agg(F.sum("n_tokens").alias("__tot"))
+            .withColumn(
+                "__off",
+                F.coalesce(F.sum("__tot").over(w2), F.lit(0)).cast("long"),
+            )
+            .select(
+                F.col(group_col).alias("__g"),
+                F.col("__bkt").alias("__b"),
+                "__off",
+            )
+        )
+        joined = staged.join(
+            F.broadcast(off),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("__bkt") == F.col("__b")),
+        )
+        running = joined.select(
             F.col(id_col),
             F.col(group_col),
-            n_tok.alias("n_tokens"),
+            F.col("n_tokens"),
+            (F.col("__local") + F.col("__off")).cast("long").alias(
+                "running_total"
+            ),
         )
-        .withColumn("running_total", F.sum("n_tokens").over(w))
-        .withColumn(
-            "pack_id",
-            F.floor(
-                (F.col("running_total") - F.col("n_tokens"))
-                / F.lit(budget_tokens)
-            ).cast("long"),
-        )
+    return running.withColumn(
+        "pack_id",
+        F.floor(
+            (F.col("running_total") - F.col("n_tokens"))
+            / F.lit(budget_tokens)
+        ).cast("long"),
     )
 
 

@@ -1563,6 +1563,25 @@ FROM (
   FROM t)
 """
 
+# q152: the two-level prefix-sum packing path. The SQL is the q113
+# window shape (running cumsum IS the spec — bucketing is a physical
+# rewrite with pytest-pinned identical output), over source/192 so the
+# twin grades a distinct query.
+_Q152_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len({_DUCK_TOKENS.format(col='text')}) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, source, n_tokens, running_total,
+       CAST(floor((running_total - n_tokens) / 192.0) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM t)
+"""
+
 _Q114_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_TOKENS.format(col='text')} AS toks FROM documents),
@@ -3095,5 +3114,6 @@ def oracle_sql() -> dict[str, str]:
         "q149_gap_fill": _Q149_SQL,
         "q150_interpolate": _Q150_SQL,
         "q151_clean_corpus": _Q151_SQL,
+        "q152_pack_two_level": _Q152_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -278,3 +278,44 @@ def test_salted_label_join_spreads_hot_key(spark):
     )
     n_salts = lsalted.select("__salt").distinct().count()
     assert n_salts == 8
+
+
+def test_pack_sequences_two_level_matches_single_window(spark):
+    """The two-level prefix-sum packing path (n_buckets) must be a
+    PHYSICAL rewrite only: identical (id, group, n_tokens,
+    running_total, pack_id) to the single-window cumsum, on a corpus
+    where one group holds 90% of the rows (the English-is-half-the-
+    corpus shape the rewrite exists for)."""
+    from big_data_ml_pipeline_spark.operators import text
+
+    data = [
+        (
+            i,
+            "hot" if i % 10 != 9 else f"cold{i % 3}",
+            " ".join(["tok"] * (1 + (i * 7) % 13)),
+        )
+        for i in range(3000)
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    single = text.pack_sequences(docs, budget_tokens=32)
+    two = text.pack_sequences(docs, budget_tokens=32, n_buckets=7)
+    assert single.schema == two.schema
+    assert single.exceptAll(two).count() == 0
+    assert two.exceptAll(single).count() == 0
+    # the hot group really is skewed — the guard's reason to exist
+    hot_n = docs.filter(F.col("lang") == "hot").count()
+    assert hot_n >= 0.85 * 3000
+
+
+def test_pack_sequences_two_level_matches_on_real_table(spark):
+    """Same pin on the driver's documents table (q113's input), with
+    the n_tokens_col reuse path exercised through the bucketed plan."""
+    from big_data_ml_pipeline_spark.operators import text
+    from big_data_ml_pipeline_spark.sources.catalog import load_table
+    from conftest import SF0001
+
+    docs = load_table(spark, SF0001, "documents")
+    single = text.pack_sequences(docs, budget_tokens=256)
+    two = text.pack_sequences(docs, budget_tokens=256, n_buckets=8)
+    assert single.exceptAll(two).count() == 0
+    assert two.exceptAll(single).count() == 0
