@@ -2706,6 +2706,47 @@ def q152_pack_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_bpe_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeat excision over TOKENIZER tokens
+    (text.bpe_encode → text.excise_duplicate_spans ``tokens_col=``,
+    VERDICT r7 item 3): the q146 pass re-run on the BPE token stream
+    q143 produces — Lee et al. span thresholds are defined over
+    tokenizer tokens, and the tokens_col path aligns span indices with
+    the stream that budgets/packing already consume (q113/q143).
+    Rows-only: the BPE merge loop is the sanctioned mapInPandas edge
+    with no SQL twin; exactness is pinned by pytest chaining the
+    literal Python encoder into the literal Python span twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = text_ops.bpe_encode(docs, Q143_BPE_MERGES)
+    out = text_ops.excise_duplicate_spans(
+        enc, k=2, min_len=4, scope="within_doc",
+        tokens_col="bpe_tokens", emit_tokens=True,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_bpe_tokens"),
+        F.col("n_removed").alias("n_removed_bpe"),
+        (F.col("n_tokens") - F.col("n_removed")).cast("long").alias(
+            "n_kept_bpe"
+        ),
+    )
+
+
+def q154_span_dedup_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span detection over a PRE-TOKENIZED
+    array column (text.duplicate_spans ``tokens_col=``): the corpus is
+    tokenized once upstream (tokenize-once rule) and the span pass
+    consumes the array directly — the oracle-graded proof that the
+    tokens_col path is exact on the whitespace tokenization (its BPE
+    use, q153, is pytest-pinned instead). k=3/min_len=6 so the gram
+    geometry differs from q141's 5/10."""
+    docs = load_table(spark, sf_dir, "documents")
+    pre = docs.select(
+        "doc_id", text_ops.tokens(F.col("text")).alias("toks")
+    )
+    return text_ops.duplicate_spans(pre, k=3, min_len=6, tokens_col="toks")
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -2864,6 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_interpolate": q150_interpolate,
         "q151_clean_corpus": q151_clean_corpus,
         "q152_pack_two_level": q152_pack_two_level,
+        "q153_bpe_repeat_excision": q153_bpe_repeat_excision,
+        "q154_span_dedup_pretokenized": q154_span_dedup_pretokenized,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

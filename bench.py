@@ -62,6 +62,9 @@ EXTRA = [
     # corpus operator, worth tracking (~0.9s warm at sf0.1). The MLlib
     # fit queries (q47/q48/q73/q145) stay out: they measure training.
     "q143_bpe_encode",
+    # r8: the BPE→span-excision chain (rows-only) — tracks the
+    # tokens_col span path stacked on the mapInPandas edge.
+    "q153_bpe_repeat_excision",
 ]
 
 

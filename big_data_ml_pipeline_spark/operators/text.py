@@ -1299,6 +1299,7 @@ def duplicate_spans(
     hashed: bool = False,
     scope: str = "cross_doc",
     skew_safe: bool = False,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Substring-level (duplicate-span) detection — the Lee et al. 2021
     ("Deduplicating Training Data Makes Language Models Better")
@@ -1358,11 +1359,24 @@ def duplicate_spans(
     ``min_len`` defaults to ``2*k`` (a single-gram match never excises
     on its own — the span must extend past one window, mirroring the
     reference practice of verifying LSH candidates before acting).
+
+    ``tokens_col``: run the pass over a PRE-TOKENIZED array column
+    (e.g. :func:`bpe_encode`'s ``bpe_tokens``) instead of whitespace-
+    splitting ``text_col`` — Lee et al.'s dedup thresholds are defined
+    over TOKENIZER tokens, and this aligns the span indices with the
+    token stream budgets/packing already consume. Gram keys are the
+    space-joined token windows (injective: tokens never contain
+    spaces), so semantics are identical to pre-joining the array —
+    only the tokenization source changes.
     """
     if min_len is None:
         min_len = 2 * k
     base = df.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("id"),
+        (
+            F.col(tokens_col) if tokens_col is not None
+            else tokens(F.col(text_col))
+        ).alias("__toks"),
     )
     gram = F.col("gram")
     grams = (
@@ -1506,20 +1520,34 @@ def excise_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_spans: bool = True,
+    tokens_col: str | None = None,
+    emit_tokens: bool = False,
 ) -> DataFrame:
     """Excise a precomputed span table — (doc_id, span_start,
     span_end[, ...]) token ranges — from ``df`` and reassemble each
     document: (doc_id, clean_text, n_tokens, n_removed), one row per
     INPUT document. The reassembly half of
     :func:`excise_duplicate_spans`, usable with any span source
-    (:func:`duplicate_spans`, :func:`duplicate_spans_vs_index`)."""
+    (:func:`duplicate_spans`, :func:`duplicate_spans_vs_index`).
+
+    ``tokens_col`` excises from a pre-tokenized array column (span
+    indices must come from the SAME tokenization — pair it with
+    :func:`duplicate_spans`'s ``tokens_col``). With
+    ``emit_tokens=True`` the surviving tokens come back as a
+    ``clean_tokens`` array instead of a space-joined ``clean_text`` —
+    the right output when the tokens are tokenizer units (BPE) whose
+    concatenation is not whitespace-delimited text."""
     sp_arr = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     if broadcast_spans:
         sp_arr = F.broadcast(sp_arr)
     base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col),
+        (
+            F.col(tokens_col) if tokens_col is not None
+            else tokens(F.col(text_col))
+        ).alias("__toks"),
     ).join(sp_arr, on=id_col, how="left")
     sps = F.coalesce(
         F.col("__spans"),
@@ -1531,9 +1559,14 @@ def excise_spans(
             sps, lambda s: (i >= s["span_start"]) & (i <= s["span_end"])
         ),
     )
+    out_col = (
+        kept.alias("clean_tokens")
+        if emit_tokens
+        else F.array_join(kept, " ").alias("clean_text")
+    )
     return base.select(
         F.col(id_col),
-        F.array_join(kept, " ").alias("clean_text"),
+        out_col,
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
@@ -1547,6 +1580,8 @@ def excise_duplicate_spans(
     id_col: str = "doc_id",
     scope: str = "cross_doc",
     broadcast_spans: bool = True,
+    tokens_col: str | None = None,
+    emit_tokens: bool = False,
 ) -> DataFrame:
     """Remove every :func:`duplicate_spans` span from its document and
     reassemble the remaining tokens in order (the q114 reassembly
@@ -1567,11 +1602,12 @@ def excise_duplicate_spans(
     """
     spans = duplicate_spans(
         df, k=k, min_len=min_len, text_col=text_col, id_col=id_col,
-        scope=scope,
+        scope=scope, tokens_col=tokens_col,
     )
     return excise_spans(
         df, spans, text_col=text_col, id_col=id_col,
-        broadcast_spans=broadcast_spans,
+        broadcast_spans=broadcast_spans, tokens_col=tokens_col,
+        emit_tokens=emit_tokens,
     )
 
 

@@ -2771,6 +2771,10 @@ FROM t d LEFT JOIN keptagg ka USING (doc_id)
 _Q141_SQL = _duck_span_ctes(5, "cross_doc") + _duck_span_select(5, 10)
 _Q142_SQL = _duck_span_ctes(5, "cross_doc") + _duck_excision_tail(5, 10)
 _Q146_SQL = _duck_span_ctes(2, "within_doc") + _duck_excision_tail(2, 4)
+# q154: the tokens_col (pre-tokenized array) span path. The SQL spec is
+# tokenization-source-independent — the whitespace tokenization feeds
+# the array column, so the twin is the q141 CTE chain at 3/6 geometry.
+_Q154_SQL = _duck_span_ctes(3, "cross_doc") + _duck_span_select(3, 6)
 
 
 def _span_excision_block(
@@ -3115,5 +3119,6 @@ def oracle_sql() -> dict[str, str]:
         "q150_interpolate": _Q150_SQL,
         "q151_clean_corpus": _Q151_SQL,
         "q152_pack_two_level": _Q152_SQL,
+        "q154_span_dedup_pretokenized": _Q154_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

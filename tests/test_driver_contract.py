@@ -61,6 +61,12 @@ ROWS_ONLY = {
     # r7: MLlib estimator fits (CountVectorizer/IDF/Word2Vec) have no
     # SQL twin; invariants below.
     "q145_text_features",
+    # r8: BPE-token span excision chains the q143 mapInPandas edge —
+    # same no-SQL-twin reason; the chain is pinned by pytest against
+    # the literal Python encoder + span twin
+    # (test_bpe_span_excision_matches_literal_python). The tokens_col
+    # span path itself IS oracle-graded via q154.
+    "q153_bpe_repeat_excision",
 }
 
 

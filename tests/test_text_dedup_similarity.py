@@ -1659,3 +1659,73 @@ def test_clean_corpus_accounting(spark):
             r["n_tokens_orig"] - r["n_cross_removed"] - r["n_within_removed"]
         ), r["doc_id"]
         assert 0 <= r["n_tokens_final"] <= r["n_tokens_orig"]
+
+
+def test_bpe_span_excision_matches_literal_python(spark):
+    """The q153 chain — bpe_encode → within-doc duplicate_spans →
+    excision, all over ``tokens_col`` — against the literal Python
+    encoder chained into a literal Python span twin, on adversarial
+    repetitive strings (character runs, merge-exposing words, repeats
+    that only exist at the BPE-unit level)."""
+    from __spark_entry__ import Q143_BPE_MERGES
+
+    texts = [
+        (0, "the theme the theme the theme and then the theme"),
+        (1, "and and and and and and and and"),
+        (2, "ababab ababab ababab ababab ababab ababab"),
+        (3, "one two three four five"),
+        (4, ""),
+        (5, "xab xab aaaa xab xab aaaa xab xab aaaa"),
+        (6, "thethethethe andandandand thethethethe"),
+    ]
+    k, min_len = 2, 4
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    enc = text_ops.bpe_encode(df, Q143_BPE_MERGES)
+    spans = text_ops.duplicate_spans(
+        enc, k=k, min_len=min_len, scope="within_doc",
+        tokens_col="bpe_tokens",
+    )
+    cleaned = text_ops.excise_spans(
+        enc, spans, tokens_col="bpe_tokens", emit_tokens=True
+    )
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in spans.collect()
+    }
+    got_clean = {
+        r["doc_id"]: (list(r["clean_tokens"]), r["n_tokens"], r["n_removed"])
+        for r in cleaned.collect()
+    }
+
+    expect_spans = set()
+    for did, text in texts:
+        toks = []
+        for w in text.lower().split():
+            if w:
+                toks.extend(_literal_bpe(w, Q143_BPE_MERGES))
+        first, hits = {}, []
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p:p + k])
+            if g in first:
+                hits.append(p)
+            else:
+                first[g] = p
+        spans_py, run = [], []
+        for p in hits + [None]:
+            if run and (p is None or p - run[-1] > k):
+                s, e = run[0], run[-1] + k - 1
+                if e - s + 1 >= min_len:
+                    spans_py.append((s, e))
+                run = []
+            if p is not None:
+                run.append(p)
+        removed = set()
+        for s, e in spans_py:
+            expect_spans.add((did, s, e, e - s + 1))
+            removed.update(range(s, e + 1))
+        kept = [t for i, t in enumerate(toks) if i not in removed]
+        assert got_clean[did] == (kept, len(toks), len(removed)), did
+        # losslessness of the surviving stream: kept units concatenate
+        # to a subsequence of the original character stream
+        assert "".join(kept) in "".join(toks) or len(removed) > 0
+    assert got_spans == expect_spans
