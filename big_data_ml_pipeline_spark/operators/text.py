@@ -1490,8 +1490,11 @@ def duplicate_spans_vs_index(
     Scale note: the index join is the heaviest of the three streaming
     screens (the index is corpus-token-sized — the honest cost of
     substring-level guarantees; Lee et al.'s suffix array is larger).
-    Compaction range-clusters it; on a real cluster, bucket BOTH sides
-    by ``gram`` so the per-batch join is co-located.
+    Pass a BUCKETED index (``streaming/corpus.py`` with
+    ``span_dedup["n_buckets"]``) and the join needs no index-side
+    exchange at all — the bucketed scan satisfies the join's
+    distribution and only the batch-sized probe shuffles; the plain
+    parquet path instead relies on compaction's range clustering.
     """
     if min_len is None:
         min_len = 2 * k

@@ -106,7 +106,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "ingest_lm_floor": None,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
                # substrings duplicated within the batch or against the
-               # persisted gram index of everything already landed.
+               # persisted gram index of everything already landed;
+               # "n_buckets": 32 keeps that index as a bucketed table
+               # so the per-batch join has no index-side exchange.
                "ingest_span_dedup": None,
                # ingest_compact_every: compact the minhash/gram/vocab
                # state tables every N batches.

