@@ -2747,6 +2747,22 @@ def q154_span_dedup_pretokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.duplicate_spans(pre, k=3, min_len=6, tokens_col="toks")
 
 
+def q155_ivf_recenter_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED Lloyd iteration on the driver surface
+    (similarity.ivf_recenter_loop, VERDICT r7 item 6): two full
+    assign→inertia→recenter→reassign steps as ONE lazy Catalyst plan —
+    iteration-2 centroids stay a DataFrame (no driver collect, unlike
+    the orchestrator's literal-kit loop), and every arithmetic step is
+    integer-quantized (BIGINT dot/norm terms, 6-digit cosine, integer
+    micro-unit centroids) so the per-iteration (cell, n_members,
+    inertia_q) report is engine-exact against the generated SQL
+    twin. The convergence evidence q147's single step couldn't
+    show: inertia under the updated centroids, per cell, per step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_recenter_loop(emb, cents, n_iters=2)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -2907,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_pack_two_level": q152_pack_two_level,
         "q153_bpe_repeat_excision": q153_bpe_repeat_excision,
         "q154_span_dedup_pretokenized": q154_span_dedup_pretokenized,
+        "q155_ivf_recenter_loop": q155_ivf_recenter_loop,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

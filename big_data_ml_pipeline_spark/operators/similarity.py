@@ -22,7 +22,7 @@ import math
 import sys
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_similarity, dot, l2_norm, to_double_array
@@ -1152,6 +1152,153 @@ def ivf_recenter(
             ).alias("centroid_val"),
         )
     )
+
+
+def ivf_recenter_loop(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``n_iters`` chained Lloyd steps as ONE lazy Catalyst plan, with
+    per-iteration convergence evidence: (iter, cell, n_members,
+    inertia_q) — the quantized-integer cell inertia
+    ``Σ round((1−csim)·10⁶)`` under that iteration's centroid set.
+    The driver-surface form of the :func:`ivf_recenter` maintenance
+    step (orchestrator ``recenter_iters`` collects the KB-scale
+    centroid update between steps; here iteration-2 centroids stay a
+    DATAFRAME, so nothing ever lands on the driver and the whole loop
+    is one oracle-checkable query).
+
+    Engine-exact by integer quantization end to end: dot products and
+    norms are sums of per-coordinate ``round(x·c·10¹²)`` BIGINT terms
+    (commutative — partition-order independent, unlike a float sum),
+    cosine is rounded to 6 digits before the argmax (ASC cell ties),
+    and recentered coordinates are ``round(Σ round(x·10⁶)/n)`` integer
+    micro-units; empty cells keep their previous centroid. Every
+    arithmetic step maps 1:1 onto the generated SQL twin.
+
+    Scale shape: per iteration, one broadcast cross join of the corpus
+    against the |cells|-row centroid table (map-only scoring via a
+    fixed-order zip_with fold), one |corpus|-keyed ranking window on
+    (id) — perfectly spread — and one (cell, pos) aggregation with
+    map-side partials for the update. No collect, no literal rebuild:
+    the plan composes across iterations.
+    """
+    Q = 1_000_000
+    P = 1_000_000_000_000
+    spark = embeddings.sparkSession
+    c1q = [[int(round(x * Q)) for x in c] for c in centroids]
+    cents = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(c1q)],
+        "cell int, carr_q array<bigint>",
+    )
+
+    def iqsum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, t: a + t
+        )
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nv_q",
+        iqsum(
+            F.transform(
+                "v", lambda x: F.round(x * x * P).cast("long")
+            )
+        ),
+    )
+    reports = []
+    for it in range(1, n_iters + 1):
+        cc = cents.select(
+            "cell",
+            F.transform(
+                "carr_q", lambda q: q.cast("double") / Q
+            ).alias("c"),
+        ).withColumn(
+            "nc_q",
+            iqsum(
+                F.transform(
+                    "c", lambda x: F.round(x * x * P).cast("long")
+                )
+            ),
+        )
+        dot_q = iqsum(
+            F.zip_with(
+                "v", "c", lambda x, c: F.round(x * c * P).cast("long")
+            )
+        )
+        sim = F.round(
+            (dot_q.cast("double") / P)
+            / (
+                F.sqrt(F.col("nv_q").cast("double") / P)
+                * F.sqrt(F.col("nc_q").cast("double") / P)
+            ),
+            6,
+        )
+        scored = base.crossJoin(F.broadcast(cc)).select(
+            "id", "v", "cell", sim.alias("csim")
+        )
+        wv = Window.partitionBy("id").orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
+        assigned = scored.withColumn(
+            "__rn", F.row_number().over(wv)
+        ).filter(F.col("__rn") == 1)
+        reports.append(
+            assigned.groupBy(
+                F.col("cell").cast("long").alias("cell")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_members"),
+                F.sum(
+                    F.round((F.lit(1.0) - F.col("csim")) * Q).cast("long")
+                )
+                .cast("long")
+                .alias("inertia_q"),
+            )
+            .select(
+                F.lit(it).cast("long").alias("iter"),
+                "cell",
+                "n_members",
+                "inertia_q",
+            )
+        )
+        if it < n_iters:
+            ex = assigned.select(
+                "cell", F.posexplode("v").alias("pos0", "x")
+            )
+            upd = ex.groupBy("cell", "pos0").agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("x") * Q).cast("long")
+                    ).cast("double")
+                    / F.count("*")
+                )
+                .cast("long")
+                .alias("cq")
+            )
+            newc = upd.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos0", "cq"))),
+                    lambda s: s["cq"],
+                ).alias("carr_q")
+            )
+            cents = (
+                cents.select("cell", F.col("carr_q").alias("__old"))
+                .join(newc, "cell", "left")
+                .select(
+                    "cell",
+                    F.coalesce("carr_q", "__old").alias("carr_q"),
+                )
+            )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
 
 
 def hard_negative_pairs(

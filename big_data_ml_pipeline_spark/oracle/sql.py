@@ -2896,6 +2896,86 @@ GROUP BY cell, g.pos
 
 _Q147_SQL = _q147_sql()
 
+
+def _q155_sql() -> str:
+    """Twin of q155 (similarity.ivf_recenter_loop, 2 iterations):
+    centroids as integer micro-unit tables, dot products and norms as
+    sums of per-coordinate ROUND(x·c·10¹²) BIGINT terms (commutative —
+    identical under any grouping order, which is what licenses the
+    relational GROUP BY here vs Spark's fixed-order zip_with fold),
+    6-digit cosine, argmax assignment with ASC cell ties, inertia
+    Σ ROUND((1−csim)·10⁶), and mean-recentred integer centroids with
+    empty cells keeping their previous coordinates."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    dim, n_cells = 64, 16
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=n_cells)
+    c1q = [[int(round(x * 1_000_000)) for x in c] for c in cents]
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(str(q) for q in c)}] AS BIGINT[]))"
+        for i, c in enumerate(c1q)
+    )
+
+    def iter_block(s: int, cent: str) -> str:
+        return f"""nc{s} AS (
+  SELECT cell,
+         SUM(CAST(ROUND((cq/1000000.0)*(cq/1000000.0)*1000000000000)
+             AS BIGINT)) AS nc_q
+  FROM {cent} GROUP BY cell),
+dot{s} AS (
+  SELECT ex.id, c.cell,
+         SUM(CAST(ROUND(ex.x * (c.cq/1000000.0) * 1000000000000)
+             AS BIGINT)) AS dot_q
+  FROM ex JOIN {cent} c ON ex.pos = c.pos
+  GROUP BY ex.id, c.cell),
+sim{s} AS (
+  SELECT d.id, d.cell,
+         ROUND((CAST(d.dot_q AS DOUBLE)/1000000000000) /
+               (sqrt(CAST(nv.nv_q AS DOUBLE)/1000000000000) *
+                sqrt(CAST(n.nc_q AS DOUBLE)/1000000000000)), 6) AS csim
+  FROM dot{s} d JOIN nv ON d.id = nv.id JOIN nc{s} n ON d.cell = n.cell),
+a{s} AS (
+  SELECT id, cell, csim FROM (
+    SELECT id, cell, csim,
+           ROW_NUMBER() OVER (PARTITION BY id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sim{s}) t WHERE rn = 1),
+r{s} AS (
+  SELECT CAST({s} AS BIGINT) AS iter, CAST(cell AS BIGINT) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CAST(ROUND((1 - csim) * 1000000) AS BIGINT)) AS BIGINT)
+           AS inertia_q
+  FROM a{s} GROUP BY cell)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (
+  SELECT id, g.pos AS pos, v[g.pos] AS x
+  FROM e, generate_series(1, {dim}) AS g(pos)),
+nv AS (
+  SELECT id, SUM(CAST(ROUND(x*x*1000000000000) AS BIGINT)) AS nv_q
+  FROM ex GROUP BY id),
+c1r(cell, carr) AS (VALUES {values}),
+c1 AS (
+  SELECT cell, g.pos AS pos, carr[g.pos] AS cq
+  FROM c1r, generate_series(1, {dim}) AS g(pos)),
+{iter_block(1, 'c1')},
+c2n AS (
+  SELECT a1.cell, ex.pos,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(ex.x * 1000000) AS BIGINT))
+                         AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
+  FROM a1 JOIN ex ON a1.id = ex.id GROUP BY a1.cell, ex.pos),
+c2 AS (
+  SELECT c1.cell, c1.pos, COALESCE(c2n.cq, c1.cq) AS cq
+  FROM c1 LEFT JOIN c2n ON c1.cell = c2n.cell AND c1.pos = c2n.pos),
+{iter_block(2, 'c2')}
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
+"""
+
+
+_Q155_SQL = _q155_sql()
+
 # q149: gap-filled forward-fill resampling. Events and hourly grid
 # points merge into one per-user stream; last_value IGNORE NULLS over
 # (ts, events-before-grid-at-ties, event_id) fills forward. The grid
@@ -3120,5 +3200,6 @@ def oracle_sql() -> dict[str, str]:
         "q151_clean_corpus": _Q151_SQL,
         "q152_pack_two_level": _Q152_SQL,
         "q154_span_dedup_pretokenized": _Q154_SQL,
+        "q155_ivf_recenter_loop": _Q155_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

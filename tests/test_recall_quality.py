@@ -527,3 +527,40 @@ def test_ivf_recenter_lloyd_invariant(spark, clustered_corpus):
         inertia_old = float(((m - c_old) ** 2).sum())
         inertia_new = float(((m - c_new) ** 2).sum())
         assert inertia_new <= inertia_old + 1e-6 * len(m)
+
+
+def test_ivf_recenter_loop_converges_on_clustered_corpus(spark, clustered_corpus):
+    """The chained-loop form (q155): per-iteration reports account for
+    every vector, and on clustered data one mean-update strictly
+    reduces total quantized inertia (the deterministic seed centroids
+    are far from the 20 planted families; the recentred set is not).
+    Arithmetic exactness is the oracle twin's job — this pins the
+    loop's BEHAVIOR: chaining, accounting, convergence direction."""
+    emb, cents, V, _ = clustered_corpus
+    rows = sim_ops.ivf_recenter_loop(emb, cents, n_iters=2).collect()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r["iter"], []).append(r)
+    assert set(by_iter) == {1, 2}
+    n = emb.count()
+    for it, cells in by_iter.items():
+        assert sum(c["n_members"] for c in cells) == n, it
+        assert all(c["inertia_q"] >= 0 for c in cells), it
+    assert sum(c["inertia_q"] for c in by_iter[2]) < sum(
+        c["inertia_q"] for c in by_iter[1]
+    )
+
+
+def test_ivf_recenter_loop_empty_cells_keep_centroids(spark):
+    """With 2 vectors and 16 cells, 14+ cells are empty after iter 1:
+    the loop must carry their previous centroids into iteration 2
+    (not drop them), and both iterations must still account for both
+    vectors."""
+    emb = spark.createDataFrame(
+        [(0, [1.0] + [0.0] * 63), (1, [0.0, 1.0] + [0.0] * 62)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    rows = sim_ops.ivf_recenter_loop(emb, cents, n_iters=2).collect()
+    for it in (1, 2):
+        assert sum(r["n_members"] for r in rows if r["iter"] == it) == 2, it
