@@ -2857,6 +2857,134 @@ FROM res_a a JOIN res_b b USING (doc_id)
 """
 
 
+def _q156_sql() -> str:
+    """Twin of q156 — the full production pipeline composed from the
+    already-graded blocks: the q108 quality+decontam CTEs, the q141
+    span-excision block (suffixed builder), the q112 SemDeDup
+    assignment/removal, the q115 mix rank, the q113 pack window, and
+    the q118 shard hashes, in one statement."""
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cvalues = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    wvalues = ", ".join(
+        f"('{s}', {w})" for s, w in sorted(Q115_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, text, lang, source, ltoks,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+q AS (
+  SELECT doc_id, text, lang, source FROM s
+  WHERE n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20),
+tg AS (
+  SELECT doc_id, {_DUCK_5GRAMS} AS grams FROM t),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM tg WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT x.doc_id, COUNT(*) AS h
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM tg
+        WHERE doc_id IN (SELECT doc_id FROM q)) x
+  JOIN ev USING (gram) GROUP BY x.doc_id),
+clean AS (
+  SELECT q.doc_id, q.text, q.lang, q.source
+  FROM q LEFT JOIN hits USING (doc_id)
+  WHERE COALESCE(h, 0) = 0),
+{_span_excision_block('clean', 'text', 5, 10, 'cross_doc', '_x')},
+cents(cell, c) AS (VALUES {cvalues}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) z WHERE rn = 1),
+removed AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3),
+pruned AS (
+  SELECT c.doc_id, c.lang, c.source,
+         CAST(r.n_tokens - r.n_removed AS BIGINT) AS n_tokens
+  FROM clean c JOIN res_x r ON c.doc_id = r.doc_id
+  WHERE c.doc_id NOT IN (SELECT id_b FROM removed)),
+w(src, wgt) AS (VALUES {wvalues}),
+d AS (
+  SELECT doc_id, lang, source, n_tokens, wgt
+  FROM pruned JOIN w ON source = w.src),
+sc AS (
+  SELECT MIN(CAST(floor(CAST(n AS DOUBLE) / wgt) AS BIGINT)) AS scale
+  FROM (SELECT source, wgt, COUNT(*) AS n FROM d GROUP BY source, wgt) x),
+rmix AS (
+  SELECT doc_id, lang, n_tokens, wgt,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(concat('0x', substr(md5(
+                      concat(CAST(doc_id AS VARCHAR), '|mix-42')), 1, 8))
+                    AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM d),
+mixed AS (
+  SELECT doc_id, lang, n_tokens
+  FROM rmix CROSS JOIN sc WHERE rn <= wgt * scale),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_total
+  FROM mixed),
+sh AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(floor((running_total - n_tokens) / 256.0) AS BIGINT) AS pack_id,
+         CAST(concat('0x', substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || 'shard-42'), 1, 8))
+           AS BIGINT) % 8 AS shard,
+         CAST(concat('0x', substr(md5(
+              CAST(doc_id AS VARCHAR) || '|' || 'shard-42' || '|' || 'order'),
+              1, 8)) AS BIGINT) AS ok
+  FROM packed)
+SELECT doc_id, lang, n_tokens, pack_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                               ORDER BY ok ASC, doc_id ASC) AS BIGINT) AS pos
+FROM sh
+"""
+
+
+_Q156_SQL = _q156_sql()
+
+
 def _q147_sql() -> str:
     """Twin of q147: the q43 deterministic assignment (rounded argmax
     cosine, ASC cell ties) followed by the q92 quantized-integer mean
@@ -3201,5 +3329,6 @@ def oracle_sql() -> dict[str, str]:
         "q152_pack_two_level": _Q152_SQL,
         "q154_span_dedup_pretokenized": _Q154_SQL,
         "q155_ivf_recenter_loop": _Q155_SQL,
+        "q156_training_corpus": _Q156_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
