@@ -264,12 +264,96 @@ def chunk_tokens(
     )
 
 
+def _group_running_total(
+    df: DataFrame,
+    n_tok,
+    id_col: str,
+    group_col: str,
+    n_buckets: int | None,
+) -> DataFrame:
+    """(id, group, n_tokens, running_total) — the exact per-group
+    running cumsum in ``id_col`` order, as either one window per group
+    key (default) or the TWO-LEVEL prefix sum (``n_buckets``): global
+    id-quantile cut points split each group into contiguous id-range
+    buckets, local (group, bucket) cumsums spread a hot group over
+    ``n_buckets`` reducers, and a broadcast G×B offset table lifts the
+    local totals to the exact global running total. Identical output
+    either way (pytest-pinned) — only the physical partitioning
+    changes. Shared by :func:`pack_sequences` and
+    :func:`token_budget_sample`, the two group-cumsum operators whose
+    hot group key (English ≈ half a real corpus) would otherwise pin
+    one reducer at 100 TB."""
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.alias("n_tokens"),
+    )
+    if n_buckets is None or n_buckets <= 1:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return base.withColumn("running_total", F.sum("n_tokens").over(w))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # Quantiles over the bare id column — never evaluates n_tok.
+    cuts = df.select(F.col(id_col)).stat.approxQuantile(
+        id_col, probs, 0.001
+    )
+    lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
+    idc = F.col(id_col).cast("double")
+    bucket = F.when(idc.isNull(), F.lit(-1)).otherwise(
+        F.size(F.filter(lit_cuts, lambda x: x < idc))
+    )
+    staged = base.withColumn("__bkt", bucket)
+    w1 = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("__local", F.sum("n_tokens").over(w1))
+    # Bucket totals reuse the (group, bucket) exchange the window
+    # just created; the offset cumsum runs over G×B rows only.
+    w2 = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        staged.groupBy(group_col, "__bkt")
+        .agg(F.sum("n_tokens").alias("__tot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__tot").over(w2), F.lit(0)).cast("long"),
+        )
+        .select(
+            F.col(group_col).alias("__g"),
+            F.col("__bkt").alias("__b"),
+            "__off",
+        )
+    )
+    joined = staged.join(
+        F.broadcast(off),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("__bkt") == F.col("__b")),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col("n_tokens"),
+        (F.col("__local") + F.col("__off")).cast("long").alias(
+            "running_total"
+        ),
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "lang",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Deterministic per-group token-budget sampling: walk each group's
     documents in ``id_col`` order and keep every document that STARTS
@@ -278,20 +362,13 @@ def token_budget_sample(
     is one window cumsum per group — a single shuffle at any scale, and
     the orderBy is per-group inside the window, never global. This is
     the "cap each language at N tokens" mixing step of corpus
-    assembly."""
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    assembly. ``n_buckets`` switches to the two-level prefix sum
+    (:func:`_group_running_total`) when one group dominates the
+    corpus."""
     n_tok = token_count(F.col(text_col))
-    return (
-        df.select(
-            F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
-        )
-        .withColumn("running_total", F.sum("n_tokens").over(w))
-        .filter(F.col("running_total") - F.col("n_tokens") < budget_tokens)
-    )
+    return _group_running_total(
+        df, n_tok, id_col, group_col, n_buckets
+    ).filter(F.col("running_total") - F.col("n_tokens") < budget_tokens)
 
 
 def fingerprint(text: Column) -> Column:
@@ -1141,69 +1218,7 @@ def pack_sequences(
         if n_tokens_col is not None
         else token_count(F.col(text_col))
     )
-    base = df.select(
-        F.col(id_col),
-        F.col(group_col),
-        n_tok.alias("n_tokens"),
-    )
-    if n_buckets is None or n_buckets <= 1:
-        w = (
-            Window.partitionBy(group_col)
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        running = base.withColumn("running_total", F.sum("n_tokens").over(w))
-    else:
-        probs = [i / n_buckets for i in range(1, n_buckets)]
-        # Quantiles over the bare id column — never evaluates n_tok.
-        cuts = df.select(F.col(id_col)).stat.approxQuantile(
-            id_col, probs, 0.001
-        )
-        lit_cuts = F.array(*[F.lit(float(x)) for x in cuts])
-        idc = F.col(id_col).cast("double")
-        bucket = F.when(idc.isNull(), F.lit(-1)).otherwise(
-            F.size(F.filter(lit_cuts, lambda x: x < idc))
-        )
-        staged = base.withColumn("__bkt", bucket)
-        w1 = (
-            Window.partitionBy(group_col, "__bkt")
-            .orderBy(id_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        staged = staged.withColumn("__local", F.sum("n_tokens").over(w1))
-        # Bucket totals reuse the (group, bucket) exchange the window
-        # just created; the offset cumsum runs over G×B rows only.
-        w2 = (
-            Window.partitionBy(group_col)
-            .orderBy("__bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        off = (
-            staged.groupBy(group_col, "__bkt")
-            .agg(F.sum("n_tokens").alias("__tot"))
-            .withColumn(
-                "__off",
-                F.coalesce(F.sum("__tot").over(w2), F.lit(0)).cast("long"),
-            )
-            .select(
-                F.col(group_col).alias("__g"),
-                F.col("__bkt").alias("__b"),
-                "__off",
-            )
-        )
-        joined = staged.join(
-            F.broadcast(off),
-            F.col(group_col).eqNullSafe(F.col("__g"))
-            & (F.col("__bkt") == F.col("__b")),
-        )
-        running = joined.select(
-            F.col(id_col),
-            F.col(group_col),
-            F.col("n_tokens"),
-            (F.col("__local") + F.col("__off")).cast("long").alias(
-                "running_total"
-            ),
-        )
+    running = _group_running_total(df, n_tok, id_col, group_col, n_buckets)
     return running.withColumn(
         "pack_id",
         F.floor(

@@ -82,7 +82,11 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "min_quality": None, "quality_rules": None,
                "decontam": None,
                "budget_tokens": None,
-               "budget_group_col": "lang", "chunk_size": None,
+               "budget_group_col": "lang",
+               # budget_n_buckets: two-level prefix-sum cumsum for the
+               # budget walk (text._group_running_total) — set when one
+               # group dominates the corpus.
+               "budget_n_buckets": None, "chunk_size": None,
                "chunk_overlap": 16,
                # mix: None disables; {"weights": {src: int, ...},
                # "group_col": "source"} downsamples groups to exact
@@ -393,6 +397,7 @@ class PipelineOrchestrator:
             keep = text_ops.token_budget_sample(
                 out, c["budget_tokens"], text_col=text_col, id_col=id_col,
                 group_col=c["budget_group_col"],
+                n_buckets=c.get("budget_n_buckets"),
             ).select(id_col)
             out = out.join(keep, on=id_col, how="left_semi")
         if c["mix"] is not None:

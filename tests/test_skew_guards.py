@@ -319,3 +319,24 @@ def test_pack_sequences_two_level_matches_on_real_table(spark):
     two = text.pack_sequences(docs, budget_tokens=256, n_buckets=8)
     assert single.exceptAll(two).count() == 0
     assert two.exceptAll(single).count() == 0
+
+
+def test_token_budget_sample_two_level_matches_single_window(spark):
+    """token_budget_sample shares the two-level prefix-sum helper:
+    identical keep-set on the 90%-hot-group corpus."""
+    from big_data_ml_pipeline_spark.operators import text
+
+    data = [
+        (
+            i,
+            "hot" if i % 10 != 9 else f"cold{i % 3}",
+            " ".join(["tok"] * (1 + (i * 5) % 11)),
+        )
+        for i in range(2500)
+    ]
+    docs = spark.createDataFrame(data, "doc_id long, lang string, text string")
+    single = text.token_budget_sample(docs, budget_tokens=400)
+    two = text.token_budget_sample(docs, budget_tokens=400, n_buckets=6)
+    assert single.schema == two.schema
+    assert single.exceptAll(two).count() == 0
+    assert two.exceptAll(single).count() == 0
