@@ -106,6 +106,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "bpe_merges": None,
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
+               # ingest_near_dup_n_buckets: keep the MinHash index as a
+               # bucketed table (shuffle-free per-batch screen join).
+               "ingest_near_dup_n_buckets": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
                "ingest_lm_floor": None,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
@@ -457,6 +460,7 @@ class PipelineOrchestrator:
             stream, out_dir, checkpoint_dir,
             text_col=text_col, id_col=id_col,
             near_dup_threshold=c["ingest_near_dup_threshold"],
+            near_dup_n_buckets=c.get("ingest_near_dup_n_buckets"),
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),

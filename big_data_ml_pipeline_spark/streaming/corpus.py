@@ -59,31 +59,145 @@ def read_documents_stream(
     )
 
 
-def _gram_table_name(gram_dir: str) -> str:
-    """Deterministic catalog name for the bucketed gram-index state
-    table at ``gram_dir`` — the default in-memory catalog does not
-    survive sessions, so every ingest run re-registers the definition
-    over the (persistent) files."""
+def _state_table_name(path: str, prefix: str) -> str:
+    """Deterministic catalog name for a bucketed state table at
+    ``path`` — the default in-memory catalog does not survive
+    sessions, so every ingest run re-registers the definition over the
+    (persistent) files."""
     import hashlib
 
-    h = hashlib.md5(gram_dir.rstrip("/").encode()).hexdigest()[:10]
-    return f"gram_index_{h}"
+    h = hashlib.md5(path.rstrip("/").encode()).hexdigest()[:10]
+    return f"{prefix}_{h}"
+
+
+def _gram_table_name(gram_dir: str) -> str:
+    return _state_table_name(gram_dir, "gram_index")
+
+
+def _minhash_table_name(index_dir: str) -> str:
+    return _state_table_name(index_dir, "minhash_index")
+
+
+def _register_bucketed_state(
+    spark: SparkSession,
+    path: str,
+    tbl: str,
+    schema_ddl: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """(Re)register an external bucketed table definition over
+    ``path``. Metadata-only: files written by earlier runs carry their
+    bucket id in the file name, so a re-created definition with the
+    SAME bucket count maps them correctly (the ``_BUCKET_SPEC`` marker
+    guards the count)."""
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    sort = f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    spark.sql(
+        f"CREATE TABLE {tbl} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) {sort}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    return tbl
 
 
 def _register_gram_table(spark: SparkSession, gram_dir: str, n_buckets: int) -> str:
-    """(Re)register the external bucketed table definition over
-    ``gram_dir``. Metadata-only: files written by earlier runs carry
-    their bucket id in the file name, so a re-created definition with
-    the SAME bucket count maps them correctly (the ``_BUCKET_SPEC``
-    marker guards the count)."""
-    tbl = _gram_table_name(gram_dir)
-    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    spark.sql(
-        f"CREATE TABLE {tbl} (gram BIGINT) USING parquet "
-        f"CLUSTERED BY (gram) SORTED BY (gram) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{gram_dir}'"
+    return _register_bucketed_state(
+        spark, gram_dir, _gram_table_name(gram_dir), "gram BIGINT",
+        ["gram"], n_buckets, sort_cols=["gram"],
     )
-    return tbl
+
+
+def _append_bucketed(
+    df: DataFrame,
+    tbl: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Append to a bucketed state table, one file per bucket: the
+    repartition uses the SAME murmur3 hash as the bucket spec, so each
+    task holds exactly one bucket (vs tasks × buckets files)."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("append").format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(tbl)
+
+
+def _rewrite_bucketed_state(
+    spark: SparkSession,
+    path: str,
+    tbl: str,
+    idx: DataFrame,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed compaction rewrite: land the rewritten table in the
+    swap-in dir via a throwaway EXTERNAL table definition (dropping it
+    keeps the files), ride the ``_BUCKET_SPEC`` marker along so the
+    swap is all-or-nothing, swap directories crash-safely, and refresh
+    the live definition's stale file listing."""
+    import shutil
+
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+    path = path.rstrip("/")
+    tmp = path + TMP_SUFFIX
+    tmp_tbl = tbl + "__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    writer = (
+        idx.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("path", tmp).saveAsTable(tmp_tbl)
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    with open(os.path.join(tmp, "_BUCKET_SPEC"), "w") as f:
+        f.write(str(n_buckets))
+    if os.path.exists(path):
+        atomic_swap_dirs(path)
+    else:  # healing a crash that lost the very first index write
+        os.rename(tmp, path)
+        shutil.rmtree(path + "__precompact", ignore_errors=True)
+    if spark.catalog.tableExists(tbl):
+        spark.catalog.refreshTable(tbl)
+
+
+def compact_minhash_index_bucketed(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    max_bucket_size: int | None = 1024,
+) -> None:
+    """Bucketed-table variant of
+    :func:`~..operators.dedup.compact_minhash_index`: same semantics —
+    drop benign duplicate appends, re-apply the GLOBAL per-(band,
+    bucket) cap with lowest ids winning — but the rewrite preserves
+    the (band, bucket) bucket layout so the per-batch screen join
+    stays free of an index-side exchange."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(path).dropDuplicates(["id", "band", "bucket"])
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        idx = (
+            idx.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size)
+            .drop("__rn")
+        )
+    _rewrite_bucketed_state(
+        spark, path, _minhash_table_name(path), idx, n_buckets,
+        ["band", "bucket"],
+    )
 
 
 def _check_bucket_marker(gram_dir: str, n_buckets: int) -> None:
@@ -128,6 +242,7 @@ def ingest_documents_stream(
     maintain_vocab: bool = False,
     lm_floor: float | None = None,
     span_dedup: dict | None = None,
+    near_dup_n_buckets: int | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -148,7 +263,11 @@ def ingest_documents_stream(
         signature matches the maintained index at
         ``{out_dir}_minhash_index`` with est_jaccard ≥ threshold.
         The index grows with the corpus, so near-dup state is also
-        just a parquet table.
+        just a parquet table. With ``near_dup_n_buckets`` the index is
+        kept as a BUCKETED table on (band, bucket) — the per-batch
+        candidate join then needs no index-side exchange (same lever
+        as ``span_dedup["n_buckets"]``), appends land one file per
+        bucket, and compaction rewrites the buckets in place.
      5. append survivors (original columns + ``fp``) to the corpus,
         THEN append their index rows. foreachBatch is at-least-once:
         with this order a crash between the two writes replays the
@@ -291,6 +410,32 @@ def ingest_documents_stream(
         )
     else:
         gram_tbl = None
+    # near_dup_n_buckets: the same shuffle-free-index lever for the
+    # MinHash screen — bucket the (band, bucket)-keyed index table so
+    # the per-batch candidate join needs no index-side exchange.
+    mh_buckets = int(near_dup_n_buckets or 0) if near_dup_threshold else 0
+    if mh_buckets:
+        from pyspark.sql.types import StructType
+
+        from ..operators.dedup import minhash_index as _mi
+
+        _check_bucket_marker(index_dir, mh_buckets)
+        sub = StructType(
+            [stream.schema[id_col], stream.schema[text_col]]
+        )
+        spark0 = stream.sparkSession
+        mi_schema = _mi(
+            spark0.createDataFrame([], sub), text_col, id_col
+        ).schema
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in mi_schema
+        )
+        mh_tbl = _register_bucketed_state(
+            spark0, index_dir, _minhash_table_name(index_dir), ddl,
+            ["band", "bucket"], mh_buckets,
+        )
+    else:
+        mh_tbl = None
 
     def _read_state(spark, path):
         """Landed-state read that treats ONLY a missing/empty path as
@@ -349,8 +494,18 @@ def ingest_documents_stream(
                     F.col("id").alias(id_col)
                 )
                 batch_df = batch_df.join(non_rep, on=id_col, how="left_anti")
-                # 4b: near-dups of anything already landed.
-                index = _read_state(spark, index_dir)
+                # 4b: near-dups of anything already landed. The
+                # bucketed table read carries its (band, bucket) hash
+                # distribution into the candidate join — no index-side
+                # exchange.
+                if mh_buckets:
+                    index = (
+                        spark.table(mh_tbl)
+                        if _has_parquet(index_dir)
+                        else None
+                    )
+                else:
+                    index = _read_state(spark, index_dir)
                 if index is not None:
                     matched = (
                         query_minhash_index(
@@ -462,15 +617,25 @@ def ingest_documents_stream(
                 )
                 drift.write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
             if near_dup_threshold is not None:
-                minhash_index(survivors, text_col, id_col).write.mode(
-                    "append"
-                ).parquet(index_dir)
+                mi = minhash_index(survivors, text_col, id_col)
+                if mh_buckets:
+                    _append_bucketed(
+                        mi, mh_tbl, mh_buckets, ["band", "bucket"]
+                    )
+                    _write_bucket_marker(index_dir, mh_buckets)
+                else:
+                    mi.write.mode("append").parquet(index_dir)
                 if (
                     compact_every
                     and (batch_id + 1) % compact_every == 0
                     and os.path.exists(index_dir)
                 ):
-                    compact_minhash_index(spark, index_dir)
+                    if mh_buckets:
+                        compact_minhash_index_bucketed(
+                            spark, index_dir, mh_buckets
+                        )
+                    else:
+                        compact_minhash_index(spark, index_dir)
             if span_dedup is not None:
                 from ..operators.text import gram_index as build_gram_index
 
@@ -479,15 +644,9 @@ def ingest_documents_stream(
                     text_col=text_col, id_col=id_col,
                 )
                 if sd_buckets:
-                    # repartition by gram with the bucket count uses
-                    # the SAME murmur3 hash as the bucket spec, so each
-                    # task holds exactly one bucket → ONE file per
-                    # bucket per append (vs tasks × buckets).
-                    (
-                        gi.repartition(sd_buckets, F.col("gram"))
-                        .write.mode("append").format("parquet")
-                        .bucketBy(sd_buckets, "gram").sortBy("gram")
-                        .saveAsTable(gram_tbl)
+                    _append_bucketed(
+                        gi, gram_tbl, sd_buckets, ["gram"],
+                        sort_cols=["gram"],
                     )
                     _write_bucket_marker(gram_dir, sd_buckets)
                 else:
@@ -569,34 +728,19 @@ def compact_gram_index(
         # A bucketed dir reads fine as plain parquet — bucketing is
         # file layout; no catalog dependency needed for the fold.
         idx = spark.read.parquet(path).dropDuplicates(["gram"])
-    tmp = path + TMP_SUFFIX
     if n_buckets:
-        # Bucketed rewrite into the swap-in dir via a throwaway
-        # EXTERNAL table definition (dropping it keeps the files);
-        # the marker rides the rewrite so the swap is all-or-nothing.
-        tmp_tbl = _gram_table_name(path) + "__compacting"
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            idx.repartition(n_buckets, F.col("gram"))
-            .write.mode("overwrite").format("parquet")
-            .bucketBy(n_buckets, "gram").sortBy("gram")
-            .option("path", tmp).saveAsTable(tmp_tbl)
+        _rewrite_bucketed_state(
+            spark, path, _gram_table_name(path), idx, n_buckets,
+            ["gram"], sort_cols=["gram"],
         )
-        spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
-        with open(os.path.join(tmp, "_BUCKET_SPEC"), "w") as f:
-            f.write(str(n_buckets))
-    else:
-        write_range_clustered(idx, tmp, "gram")
+        return
+    tmp = path + TMP_SUFFIX
+    write_range_clustered(idx, tmp, "gram")
     if os.path.exists(path):
         atomic_swap_dirs(path)
     else:  # healing a crash that lost the very first index write
         os.rename(tmp, path)
         shutil.rmtree(path + "__precompact", ignore_errors=True)
-    if n_buckets and spark.catalog.tableExists(_gram_table_name(path)):
-        # The live definition's location is unchanged; only its file
-        # listing went stale across the swap.
-        spark.catalog.refreshTable(_gram_table_name(path))
 
 
 def compact_vocab(spark: SparkSession, path: str) -> None:

@@ -1752,3 +1752,90 @@ def test_streaming_span_dedup_bucketed_with_compaction_cadence(spark, tmp_path):
     via_table = spark.table(corpus_ops._gram_table_name(gram_dir)).count()
     via_files = spark.read.parquet(gram_dir).count()
     assert via_table == via_files > 0
+
+
+def test_streaming_near_dup_bucketed_minhash_index(spark, tmp_path):
+    """``near_dup_n_buckets``: same landed corpus as the plain MinHash
+    path, the per-batch candidate join reads the index bucketed on
+    (band, bucket) with one exchange fewer than the plain-parquet
+    read, and the bucketed compaction preserves both the layout and
+    the screen's behavior."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "to the old barn where it hides from the rain all day long")
+    other = ("a completely different story about query engines and columnar "
+             "formats written with care for the reader and full of detail")
+    fresh = ("meanwhile the harbor lights flicker as ships unload crates "
+             "of spice and sailors trade maps beneath the crescent moon")
+    shards = [
+        [(1, base, "en"), (2, base + " tonight", "en"), (3, other, "en")],
+        [(10, base + " again", "en"), (11, fresh, "en")],
+        [(20, fresh + " encore", "en"), (21, other + " redux", "en")],
+    ]
+
+    def run(sub, **kw):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), min_tokens=5,
+            near_dup_threshold=0.5, compact_every=2, **kw,
+        )
+        return sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        ), out
+
+    plain, out_p = run("plain")
+    bucketed, out_b = run("bucketed", near_dup_n_buckets=8)
+    assert plain == bucketed
+
+    index_dir = out_b + "_minhash_index"
+    tbl = corpus_ops._minhash_table_name(index_dir)
+    assert os.path.exists(os.path.join(index_dir, "_BUCKET_SPEC"))
+    # index via the table == index via plain parquet (layout readable)
+    via_tbl = {r["id"] for r in spark.table(tbl).collect()}
+    via_files = {
+        r["id"] for r in spark.read.parquet(index_dir).collect()
+    }
+    assert via_tbl == via_files == set(plain)
+
+    probe = spark.createDataFrame(
+        [(99, base + " once more", "en")], ["doc_id", "text", "lang"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def nx(index):
+            q = dedup_ops.query_minhash_index(
+                index, probe, "text", "doc_id", threshold=0.5
+            )
+            plan = q._jdf.queryExecution().executedPlan().toString()
+            return plan.count("Exchange"), plan
+        n_b, plan_b = nx(spark.table(tbl))
+        n_p, _ = nx(spark.read.parquet(out_p + "_minhash_index"))
+        assert "Bucketed: true" in plan_b
+        assert n_b == n_p - 1  # the index-side exchange is gone
+        # post-compaction layout (compact_every=2 fired mid-run, plus
+        # a trailing append) still joins bucketed after a full rewrite
+        corpus_ops.compact_minhash_index_bucketed(spark, index_dir, 8)
+        n_b2, plan_b2 = nx(spark.table(tbl))
+        assert "Bucketed: true" in plan_b2 and n_b2 == n_b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the screen still works against the compacted bucketed index
+    hits = dedup_ops.query_minhash_index(
+        spark.table(tbl), probe, "text", "doc_id", threshold=0.5
+    ).collect()
+    assert {r["index_id"] for r in hits} == {1}

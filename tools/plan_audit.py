@@ -55,6 +55,11 @@ SCALAR_AGG_MARKERS = ("HashAggregate(keys=[], ", "SortAggregate(key=[], ")
 BNL_ALLOWLIST = {
     "q28_embedding_topk": "broadcast 1-row query vector (brute-force baseline)",
     "q38_knn_join": "broadcast bounded query batch (exact kNN baseline)",
+    # The recenter loop scores every vector against the |cells|-row
+    # centroid TABLE (16 rows by construction — the data-dependent
+    # analogue of q43's centroid literals); the broadcast cross join
+    # IS the intended plan, not a missing equi-key.
+    "q155_ivf_recenter_loop": "broadcast |cells|-row centroid table (Lloyd scoring)",
 }
 
 
