@@ -2774,7 +2774,9 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs without an embedding survive) → proportional source mixing
     (q115 weights) → per-language 256-token sequence packing (q113,
     budgeted on the POST-excision token counts — integer n_tokens −
-    n_removed, no re-tokenization) → deterministic 8-shard export
+    n_removed, no re-tokenization; n_buckets=8 two-level prefix sum —
+    q152's skew-safe cumsum, so the hot language never serializes on
+    one reducer, VERDICT r8 item 1) → deterministic 8-shard export
     order (q118). Emits (doc_id, lang, n_tokens, pack_id, shard, pos)
     for the final corpus.
 
@@ -2828,7 +2830,7 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         pruned, Q115_MIX_WEIGHTS, group_col="source", key_cols=["doc_id"]
     )
     packed = text_ops.pack_sequences(
-        mixed, budget_tokens=256, n_tokens_col="n_tokens"
+        mixed, budget_tokens=256, n_tokens_col="n_tokens", n_buckets=8
     )
     return set_ops.deterministic_shard(
         packed.select("doc_id", "lang", "n_tokens", "pack_id"),

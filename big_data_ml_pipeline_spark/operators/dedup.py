@@ -1033,6 +1033,83 @@ def connected_components_alternating(
     )
 
 
+def update_components(
+    state: DataFrame | None,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """INCREMENTAL connected components (VERDICT r8 item 5): merge a
+    batch of new duplicate-pair edges into an existing ``(id, comp)``
+    labelling WITHOUT re-running CC over the full edge history. Returns
+    the updated full ``(id, comp)`` state with the same invariant as
+    :func:`connected_components` / the alternating variant: ``comp`` is
+    the minimum id reachable in the union of all edges ever merged —
+    so chaining ``update_components`` over any partition of an edge set
+    lands on exactly the labelling a one-shot CC over the whole set
+    produces (pytest-pinned).
+
+    The trick that keeps this cheap: new edges are LIFTED onto the
+    component graph first — each endpoint maps to its current comp (or
+    itself if unseen) via one broadcast-or-hash join against the state
+    — and CC runs only on the lifted COMPONENT graph, whose size is
+    bounded by the batch's edge count, never the corpus. Because every
+    existing comp label is already the min id of its member set, the
+    min-label of a merged group of comps is the global min id of the
+    merged member set: relabelling is exact without touching members.
+
+    Scale shape: one equi-join of the (batch-sized) edge list against
+    the state per endpoint, an O(log²)-round CC over the batch-sized
+    comp graph, then one broadcast join of the (comp-graph-sized)
+    relabel map over the state. The state rewrite is map-only; at
+    100 TB, land it bucketed on ``comp`` (or append relabel rows with
+    a version column and fold on a compaction cadence) — the streaming
+    wiring in :mod:`..streaming.corpus` rewrites it crash-safely via
+    the same atomic directory swap as the other state tables.
+
+    Vertices never seen in any edge stay out of the state (their group
+    is trivially themselves), matching the batch operators. Ids must be
+    globally unique across batches — comp labels ARE ids.
+    """
+    edges = (
+        new_edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if state is None:
+        return connected_components_alternating(edges, "a", "b")
+    # Lift endpoints to their current component representative.
+    sa = state.select(F.col("id").alias("a"), F.col("comp").alias("ra"))
+    sb = state.select(F.col("id").alias("b"), F.col("comp").alias("rb"))
+    lifted = (
+        edges.join(sa, on="a", how="left")
+        .join(sb, on="b", how="left")
+        .select(
+            F.coalesce("ra", "a").alias("a"),
+            F.coalesce("rb", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # CC over the comp graph only — batch-sized, never corpus-sized.
+    relabel = connected_components_alternating(lifted, "a", "b")
+    relabel = relabel.select(
+        F.col("id").alias("__old"), F.col("comp").alias("__new")
+    ).localCheckpoint(eager=True)
+    # Existing members follow their comp's relabel (map-only join);
+    # comp-graph vertices (old comps + new ids) take their new label.
+    remapped = (
+        state.join(
+            F.broadcast(relabel), state["comp"] == F.col("__old"), "left"
+        )
+        .select("id", F.coalesce("__new", "comp").alias("comp"))
+    )
+    fresh = relabel.select(
+        F.col("__old").alias("id"), F.col("__new").alias("comp")
+    ).join(state.select("id"), on="id", how="left_anti")
+    return remapped.unionByName(fresh)
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via explode + equi-join (oracle-checkable)
 # ---------------------------------------------------------------------------

@@ -1185,6 +1185,16 @@ def ivf_recenter_loop(
     (id) — perfectly spread — and one (cell, pos) aggregation with
     map-side partials for the update. No collect, no literal rebuild:
     the plan composes across iterations.
+
+    Cost note (ADVICE r8): with the fully-lazy composition each
+    iteration's centroid DataFrame embeds every prior iteration's
+    assignment subplan, so corpus-scoring work grows roughly
+    quadratically in ``n_iters`` — fine at the default 2 (the q155
+    shape: one lazy plan, oracle-exact), expensive beyond it. For
+    ``n_iters > 2`` the |cells|-row centroid table is therefore
+    ``localCheckpoint``-ed between iterations, truncating the lineage
+    so each iteration scores the corpus exactly once (values are
+    identical — only plan reuse changes).
     """
     Q = 1_000_000
     P = 1_000_000_000_000
@@ -1295,6 +1305,11 @@ def ivf_recenter_loop(
                     F.coalesce("carr_q", "__old").alias("carr_q"),
                 )
             )
+            if n_iters > 2:
+                # Pin the KB-scale centroid table so iteration k+1
+                # does not re-embed (and re-run) iterations 1..k's
+                # corpus-scoring subplans — see docstring cost note.
+                cents = cents.localCheckpoint(eager=True)
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)

@@ -200,24 +200,33 @@ def compact_minhash_index_bucketed(
     )
 
 
-def _check_bucket_marker(gram_dir: str, n_buckets: int) -> None:
+def _check_bucket_marker(
+    state_dir: str, n_buckets: int, index_name: str = "bucketed state table"
+) -> None:
     """Refuse to reinterpret files bucketed at a different count —
     bucket ids live in file names, so a mismatched declared count would
-    silently mis-route grams at join time (no engine-side check)."""
-    marker = os.path.join(gram_dir, "_BUCKET_SPEC")
+    silently mis-route rows at join time (no engine-side check).
+    ``index_name`` names the table in the error (this guard protects
+    the gram, MinHash, and embedding state tables alike — ADVICE r8)."""
+    marker = os.path.join(state_dir, "_BUCKET_SPEC")
     if os.path.exists(marker):
         with open(marker) as f:
             prev = int(f.read().strip())
         if prev != n_buckets:
             raise ValueError(
-                f"gram index at {gram_dir} was bucketed into {prev} "
+                f"{index_name} at {state_dir} was bucketed into {prev} "
                 f"buckets; cannot reopen with n_buckets={n_buckets} — "
-                "recompact the index before changing the bucket count"
+                "recompact the table before changing the bucket count"
             )
 
 
-def _write_bucket_marker(gram_dir: str, n_buckets: int) -> None:
-    marker = os.path.join(gram_dir, "_BUCKET_SPEC")
+def _write_bucket_marker(state_dir: str, n_buckets: int) -> None:
+    """Idempotent marker write. Called at REGISTRATION time (before the
+    first data append), so a crash mid-first-batch can never leave
+    bucketed files on disk without the spec that guards their
+    reinterpretation (ADVICE r8)."""
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_BUCKET_SPEC")
     if not os.path.exists(marker):
         with open(marker, "w") as f:
             f.write(str(n_buckets))
@@ -243,6 +252,7 @@ def ingest_documents_stream(
     lm_floor: float | None = None,
     span_dedup: dict | None = None,
     near_dup_n_buckets: int | None = None,
+    track_components: bool = False,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -306,6 +316,26 @@ def ingest_documents_stream(
     rewrites the buckets in place — the co-located-join layout a real
     cluster wants at corpus scale.
 
+    With ``track_components=True`` (requires ``near_dup_threshold``),
+    the ingest also maintains ``{out_dir}_components`` — an (id, comp)
+    table labelling every near-duplicate GROUP seen across the whole
+    ingest history, not just the pair screens (VERDICT r8 item 5):
+    ``comp`` is the minimum id reachable in the union of every batch's
+    duplicate-pair graph, exactly the labelling the batch
+    :func:`~..operators.dedup.connected_components` operators produce
+    on the replayed corpus (stream==batch pytest). Per batch, the
+    within-batch pairs plus the batch-vs-index matches are merged into
+    the state by :func:`~..operators.dedup.update_components` — CC runs
+    only on the batch-sized component graph — and the state is
+    rewritten through the same crash-safe directory swap as the other
+    state tables. Two behavior changes make the labelling
+    batch-faithful: the index append covers ALL screened docs (dropped
+    near-dups too — a later doc chained only through a dropped doc
+    must still join its group, as it would in batch mode), and the
+    index query probes the batch BEFORE within-batch removal. Both are
+    no-ops for which docs LAND. Replay is idempotent: a replayed
+    batch's edges re-merge into the same minimum labels.
+
     With ``maintain_vocab=True``, each batch's surviving (token, cnt)
     partials are appended to ``{out_dir}_vocab`` — a mergeable corpus
     summary (re-aggregate with SUM on read; compacted to one row per
@@ -368,8 +398,15 @@ def ingest_documents_stream(
         out_dir.rstrip("/") + "_minhash_index",
         out_dir.rstrip("/") + "_vocab",
         out_dir.rstrip("/") + "_gram_index",
+        out_dir.rstrip("/") + "_components",
     ):
         recover_interrupted_swap(state_dir)
+
+    if track_components and near_dup_threshold is None:
+        raise ValueError(
+            "track_components requires near_dup_threshold — duplicate "
+            "groups are defined by the MinHash pair graph"
+        )
 
     orig_cols = [c for c in stream.columns]
     if apply_quality:
@@ -404,10 +441,14 @@ def ingest_documents_stream(
     # (VERDICT r7 item 1).
     sd_buckets = int(span_dedup.get("n_buckets") or 0) if span_dedup else 0
     if sd_buckets:
-        _check_bucket_marker(gram_dir, sd_buckets)
+        _check_bucket_marker(gram_dir, sd_buckets, "gram index")
         gram_tbl = _register_gram_table(
             stream.sparkSession, gram_dir, sd_buckets
         )
+        # Marker lands BEFORE any data file can (ADVICE r8): a crash
+        # between the first bucketed append and a marker-after-append
+        # would leave bucket-named files reopenable at any count.
+        _write_bucket_marker(gram_dir, sd_buckets)
     else:
         gram_tbl = None
     # near_dup_n_buckets: the same shuffle-free-index lever for the
@@ -419,7 +460,7 @@ def ingest_documents_stream(
 
         from ..operators.dedup import minhash_index as _mi
 
-        _check_bucket_marker(index_dir, mh_buckets)
+        _check_bucket_marker(index_dir, mh_buckets, "MinHash index")
         sub = StructType(
             [stream.schema[id_col], stream.schema[text_col]]
         )
@@ -434,6 +475,7 @@ def ingest_documents_stream(
             spark0, index_dir, _minhash_table_name(index_dir), ddl,
             ["band", "bucket"], mh_buckets,
         )
+        _write_bucket_marker(index_dir, mh_buckets)
     else:
         mh_tbl = None
 
@@ -481,7 +523,16 @@ def ingest_documents_stream(
                 batch_df = batch_df.join(
                     seen.select("fp"), on="fp", how="left_anti"
                 )
+            screened = None
+            comp_edges = None
             if near_dup_threshold is not None:
+                if track_components:
+                    # Pin the post-exact-dedup batch: the index build
+                    # below must cover these docs even though some get
+                    # dropped, and the pin prevents a lazy re-read of
+                    # the corpus files the batch is about to append.
+                    batch_df = batch_df.localCheckpoint(eager=True)
+                    screened = batch_df
                 # 4a: within-batch near-dups — pairs → components →
                 # min-id representative survives.
                 pairs = minhash_dedup_pairs(
@@ -506,16 +557,35 @@ def ingest_documents_stream(
                     )
                 else:
                     index = _read_state(spark, index_dir)
+                cand = None
                 if index is not None:
+                    # Under track_components the probe is the FULL
+                    # screened batch: a dropped doc's cross-batch edges
+                    # still define its group membership.
+                    cand = query_minhash_index(
+                        index,
+                        screened if track_components else batch_df,
+                        text_col, id_col,
+                        threshold=near_dup_threshold,
+                    )
                     matched = (
-                        query_minhash_index(
-                            index, batch_df, text_col, id_col,
-                            threshold=near_dup_threshold,
-                        )
-                        .select(F.col("query_id").alias(id_col))
+                        cand.select(F.col("query_id").alias(id_col))
                         .distinct()
                     )
                     batch_df = batch_df.join(matched, on=id_col, how="left_anti")
+                if track_components:
+                    comp_edges = pairs.select("id_a", "id_b")
+                    if cand is not None:
+                        comp_edges = comp_edges.unionByName(
+                            cand.select(
+                                F.col("query_id").alias("id_a"),
+                                F.col("index_id").alias("id_b"),
+                            )
+                        )
+                    # Pin the edge list BEFORE any state write below —
+                    # cand laid over the index table must not lazily
+                    # re-scan files this batch appends to it.
+                    comp_edges = comp_edges.localCheckpoint(eager=True)
             if span_dedup is not None:
                 # 4c: substring-level excision — spans duplicated
                 # within the batch OR against the landed gram index
@@ -556,6 +626,30 @@ def ingest_documents_stream(
             # Pin the survivor set: truncate lineage so the writes below
             # cannot trigger a re-read of state files this batch mutates.
             survivors = batch_df.localCheckpoint(eager=True)
+            if track_components and comp_edges is not None:
+                # Merge this batch's duplicate-pair graph into the
+                # (id, comp) state — CC runs on the batch-sized comp
+                # graph only (dedup.update_components); the rewritten
+                # state swaps in crash-safely like every other state
+                # table. Ordering: components BEFORE the corpus append
+                # — a crash after the corpus write would replay the
+                # batch with its landed docs anti-joined out (step 3),
+                # so their edges would never be recomputed; merged the
+                # other way round a replay re-merges the same edges
+                # idempotently (min labels are idempotent under
+                # re-union) and then lands the docs.
+                from ..operators.dedup import update_components
+                from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+                comp_dir = out_dir.rstrip("/") + "_components"
+                prev_state = _read_state(spark, comp_dir)
+                new_state = update_components(prev_state, comp_edges)
+                tmp = comp_dir + TMP_SUFFIX
+                new_state.write.mode("overwrite").parquet(tmp)
+                if os.path.exists(comp_dir):
+                    atomic_swap_dirs(comp_dir)
+                else:
+                    os.rename(tmp, comp_dir)
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
             if maintain_vocab:
@@ -617,12 +711,17 @@ def ingest_documents_stream(
                 )
                 drift.write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
             if near_dup_threshold is not None:
-                mi = minhash_index(survivors, text_col, id_col)
+                # Group tracking indexes ALL screened docs (dropped
+                # near-dups included), so later batches can chain
+                # through them exactly as batch-mode CC would.
+                mi = minhash_index(
+                    screened if track_components else survivors,
+                    text_col, id_col,
+                )
                 if mh_buckets:
                     _append_bucketed(
                         mi, mh_tbl, mh_buckets, ["band", "bucket"]
                     )
-                    _write_bucket_marker(index_dir, mh_buckets)
                 else:
                     mi.write.mode("append").parquet(index_dir)
                 if (
@@ -648,7 +747,6 @@ def ingest_documents_stream(
                         gi, gram_tbl, sd_buckets, ["gram"],
                         sort_cols=["gram"],
                     )
-                    _write_bucket_marker(gram_dir, sd_buckets)
                 else:
                     gi.write.mode("append").parquet(gram_dir)
                 if compact_every and (batch_id + 1) % compact_every == 0:

@@ -67,6 +67,7 @@ def ingest_embeddings_stream(
     vec_col: str = "embedding",
     compact_every: int | None = None,
     track_drift: bool = False,
+    cell_n_buckets: int | None = None,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -103,16 +104,55 @@ def ingest_embeddings_stream(
     reading every appended fragment — the same fragmentation bound as
     the MinHash index compaction.
 
+    With ``cell_n_buckets=B`` the landed table is kept as a BUCKETED
+    external table on ``cell`` instead (VERDICT r8 item 3 — the third
+    and last hot state table, after the gram and MinHash indexes): the
+    per-batch cross-batch cosine screen — a cell equi-join of the
+    batch against the corpus-sized landed side — then needs NO
+    landed-side exchange (the bucketed scan satisfies the join's
+    distribution; only the batch-sized probe shuffles), appends land
+    one file per bucket, and ``compact_every`` folds each bucket's
+    accumulated files back to one while preserving the layout. A
+    ``_BUCKET_SPEC`` marker written at registration time refuses
+    reopening at a different bucket count.
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from pyspark.errors import AnalysisException
 
     from ..sources.state import recover_interrupted_swap
+    from .corpus import (
+        _append_bucketed,
+        _check_bucket_marker,
+        _has_parquet,
+        _register_bucketed_state,
+        _rewrite_bucketed_state,
+        _state_table_name,
+        _write_bucket_marker,
+    )
 
     # The landed table IS the dedup state: finish/roll back any
     # compaction swap a previous run crashed inside, or a restarted
     # stream would see landed=None and re-ingest duplicates (ADVICE r6).
     recover_interrupted_swap(out_dir.rstrip("/"))
+
+    nb = int(cell_n_buckets or 0)
+    if nb:
+        _check_bucket_marker(out_dir.rstrip("/"), nb, "embedding corpus")
+        id_ddl = stream.schema[id_col].dataType.simpleString()
+        emb_tbl = _register_bucketed_state(
+            stream.sparkSession,
+            out_dir.rstrip("/"),
+            _state_table_name(out_dir.rstrip("/"), "emb_corpus"),
+            f"`{id_col}` {id_ddl}, `v` array<double>, `cell` int, "
+            "`fp` bigint",
+            ["cell"],
+            nb,
+        )
+        # Marker before any data file can land (ADVICE r8 ordering).
+        _write_bucket_marker(out_dir.rstrip("/"), nb)
+    else:
+        emb_tbl = None
 
     def _read_state(spark, path):
         if not os.path.exists(path):
@@ -132,7 +172,17 @@ def ingest_embeddings_stream(
             # 1: exact dedup, within-batch then vs landed.
             keep = cached.groupBy("fp").agg(F.min(id_col).alias(id_col))
             batch = cached.join(keep, on=[id_col, "fp"], how="left_semi")
-            landed = _read_state(spark, out_dir)
+            if nb:
+                # The bucketed table read carries its `cell` hash
+                # distribution into the cosine-screen join below — no
+                # landed-side exchange, at any corpus size.
+                landed = (
+                    spark.table(emb_tbl)
+                    if _has_parquet(out_dir.rstrip("/"))
+                    else None
+                )
+            else:
+                landed = _read_state(spark, out_dir)
             if landed is not None:
                 batch = batch.join(landed.select("fp"), on="fp", how="left_anti")
             # 2: within-batch semantic dedup (min-id rep per clique).
@@ -168,7 +218,10 @@ def ingest_embeddings_stream(
             survivors = assigned.select(id_col, "v", "cell", "fp").localCheckpoint(
                 eager=True
             )
-            survivors.write.mode("append").parquet(out_dir)
+            if nb:
+                _append_bucketed(survivors, emb_tbl, nb, ["cell"])
+            else:
+                survivors.write.mode("append").parquet(out_dir)
             if track_drift:
                 # Cell-histogram JSD of the checkpointed survivors vs
                 # the pre-append landed snapshot (file listing pinned
@@ -201,7 +254,20 @@ def ingest_embeddings_stream(
                     "n_shared_cells int, jsd_bits double",
                 ).write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
             if compact_every and (batch_id + 1) % compact_every == 0 and os.path.exists(out_dir):
-                compact_embedding_corpus(spark, out_dir)
+                if nb:
+                    # Fold per-append bucket files back to one per
+                    # bucket, PRESERVING the shuffle-free join layout
+                    # (same murmur3 spec rides the directory swap).
+                    _rewrite_bucketed_state(
+                        spark,
+                        out_dir.rstrip("/"),
+                        emb_tbl,
+                        spark.table(emb_tbl),
+                        nb,
+                        ["cell"],
+                    )
+                else:
+                    compact_embedding_corpus(spark, out_dir)
         finally:
             cached.unpersist()
 

@@ -340,3 +340,52 @@ def test_token_budget_sample_two_level_matches_single_window(spark):
     assert single.schema == two.schema
     assert single.exceptAll(two).count() == 0
     assert two.exceptAll(single).count() == 0
+
+
+def test_update_components_chained_equals_one_shot(spark):
+    """Incremental CC (dedup.update_components, VERDICT r8 item 5):
+    merging an edge set in arbitrary batch order converges to exactly
+    the labelling a one-shot CC over the whole set produces — including
+    the hard case where a later batch's edge JOINS two components that
+    earlier batches built independently."""
+    all_edges = [
+        # chain built across batches: 1-2 | 2-3 | 3-4
+        (1, 2), (2, 3), (3, 4),
+        # two components merged only by the LAST batch
+        (10, 11), (20, 21), (11, 20),
+        # triangle split across batches + an isolated pair
+        (30, 31), (31, 32), (30, 32), (40, 41),
+    ]
+    batches = [all_edges[:3], all_edges[3:5], all_edges[5:7], all_edges[7:]]
+    expect = {
+        r["id"]: r["comp"]
+        for r in dedup.connected_components_alternating(
+            spark.createDataFrame(all_edges, "id_a long, id_b long")
+        ).collect()
+    }
+    state = None
+    for chunk in batches:
+        state = dedup.update_components(
+            state, spark.createDataFrame(chunk, "id_a long, id_b long")
+        ).localCheckpoint(eager=True)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert got == expect
+    # the invariant: comp is the minimum id of the merged member set
+    assert got[21] == 10 and got[4] == 1 and got[32] == 30 and got[41] == 40
+
+
+def test_update_components_idempotent_replay_and_empty_batch(spark):
+    """At-least-once semantics: re-merging an already-merged batch (the
+    streaming replay case) and merging an empty batch both leave the
+    labelling unchanged."""
+    e1 = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    e2 = spark.createDataFrame([(2, 5)], "id_a long, id_b long")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    state = dedup.update_components(None, e1)
+    state = dedup.update_components(state, e2).localCheckpoint(eager=True)
+    base = {r["id"]: r["comp"] for r in state.collect()}
+    assert base == {1: 1, 2: 1, 5: 1, 6: 1}
+    replayed = dedup.update_components(state, e2)
+    assert {r["id"]: r["comp"] for r in replayed.collect()} == base
+    noop = dedup.update_components(state, empty)
+    assert {r["id"]: r["comp"] for r in noop.collect()} == base

@@ -1839,3 +1839,195 @@ def test_streaming_near_dup_bucketed_minhash_index(spark, tmp_path):
         spark.table(tbl), probe, "text", "doc_id", threshold=0.5
     ).collect()
     assert {r["index_id"] for r in hits} == {1}
+
+
+def test_streaming_embedding_bucketed_landed_state(spark, tmp_path):
+    """The bucketed embedding landed state (``cell_n_buckets``, VERDICT
+    r8 item 3 — the third and last hot state table): (a) identical
+    landed corpus to the unbucketed path on the same replayed shards,
+    across a mid-run compaction; (b) the cross-batch cosine screen's
+    cell join needs NO exchange above the landed-table scan — the
+    bucketed read satisfies the join's distribution and only the
+    batch-sized probe side shuffles; (c) compaction preserves the
+    bucket layout and the ``_BUCKET_SPEC`` marker refuses
+    reinterpretation at a different count."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+    def unit(*xs):
+        import math as m
+
+        n = m.sqrt(sum(x * x for x in xs))
+        return [float(x / n) for x in xs]
+
+    e1 = unit(1.0, 0.0, 0.0, 0.0)
+    e2 = unit(0.0, 1.0, 0.0, 0.0)
+    e1_near = unit(1.0, 0.05, 0.0, 0.0)
+    e3 = unit(0.0, 0.0, 1.0, 0.0)
+    e4 = unit(0.0, 0.0, 0.0, 1.0)
+    shards = [
+        [(1, e1, 0), (2, e2, 0), (3, e1, 0)],
+        [(10, e1, 0), (11, e1_near, 0), (12, e3, 0)],
+        [(20, e4, 0), (21, e2, 0)],
+    ]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+
+    def run(sub, **kw):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["vec_id", "embedding", "label"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), centroids=cents,
+            threshold=0.95, compact_every=2, **kw,
+        )
+        return {
+            r["vec_id"]: (r["cell"], tuple(round(x, 9) for x in r["v"]))
+            for r in spark.read.parquet(out).collect()
+        }, out
+
+    plain, _ = run("plain")
+    bucketed, out_b = run("bucketed", cell_n_buckets=4)
+    assert plain == bucketed
+    assert sorted(plain) == [1, 2, 12, 20]
+
+    tbl = corpus_ops._state_table_name(out_b, "emb_corpus")
+    assert os.path.exists(os.path.join(out_b, "_BUCKET_SPEC"))
+    # landed state via the table == via plain parquet (layout readable)
+    via_tbl = {r["vec_id"] for r in spark.table(tbl).collect()}
+    assert via_tbl == set(plain)
+
+    def join_plan():
+        # The per-batch screen shape: a batch-sized probe cell-joined
+        # against the corpus-sized landed side.
+        # cell derives from data (not a foldable literal), exactly as
+        # a real batch's ivf_index assignment does — a literal cell
+        # would constant-fold the equi-join away.
+        probe = spark.createDataFrame(
+            [(99, e1_near, 0)], ["vec_id", "embedding", "label"]
+        ).selectExpr(
+            "vec_id", "transform(embedding, x -> cast(x as double)) as v",
+            "cast(pmod(vec_id, 4) as int) as cell",
+        )
+        j = probe.join(
+            spark.table(tbl).select("cell", F.col("v").alias("__lv")),
+            on="cell",
+        )
+        return j._jdf.queryExecution().executedPlan().toString()
+
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = join_plan()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # probe side only
+        # compaction already fired mid-run (compact_every=2) and a
+        # trailing batch appended after it; a full explicit rewrite
+        # must preserve the shuffle-free layout too.
+        corpus_ops._rewrite_bucketed_state(
+            spark, out_b, tbl, spark.table(tbl), 4, ["cell"]
+        )
+        plan2 = join_plan()
+        assert "Bucketed: true" in plan2
+        assert plan2.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    files = [f for f in os.listdir(out_b) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 4
+    with _pytest.raises(ValueError, match="embedding corpus"):
+        corpus_ops._check_bucket_marker(out_b, 8, "embedding corpus")
+
+
+def test_streaming_track_components_matches_batch_cc(spark, tmp_path):
+    """Streaming duplicate-GROUP tracking (``track_components``,
+    VERDICT r8 item 5): after replaying shards whose near-dup chain
+    crosses batches A~B (batches 1→2) and B~C (batches 2→3) with A!~C,
+    the maintained ``{out}_components`` table equals one-shot batch CC
+    over the full corpus's MinHash pairs — including C, which chains
+    into the group ONLY through B, a doc the ingest dropped (the
+    dropped doc's signatures stay in the index precisely for this).
+    The landed corpus is the same min-id representative set batch-mode
+    dedup keeps."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    X = [f"x{i}" for i in range(30)]
+    Y = [f"y{i}" for i in range(30)]
+    A = " ".join(X)                  # id 1, batch 1 (rep)
+    A2 = A + " extra tail"           # id 2, batch 1 (within-batch dup)
+    B = " ".join(X + Y)              # id 10, batch 2 (~A, dropped)
+    C = " ".join(X[15:] + Y)         # id 20, batch 3 (~B only)
+    D = " ".join(f"d{i}" for i in range(20))  # id 30, unrelated
+    shards = [
+        [(1, A, "en"), (2, A2, "en")],
+        [(10, B, "en"), (30, D, "en")],
+        [(20, C, "en")],
+    ]
+    thr = 0.4
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out = str(tmp_path / "out")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        near_dup_threshold=thr, track_components=True,
+    )
+
+    # Landed corpus == batch-mode representative set.
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [1, 30]
+
+    # Component table == one-shot batch CC over the replayed corpus.
+    full = spark.createDataFrame(
+        [r for rows in shards for r in rows], ["doc_id", "text", "lang"]
+    )
+    batch_pairs = dedup_ops.minhash_dedup_pairs(full, "text", "doc_id").filter(
+        "est_jaccard >= 0.4"
+    )
+    expect = {
+        r["id"]: r["comp"]
+        for r in dedup_ops.connected_components_alternating(
+            batch_pairs.select("id_a", "id_b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in spark.read.parquet(out + "_components").collect()
+    }
+    assert got == expect
+    # and the chain really crossed batches through the dropped doc
+    assert got == {1: 1, 2: 1, 10: 1, 20: 1}
+
+    # track_components without a near-dup screen is a contract error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="track_components"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            str(tmp_path / "out2"), str(tmp_path / "ck2"),
+            apply_quality=False, track_components=True,
+        )
