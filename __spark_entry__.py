@@ -2715,12 +2715,14 @@ def q153_bpe_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream that budgets/packing already consume (q113/q143).
     Rows-only: the BPE merge loop is the sanctioned mapInPandas edge
     with no SQL twin; exactness is pinned by pytest chaining the
-    literal Python encoder into the literal Python span twin."""
+    literal Python encoder into the literal Python span twin (which
+    also pins hashed == string-gram span identity — the 8-byte gram
+    key is ~20% cheaper on the ~3×-denser BPE token stream, r9)."""
     docs = load_table(spark, sf_dir, "documents")
     enc = text_ops.bpe_encode(docs, Q143_BPE_MERGES)
     out = text_ops.excise_duplicate_spans(
         enc, k=2, min_len=4, scope="within_doc",
-        tokens_col="bpe_tokens", emit_tokens=True,
+        tokens_col="bpe_tokens", emit_tokens=True, hashed=True,
     )
     return out.select(
         "doc_id",
@@ -2840,6 +2842,57 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "pack_id",
         F.col("shard").cast("long").alias("shard"), "pos",
     )
+
+
+def q157_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe ↔ recall curve of the IVF index
+    (similarity.ivf_recall_report, VERDICT r8 item 6): measured
+    recall@10 of the q110 probe vs the q38-style exact brute-force
+    baseline at probe budgets 1, 2 and 4 cells — the tuning evidence
+    an ANN index owes its users, as one oracle-graded query. The
+    corpus is assigned ONCE and one (nprobe, cell_rank) literal
+    fan-out serves every budget; everything is the q43 determinism
+    kit (rounded argmax assignment, 6-digit candidate cosines, ASC id
+    ties), so hit counts and the final BIGINT/BIGINT recall division
+    are engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_recall_report(
+        emb, cents, F.col("vec_id") % 100 == 0, k=10, nprobes=(1, 2, 4)
+    )
+
+
+def q158_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL duplicate-group maintenance on the driver surface
+    (dedup.update_components, VERDICT r8 item 5): q83's exact-star +
+    Jaccard edge set arrives in three slices (id_a % 3 — an arbitrary
+    arrival order), each merged into the running (id, comp) state by
+    lifting onto the component graph and re-labelling only the
+    batch-sized comp graph. The oracle twin is ONE-SHOT recursive
+    reachability over the full edge set — the query IS the claim that
+    incremental merge order cannot change the final labelling. Emits
+    (id, comp) for every non-trivial group member."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp_ids = docs.select(
+        dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id"
+    )
+    groups = fp_ids.groupBy("fp").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
+    )
+    exact_edges = (
+        fp_ids.join(F.broadcast(groups.filter(F.col("n_dups") > 1)), "fp")
+        .filter(F.col("doc_id") != F.col("first_id"))
+        .select(F.col("first_id").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jac = dedup_ops.jaccard_pairs(
+        docs, shingle_n=3, threshold=0.2, block_col="source"
+    ).select("id_a", "id_b")
+    edges = exact_edges.unionByName(jac).distinct().localCheckpoint()
+    state = None
+    for slice_no in range(3):
+        chunk = edges.filter(F.col("id_a") % 3 == slice_no)
+        state = dedup_ops.update_components(state, chunk).localCheckpoint()
+    return state.select(F.col("id").cast("long"), F.col("comp").cast("long"))
 
 
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3004,6 +3057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_span_dedup_pretokenized": q154_span_dedup_pretokenized,
         "q155_ivf_recenter_loop": q155_ivf_recenter_loop,
         "q156_training_corpus": q156_training_corpus,
+        "q157_ivf_nprobe_recall": q157_ivf_nprobe_recall,
+        "q158_incremental_components": q158_incremental_components,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

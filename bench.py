@@ -51,6 +51,11 @@ EXCLUDE = {
     "q95_components_alternating",
     # Canonical election on top of the q83 fixed point — same reason.
     "q117_canonical_docs",
+    # r9: chained incremental-CC merges (three update_components calls,
+    # each an alternating-CC fixed point over a comp graph) — like
+    # q83/q95, bench SF measures per-round scheduler latency, not
+    # engine throughput. Correctness-gated at sf0.01 via oracle_sql().
+    "q158_incremental_components",
 }
 EXTRA = [
     "q40_minhash_pairs",

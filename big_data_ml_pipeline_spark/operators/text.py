@@ -1022,6 +1022,13 @@ def bpe_encode(
     narrow = df.select(
         F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__text")
     )
+    # The CPU-heavy Python stage must not serialize on a single small
+    # scan split (the bench testdata is one row group per file) — same
+    # guard as dedup._ensure_parallelism: a no-op at real scale where
+    # the source already has thousands of splits.
+    from .dedup import _ensure_parallelism
+
+    narrow = _ensure_parallelism(narrow)
     out = narrow.mapInPandas(encode, schema=schema)
     return out.withColumnRenamed("id", id_col)
 
@@ -1655,6 +1662,7 @@ def excise_duplicate_spans(
     broadcast_spans: bool = True,
     tokens_col: str | None = None,
     emit_tokens: bool = False,
+    hashed: bool = False,
 ) -> DataFrame:
     """Remove every :func:`duplicate_spans` span from its document and
     reassemble the remaining tokens in order (the q114 reassembly
@@ -1672,10 +1680,13 @@ def excise_duplicate_spans(
     minority. On a corpus where duplication is pervasive (web crawl
     before any dedup), set it False so the join-strategy choice falls
     to Catalyst/AQE instead of forcing an oversized broadcast.
+    ``hashed`` passes through to :func:`duplicate_spans` — the 8-byte
+    gram shuffle key (measured ~20% faster on the q153 BPE-token pass,
+    where the token stream is ~3× denser than words).
     """
     spans = duplicate_spans(
         df, k=k, min_len=min_len, text_col=text_col, id_col=id_col,
-        scope=scope, tokens_col=tokens_col,
+        scope=scope, tokens_col=tokens_col, hashed=hashed,
     )
     return excise_spans(
         df, spans, text_col=text_col, id_col=id_col,

@@ -1021,6 +1021,44 @@ FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
 GROUP BY comp ORDER BY comp
 """
 
+_Q158_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
+), exact_edges AS (
+  SELECT g.first_id AS id_a, f.doc_id AS id_b
+  FROM fp f JOIN grp g USING (fp)
+  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
+), edges0 AS (
+  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+)
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS comp
+FROM reach GROUP BY id
+"""
+
 _Q84_SQL = """
 SELECT p_partkey,
   CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev,
@@ -2985,6 +3023,90 @@ FROM sh
 _Q156_SQL = _q156_sql()
 
 
+def _q157_sql() -> str:
+    """Twin of q157: the q110 IVF probe machinery swept over probe
+    budgets nprobe ∈ {1,2,4} and graded against the exact brute-force
+    top-10 — the measured recall↔nprobe curve. The budget fan-out is a
+    literal (nprobe, cell_rank) table so each candidate row joins every
+    budget whose probe depth reaches its cell's rank; recall is one
+    BIGINT/BIGINT IEEE division, identical in both engines."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    budget_rows = ", ".join(
+        f"({n}, {r})" for n in (1, 2, 4) for r in range(1, n + 1)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.c) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qcells AS (
+  SELECT qid, cell, CAST(rn AS INTEGER) AS cell_rank FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims WHERE vec_id % 100 = 0) t WHERE rn <= 4
+),
+cand AS (
+  SELECT qc.qid, a.vec_id, qc.cell_rank,
+         ROUND(list_dot_product(a.v, q.qv) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM assigned a
+  JOIN qcells qc ON a.cell = qc.cell
+  JOIN q ON q.qid = qc.qid
+),
+budgets(nprobe, cell_rank) AS (VALUES {budget_rows}),
+ranked AS (
+  SELECT nprobe, qid, vec_id FROM (
+    SELECT b.nprobe, c.qid, c.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY b.nprobe, c.qid
+                              ORDER BY c.sim DESC, c.vec_id ASC) AS rn
+    FROM cand c JOIN budgets b ON c.cell_rank = b.cell_rank) t
+  WHERE rn <= 10
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id ASC) AS rn
+    FROM e CROSS JOIN q) t WHERE rn <= 10
+)
+SELECT CAST(r.nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(DISTINCT r.qid) AS BIGINT) AS n_queries,
+       CAST(COUNT(x.qid) AS BIGINT) AS n_hits,
+       CAST(COUNT(x.qid) AS BIGINT) /
+         (CAST(COUNT(DISTINCT r.qid) AS BIGINT) * 10) AS recall
+FROM ranked r
+LEFT JOIN exact x ON r.qid = x.qid AND r.vec_id = x.vec_id
+GROUP BY r.nprobe
+"""
+
+
+_Q157_SQL = _q157_sql()
+
+
 def _q147_sql() -> str:
     """Twin of q147: the q43 deterministic assignment (rounded argmax
     cosine, ASC cell ties) followed by the q92 quantized-integer mean
@@ -3330,5 +3452,7 @@ def oracle_sql() -> dict[str, str]:
         "q154_span_dedup_pretokenized": _Q154_SQL,
         "q155_ivf_recenter_loop": _Q155_SQL,
         "q156_training_corpus": _Q156_SQL,
+        "q157_ivf_nprobe_recall": _Q157_SQL,
+        "q158_incremental_components": _Q158_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -118,6 +118,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # ingest_near_dup_n_buckets: keep the MinHash index as a
                # bucketed table (shuffle-free per-batch screen join).
                "ingest_near_dup_n_buckets": None,
+               # ingest_track_components: maintain {out}_components —
+               # incremental duplicate-GROUP labels across the whole
+               # ingest history (requires ingest_near_dup_threshold).
+               "ingest_track_components": False,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
                "ingest_lm_floor": None,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
@@ -136,6 +140,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
     "embeddings": {"ingest_threshold": 0.95, "ingest_centroids": None,
                    "ingest_dim": 64, "ingest_n_cells": 16,
                    "ingest_compact_every": None,
+                   # ingest_cell_n_buckets: keep the landed corpus as a
+                   # bucketed table on cell (shuffle-free per-batch
+                   # cosine screen join against the landed side).
+                   "ingest_cell_n_buckets": None,
                    "ingest_track_drift": False,
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
@@ -499,6 +507,7 @@ class PipelineOrchestrator:
             text_col=text_col, id_col=id_col,
             near_dup_threshold=c["ingest_near_dup_threshold"],
             near_dup_n_buckets=c.get("ingest_near_dup_n_buckets"),
+            track_components=c.get("ingest_track_components", False),
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
@@ -578,6 +587,7 @@ class PipelineOrchestrator:
             id_col=id_col, vec_col=vec_col,
             compact_every=c["ingest_compact_every"],
             track_drift=c.get("ingest_track_drift", False),
+            cell_n_buckets=c.get("ingest_cell_n_buckets"),
         )
 
     # -- predict ------------------------------------------------------------

@@ -564,3 +564,39 @@ def test_ivf_recenter_loop_empty_cells_keep_centroids(spark):
     rows = sim_ops.ivf_recenter_loop(emb, cents, n_iters=2).collect()
     for it in (1, 2):
         assert sum(r["n_members"] for r in rows if r["iter"] == it) == 2, it
+
+
+def test_ivf_recall_report_monotone_and_consistent(spark, emb_and_queries):
+    """ivf_recall_report (q157, VERDICT r8 item 6): the reported
+    recall@k must (a) be MONOTONE non-decreasing in nprobe — probing
+    more cells can only add candidates; (b) agree exactly with a
+    hand-computed intersection of ivf_knn_join and exact knn_join
+    top-k sets at each budget; (c) reach 1.0 when nprobe == n_cells
+    (probing everything IS the exact search)."""
+    emb, queries = emb_and_queries
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    report = {
+        r["nprobe"]: r
+        for r in sim_ops.ivf_recall_report(
+            emb, cents, F.col("vec_id") % 20 == 0, k=10,
+            nprobes=(1, 2, 4, 16),
+        ).collect()
+    }
+    assert sorted(report) == [1, 2, 4, 16]
+    recalls = [report[n]["recall"] for n in (1, 2, 4, 16)]
+    assert recalls == sorted(recalls)  # monotone in probe budget
+    assert report[16]["recall"] == 1.0  # all cells == exact search
+    # cross-check each budget against the two graded operators
+    exact = _exact_topk(spark, emb, queries, k=10)
+    for n in (1, 2, 4):
+        approx = {}
+        for r in sim_ops.ivf_knn_join(
+            emb, queries, cents, k=10, nprobe=n, round_assign_digits=6
+        ).collect():
+            approx.setdefault(r["qid"], set()).add(r["vec_id"])
+        hits = sum(
+            len(approx.get(q, set()) & set(ids)) for q, ids in exact.items()
+        )
+        assert report[n]["n_hits"] == hits
+        assert report[n]["n_queries"] == len(exact)
+        assert report[n]["recall"] == hits / (len(exact) * 10)

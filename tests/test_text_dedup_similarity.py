@@ -1696,6 +1696,17 @@ def test_bpe_span_excision_matches_literal_python(spark):
         r["doc_id"]: (list(r["clean_tokens"]), r["n_tokens"], r["n_removed"])
         for r in cleaned.collect()
     }
+    # q153 ships the 8-byte hashed gram key — identical span set to
+    # the string-gram path (the cross_doc twin of this pin exists at
+    # test_duplicate_spans_hashed_identity).
+    hashed_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in text_ops.duplicate_spans(
+            enc, k=k, min_len=min_len, scope="within_doc",
+            tokens_col="bpe_tokens", hashed=True,
+        ).collect()
+    }
+    assert hashed_spans == got_spans
 
     expect_spans = set()
     for did, text in texts:

@@ -60,6 +60,11 @@ BNL_ALLOWLIST = {
     # analogue of q43's centroid literals); the broadcast cross join
     # IS the intended plan, not a missing equi-key.
     "q155_ivf_recenter_loop": "broadcast |cells|-row centroid table (Lloyd scoring)",
+    # The recall report grades the IVF probe AGAINST the exact
+    # brute-force baseline — the q38 broadcast-bounded-query-batch
+    # cross join is the ground-truth side by definition; the probe
+    # side under test is all equi-joins.
+    "q157_ivf_nprobe_recall": "broadcast bounded query batch (exact ground-truth side)",
 }
 
 
