@@ -1078,24 +1078,7 @@ def update_components(
     )
     if state is None:
         return connected_components_alternating(edges, "a", "b")
-    # Lift endpoints to their current component representative.
-    sa = state.select(F.col("id").alias("a"), F.col("comp").alias("ra"))
-    sb = state.select(F.col("id").alias("b"), F.col("comp").alias("rb"))
-    lifted = (
-        edges.join(sa, on="a", how="left")
-        .join(sb, on="b", how="left")
-        .select(
-            F.coalesce("ra", "a").alias("a"),
-            F.coalesce("rb", "b").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    # CC over the comp graph only — batch-sized, never corpus-sized.
-    relabel = connected_components_alternating(lifted, "a", "b")
-    relabel = relabel.select(
-        F.col("id").alias("__old"), F.col("comp").alias("__new")
-    ).localCheckpoint(eager=True)
+    relabel = _lift_and_relabel(state, edges)
     # Existing members follow their comp's relabel (map-only join);
     # comp-graph vertices (old comps + new ids) take their new label.
     remapped = (
@@ -1108,6 +1091,72 @@ def update_components(
         F.col("__old").alias("id"), F.col("__new").alias("comp")
     ).join(state.select("id"), on="id", how="left_anti")
     return remapped.unionByName(fresh)
+
+
+def _lift_and_relabel(state: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared core of the incremental CC update: lift each (a, b) edge
+    endpoint onto its current component representative (itself when
+    unseen), run alternating CC on the lifted COMP graph only, and
+    return the eager (__old, __new) relabel map — batch-sized, never
+    corpus-sized."""
+    sa = state.select(F.col("id").alias("a"), F.col("comp").alias("ra"))
+    sb = state.select(F.col("id").alias("b"), F.col("comp").alias("rb"))
+    lifted = (
+        edges.join(sa, on="a", how="left")
+        .join(sb, on="b", how="left")
+        .select(
+            F.coalesce("ra", "a").alias("a"),
+            F.coalesce("rb", "b").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    relabel = connected_components_alternating(lifted, "a", "b")
+    return relabel.select(
+        F.col("id").alias("__old"), F.col("comp").alias("__new")
+    ).localCheckpoint(eager=True)
+
+
+def update_components_delta(
+    state: DataFrame | None,
+    new_edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The APPEND-ONLY form of :func:`update_components`: instead of
+    the full post-merge state, return only the ``(id, comp)`` rows that
+    are NEW or whose label CHANGED — the delta to append to a
+    versioned state table whose read is latest-version-per-id.
+
+    This is the 100 TB shape for per-batch group maintenance: the full
+    rewrite :func:`update_components` implies is O(corpus) writes per
+    micro-batch; the delta is O(batch + affected members) — new
+    vertices plus the members of components the batch actually merged.
+    Resolving reads (``max_by(comp, ver)`` per id) stay shuffle-free
+    when the state table is BUCKETED on ``id`` (see
+    ``streaming.corpus.ingest_documents_stream``'s
+    ``components_n_buckets``). Replay-idempotent: a replayed batch
+    re-derives the identical delta, and duplicate appends collapse
+    under latest-wins. ``resolve(state ∪ delta)`` ==
+    ``update_components(state, edges)`` (pytest-pinned).
+    """
+    edges = (
+        new_edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if state is None:
+        return connected_components_alternating(edges, "a", "b")
+    relabel = _lift_and_relabel(state, edges)
+    changed = relabel.filter(F.col("__old") != F.col("__new"))
+    members = (
+        state.join(F.broadcast(changed), state["comp"] == F.col("__old"))
+        .select("id", F.col("__new").alias("comp"))
+    )
+    fresh = relabel.select(
+        F.col("__old").alias("id"), F.col("__new").alias("comp")
+    ).join(state.select("id"), on="id", how="left_anti")
+    return members.unionByName(fresh)
 
 
 # ---------------------------------------------------------------------------

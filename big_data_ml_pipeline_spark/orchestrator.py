@@ -121,7 +121,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # ingest_track_components: maintain {out}_components —
                # incremental duplicate-GROUP labels across the whole
                # ingest history (requires ingest_near_dup_threshold).
+               # ingest_components_n_buckets: keep that state as an
+               # append-only VERSIONED table bucketed on id (per-batch
+               # delta appends + shuffle-free latest-wins resolve)
+               # instead of a per-batch full rewrite.
                "ingest_track_components": False,
+               "ingest_components_n_buckets": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
                "ingest_lm_floor": None,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
@@ -508,6 +513,7 @@ class PipelineOrchestrator:
             near_dup_threshold=c["ingest_near_dup_threshold"],
             near_dup_n_buckets=c.get("ingest_near_dup_n_buckets"),
             track_components=c.get("ingest_track_components", False),
+            components_n_buckets=c.get("ingest_components_n_buckets"),
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),

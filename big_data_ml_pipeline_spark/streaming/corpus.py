@@ -238,6 +238,17 @@ def _has_parquet(path: str) -> bool:
     )
 
 
+def resolve_components(versioned: DataFrame) -> DataFrame:
+    """Latest-wins read of the append-only VERSIONED components state
+    (``components_n_buckets`` mode): (id, comp) with each id's
+    highest-``ver`` label. Over the id-BUCKETED table this groupBy
+    needs no exchange — the bucketed scan already satisfies the hash
+    distribution (pytest plan pin)."""
+    return versioned.groupBy("id").agg(
+        F.max_by("comp", "ver").alias("comp")
+    )
+
+
 def ingest_documents_stream(
     stream: DataFrame,
     out_dir: str,
@@ -253,6 +264,7 @@ def ingest_documents_stream(
     span_dedup: dict | None = None,
     near_dup_n_buckets: int | None = None,
     track_components: bool = False,
+    components_n_buckets: int | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -336,6 +348,21 @@ def ingest_documents_stream(
     no-ops for which docs LAND. Replay is idempotent: a replayed
     batch's edges re-merge into the same minimum labels.
 
+    By default the component state is rewritten per batch through the
+    crash-safe swap — O(corpus) writes per micro-batch, fine at test
+    scale. With ``components_n_buckets=B`` the state becomes an
+    APPEND-ONLY VERSIONED table BUCKETED on ``id``: each batch appends
+    only the delta (:func:`~..operators.dedup.update_components_delta`
+    — new vertices + members of components the batch actually merged)
+    with ``ver = batch_id``, reads resolve latest-version-per-id with
+    NO exchange above the bucketed scan (the groupBy's hash
+    distribution is satisfied by the bucket layout), and the
+    ``compact_every`` cadence folds the table back to one row per id
+    preserving the layout. This is the 100 TB shape: per-batch write
+    cost tracks the batch, not the corpus, and no per-batch directory
+    swap. Resolved labels are identical to the rewrite path
+    (pytest-pinned).
+
     With ``maintain_vocab=True``, each batch's surviving (token, cnt)
     partials are appended to ``{out_dir}_vocab`` — a mergeable corpus
     summary (re-aggregate with SUM on read; compacted to one row per
@@ -407,6 +434,20 @@ def ingest_documents_stream(
             "track_components requires near_dup_threshold — duplicate "
             "groups are defined by the MinHash pair graph"
         )
+    comp_dir = out_dir.rstrip("/") + "_components"
+    cb = int(components_n_buckets or 0) if track_components else 0
+    if cb:
+        _check_bucket_marker(comp_dir, cb, "components state")
+        id_ddl = stream.schema[id_col].dataType.simpleString()
+        comp_tbl = _register_bucketed_state(
+            stream.sparkSession, comp_dir,
+            _state_table_name(comp_dir, "components"),
+            f"`id` {id_ddl}, `comp` {id_ddl}, `ver` bigint",
+            ["id"], cb,
+        )
+        _write_bucket_marker(comp_dir, cb)
+    else:
+        comp_tbl = None
 
     orig_cols = [c for c in stream.columns]
     if apply_quality:
@@ -629,27 +670,62 @@ def ingest_documents_stream(
             if track_components and comp_edges is not None:
                 # Merge this batch's duplicate-pair graph into the
                 # (id, comp) state — CC runs on the batch-sized comp
-                # graph only (dedup.update_components); the rewritten
-                # state swaps in crash-safely like every other state
-                # table. Ordering: components BEFORE the corpus append
-                # — a crash after the corpus write would replay the
-                # batch with its landed docs anti-joined out (step 3),
-                # so their edges would never be recomputed; merged the
-                # other way round a replay re-merges the same edges
-                # idempotently (min labels are idempotent under
-                # re-union) and then lands the docs.
-                from ..operators.dedup import update_components
+                # graph only (dedup.update_components*). Ordering:
+                # components BEFORE the corpus append — a crash after
+                # the corpus write would replay the batch with its
+                # landed docs anti-joined out (step 3), so their edges
+                # would never be recomputed; merged the other way
+                # round a replay re-merges the same edges idempotently
+                # (min labels are idempotent under re-union) and then
+                # lands the docs.
+                from ..operators.dedup import (
+                    update_components,
+                    update_components_delta,
+                )
                 from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
-                comp_dir = out_dir.rstrip("/") + "_components"
-                prev_state = _read_state(spark, comp_dir)
-                new_state = update_components(prev_state, comp_edges)
-                tmp = comp_dir + TMP_SUFFIX
-                new_state.write.mode("overwrite").parquet(tmp)
-                if os.path.exists(comp_dir):
-                    atomic_swap_dirs(comp_dir)
+                if cb:
+                    # Append-only versioned state: delta rows only,
+                    # resolved latest-wins over the id-bucketed scan
+                    # (no exchange), no per-batch swap at all.
+                    resolved = (
+                        resolve_components(spark.table(comp_tbl))
+                        if _has_parquet(comp_dir)
+                        else None
+                    )
+                    delta = update_components_delta(
+                        resolved, comp_edges
+                    ).select(
+                        F.col("id").cast(stream.schema[id_col].dataType),
+                        F.col("comp").cast(stream.schema[id_col].dataType),
+                        F.lit(int(batch_id)).cast("long").alias("ver"),
+                    ).localCheckpoint(eager=True)  # pin before the
+                    # append below reads+writes the same table
+                    _append_bucketed(delta, comp_tbl, cb, ["id"])
+                    if (
+                        compact_every
+                        and (batch_id + 1) % compact_every == 0
+                    ):
+                        folded = (
+                            spark.table(comp_tbl)
+                            .groupBy("id")
+                            .agg(
+                                F.max_by("comp", "ver").alias("comp"),
+                                F.max("ver").alias("ver"),
+                            )
+                        )
+                        _rewrite_bucketed_state(
+                            spark, comp_dir, comp_tbl, folded, cb, ["id"]
+                        )
                 else:
-                    os.rename(tmp, comp_dir)
+                    prev_state = _read_state(spark, comp_dir)
+                    new_state = update_components(prev_state, comp_edges)
+                    tmp = comp_dir + TMP_SUFFIX
+                    new_state.write.mode("overwrite").parquet(tmp)
+                    if os.path.exists(comp_dir):
+                        atomic_swap_dirs(comp_dir)
+                    else:
+                        os.rename(tmp, comp_dir)
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
             if maintain_vocab:

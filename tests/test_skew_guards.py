@@ -389,3 +389,40 @@ def test_update_components_idempotent_replay_and_empty_batch(spark):
     assert {r["id"]: r["comp"] for r in replayed.collect()} == base
     noop = dedup.update_components(state, empty)
     assert {r["id"]: r["comp"] for r in noop.collect()} == base
+
+
+def test_update_components_delta_resolves_to_full_update(spark):
+    """update_components_delta (the append-only form): resolving
+    state ∪ delta by latest-wins equals the full update_components
+    result, the delta touches ONLY new/changed ids, and a no-change
+    batch yields an empty delta."""
+    from pyspark.sql import functions as F
+
+    e1 = spark.createDataFrame(
+        [(1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    e2 = spark.createDataFrame(
+        [(11, 20), (30, 31)], "id_a long, id_b long"
+    )
+    state = dedup.update_components(None, e1).localCheckpoint(eager=True)
+    full = {
+        r["id"]: r["comp"]
+        for r in dedup.update_components(state, e2).collect()
+    }
+    delta = dedup.update_components_delta(state, e2)
+    drows = {r["id"]: r["comp"] for r in delta.collect()}
+    # 20/21's component relabels to 10; 30/31 are fresh; 1/2 untouched
+    # and 11 ALREADY carried comp 10 — unchanged rows stay out.
+    assert drows == {20: 10, 21: 10, 30: 30, 31: 30}
+    resolved = {r["id"]: r["comp"] for r in state.collect()}
+    resolved.update(drows)  # latest-wins
+    assert resolved == full
+    # an already-known edge produces NO delta rows
+    replay = dedup.update_components_delta(
+        spark.createDataFrame(
+            [(r["id"], r["comp"]) for r in dedup.update_components(
+                state, e2).collect()], "id long, comp long"
+        ),
+        e2,
+    )
+    assert replay.count() == 0

@@ -2031,3 +2031,160 @@ def test_streaming_track_components_matches_batch_cc(spark, tmp_path):
             str(tmp_path / "out2"), str(tmp_path / "ck2"),
             apply_quality=False, track_components=True,
         )
+
+
+def test_streaming_components_crash_replay_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Failure injection for the components-BEFORE-corpus write order:
+    kill the batch right AFTER the component state swapped in but
+    BEFORE the corpus append, replay it, and assert the final corpus
+    has zero lost/duplicate docs and the component table still equals
+    one-shot batch CC — the replayed batch re-merges its edges
+    idempotently (min labels are idempotent under re-union) and then
+    lands its docs."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+    from big_data_ml_pipeline_spark.sources import state as state_mod
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    X = [f"x{i}" for i in range(30)]
+    Y = [f"y{i}" for i in range(30)]
+    A = " ".join(X)
+    B = " ".join(X + Y)
+    C = " ".join(X[15:] + Y)
+    shards = [
+        [(1, A, "en")],
+        [(10, B, "en")],   # ~A; batch 2's comp swap is the crash site
+        [(20, C, "en")],   # ~B only
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    real_swap = state_mod.atomic_swap_dirs
+    calls = {"n": 0}
+
+    def swap_then_crash(path):
+        real_swap(path)  # the swap COMPLETES; the crash is after it
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after components swap")
+
+    monkeypatch.setattr(state_mod, "atomic_swap_dirs", swap_then_crash)
+
+    out = str(tmp_path / "out")
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / "ck"), apply_quality=False,
+            near_dup_threshold=0.4, track_components=True,
+        )
+    # The crash window is real: batch 2's comps merged, doc 10 not
+    # screened into the corpus (it would have been dropped anyway as a
+    # near-dup of 1 — the window is observable via comps alone here).
+    assert {r["id"]: r["comp"] for r in
+            spark.read.parquet(out + "_components").collect()} == {1: 1, 10: 1}
+    # Restart from the same checkpoint: batch 2 replays, then batch 3.
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        near_dup_threshold=0.4, track_components=True,
+    )
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [1]  # rep only; no loss, no dup
+    full = spark.createDataFrame(
+        [r for rows in shards for r in rows], ["doc_id", "text", "lang"]
+    )
+    expect = {
+        r["id"]: r["comp"]
+        for r in dedup_ops.connected_components_alternating(
+            dedup_ops.minhash_dedup_pairs(full, "text", "doc_id")
+            .filter("est_jaccard >= 0.4")
+            .select("id_a", "id_b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in spark.read.parquet(out + "_components").collect()
+    }
+    assert got == expect == {1: 1, 10: 1, 20: 1}
+
+
+def test_streaming_components_bucketed_append_only(spark, tmp_path):
+    """The append-only versioned components state
+    (``components_n_buckets``): (a) resolved labels identical to the
+    per-batch-rewrite path on the same replayed chain, across a
+    mid-run compaction fold; (b) the latest-wins resolve needs NO
+    exchange above the id-bucketed scan; (c) the ``_BUCKET_SPEC``
+    marker refuses reopening at a different count."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    X = [f"x{i}" for i in range(30)]
+    Y = [f"y{i}" for i in range(30)]
+    A = " ".join(X)
+    A2 = A + " extra tail"
+    B = " ".join(X + Y)
+    C = " ".join(X[15:] + Y)
+    D = " ".join(f"d{i}" for i in range(20))
+    shards = [
+        [(1, A, "en"), (2, A2, "en")],
+        [(10, B, "en"), (30, D, "en")],
+        [(20, C, "en")],
+    ]
+
+    def run(sub, **kw):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        out = str(tmp_path / f"out_{sub}")
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / f"ck_{sub}"), apply_quality=False,
+            near_dup_threshold=0.4, track_components=True,
+            compact_every=2, **kw,
+        )
+        return out
+
+    out_p = run("plain")
+    plain = {
+        r["id"]: r["comp"]
+        for r in spark.read.parquet(out_p + "_components").collect()
+    }
+    out_b = run("bucketed", components_n_buckets=4)
+    comp_dir = out_b + "_components"
+    tbl = corpus_ops._state_table_name(comp_dir, "components")
+    resolved = corpus_ops.resolve_components(spark.table(tbl))
+    bucketed = {r["id"]: r["comp"] for r in resolved.collect()}
+    assert bucketed == plain == {1: 1, 2: 1, 10: 1, 20: 1}
+    assert os.path.exists(os.path.join(comp_dir, "_BUCKET_SPEC"))
+    # (b) latest-wins resolve: zero exchanges above the bucketed scan
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    assert plan.count("Exchange") == 0
+    # versioned layout: ver column rides the table; compaction (fired
+    # mid-run at batch 2) plus the batch-3 append bound the file count
+    files = [f for f in os.listdir(comp_dir) if f.endswith(".parquet")]
+    assert 0 < len(files) <= 8  # ≤ 4 buckets × (folded + 1 append)
+    with _pytest.raises(ValueError, match="components state"):
+        corpus_ops._check_bucket_marker(comp_dir, 2, "components state")
