@@ -2831,8 +2831,14 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = set_ops.proportional_mix(
         pruned, Q115_MIX_WEIGHTS, group_col="source", key_cols=["doc_id"]
     )
+    # Cut points from the RAW doc_id scan, not the mixed subplan: the
+    # eager quantile job must not evaluate the whole upstream pipeline
+    # at plan-construction time (it would run the 7 stages twice) —
+    # any id cut list gives exact output, only the spread matters.
+    cuts = text_ops.compute_bucket_cuts(docs, "doc_id", 8)
     packed = text_ops.pack_sequences(
-        mixed, budget_tokens=256, n_tokens_col="n_tokens", n_buckets=8
+        mixed, budget_tokens=256, n_tokens_col="n_tokens", n_buckets=8,
+        bucket_cuts=cuts,
     )
     return set_ops.deterministic_shard(
         packed.select("doc_id", "lang", "n_tokens", "pack_id"),
