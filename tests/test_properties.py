@@ -534,3 +534,58 @@ def test_duplicate_spans_match_literal_python(docs, k, scope):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1, max_size=18,
+    ),
+    cut1=st.integers(0, 18),
+    cut2=st.integers(0, 18),
+)
+def test_incremental_components_match_union_find(edges, cut1, cut2):
+    """Chained update_components over an ARBITRARY 3-way split of a
+    random edge list == a driver-side union-find over the whole list —
+    the incremental merge is order- and batching-independent. The
+    delta variant must agree: resolving state ∪ delta latest-wins at
+    each step reproduces the same final labels."""
+    from big_data_ml_pipeline_spark.operators.dedup import (
+        update_components,
+        update_components_delta,
+    )
+
+    a, b = sorted([min(cut1, len(edges)), min(cut2, len(edges))])
+    chunks = [c for c in (edges[:a], edges[a:b], edges[b:]) if c]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    want = {v: find(v) for v in parent}
+
+    state = None
+    resolved: dict = {}
+    for chunk in chunks:
+        cdf = _spark.createDataFrame(chunk, "id_a long, id_b long")
+        delta = update_components_delta(state, cdf)
+        resolved.update(
+            {r["id"]: r["comp"] for r in delta.collect()}
+        )
+        state = update_components(state, cdf).localCheckpoint(eager=True)
+    got = {r["id"]: r["comp"] for r in state.collect()}
+    assert got == want
+    assert resolved == want
