@@ -1432,16 +1432,15 @@ def q82_surging_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup GROUP resolution: union exact-fingerprint star edges with
-    Jaccard near-dup pairs, then resolve connected components
-    (operators/dedup.connected_components — iterative min-label
-    propagation with per-round localCheckpoint) into (keeper id, group
-    size). This is the step that turns pairwise dedup output into an
-    actionable keep-list at 100 TB. Oracle: DuckDB WITH RECURSIVE
-    reachability + MIN label over the identical edge set."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp_ids = docs.select(dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id")
+def _dedup_edge_set(docs: DataFrame) -> DataFrame:
+    """The shared q83/q117/q158 duplicate-pair edge set: exact-
+    fingerprint STAR edges (min-id keeper → every other same-fp doc)
+    unioned with blocked Jaccard near-dup pairs at 0.2 — one
+    definition, three consumers, so a threshold or normalization
+    change cannot desynchronize the queries from their oracle twins."""
+    fp_ids = docs.select(
+        dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id"
+    )
     groups = fp_ids.groupBy("fp").agg(
         F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
     )
@@ -1453,7 +1452,19 @@ def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = dedup_ops.jaccard_pairs(
         docs, shingle_n=3, threshold=0.2, block_col="source"
     ).select("id_a", "id_b")
-    labels = dedup_ops.connected_components(exact_edges.unionByName(jac).distinct())
+    return exact_edges.unionByName(jac).distinct()
+
+
+def q83_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP resolution: union exact-fingerprint star edges with
+    Jaccard near-dup pairs, then resolve connected components
+    (operators/dedup.connected_components — iterative min-label
+    propagation with per-round localCheckpoint) into (keeper id, group
+    size). This is the step that turns pairwise dedup output into an
+    actionable keep-list at 100 TB. Oracle: DuckDB WITH RECURSIVE
+    reachability + MIN label over the identical edge set."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_ops.connected_components(_dedup_edge_set(docs))
     return (
         labels.groupBy("comp")
         .agg(F.count("*").alias("n_members"))
@@ -2121,19 +2132,7 @@ def q117_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE joined to the q45 quality expression. Excluded from bench like
     q83 (driver-paced fixed-point rounds, not engine throughput)."""
     docs = load_table(spark, sf_dir, "documents")
-    fp_ids = docs.select(dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id")
-    groups = fp_ids.groupBy("fp").agg(
-        F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
-    )
-    exact_edges = (
-        fp_ids.join(F.broadcast(groups.filter(F.col("n_dups") > 1)), "fp")
-        .filter(F.col("doc_id") != F.col("first_id"))
-        .select(F.col("first_id").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    jac = dedup_ops.jaccard_pairs(
-        docs, shingle_n=3, threshold=0.2, block_col="source"
-    ).select("id_a", "id_b")
-    labels = dedup_ops.connected_components(exact_edges.unionByName(jac).distinct())
+    labels = dedup_ops.connected_components(_dedup_edge_set(docs))
     quality = docs.select(
         "doc_id", text_ops.quality_score(F.col("text")).alias("quality")
     )
@@ -2879,21 +2878,7 @@ def q158_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental merge order cannot change the final labelling. Emits
     (id, comp) for every non-trivial group member."""
     docs = load_table(spark, sf_dir, "documents")
-    fp_ids = docs.select(
-        dedup_ops.fingerprint(F.col("text")).alias("fp"), "doc_id"
-    )
-    groups = fp_ids.groupBy("fp").agg(
-        F.count("*").alias("n_dups"), F.min("doc_id").alias("first_id")
-    )
-    exact_edges = (
-        fp_ids.join(F.broadcast(groups.filter(F.col("n_dups") > 1)), "fp")
-        .filter(F.col("doc_id") != F.col("first_id"))
-        .select(F.col("first_id").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    jac = dedup_ops.jaccard_pairs(
-        docs, shingle_n=3, threshold=0.2, block_col="source"
-    ).select("id_a", "id_b")
-    edges = exact_edges.unionByName(jac).distinct().localCheckpoint()
+    edges = _dedup_edge_set(docs).localCheckpoint()
     state = None
     for slice_no in range(3):
         chunk = edges.filter(F.col("id_a") % 3 == slice_no)

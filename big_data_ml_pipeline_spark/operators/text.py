@@ -329,6 +329,13 @@ def _group_running_total(
         n_tok.alias("n_tokens"),
     )
     if n_buckets is None or n_buckets <= 1:
+        if cut_points is not None:
+            raise ValueError(
+                "bucket_cuts given but n_buckets is not set — the cut "
+                "points would be silently discarded and the cumsum "
+                "would fall back to the skew-prone single-window path; "
+                "pass n_buckets alongside bucket_cuts"
+            )
         w = (
             Window.partitionBy(group_col)
             .orderBy(id_col)

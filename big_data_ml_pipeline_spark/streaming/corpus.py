@@ -340,13 +340,23 @@ def ingest_documents_stream(
     the state by :func:`~..operators.dedup.update_components` — CC runs
     only on the batch-sized component graph — and the state is
     rewritten through the same crash-safe directory swap as the other
-    state tables. Two behavior changes make the labelling
-    batch-faithful: the index append covers ALL screened docs (dropped
-    near-dups too — a later doc chained only through a dropped doc
-    must still join its group, as it would in batch mode), and the
-    index query probes the batch BEFORE within-batch removal. Both are
-    no-ops for which docs LAND. Replay is idempotent: a replayed
-    batch's edges re-merge into the same minimum labels.
+    state tables. The edge set covers EXACT duplicates too (batch-mode
+    MinHash pairs them at est 1.0): within-batch star edges from the
+    step-2 reduction and cross-batch star edges to the min landed doc
+    per matched fingerprint — exact dups always chain through a landed
+    doc, so they need no index rows. Three behavior changes make the
+    labelling batch-faithful: the index append covers ALL near-dup-
+    screened docs (dropped near-dups too — a later doc chained only
+    through a dropped doc must still join its group, as it would in
+    batch mode; with ``span_dedup`` these index rows cover the
+    PRE-excision token stream — duplicate evidence matches the text
+    as ingested), the index probe and within-batch pair scan run on
+    the batch BEFORE cross-batch-exact removal, and a doc whose
+    within-batch near-dup representative is itself an exact dup of a
+    landed doc is dropped (as batch mode would drop it). Replay is
+    idempotent AND self-healing: ``screened`` is pinned before the
+    landed anti-join, so a replayed batch re-derives edges and index
+    rows for docs an interrupted run landed but failed to index.
 
     By default the component state is rewritten per batch through the
     crash-safe swap — O(corpus) writes per micro-batch, fine at test
@@ -436,8 +446,21 @@ def ingest_documents_stream(
         )
     comp_dir = out_dir.rstrip("/") + "_components"
     cb = int(components_n_buckets or 0) if track_components else 0
+    # The two layouts are NOT interchangeable: the versioned bucketed
+    # table holds multiple rows per id (latest-wins), the rewrite
+    # layout exactly one. The _BUCKET_SPEC marker doubles as the mode
+    # flag — refuse a silent switch either way (a plain reopen of a
+    # versioned table would read stale duplicate labels as state).
     if cb:
         _check_bucket_marker(comp_dir, cb, "components state")
+        if _has_parquet(comp_dir) and not os.path.exists(
+            os.path.join(comp_dir, "_BUCKET_SPEC")
+        ):
+            raise ValueError(
+                f"components state at {comp_dir} was maintained in "
+                "plain-rewrite layout; cannot reopen with "
+                "components_n_buckets — remove or migrate the state"
+            )
         id_ddl = stream.schema[id_col].dataType.simpleString()
         comp_tbl = _register_bucketed_state(
             stream.sparkSession, comp_dir,
@@ -448,6 +471,15 @@ def ingest_documents_stream(
         _write_bucket_marker(comp_dir, cb)
     else:
         comp_tbl = None
+        if track_components and os.path.exists(
+            os.path.join(comp_dir, "_BUCKET_SPEC")
+        ):
+            raise ValueError(
+                f"components state at {comp_dir} is a versioned "
+                "bucketed table (multiple rows per id); cannot reopen "
+                "in plain-rewrite mode — pass the original "
+                "components_n_buckets"
+            )
 
     orig_cols = [c for c in stream.columns]
     if apply_quality:
@@ -557,27 +589,76 @@ def ingest_documents_stream(
                 batch_df = batch_df.join(passing, on=id_col, how="left_semi")
             # 2: within-batch exact dedup — one shuffle of (fp, id).
             keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            exact_within = None
+            if track_components:
+                # Exact duplicates are duplicate GROUP members too
+                # (batch-mode MinHash pairs them at est 1.0): star
+                # edges keeper→dropped from the step-2 reduction.
+                exact_within = (
+                    batch_df.select(F.col(id_col), "fp")
+                    .join(
+                        keep.withColumnRenamed(id_col, "__keep"), on="fp"
+                    )
+                    .filter(F.col(id_col) != F.col("__keep"))
+                    .select(
+                        F.col("__keep").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
             batch_df = batch_df.join(keep, on=[id_col, "fp"], how="left_semi")
+            screened = None
+            if track_components:
+                # Pin the post-within-exact batch BEFORE the landed
+                # anti-join: (a) the index build below must cover docs
+                # the cross-batch screens drop; (b) a REPLAYED batch's
+                # already-landed docs stay in `screened`, so an
+                # interrupted run's missing index rows and edges are
+                # re-derived — the crash window between the corpus and
+                # index appends self-heals; (c) the pin prevents a
+                # lazy re-read of the state files this batch mutates.
+                batch_df = batch_df.localCheckpoint(eager=True)
+                screened = batch_df
             # 3: cross-batch exact dedup against the landed corpus.
             seen = _read_state(spark, out_dir)
+            exact_cross = None
+            if track_components and seen is not None:
+                # Star edges (min landed id per matched fingerprint →
+                # batch doc): exact dups chain through a LANDED doc, so
+                # they never need index rows — the shuffle carries only
+                # the matched fingerprints.
+                landed_min = (
+                    seen.select("fp", F.col(id_col))
+                    .join(
+                        F.broadcast(screened.select("fp").distinct()),
+                        on="fp",
+                        how="left_semi",
+                    )
+                    .groupBy("fp")
+                    .agg(F.min(id_col).alias("__lid"))
+                )
+                exact_cross = (
+                    screened.select(F.col(id_col), "fp")
+                    .join(landed_min, on="fp")
+                    .select(
+                        F.col("__lid").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
             if seen is not None:
                 batch_df = batch_df.join(
                     seen.select("fp"), on="fp", how="left_anti"
                 )
-            screened = None
             comp_edges = None
             if near_dup_threshold is not None:
-                if track_components:
-                    # Pin the post-exact-dedup batch: the index build
-                    # below must cover these docs even though some get
-                    # dropped, and the pin prevents a lazy re-read of
-                    # the corpus files the batch is about to append.
-                    batch_df = batch_df.localCheckpoint(eager=True)
-                    screened = batch_df
                 # 4a: within-batch near-dups — pairs → components →
-                # min-id representative survives.
+                # min-id representative survives. Under
+                # track_components the pair scan covers `screened`
+                # (pre-cross-batch-exact), which is batch-faithful: a
+                # doc whose within-batch rep is itself an exact dup of
+                # a landed doc is dropped in batch mode too.
                 pairs = minhash_dedup_pairs(
-                    batch_df, text_col, id_col
+                    screened if track_components else batch_df,
+                    text_col, id_col,
                 ).filter(F.col("est_jaccard") >= near_dup_threshold)
                 labels = connected_components_alternating(
                     pairs.select("id_a", "id_b")
@@ -623,6 +704,9 @@ def ingest_documents_stream(
                                 F.col("index_id").alias("id_b"),
                             )
                         )
+                    for extra in (exact_within, exact_cross):
+                        if extra is not None:
+                            comp_edges = comp_edges.unionByName(extra)
                     # Pin the edge list BEFORE any state write below —
                     # cand laid over the index table must not lazily
                     # re-scan files this batch appends to it.

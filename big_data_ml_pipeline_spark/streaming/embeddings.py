@@ -218,23 +218,33 @@ def ingest_embeddings_stream(
             survivors = assigned.select(id_col, "v", "cell", "fp").localCheckpoint(
                 eager=True
             )
+
+            def cell_hist(df_):
+                c = df_.groupBy("cell").agg(
+                    F.count("*").cast("long").alias("cnt")
+                )
+                return {r["cell"]: r["cnt"] for r in c.collect()}
+
+            # Pin the landed histogram BEFORE the append: the bucketed
+            # CATALOG table refreshes its file listing in place on
+            # insert, so a post-append read would count this batch's
+            # own survivors into the corpus side (the plain-parquet
+            # path pins its listing at _read_state time, but collecting
+            # here keeps both modes on the same pre-append snapshot).
+            hl = (
+                cell_hist(landed)
+                if track_drift and landed is not None
+                else {}
+            )
             if nb:
                 _append_bucketed(survivors, emb_tbl, nb, ["cell"])
             else:
                 survivors.write.mode("append").parquet(out_dir)
             if track_drift:
                 # Cell-histogram JSD of the checkpointed survivors vs
-                # the pre-append landed snapshot (file listing pinned
-                # at _read_state time). Written after the corpus
-                # append — observability never blocks landing.
-                def cell_hist(df_):
-                    c = df_.groupBy("cell").agg(
-                        F.count("*").cast("long").alias("cnt")
-                    )
-                    return {r["cell"]: r["cnt"] for r in c.collect()}
-
+                # the pre-append landed snapshot. Written after the
+                # corpus append — observability never blocks landing.
                 hb = cell_hist(survivors)
-                hl = cell_hist(landed) if landed is not None else {}
                 tb, tl = sum(hb.values()), sum(hl.values())
                 shared = set(hb) & set(hl)
                 jsd_q = pa_q = pb_q = 0

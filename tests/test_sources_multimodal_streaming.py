@@ -1977,7 +1977,10 @@ def test_streaming_track_components_matches_batch_cc(spark, tmp_path):
     D = " ".join(f"d{i}" for i in range(20))  # id 30, unrelated
     shards = [
         [(1, A, "en"), (2, A2, "en")],
-        [(10, B, "en"), (30, D, "en")],
+        # 31 = WITHIN-batch exact dup of 30; 4 = CROSS-batch exact dup
+        # of 1 — exact dups must join their groups (est-1.0 pairs in
+        # batch mode) without ever landing or being indexed.
+        [(10, B, "en"), (30, D, "en"), (31, D, "en"), (4, A, "en")],
         [(20, C, "en")],
     ]
     thr = 0.4
@@ -2019,8 +2022,10 @@ def test_streaming_track_components_matches_batch_cc(spark, tmp_path):
         for r in spark.read.parquet(out + "_components").collect()
     }
     assert got == expect
-    # and the chain really crossed batches through the dropped doc
-    assert got == {1: 1, 2: 1, 10: 1, 20: 1}
+    # the chain really crossed batches through the dropped doc (20 via
+    # 10), and exact dups joined their groups both within-batch
+    # (31→30) and cross-batch (4→1)
+    assert got == {1: 1, 2: 1, 4: 1, 10: 1, 20: 1, 30: 30, 31: 30}
 
     # track_components without a near-dup screen is a contract error
     import pytest as _pytest
@@ -2188,3 +2193,95 @@ def test_streaming_components_bucketed_append_only(spark, tmp_path):
     assert 0 < len(files) <= 8  # ≤ 4 buckets × (folded + 1 append)
     with _pytest.raises(ValueError, match="components state"):
         corpus_ops._check_bucket_marker(comp_dir, 2, "components state")
+
+
+def test_streaming_components_heal_lost_index_rows(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window between the corpus append and the index append
+    must not lose a landed survivor's signatures when groups are
+    tracked: `screened` is pinned BEFORE the landed anti-join, so the
+    REPLAYED batch still contains its landed docs and re-appends their
+    index rows — the next batch's doc that chains ONLY through the
+    previously-unindexed survivor is still screened and grouped."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    X = [f"x{i}" for i in range(30)]
+    Y = [f"y{i}" for i in range(30)]
+    P = [f"p{i}" for i in range(30)]
+    A = " ".join(X)            # id 1, batch 1
+    B = " ".join(X + Y)        # id 10, batch 2: ~A, dropped
+    D = " ".join(P)            # id 30, batch 2: novel, LANDS
+    E = D + " q0 q1 q2"        # id 40, batch 3: ~D only (est 0.97)
+    shards = [
+        [(1, A, "en")],
+        [(10, B, "en"), (30, D, "en")],
+        [(40, E, "en")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+    real_index = dedup_ops.minhash_index
+    calls = {"n": 0}
+
+    def exploding_index(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # batch 2's index append — AFTER its
+            raise RuntimeError("injected crash before index append")
+        return real_index(*a, **k)  # corpus write landed doc 30
+
+    monkeypatch.setattr(dedup_ops, "minhash_index", exploding_index)
+
+    out = str(tmp_path / "out")
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / "ck"), apply_quality=False,
+            near_dup_threshold=0.4, track_components=True,
+        )
+    # The window is real: doc 30 landed, its index rows did not.
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [1, 30]
+    assert sorted(
+        r["id"] for r in spark.read.parquet(out + "_minhash_index")
+        .select("id").distinct().collect()
+    ) == [1]
+    # Restart: batch 2 replays (re-indexes 10 AND the landed 30),
+    # then batch 3 chains 40 through 30.
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        near_dup_threshold=0.4, track_components=True,
+    )
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [1, 30]  # 40 screened out, 30 not duplicated
+    full = spark.createDataFrame(
+        [r for rows in shards for r in rows], ["doc_id", "text", "lang"]
+    )
+    expect = {
+        r["id"]: r["comp"]
+        for r in dedup_ops.connected_components_alternating(
+            dedup_ops.minhash_dedup_pairs(full, "text", "doc_id")
+            .filter("est_jaccard >= 0.4")
+            .select("id_a", "id_b")
+        ).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in spark.read.parquet(out + "_components").collect()
+    }
+    assert got == expect == {1: 1, 10: 1, 30: 30, 40: 30}
