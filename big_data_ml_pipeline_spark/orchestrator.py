@@ -149,6 +149,13 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # bucketed table on cell (shuffle-free per-batch
                    # cosine screen join against the landed side).
                    "ingest_cell_n_buckets": None,
+                   # ingest_track_components: maintain {out}_components
+                   # (semantic duplicate-GROUP labels, incl. chains
+                   # through dropped vectors via {out}_screened);
+                   # ingest_components_n_buckets selects the versioned
+                   # id-bucketed state layout.
+                   "ingest_track_components": False,
+                   "ingest_components_n_buckets": None,
                    "ingest_track_drift": False,
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
@@ -594,6 +601,8 @@ class PipelineOrchestrator:
             compact_every=c["ingest_compact_every"],
             track_drift=c.get("ingest_track_drift", False),
             cell_n_buckets=c.get("ingest_cell_n_buckets"),
+            track_components=c.get("ingest_track_components", False),
+            components_n_buckets=c.get("ingest_components_n_buckets"),
         )
 
     # -- predict ------------------------------------------------------------

@@ -249,6 +249,121 @@ def resolve_components(versioned: DataFrame) -> DataFrame:
     )
 
 
+def _read_state_dir(spark: SparkSession, path: str):
+    """Landed-state read that treats ONLY a missing/empty path as
+    'no state yet'. Any other failure (permissions, corrupt footer)
+    must fail the batch — swallowing it would silently disable dedup
+    and land duplicates."""
+    from pyspark.errors import AnalysisException
+
+    if not os.path.exists(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return None
+        raise
+
+
+def _components_setup(
+    spark: SparkSession,
+    comp_dir: str,
+    track_components: bool,
+    components_n_buckets: int | None,
+    id_ddl: str,
+) -> tuple[int, str | None]:
+    """Shared registration + mode guard for a duplicate-group state dir
+    (document and embedding ingests alike). Returns (cb, comp_tbl).
+    The two layouts are NOT interchangeable: the versioned bucketed
+    table holds multiple rows per id (latest-wins), the rewrite layout
+    exactly one. The ``_BUCKET_SPEC`` marker doubles as the mode flag —
+    refuse a silent switch either way (a plain reopen of a versioned
+    table would read stale duplicate labels as state)."""
+    cb = int(components_n_buckets or 0) if track_components else 0
+    marker = os.path.join(comp_dir, "_BUCKET_SPEC")
+    if cb:
+        _check_bucket_marker(comp_dir, cb, "components state")
+        if _has_parquet(comp_dir) and not os.path.exists(marker):
+            raise ValueError(
+                f"components state at {comp_dir} was maintained in "
+                "plain-rewrite layout; cannot reopen with "
+                "components_n_buckets — remove or migrate the state"
+            )
+        comp_tbl = _register_bucketed_state(
+            spark, comp_dir, _state_table_name(comp_dir, "components"),
+            f"`id` {id_ddl}, `comp` {id_ddl}, `ver` bigint",
+            ["id"], cb,
+        )
+        _write_bucket_marker(comp_dir, cb)
+        return cb, comp_tbl
+    if track_components and os.path.exists(marker):
+        raise ValueError(
+            f"components state at {comp_dir} is a versioned bucketed "
+            "table (multiple rows per id); cannot reopen in "
+            "plain-rewrite mode — pass the original components_n_buckets"
+        )
+    return 0, None
+
+
+def _merge_component_state(
+    spark: SparkSession,
+    comp_dir: str,
+    comp_tbl: str | None,
+    cb: int,
+    comp_edges: DataFrame,
+    batch_id: int,
+    id_dtype,
+    compact_every: int | None = None,
+) -> None:
+    """Merge one batch's (pinned) duplicate-pair edges into the group
+    state — the shared write path behind ``track_components`` on both
+    ingests. Versioned-bucketed mode appends only the delta and folds
+    on the compaction cadence; rewrite mode swaps the full relabelled
+    state in crash-safely. Call BEFORE the corpus append (see the
+    document ingest's ordering rationale)."""
+    from ..operators.dedup import update_components, update_components_delta
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+    if cb:
+        resolved = (
+            resolve_components(spark.table(comp_tbl))
+            if _has_parquet(comp_dir)
+            else None
+        )
+        delta = (
+            update_components_delta(resolved, comp_edges)
+            .select(
+                F.col("id").cast(id_dtype),
+                F.col("comp").cast(id_dtype),
+                F.lit(int(batch_id)).cast("long").alias("ver"),
+            )
+            .localCheckpoint(eager=True)  # pin before reading+writing
+        )  # the same table below
+        _append_bucketed(delta, comp_tbl, cb, ["id"])
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            folded = (
+                spark.table(comp_tbl)
+                .groupBy("id")
+                .agg(
+                    F.max_by("comp", "ver").alias("comp"),
+                    F.max("ver").alias("ver"),
+                )
+            )
+            _rewrite_bucketed_state(
+                spark, comp_dir, comp_tbl, folded, cb, ["id"]
+            )
+        return
+    prev_state = _read_state_dir(spark, comp_dir)
+    new_state = update_components(prev_state, comp_edges)
+    tmp = comp_dir + TMP_SUFFIX
+    new_state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(comp_dir):
+        atomic_swap_dirs(comp_dir)
+    else:
+        os.rename(tmp, comp_dir)
+
+
 def ingest_documents_stream(
     stream: DataFrame,
     out_dir: str,
@@ -445,41 +560,11 @@ def ingest_documents_stream(
             "groups are defined by the MinHash pair graph"
         )
     comp_dir = out_dir.rstrip("/") + "_components"
-    cb = int(components_n_buckets or 0) if track_components else 0
-    # The two layouts are NOT interchangeable: the versioned bucketed
-    # table holds multiple rows per id (latest-wins), the rewrite
-    # layout exactly one. The _BUCKET_SPEC marker doubles as the mode
-    # flag — refuse a silent switch either way (a plain reopen of a
-    # versioned table would read stale duplicate labels as state).
-    if cb:
-        _check_bucket_marker(comp_dir, cb, "components state")
-        if _has_parquet(comp_dir) and not os.path.exists(
-            os.path.join(comp_dir, "_BUCKET_SPEC")
-        ):
-            raise ValueError(
-                f"components state at {comp_dir} was maintained in "
-                "plain-rewrite layout; cannot reopen with "
-                "components_n_buckets — remove or migrate the state"
-            )
-        id_ddl = stream.schema[id_col].dataType.simpleString()
-        comp_tbl = _register_bucketed_state(
-            stream.sparkSession, comp_dir,
-            _state_table_name(comp_dir, "components"),
-            f"`id` {id_ddl}, `comp` {id_ddl}, `ver` bigint",
-            ["id"], cb,
-        )
-        _write_bucket_marker(comp_dir, cb)
-    else:
-        comp_tbl = None
-        if track_components and os.path.exists(
-            os.path.join(comp_dir, "_BUCKET_SPEC")
-        ):
-            raise ValueError(
-                f"components state at {comp_dir} is a versioned "
-                "bucketed table (multiple rows per id); cannot reopen "
-                "in plain-rewrite mode — pass the original "
-                "components_n_buckets"
-            )
+    cb, comp_tbl = _components_setup(
+        stream.sparkSession, comp_dir, track_components,
+        components_n_buckets,
+        stream.schema[id_col].dataType.simpleString(),
+    )
 
     orig_cols = [c for c in stream.columns]
     if apply_quality:
@@ -753,63 +838,20 @@ def ingest_documents_stream(
             survivors = batch_df.localCheckpoint(eager=True)
             if track_components and comp_edges is not None:
                 # Merge this batch's duplicate-pair graph into the
-                # (id, comp) state — CC runs on the batch-sized comp
-                # graph only (dedup.update_components*). Ordering:
-                # components BEFORE the corpus append — a crash after
-                # the corpus write would replay the batch with its
-                # landed docs anti-joined out (step 3), so their edges
-                # would never be recomputed; merged the other way
-                # round a replay re-merges the same edges idempotently
-                # (min labels are idempotent under re-union) and then
-                # lands the docs.
-                from ..operators.dedup import (
-                    update_components,
-                    update_components_delta,
+                # (id, comp) state (shared helper with the embedding
+                # ingest) — CC runs on the batch-sized comp graph
+                # only. Ordering: components BEFORE the corpus append
+                # — a crash after the corpus write would replay the
+                # batch with its landed docs anti-joined out (step 3),
+                # so their edges would never be recomputed; merged the
+                # other way round a replay re-merges the same edges
+                # idempotently (min labels are idempotent under
+                # re-union) and then lands the docs.
+                _merge_component_state(
+                    spark, comp_dir, comp_tbl, cb, comp_edges,
+                    batch_id, stream.schema[id_col].dataType,
+                    compact_every=compact_every,
                 )
-                from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
-
-                if cb:
-                    # Append-only versioned state: delta rows only,
-                    # resolved latest-wins over the id-bucketed scan
-                    # (no exchange), no per-batch swap at all.
-                    resolved = (
-                        resolve_components(spark.table(comp_tbl))
-                        if _has_parquet(comp_dir)
-                        else None
-                    )
-                    delta = update_components_delta(
-                        resolved, comp_edges
-                    ).select(
-                        F.col("id").cast(stream.schema[id_col].dataType),
-                        F.col("comp").cast(stream.schema[id_col].dataType),
-                        F.lit(int(batch_id)).cast("long").alias("ver"),
-                    ).localCheckpoint(eager=True)  # pin before the
-                    # append below reads+writes the same table
-                    _append_bucketed(delta, comp_tbl, cb, ["id"])
-                    if (
-                        compact_every
-                        and (batch_id + 1) % compact_every == 0
-                    ):
-                        folded = (
-                            spark.table(comp_tbl)
-                            .groupBy("id")
-                            .agg(
-                                F.max_by("comp", "ver").alias("comp"),
-                                F.max("ver").alias("ver"),
-                            )
-                        )
-                        _rewrite_bucketed_state(
-                            spark, comp_dir, comp_tbl, folded, cb, ["id"]
-                        )
-                else:
-                    prev_state = _read_state(spark, comp_dir)
-                    new_state = update_components(prev_state, comp_edges)
-                    tmp = comp_dir + TMP_SUFFIX
-                    new_state.write.mode("overwrite").parquet(tmp)
-                    if os.path.exists(comp_dir):
-                        atomic_swap_dirs(comp_dir)
-                    else:
-                        os.rename(tmp, comp_dir)
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
             if maintain_vocab:

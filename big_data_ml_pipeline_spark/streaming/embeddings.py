@@ -68,6 +68,8 @@ def ingest_embeddings_stream(
     compact_every: int | None = None,
     track_drift: bool = False,
     cell_n_buckets: int | None = None,
+    track_components: bool = False,
+    components_n_buckets: int | None = None,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -116,15 +118,39 @@ def ingest_embeddings_stream(
     ``_BUCKET_SPEC`` marker written at registration time refuses
     reopening at a different bucket count.
 
+    With ``track_components=True``, the ingest also maintains
+    ``{out_dir}_components`` — (id, comp) labels for every SEMANTIC
+    duplicate group seen across the whole ingest history, the
+    embedding-space sibling of the document ingest's group tracking.
+    Edges are exactly the drop evidence each screen produces: exact
+    star edges from the fingerprint reductions, within-batch cosine
+    pairs per IVF cell (the SemDeDup rule's own pair set), and
+    cross-batch cosine matches. Because only survivors land, the
+    dropped vectors' (id, v, cell, fp) rows are appended to
+    ``{out_dir}_screened`` and the cross-batch screen probes landed ∪
+    screened — a new vector chained ONLY through a dropped twin still
+    joins its group AND is still dropped, as one-shot batch semantics
+    would. Keep/drop stays SemDeDup's greedy lower-id-twin rule; the
+    group labels are connected components over the pair evidence
+    (merged incrementally by
+    :func:`~..operators.dedup.update_components`; ``comp`` = min id
+    reachable). ``components_n_buckets`` selects the append-only
+    versioned id-bucketed state layout, exactly as on the document
+    ingest. Write order: components BEFORE the corpus append (replay
+    idempotence), screened extras after it (re-derived on replay).
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from pyspark.errors import AnalysisException
 
+    from ..operators.similarity import cosine_near_dup_pairs
     from ..sources.state import recover_interrupted_swap
     from .corpus import (
         _append_bucketed,
         _check_bucket_marker,
+        _components_setup,
         _has_parquet,
+        _merge_component_state,
         _register_bucketed_state,
         _rewrite_bucketed_state,
         _state_table_name,
@@ -135,6 +161,14 @@ def ingest_embeddings_stream(
     # compaction swap a previous run crashed inside, or a restarted
     # stream would see landed=None and re-ingest duplicates (ADVICE r6).
     recover_interrupted_swap(out_dir.rstrip("/"))
+    comp_dir = out_dir.rstrip("/") + "_components"
+    screened_dir = out_dir.rstrip("/") + "_screened"
+    recover_interrupted_swap(comp_dir)
+    cb, comp_tbl = _components_setup(
+        stream.sparkSession, comp_dir, track_components,
+        components_n_buckets,
+        stream.schema[id_col].dataType.simpleString(),
+    )
 
     nb = int(cell_n_buckets or 0)
     if nb:
@@ -169,8 +203,21 @@ def ingest_embeddings_stream(
         tagged = batch_df.withColumn("fp", F.xxhash64(F.col(vec_col)))
         cached = tagged.persist()
         try:
-            # 1: exact dedup, within-batch then vs landed.
+            # 1: exact dedup, within-batch then vs landed (and, under
+            # group tracking, vs the screened extras too — an exact
+            # twin of a DROPPED vector is dropped in batch mode).
             keep = cached.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            exact_within = None
+            if track_components:
+                exact_within = (
+                    cached.select(F.col(id_col), "fp")
+                    .join(keep.withColumnRenamed(id_col, "__keep"), on="fp")
+                    .filter(F.col(id_col) != F.col("__keep"))
+                    .select(
+                        F.col("__keep").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
             batch = cached.join(keep, on=[id_col, "fp"], how="left_semi")
             if nb:
                 # The bucketed table read carries its `cell` hash
@@ -183,37 +230,130 @@ def ingest_embeddings_stream(
                 )
             else:
                 landed = _read_state(spark, out_dir)
-            if landed is not None:
-                batch = batch.join(landed.select("fp"), on="fp", how="left_anti")
-            # 2: within-batch semantic dedup (min-id rep per clique).
-            kept_ids = (
-                semdedup(batch, centroids, threshold=threshold,
-                         id_col=id_col, vec_col=vec_col)
-                .filter(F.col("is_kept") == 1)
-                .select(id_col)
-            )
-            batch = batch.join(kept_ids, on=id_col, how="left_semi")
-            # 3: cross-batch semantic screen via the landed cells.
-            assigned = ivf_index(batch, centroids, id_col=id_col, vec_col=vec_col)
-            assigned = assigned.join(
-                batch.select(id_col, "fp"), on=id_col
-            )
-            if landed is not None:
-                near = (
-                    assigned.join(
-                        landed.select(
-                            F.col("cell"), F.col("v").alias("__lv")
-                        ),
-                        on="cell",
+            if track_components:
+                extras = _read_state(spark, screened_dir)
+                probe = landed
+                if extras is not None:
+                    ex_proj = extras.select(id_col, "v", "cell", "fp")
+                    probe = (
+                        probe.select(id_col, "v", "cell", "fp")
+                        .unionByName(ex_proj)
+                        if probe is not None
+                        else ex_proj
                     )
-                    .filter(
-                        cosine_similarity(F.col("v"), F.col("__lv"))
-                        >= F.lit(threshold)
+            else:
+                probe = landed
+            exact_cross = None
+            if track_components and probe is not None:
+                state_min = (
+                    probe.select("fp", F.col(id_col))
+                    .join(
+                        F.broadcast(batch.select("fp").distinct()),
+                        on="fp", how="left_semi",
                     )
-                    .select(id_col)
-                    .distinct()
+                    .groupBy("fp")
+                    .agg(F.min(id_col).alias("__sid"))
                 )
-                assigned = assigned.join(near, on=id_col, how="left_anti")
+                exact_cross = (
+                    batch.select(F.col(id_col), "fp")
+                    .join(state_min, on="fp")
+                    .select(
+                        F.col("__sid").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
+            if probe is not None:
+                batch = batch.join(probe.select("fp"), on="fp", how="left_anti")
+            if track_components:
+                # 2+3 with pair evidence: assignment ONCE on the full
+                # post-exact batch; within-batch pairs are the SemDeDup
+                # rule's own pair set (identical params), cross-batch
+                # matches keep (batch id, state id).
+                assigned_b = ivf_index(
+                    batch, centroids, id_col=id_col, vec_col=vec_col
+                ).join(batch.select(id_col, "fp"), on=id_col)
+                pairs_w = cosine_near_dup_pairs(
+                    assigned_b, block_cols=["cell"], threshold=threshold,
+                    id_col=id_col, vec_col="v", max_block_size=4096,
+                ).select("id_a", "id_b")
+                near_pairs = None
+                if probe is not None:
+                    near_pairs = (
+                        assigned_b.join(
+                            probe.select(
+                                F.col("cell"),
+                                F.col("v").alias("__lv"),
+                                F.col(id_col).alias("__sid"),
+                            ),
+                            on="cell",
+                        )
+                        .filter(
+                            cosine_similarity(F.col("v"), F.col("__lv"))
+                            >= F.lit(threshold)
+                        )
+                        .select(
+                            F.col("__sid").alias("id_a"),
+                            F.col(id_col).alias("id_b"),
+                        )
+                    )
+                comp_edges = pairs_w
+                for extra_e in (exact_within, exact_cross, near_pairs):
+                    if extra_e is not None:
+                        comp_edges = comp_edges.unionByName(extra_e)
+                # Pin edges BEFORE any state write below.
+                comp_edges = comp_edges.localCheckpoint(eager=True)
+                # Drops: greedy lower-id within-batch twins + any
+                # cross-batch match (same evidence as the edges).
+                dropped_w = pairs_w.select(
+                    F.col("id_b").alias(id_col)
+                ).distinct()
+                dropped_x = (
+                    near_pairs.select(F.col("id_b").alias(id_col)).distinct()
+                    if near_pairs is not None
+                    else None
+                )
+                assigned = assigned_b.join(
+                    dropped_w, on=id_col, how="left_anti"
+                )
+                if dropped_x is not None:
+                    assigned = assigned.join(
+                        dropped_x, on=id_col, how="left_anti"
+                    )
+                _merge_component_state(
+                    spark, comp_dir, comp_tbl, cb, comp_edges,
+                    batch_id, stream.schema[id_col].dataType,
+                    compact_every=compact_every,
+                )
+            else:
+                # 2: within-batch semantic dedup (min-id rep per clique).
+                kept_ids = (
+                    semdedup(batch, centroids, threshold=threshold,
+                             id_col=id_col, vec_col=vec_col)
+                    .filter(F.col("is_kept") == 1)
+                    .select(id_col)
+                )
+                batch = batch.join(kept_ids, on=id_col, how="left_semi")
+                # 3: cross-batch semantic screen via the landed cells.
+                assigned = ivf_index(batch, centroids, id_col=id_col, vec_col=vec_col)
+                assigned = assigned.join(
+                    batch.select(id_col, "fp"), on=id_col
+                )
+                if landed is not None:
+                    near = (
+                        assigned.join(
+                            landed.select(
+                                F.col("cell"), F.col("v").alias("__lv")
+                            ),
+                            on="cell",
+                        )
+                        .filter(
+                            cosine_similarity(F.col("v"), F.col("__lv"))
+                            >= F.lit(threshold)
+                        )
+                        .select(id_col)
+                        .distinct()
+                    )
+                    assigned = assigned.join(near, on=id_col, how="left_anti")
             # 4: single append — the survivors ARE the new state.
             survivors = assigned.select(id_col, "v", "cell", "fp").localCheckpoint(
                 eager=True
@@ -240,6 +380,21 @@ def ingest_embeddings_stream(
                 _append_bucketed(survivors, emb_tbl, nb, ["cell"])
             else:
                 survivors.write.mode("append").parquet(out_dir)
+            if track_components:
+                # Screened extras: the DROPPED vectors' rows, so later
+                # batches can chain (and be screened) through them.
+                # After the corpus append — a replayed batch re-derives
+                # them (dropped vectors never land, so they survive the
+                # exact screen on replay); duplicate extra rows are
+                # benign (distinct pair evidence, idempotent merges).
+                extras_delta = (
+                    assigned_b.join(
+                        survivors.select(id_col), on=id_col, how="left_anti"
+                    )
+                    .select(id_col, "v", "cell", "fp")
+                    .localCheckpoint(eager=True)
+                )
+                extras_delta.write.mode("append").parquet(screened_dir)
             if track_drift:
                 # Cell-histogram JSD of the checkpointed survivors vs
                 # the pre-append landed snapshot. Written after the

@@ -2285,3 +2285,94 @@ def test_streaming_components_heal_lost_index_rows(
         for r in spark.read.parquet(out + "_components").collect()
     }
     assert got == expect == {1: 1, 10: 1, 30: 30, 40: 30}
+
+
+def test_streaming_embedding_track_components(spark, tmp_path):
+    """Semantic duplicate-GROUP tracking on the embedding ingest
+    (``track_components``): a cosine chain that crosses batches
+    through a DROPPED vector — v1 (lands) ~ v2 (dropped) ~ v3, with
+    cos(v1,v3) below threshold — still groups {v1,v2,v3} together AND
+    still drops v3 (the screened-extras table carries dropped vectors'
+    rows), exactly as one-shot batch semantics would. Exact duplicates
+    join groups through fingerprint star edges. The final labels equal
+    CC over the full input's exact + within-cell cosine pair
+    evidence."""
+    import math
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+    from big_data_ml_pipeline_spark.operators import similarity as sim_ops
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+    from pyspark.sql import functions as F
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    v1, v2, v3 = rot(0), rot(20), rot(40)   # cos(v1,v2)=cos(v2,v3)=.94
+    e2 = [0.0, 0.0, 1.0, 0.0]               # cos(v1,v3)=.766 < .9
+    shards = [
+        [(1, v1, 0)],
+        [(10, v2, 0), (4, v1, 0), (30, e2, 0)],  # 4 = exact dup of 1
+        [(20, v3, 0)],
+    ]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    thr = 0.9
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, ["vec_id", "embedding", "label"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), centroids=cents, threshold=thr,
+        track_components=True,
+    )
+
+    landed = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert landed == [1, 30]  # v3 dropped ONLY via the screened extras
+    # extras hold exactly the dropped semantic vectors
+    extras = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(out + "_screened").collect()
+    )
+    assert extras == [10, 20]
+
+    # batch reference: CC over exact-fp stars + within-cell cosine
+    # pairs of the FULL input at the same threshold/params.
+    full = spark.createDataFrame(
+        [r for rows in shards for r in rows],
+        ["vec_id", "embedding", "label"],
+    )
+    assigned = sim_ops.ivf_index(full, cents)
+    cos_pairs = sim_ops.cosine_near_dup_pairs(
+        assigned, block_cols=["cell"], threshold=thr,
+        id_col="vec_id", vec_col="v", max_block_size=4096,
+    ).select("id_a", "id_b")
+    fp_tag = full.select(
+        "vec_id", F.xxhash64(F.col("embedding")).alias("fp")
+    )
+    keep = fp_tag.groupBy("fp").agg(F.min("vec_id").alias("__k"))
+    fp_edges = (
+        fp_tag.join(keep, on="fp")
+        .filter(F.col("vec_id") != F.col("__k"))
+        .select(F.col("__k").alias("id_a"), F.col("vec_id").alias("id_b"))
+    )
+    expect = {
+        r["id"]: r["comp"]
+        for r in dedup_ops.connected_components_alternating(
+            cos_pairs.unionByName(fp_edges)
+        ).collect()
+    }
+    got = {
+        r["id"]: r["comp"]
+        for r in spark.read.parquet(out + "_components").collect()
+    }
+    assert got == expect == {1: 1, 4: 1, 10: 1, 20: 1}
