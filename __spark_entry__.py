@@ -2886,6 +2886,18 @@ def q158_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(F.col("id").cast("long"), F.col("comp").cast("long"))
 
 
+def q159_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning (text.ccnet_buckets): each
+    language's documents ranked by the q106 corpus-unigram LM proxy
+    and NTILE'd into three equal-count quality tiers, reported as
+    (lang, bucket, n_docs, n_tokens_total, min_logp, max_logp) — the
+    table the CCNet recipe reads to decide which tiers train. Exact by
+    construction: integer-micro-unit log-probs, (score DESC, id ASC)
+    tie-breaks, integer aggregates plus exact min/max selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.ccnet_buckets(docs, n_buckets=3)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3050,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_training_corpus": q156_training_corpus,
         "q157_ivf_nprobe_recall": q157_ivf_nprobe_recall,
         "q158_incremental_components": q158_incremental_components,
+        "q159_ccnet_buckets": q159_ccnet_buckets,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

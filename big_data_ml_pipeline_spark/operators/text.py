@@ -2345,6 +2345,52 @@ def distribution_shift_from_counts(
     )
 
 
+def ccnet_buckets(
+    df: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets"):
+    rank each language's documents by their LM quality proxy
+    (:func:`unigram_loglik` — the corpus's own unigram distribution)
+    and split them into ``n_buckets`` equal-count tiers with NTILE —
+    bucket 1 ("head") is the most natural text, the last bucket
+    ("tail") the gibberish end. Downstream recipes train on head+middle
+    or weight buckets differently; this emits the per-(lang, bucket)
+    report that drives that decision: (lang, bucket, n_docs,
+    n_tokens_total, min_logp, max_logp).
+
+    Determinism (oracle-checkable): the LM score is q106's
+    integer-micro-unit-exact mean log10 probability (empty docs score
+    0.0 — never NULL, so tier ordering has no null-placement
+    ambiguity), NTILE orders by (mean_logp DESC, id ASC), and every
+    aggregate is an integer count/sum or an exact min/max selection.
+
+    Scale shape: the loglik pass is q106's (one vocab shuffle, vocab
+    broadcast back, one id shuffle); the tiering adds ONE window over
+    (lang) — per-language, not global, so no single-reducer global
+    sort — and one (lang, bucket) aggregation with map-side partials.
+    """
+    scores = unigram_loglik(df, text_col=text_col, id_col=id_col)
+    tagged = scores.join(df.select(F.col(id_col), lang_col), on=id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("mean_logp").desc(), F.col(id_col).asc()
+    )
+    return (
+        tagged.withColumn("bucket", F.ntile(n_buckets).over(w))
+        .groupBy(lang_col, F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+            F.min("mean_logp").alias("min_logp"),
+            F.max("mean_logp").alias("max_logp"),
+        )
+    )
+
+
 def unigram_loglik_from_counts(
     df: DataFrame,
     counts: DataFrame,

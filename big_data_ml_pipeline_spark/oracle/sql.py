@@ -1435,6 +1435,44 @@ SELECT t.doc_id,
 FROM t LEFT JOIN pd USING (doc_id)
 """
 
+_Q159_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_LTOKS} AS ltoks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ltoks) AS token FROM t),
+v AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (
+  SELECT SUM(cnt) AS n_total FROM v),
+vq AS (
+  SELECT token,
+         CAST(ROUND(log10(CAST(cnt AS DOUBLE) / n_total) * 1000000) AS BIGINT)
+           AS logp_q
+  FROM v, tot),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(logp_q) AS sum_q
+  FROM tok JOIN vq USING (token) GROUP BY doc_id),
+scored AS (
+  SELECT t.doc_id, t.lang,
+    CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+    CASE WHEN COALESCE(n_tokens, 0) > 0 THEN
+      CAST(sum_q AS DOUBLE) / 1000000.0 / n_tokens
+    ELSE 0.0 END AS mean_logp
+  FROM t LEFT JOIN pd USING (doc_id)),
+tiered AS (
+  SELECT lang, n_tokens, mean_logp,
+         CAST(NTILE(3) OVER (PARTITION BY lang
+                             ORDER BY mean_logp DESC, doc_id ASC)
+              AS BIGINT) AS bucket
+  FROM scored)
+SELECT lang, bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total,
+  MIN(mean_logp) AS min_logp,
+  MAX(mean_logp) AS max_logp
+FROM tiered GROUP BY lang, bucket
+"""
+
 _Q107_SQL = f"""
 WITH t AS (
   SELECT doc_id, lang, source,
@@ -3454,5 +3492,6 @@ def oracle_sql() -> dict[str, str]:
         "q156_training_corpus": _Q156_SQL,
         "q157_ivf_nprobe_recall": _Q157_SQL,
         "q158_incremental_components": _Q158_SQL,
+        "q159_ccnet_buckets": _Q159_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

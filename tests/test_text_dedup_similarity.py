@@ -1741,3 +1741,34 @@ def test_bpe_span_excision_matches_literal_python(spark):
         # vacuous — ADVICE r8 — and is subsumed by this assertion).
         assert got_clean[did] == (kept, len(toks), len(removed)), did
     assert got_spans == expect_spans
+
+
+def test_ccnet_buckets_tier_invariants(spark):
+    """ccnet_buckets (q159): per language the NTILE split is
+    equal-count (sizes differ by at most 1), every document lands in
+    exactly one tier, and tier score ranges are ordered — bucket 1's
+    minimum mean_logp is >= bucket 2's maximum, etc. (the head IS the
+    most natural text)."""
+    rows = []
+    for lang, n in (("en", 10), ("de", 7)):
+        for i in range(n):
+            # vary naturalness: more repeats of corpus-common tokens
+            # => higher unigram loglik
+            common = "the and of to in " * (i + 1)
+            rare = f"zz{lang}{i}q xx{lang}{i}w "
+            rows.append((len(rows), lang, (common + rare).strip()))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    rep = text_ops.ccnet_buckets(docs, n_buckets=3).collect()
+    by_lang: dict = {}
+    for r in rep:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    for lang, n in (("en", 10), ("de", 7)):
+        tiers = by_lang[lang]
+        assert sorted(tiers) == [1, 2, 3]
+        sizes = [tiers[b]["n_docs"] for b in (1, 2, 3)]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1
+        # ordered, non-overlapping score ranges head -> tail
+        assert tiers[1]["min_logp"] >= tiers[2]["max_logp"]
+        assert tiers[2]["min_logp"] >= tiers[3]["max_logp"]
+        assert tiers[1]["max_logp"] >= tiers[1]["min_logp"]
