@@ -329,7 +329,10 @@ def _group_running_total(
         n_tok.alias("n_tokens"),
     )
     if n_buckets is None or n_buckets <= 1:
-        if cut_points is not None:
+        if cut_points is not None and n_buckets is None:
+            # n_buckets <= 1 is the DOCUMENTED single-window fallback
+            # (cuts legitimately unused there); only a missing
+            # n_buckets next to explicit cuts is a caller mistake.
             raise ValueError(
                 "bucket_cuts given but n_buckets is not set — the cut "
                 "points would be silently discarded and the cumsum "
@@ -2366,8 +2369,12 @@ def ccnet_buckets(
     Determinism (oracle-checkable): the LM score is q106's
     integer-micro-unit-exact mean log10 probability (empty docs score
     0.0 — never NULL, so tier ordering has no null-placement
-    ambiguity), NTILE orders by (mean_logp DESC, id ASC), and every
-    aggregate is an integer count/sum or an exact min/max selection.
+    ambiguity), NTILE orders by (has-tokens DESC, mean_logp DESC,
+    id ASC) — the leading has-tokens key sinks empty/token-less
+    documents to the TAIL end (their sentinel 0.0 would otherwise
+    outrank every real document's strictly-negative score and put the
+    worst docs in the head tier) — and every aggregate is an integer
+    count/sum or an exact min/max selection.
 
     Scale shape: the loglik pass is q106's (one vocab shuffle, vocab
     broadcast back, one id shuffle); the tiering adds ONE window over
@@ -2377,7 +2384,9 @@ def ccnet_buckets(
     scores = unigram_loglik(df, text_col=text_col, id_col=id_col)
     tagged = scores.join(df.select(F.col(id_col), lang_col), on=id_col)
     w = Window.partitionBy(lang_col).orderBy(
-        F.col("mean_logp").desc(), F.col(id_col).asc()
+        (F.col("n_tokens") > 0).desc(),
+        F.col("mean_logp").desc(),
+        F.col(id_col).asc(),
     )
     return (
         tagged.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -1462,7 +1462,8 @@ scored AS (
 tiered AS (
   SELECT lang, n_tokens, mean_logp,
          CAST(NTILE(3) OVER (PARTITION BY lang
-                             ORDER BY mean_logp DESC, doc_id ASC)
+                             ORDER BY (n_tokens > 0) DESC,
+                                      mean_logp DESC, doc_id ASC)
               AS BIGINT) AS bucket
   FROM scored)
 SELECT lang, bucket,

@@ -432,8 +432,8 @@ class PipelineOrchestrator:
         _cuts_cache: dict[int, list[float]] = {}
 
         def _shared_cuts(nb):
-            if not nb:
-                return None
+            if not nb or nb <= 1:
+                return None  # single-window fallback needs no cuts
             if nb not in _cuts_cache:
                 _cuts_cache[nb] = text_ops.compute_bucket_cuts(
                     df, id_col, nb

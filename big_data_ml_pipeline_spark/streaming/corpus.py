@@ -530,8 +530,6 @@ def ingest_documents_stream(
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.dedup import (
         compact_minhash_index,
         connected_components_alternating,
@@ -637,19 +635,7 @@ def ingest_documents_stream(
     else:
         mh_tbl = None
 
-    def _read_state(spark, path):
-        """Landed-state read that treats ONLY a missing/empty path as
-        'first batch'. Any other failure (permissions, corrupt footer)
-        must fail the batch — swallowing it would silently disable
-        dedup and land duplicates."""
-        if not os.path.exists(path):
-            return None
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
-                return None  # dir exists but holds no parquet yet
-            raise
+    _read_state = _read_state_dir  # shared missing-vs-corrupt handling
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -915,11 +901,32 @@ def ingest_documents_stream(
             if near_dup_threshold is not None:
                 # Group tracking indexes ALL screened docs (dropped
                 # near-dups included), so later batches can chain
-                # through them exactly as batch-mode CC would.
-                mi = minhash_index(
-                    screened if track_components else survivors,
-                    text_col, id_col,
-                )
+                # through them exactly as batch-mode CC would — EXCEPT
+                # fresh cross-batch exact dups (fp already landed, id
+                # not): their signatures are byte-identical to their
+                # landed keeper's, so indexing them would only bloat
+                # hot (band, bucket)s and let the lowest-id compaction
+                # cap evict distinct docs' witness rows. The replay
+                # heal only needs rows whose id IS landed.
+                if track_components:
+                    idx_src = screened
+                    if seen is not None:
+                        fresh_dups = (
+                            screened.join(
+                                seen.select("fp"), on="fp", how="left_semi"
+                            )
+                            .join(
+                                seen.select(id_col), on=id_col,
+                                how="left_anti",
+                            )
+                            .select(id_col)
+                        )
+                        idx_src = screened.join(
+                            fresh_dups, on=id_col, how="left_anti"
+                        )
+                else:
+                    idx_src = survivors
+                mi = minhash_index(idx_src, text_col, id_col)
                 if mh_buckets:
                     _append_bucketed(
                         mi, mh_tbl, mh_buckets, ["band", "bucket"]

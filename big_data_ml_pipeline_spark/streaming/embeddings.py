@@ -141,8 +141,6 @@ def ingest_embeddings_stream(
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.similarity import cosine_near_dup_pairs
     from ..sources.state import recover_interrupted_swap
     from .corpus import (
@@ -151,6 +149,7 @@ def ingest_embeddings_stream(
         _components_setup,
         _has_parquet,
         _merge_component_state,
+        _read_state_dir,
         _register_bucketed_state,
         _rewrite_bucketed_state,
         _state_table_name,
@@ -188,15 +187,7 @@ def ingest_embeddings_stream(
     else:
         emb_tbl = None
 
-    def _read_state(spark, path):
-        if not os.path.exists(path):
-            return None
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
-                return None
-            raise
+    _read_state = _read_state_dir  # shared missing-vs-corrupt handling
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -232,27 +223,31 @@ def ingest_embeddings_stream(
                 landed = _read_state(spark, out_dir)
             if track_components:
                 extras = _read_state(spark, screened_dir)
-                probe = landed
-                if extras is not None:
-                    ex_proj = extras.select(id_col, "v", "cell", "fp")
-                    probe = (
-                        probe.select(id_col, "v", "cell", "fp")
-                        .unionByName(ex_proj)
-                        if probe is not None
-                        else ex_proj
-                    )
+                # Landed and extras are probed SEPARATELY: a union
+                # would discard the landed catalog table's CLUSTERED BY
+                # (cell) distribution and re-shuffle the whole corpus
+                # side per batch — the exchange cell_n_buckets exists
+                # to eliminate. Each state frame keeps its own join.
+                states = [s for s in (landed, extras) if s is not None]
             else:
-                probe = landed
+                states = [landed] if landed is not None else []
             exact_cross = None
-            if track_components and probe is not None:
-                state_min = (
-                    probe.select("fp", F.col(id_col))
+            if track_components and states:
+                per_state_min = [
+                    s.select("fp", F.col(id_col))
                     .join(
                         F.broadcast(batch.select("fp").distinct()),
                         on="fp", how="left_semi",
                     )
                     .groupBy("fp")
                     .agg(F.min(id_col).alias("__sid"))
+                    for s in states
+                ]
+                state_min = per_state_min[0]
+                for sm in per_state_min[1:]:
+                    state_min = state_min.unionByName(sm)
+                state_min = state_min.groupBy("fp").agg(
+                    F.min("__sid").alias("__sid")
                 )
                 exact_cross = (
                     batch.select(F.col(id_col), "fp")
@@ -262,25 +257,27 @@ def ingest_embeddings_stream(
                         F.col(id_col).alias("id_b"),
                     )
                 )
-            if probe is not None:
-                batch = batch.join(probe.select("fp"), on="fp", how="left_anti")
+            for s in states:
+                batch = batch.join(s.select("fp"), on="fp", how="left_anti")
             if track_components:
                 # 2+3 with pair evidence: assignment ONCE on the full
                 # post-exact batch; within-batch pairs are the SemDeDup
                 # rule's own pair set (identical params), cross-batch
-                # matches keep (batch id, state id).
+                # matches keep (batch id, state id). Both pair frames
+                # are pinned eagerly so the drop anti-joins below reuse
+                # them instead of re-running the cosine joins.
                 assigned_b = ivf_index(
                     batch, centroids, id_col=id_col, vec_col=vec_col
                 ).join(batch.select(id_col, "fp"), on=id_col)
                 pairs_w = cosine_near_dup_pairs(
                     assigned_b, block_cols=["cell"], threshold=threshold,
                     id_col=id_col, vec_col="v", max_block_size=4096,
-                ).select("id_a", "id_b")
+                ).select("id_a", "id_b").localCheckpoint(eager=True)
                 near_pairs = None
-                if probe is not None:
-                    near_pairs = (
+                if states:
+                    per_state = [
                         assigned_b.join(
-                            probe.select(
+                            s.select(
                                 F.col("cell"),
                                 F.col("v").alias("__lv"),
                                 F.col(id_col).alias("__sid"),
@@ -295,7 +292,12 @@ def ingest_embeddings_stream(
                             F.col("__sid").alias("id_a"),
                             F.col(id_col).alias("id_b"),
                         )
-                    )
+                        for s in states
+                    ]
+                    near_pairs = per_state[0]
+                    for ps in per_state[1:]:
+                        near_pairs = near_pairs.unionByName(ps)
+                    near_pairs = near_pairs.localCheckpoint(eager=True)
                 comp_edges = pairs_w
                 for extra_e in (exact_within, exact_cross, near_pairs):
                     if extra_e is not None:
@@ -303,7 +305,8 @@ def ingest_embeddings_stream(
                 # Pin edges BEFORE any state write below.
                 comp_edges = comp_edges.localCheckpoint(eager=True)
                 # Drops: greedy lower-id within-batch twins + any
-                # cross-batch match (same evidence as the edges).
+                # cross-batch match (same evidence as the edges, read
+                # from the pinned frames).
                 dropped_w = pairs_w.select(
                     F.col("id_b").alias(id_col)
                 ).distinct()

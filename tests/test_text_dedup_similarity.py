@@ -1772,3 +1772,25 @@ def test_ccnet_buckets_tier_invariants(spark):
         assert tiers[1]["min_logp"] >= tiers[2]["max_logp"]
         assert tiers[2]["min_logp"] >= tiers[3]["max_logp"]
         assert tiers[1]["max_logp"] >= tiers[1]["min_logp"]
+
+
+def test_ccnet_buckets_empty_docs_sink_to_tail(spark):
+    """Token-less documents score the 0.0 sentinel — ABOVE every real
+    document's strictly-negative mean log10 probability — so the tier
+    ordering leads with a has-tokens key: empties must land in the
+    LAST bucket, never the head the recipe trains on."""
+    rows = [(i, "en", "the and of to in common words here now so") for i in range(6)]
+    rows += [(100, "en", ""), (101, "en", "   ")]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    rep = text_ops.ccnet_buckets(docs, n_buckets=3)
+    # tier sizes: 8 docs -> 3/3/2; both empties must be in bucket 3
+    per_doc = (
+        text_ops.unigram_loglik(docs)
+        .filter("n_tokens = 0")
+        .count()
+    )
+    assert per_doc == 2
+    tiers = {r["bucket"]: r for r in rep.collect()}
+    assert tiers[3]["n_docs"] == 2
+    assert tiers[3]["n_tokens_total"] == 0  # the tail IS the empties
+    assert tiers[1]["n_docs"] == 3 and tiers[2]["n_docs"] == 3
