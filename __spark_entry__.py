@@ -2898,6 +2898,48 @@ def q159_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.ccnet_buckets(docs, n_buckets=3)
 
 
+def q160_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (ml/quality.py — the CCNet §4.3 /
+    DataComp-LM composition, VERDICT r9 item 2): train M9
+    LogisticRegression on this corpus's own head-vs-tail q159 tiers
+    (weak labels) over q103's rule signals + q106's LM proxy
+    (features), then score EVERY document — (doc_id, p_head, keep).
+    Rows-only: LR probabilities are iterative-solver floats with no
+    SQL twin; pytest pins an AUC floor on a planted-quality corpus,
+    exact row preservation, and head>tail mean-score separation."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_scores(docs, lang_col="lang")
+
+
+def q161_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe duplicate-group-aware split (setops.component_split
+    — VERDICT r9 item 3): resolve the shared q83 duplicate components,
+    then hash-split on md5(GROUP label) instead of md5(doc id), so a
+    near-dup pair can never straddle train/test (q46's row-keyed split
+    can strand twins across the boundary, silently re-introducing the
+    contamination q105/q124 scrubbed). Reports per-split doc and group
+    counts; straddle-freedom itself is pinned in pytest. Oracle: the
+    q83 recursive-CTE labels + the q46 md5 bucket pattern on the
+    group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = dedup_ops.connected_components(_dedup_edge_set(docs))
+    train, test = set_ops.component_split(
+        docs, labels, id_col="doc_id", group_col="grp"
+    )
+
+    def per_split(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("grp").cast("long").alias("n_groups"),
+        ).select(F.lit(name).alias("split"), "n_docs", "n_groups")
+
+    return per_split(train, "train").unionByName(per_split(test, "test"))
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3063,6 +3105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_ivf_nprobe_recall": q157_ivf_nprobe_recall,
         "q158_incremental_components": q158_incremental_components,
         "q159_ccnet_buckets": q159_ccnet_buckets,
+        "q160_quality_classifier": q160_quality_classifier,
+        "q161_component_split": q161_component_split,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

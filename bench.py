@@ -6,7 +6,15 @@ materialized with the noop writer (all columns computed, no sink
 cost) so Catalyst can't prune away the work being measured.
 
 Output: {"metric": "total_query_seconds", "value": N, "unit": "sec",
-         "queries": {"q01": sec, ...}, "sf": 0.1}
+         "queries": {"q01": sec, ...}, "sf": 0.1,
+         "anchor": "r9", "worst_ratio": X, "over15": [...]}
+
+The anchor block makes each round's BENCH file self-certifying: every
+query is min-of-2 (min-of-3 when the first two runs disagree >1.5× —
+the signature of a contended run), and worst_ratio/over15 compare those
+mins against the newest blessed BENCH_ANCHOR_r{N}.json so a regression
+(over15 non-empty on unchanged code) is distinguishable from
+environment noise without re-running anything.
 
 Round-1 lesson (BENCH_r01.json parsed:null): the driver keeps only a
 ~2000-char tail of stdout and parses the JSON from it, so the line must
@@ -24,12 +32,39 @@ the deliberately-slow cross-engine hash family, not the engine
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_anchor(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
+    """Newest blessed per-query anchor (BENCH_ANCHOR_r{N}.json, max N).
+
+    Returns ("rN", {"q01": sec, ...}); ("none", {}) if no anchor exists
+    or the anchor was measured at a different scale factor (cross-SF
+    ratios compare fixed job overhead, not engine throughput — a
+    sf0.001 debug run against sf0.1 anchors reads as a 3× "regression").
+    The anchor is the per-query MIN over the prior round's clean runs —
+    comparing the current min against it separates regression from the
+    environment's documented ±30-100% contention noise (VERDICT r9 #1).
+    """
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_ANCHOR_r*.json")):
+        m = re.search(r"BENCH_ANCHOR_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return "none", {}
+    with open(best_path) as f:
+        blessed = json.load(f)
+    if float(blessed.get("sf", -1)) != sf:
+        return "none", {}
+    return f"r{best_n}", blessed["queries"]
 
 #: Queries measured per round: every oracle-checked query plus the
 #: heavier rows-only extension operators (ML training excluded — model
@@ -109,8 +144,15 @@ def main() -> None:
     # runs are ±30% noisy here (JIT, page cache, GC), enough to push a
     # round over the 2×-of-baseline line spuriously. min-of-2 measures
     # steady-state execution; run 1 doubles as the query's own codegen
-    # warm-up.
+    # warm-up. When the two runs disagree >1.5× the query gets a THIRD
+    # run (VERDICT r9 #1): a contended run corrupts run 1 far more often
+    # than both runs, so the escalation recovers the clean number and the
+    # reported min self-certifies against the blessed anchor below.
+    anchor_name, anchor = load_anchor(
+        os.path.dirname(os.path.abspath(__file__)), sf
+    )
     timings: dict[str, float] = {}
+    ratios: dict[str, float] = {}
     for name in bench_queries:
         per_run = []
         for _ in range(2):
@@ -118,10 +160,24 @@ def main() -> None:
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             per_run.append(time.time() - t0)
+        if max(per_run) > 1.5 * min(per_run):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            per_run.append(time.time() - t0)
         timings[name] = round(min(per_run), 2)
+        short_name = name.split("_", 1)[0]
+        if anchor.get(short_name):
+            ratios[short_name] = round(timings[name] / anchor[short_name], 2)
         print(
             f"bench {name}: {timings[name]}s (runs: "
             + ", ".join(f"{t:.2f}" for t in per_run)
+            + (
+                f"; {ratios[short_name]}x anchor {anchor_name}"
+                if short_name in ratios
+                else "; no anchor"
+            )
             + ")",
             file=sys.stderr,
             flush=True,
@@ -132,17 +188,30 @@ def main() -> None:
     # (query ids are qNN-prefixed); guard anyway.
     short = {n.split("_", 1)[0]: t for n, t in timings.items()}
     assert len(short) == len(timings), "qNN prefixes must be unique"
-    line = json.dumps(
-        {
-            "metric": "total_query_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": short,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    # Compact self-certification block (VERDICT r9 #1): worst per-query
+    # ratio vs the newest blessed anchor plus the (expected-empty) list
+    # of queries >1.5× it. BENCH_r{N}.json alone now separates
+    # regression (over15 non-empty on clean code) from contention noise
+    # (min-of-2/3 already absorbed it). Kept tiny so the one-short-line
+    # stdout contract (driver tail ~2000 chars) survives.
+    over15 = sorted([q for q, r in ratios.items() if r > 1.5])
+    payload = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf,
+        "anchor": anchor_name,
+        "worst_ratio": max(ratios.values()) if ratios else None,
+        "over15": over15,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
     print(f"bench total: {total}s over {len(timings)} queries", file=sys.stderr)
+    print(
+        f"bench vs anchor {anchor_name}: worst {payload['worst_ratio']}x, "
+        f"over 1.5x: {over15 or 'none'}",
+        file=sys.stderr,
+    )
     print(f"bench json ({len(line)} chars): {line}", file=sys.stderr, flush=True)
     os.write(real_stdout, (line + "\n").encode())
     spark.stop()

@@ -574,6 +574,7 @@ def _compact_banded_index(
     bucket_cols: list[str],
     max_bucket_size: int | None = 1024,
     num_files: int | None = None,
+    prefer_ids: DataFrame | None = None,
 ) -> None:
     """Rewrite an append-grown banded index into a bounded, clustered
     layout. Incremental ingestion (streaming/corpus.py) appends one
@@ -601,37 +602,84 @@ def _compact_banded_index(
     from ..sources.writers import write_range_clustered
 
     idx = spark.read.parquet(path).dropDuplicates(["id", *bucket_cols])
-    if max_bucket_size is not None:
-        w = Window.partitionBy(*bucket_cols).orderBy("id")
-        idx = (
-            idx.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+    idx = _cap_index_buckets(idx, bucket_cols, max_bucket_size, prefer_ids)
     write_range_clustered(
         idx, path.rstrip("/") + TMP_SUFFIX, bucket_cols[-1], num_files=num_files
     )
     atomic_swap_dirs(path)
 
 
+def _cap_index_buckets(
+    idx: DataFrame,
+    bucket_cols: list[str],
+    max_bucket_size: int | None,
+    prefer_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the global per-bucket cap to an index frame. Default rule:
+    lowest ids win (identical to a fresh build). With ``prefer_ids``
+    (one id column — e.g. the LANDED corpus under group tracking,
+    ADVICE r9), preferred rows win the cap FIRST, lowest-id within each
+    class: a group-tracking index also holds DROPPED docs' rows, and a
+    dropped doc with a lower id must not evict a landed survivor's
+    witness row from a hot bucket — that would silently lower
+    cross-batch screen recall relative to non-tracking mode. Still
+    deterministic given the preferred set."""
+    if max_bucket_size is None:
+        return idx
+    if prefer_ids is not None:
+        pref = (
+            prefer_ids.select(
+                F.col(prefer_ids.columns[0]).alias("id")
+            )
+            .distinct()
+            .withColumn("__pref", F.lit(0))
+        )
+        # No broadcast hint: the preferred set is the landed corpus's
+        # ids — corpus-sized, so AQE must stay free to pick a shuffle
+        # join. Compaction is the offline path; one id-keyed exchange
+        # of the index here is the honest cost of the ordering.
+        idx = idx.join(pref, on="id", how="left").withColumn(
+            "__pref", F.coalesce(F.col("__pref"), F.lit(1))
+        )
+        order = [F.col("__pref").asc(), F.col("id").asc()]
+    else:
+        order = [F.col("id").asc()]
+    w = Window.partitionBy(*bucket_cols).orderBy(*order)
+    return (
+        idx.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket_size)
+        .drop("__rn", "__pref")
+    )
+
+
 def compact_minhash_index(
     spark, path: str, max_bucket_size: int | None = 1024,
     num_files: int | None = None,
+    prefer_ids: DataFrame | None = None,
 ) -> None:
     """Compact a persisted :func:`minhash_index` directory in place
     (columns id/sig/band/bucket). Query results are unchanged for any
     bucket under the cap; over-cap buckets keep the lowest-id
-    representatives, identical to a fresh full build."""
-    _compact_banded_index(spark, path, ["band", "bucket"], max_bucket_size, num_files)
+    representatives, identical to a fresh full build. ``prefer_ids``
+    (landed corpus under group tracking) win the cap first — see
+    :func:`_cap_index_buckets`."""
+    _compact_banded_index(
+        spark, path, ["band", "bucket"], max_bucket_size, num_files,
+        prefer_ids,
+    )
 
 
 def compact_simhash_index(
     spark, path: str, max_bucket_size: int | None = 1024,
     num_files: int | None = None,
+    prefer_ids: DataFrame | None = None,
 ) -> None:
     """Compact a persisted :func:`simhash_index` directory in place
     (columns id/sh/band/key)."""
-    _compact_banded_index(spark, path, ["band", "key"], max_bucket_size, num_files)
+    _compact_banded_index(
+        spark, path, ["band", "key"], max_bucket_size, num_files,
+        prefer_ids,
+    )
 
 
 def simhash_dedup_pairs(

@@ -78,6 +78,49 @@ def hash_split(
     return [df.filter(bucket < train_pct), df.filter(bucket >= train_pct)]
 
 
+def component_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split-42",
+    group_col: str | None = None,
+) -> list[DataFrame]:
+    """Leakage-safe train/test split (VERDICT r9 item 3): bucket on
+    ``md5(duplicate-group label)`` instead of md5(row id), so every
+    duplicate GROUP lands wholly on one side. Plain :func:`hash_split`
+    can strand near-duplicate twins across the boundary — a test
+    document whose near-copy sits in train is contamination that
+    ngram/semantic decontamination (q105/q124) scrubbed at corpus prep
+    and a row-keyed split silently reintroduces.
+
+    ``components`` is any (id, comp) label table — batch
+    :func:`~.dedup.connected_components` output or the streaming
+    ingests' maintained ``{out}_components`` state. Documents without
+    a label (never matched any duplicate screen) are singletons and
+    bucket on their own id, identical to :func:`hash_split`. With
+    ``group_col``, the resolved group label survives on the outputs
+    (e.g. for per-split group accounting).
+
+    Scale shape: ONE left equi-join of the corpus against the (much
+    smaller) label table, then the same map-only md5 bucket filter as
+    hash_split — content-deterministic across partitionings, cluster
+    sizes, and engines."""
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("comp").alias("__comp")
+    )
+    keyed = df.join(comp, on=id_col, how="left").withColumn(
+        "__grp", F.coalesce(F.col("__comp"), F.col(id_col))
+    )
+    train, test = hash_split(keyed, ["__grp"], train_pct, salt)
+    if group_col:
+        return [
+            s.withColumnRenamed("__grp", group_col).drop("__comp")
+            for s in (train, test)
+        ]
+    return [s.drop("__grp", "__comp") for s in (train, test)]
+
+
 def stratified_sample(
     df: DataFrame, col: str, fractions: dict, seed: int = 42
 ) -> DataFrame:

@@ -569,6 +569,20 @@ def ivf_recall_report(
     window over the candidate rows; the exact baseline is the q38
     broadcast knn_join. Only the query batch is ever broadcast."""
     spark = embeddings.sparkSession
+    # Normalize the budgets (ADVICE r9): a duplicate nprobe would emit
+    # duplicate (nprobe, cell_rank) rows in the budget fan-out below,
+    # double-counting every candidate inside that budget's ranking
+    # window and corrupting its top-k/recall; a budget beyond the cell
+    # count would silently report the exhaustive number under a label
+    # promising more cells than exist.
+    nprobes = tuple(sorted({int(n) for n in nprobes}))
+    if not nprobes or nprobes[0] < 1:
+        raise ValueError(f"nprobes must be positive ints, got {nprobes}")
+    if nprobes[-1] > len(centroids):
+        raise ValueError(
+            f"max nprobe {nprobes[-1]} exceeds the index's "
+            f"{len(centroids)} cells"
+        )
     cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
     max_np = max(nprobes)
     assigned = ivf_index(

@@ -1059,6 +1059,62 @@ SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS comp
 FROM reach GROUP BY id
 """
 
+# q161: the q83 recursive-CTE component labels + the q46 md5-bucket
+# split pattern applied to the GROUP key (docs without a label are
+# singletons bucketing on their own id) — the leakage-safe split's
+# per-split doc/group accounting.
+_Q161_SQL = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id, source AS blk, unnest({_DUCK_SHINGLES}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT id, COUNT(*) AS setsize FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+), jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.setsize + sb.setsize - n_inter) >= 0.2
+), fp AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp FROM documents
+), grp AS (
+  SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS first_id FROM fp GROUP BY fp
+), exact_edges AS (
+  SELECT g.first_id AS id_a, f.doc_id AS id_b
+  FROM fp f JOIN grp g USING (fp)
+  WHERE g.n_dups > 1 AND f.doc_id <> g.first_id
+), edges0 AS (
+  SELECT id_a, id_b FROM exact_edges UNION SELECT id_a, id_b FROM jac
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION SELECT id_b, id_a FROM edges0
+), verts AS (
+  SELECT DISTINCT src AS id FROM edges
+), reach(id, comp) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+), labels AS (
+  SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
+), keyed AS (
+  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS grp
+  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+), b AS (
+  SELECT grp,
+         CAST(concat('0x', substr(md5(
+           COALESCE('v' || CAST(grp AS VARCHAR), '~') || '|' || 'split-42'
+         ), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM keyed
+)
+SELECT 'train' AS split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups
+FROM b WHERE bucket < 80
+UNION ALL
+SELECT 'test' AS split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_groups
+FROM b WHERE bucket >= 80
+"""
+
 _Q84_SQL = """
 SELECT p_partkey,
   CAST(levenshtein(p_name, 'red widget') AS BIGINT) AS lev,
@@ -3494,5 +3550,6 @@ def oracle_sql() -> dict[str, str]:
         "q157_ivf_nprobe_recall": _Q157_SQL,
         "q158_incremental_components": _Q158_SQL,
         "q159_ccnet_buckets": _Q159_SQL,
+        "q161_component_split": _Q161_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

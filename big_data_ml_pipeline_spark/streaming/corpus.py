@@ -177,23 +177,21 @@ def compact_minhash_index_bucketed(
     path: str,
     n_buckets: int,
     max_bucket_size: int | None = 1024,
+    prefer_ids: DataFrame | None = None,
 ) -> None:
     """Bucketed-table variant of
     :func:`~..operators.dedup.compact_minhash_index`: same semantics —
     drop benign duplicate appends, re-apply the GLOBAL per-(band,
-    bucket) cap with lowest ids winning — but the rewrite preserves
-    the (band, bucket) bucket layout so the per-batch screen join
-    stays free of an index-side exchange."""
-    from pyspark.sql import Window
+    bucket) cap with lowest ids winning (``prefer_ids`` — the landed
+    corpus under group tracking — win first, ADVICE r9) — but the
+    rewrite preserves the (band, bucket) bucket layout so the
+    per-batch screen join stays free of an index-side exchange."""
+    from ..operators.dedup import _cap_index_buckets
 
     idx = spark.read.parquet(path).dropDuplicates(["id", "band", "bucket"])
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket").orderBy("id")
-        idx = (
-            idx.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size)
-            .drop("__rn")
-        )
+    idx = _cap_index_buckets(
+        idx, ["band", "bucket"], max_bucket_size, prefer_ids
+    )
     _rewrite_bucketed_state(
         spark, path, _minhash_table_name(path), idx, n_buckets,
         ["band", "bucket"],
@@ -938,12 +936,28 @@ def ingest_documents_stream(
                     and (batch_id + 1) % compact_every == 0
                     and os.path.exists(index_dir)
                 ):
+                    # Under group tracking the index also holds DROPPED
+                    # docs' rows; landed survivors' witness rows must
+                    # win the compaction cap over them or hot buckets
+                    # silently lose screen recall (ADVICE r9). The
+                    # corpus was appended above, so this read sees the
+                    # batch's own survivors too.
+                    prefer = None
+                    if track_components:
+                        landed_now = _read_state_dir(spark, out_dir)
+                        if landed_now is not None:
+                            prefer = landed_now.select(
+                                F.col(id_col).alias("id")
+                            )
                     if mh_buckets:
                         compact_minhash_index_bucketed(
-                            spark, index_dir, mh_buckets
+                            spark, index_dir, mh_buckets,
+                            prefer_ids=prefer,
                         )
                     else:
-                        compact_minhash_index(spark, index_dir)
+                        compact_minhash_index(
+                            spark, index_dir, prefer_ids=prefer
+                        )
             if span_dedup is not None:
                 from ..operators.text import gram_index as build_gram_index
 

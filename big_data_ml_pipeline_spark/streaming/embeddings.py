@@ -138,6 +138,12 @@ def ingest_embeddings_stream(
     versioned id-bucketed state layout, exactly as on the document
     ingest. Write order: components BEFORE the corpus append (replay
     idempotence), screened extras after it (re-derived on replay).
+    Under ``cell_n_buckets`` the screened extras share the landed
+    table's bucketed-on-``cell`` layout (their probes are the same
+    cell equi-joins), and ``compact_every`` folds them (dedup +
+    defragment — one file set per bucket again; see
+    :func:`compact_screened_extras`). An empty extras table costs one
+    ``head(1)`` probe per batch and nothing else.
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
@@ -163,6 +169,9 @@ def ingest_embeddings_stream(
     comp_dir = out_dir.rstrip("/") + "_components"
     screened_dir = out_dir.rstrip("/") + "_screened"
     recover_interrupted_swap(comp_dir)
+    # The screened extras table is compacted (swapped) below, so a crash
+    # inside ITS swap needs the same repair as the landed table's.
+    recover_interrupted_swap(screened_dir)
     cb, comp_tbl = _components_setup(
         stream.sparkSession, comp_dir, track_components,
         components_n_buckets,
@@ -170,20 +179,42 @@ def ingest_embeddings_stream(
     )
 
     nb = int(cell_n_buckets or 0)
+    id_ddl = stream.schema[id_col].dataType.simpleString()
+    state_ddl = (
+        f"`{id_col}` {id_ddl}, `v` array<double>, `cell` int, `fp` bigint"
+    )
+    scr_tbl = None
     if nb:
         _check_bucket_marker(out_dir.rstrip("/"), nb, "embedding corpus")
-        id_ddl = stream.schema[id_col].dataType.simpleString()
         emb_tbl = _register_bucketed_state(
             stream.sparkSession,
             out_dir.rstrip("/"),
             _state_table_name(out_dir.rstrip("/"), "emb_corpus"),
-            f"`{id_col}` {id_ddl}, `v` array<double>, `cell` int, "
-            "`fp` bigint",
+            state_ddl,
             ["cell"],
             nb,
         )
         # Marker before any data file can land (ADVICE r8 ordering).
         _write_bucket_marker(out_dir.rstrip("/"), nb)
+        if track_components:
+            # The screened extras share the landed table's layout
+            # (ADVICE r9): dropped vectors are probed by the SAME
+            # cell equi-joins, so an unbucketed extras side would
+            # re-shuffle per batch exactly what cell_n_buckets was
+            # added to eliminate — on duplicate-heavy streams extras
+            # can rival the landed corpus.
+            _check_bucket_marker(
+                screened_dir, nb, "embedding screened extras"
+            )
+            scr_tbl = _register_bucketed_state(
+                stream.sparkSession,
+                screened_dir,
+                _state_table_name(screened_dir, "emb_screened"),
+                state_ddl,
+                ["cell"],
+                nb,
+            )
+            _write_bucket_marker(screened_dir, nb)
     else:
         emb_tbl = None
 
@@ -222,9 +253,22 @@ def ingest_embeddings_stream(
             else:
                 landed = _read_state(spark, out_dir)
             if track_components:
-                extras = _read_state(spark, screened_dir)
+                extras = (
+                    spark.table(scr_tbl)
+                    if nb and _has_parquet(screened_dir)
+                    else (None if nb else _read_state(spark, screened_dir))
+                )
+                # Skip the extras probe entirely when the frame is
+                # empty (ADVICE r9): an empty-but-existing _screened
+                # dir otherwise duplicates the whole probe pipeline —
+                # exact min, cosine join, anti-join — per batch for
+                # zero rows. head(1) is one cheap job on the pinned
+                # listing; on a dedup-free stream it stays the only
+                # extras cost forever.
+                if extras is not None and not extras.head(1):
+                    extras = None
                 # Landed and extras are probed SEPARATELY: a union
-                # would discard the landed catalog table's CLUSTERED BY
+                # would discard both catalog tables' CLUSTERED BY
                 # (cell) distribution and re-shuffle the whole corpus
                 # side per batch — the exchange cell_n_buckets exists
                 # to eliminate. Each state frame keeps its own join.
@@ -397,7 +441,10 @@ def ingest_embeddings_stream(
                     .select(id_col, "v", "cell", "fp")
                     .localCheckpoint(eager=True)
                 )
-                extras_delta.write.mode("append").parquet(screened_dir)
+                if nb:
+                    _append_bucketed(extras_delta, scr_tbl, nb, ["cell"])
+                else:
+                    extras_delta.write.mode("append").parquet(screened_dir)
             if track_drift:
                 # Cell-histogram JSD of the checkpointed survivors vs
                 # the pre-append landed snapshot. Written after the
@@ -436,6 +483,10 @@ def ingest_embeddings_stream(
                     )
                 else:
                     compact_embedding_corpus(spark, out_dir)
+                if track_components and _has_parquet(screened_dir):
+                    compact_screened_extras(
+                        spark, screened_dir, scr_tbl, nb, id_col
+                    )
         finally:
             cached.unpersist()
 
@@ -447,6 +498,49 @@ def ingest_embeddings_stream(
     )
     query.awaitTermination()
     return query
+
+
+def compact_screened_extras(
+    spark: SparkSession,
+    screened_dir: str,
+    scr_tbl: str | None,
+    n_buckets: int,
+    id_col: str = "vec_id",
+) -> None:
+    """Fold the group-tracking screened-extras table (ADVICE r9).
+    Replay itself adds no duplicates — the extras table participates
+    in the exact fp screen, so a replayed dropped vector is screened
+    by its own extras row (pytest pins zero growth across a full
+    fresh-checkpoint replay) — but appends still fragment the dir one
+    file set per batch, and the fold bounds that plus any duplicate
+    rows a non-stream writer ever lands. A dropped vector's (id, v,
+    cell, fp) row is deterministic, so dropDuplicates on the id is an
+    exact fold. Bucketed mode preserves the shuffle-free cell layout
+    through the same crash-safe rewrite as the landed table; plain
+    mode range-clusters on ``cell`` through the same atomic dir
+    swap."""
+    from .corpus import _rewrite_bucketed_state
+
+    scr_df = (
+        spark.table(scr_tbl)
+        if n_buckets
+        else spark.read.parquet(screened_dir)
+    ).dropDuplicates([id_col])
+    if n_buckets:
+        _rewrite_bucketed_state(
+            spark, screened_dir, scr_tbl, scr_df, n_buckets, ["cell"]
+        )
+    else:
+        from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+        n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+        (
+            scr_df.repartitionByRange(n_out, F.col("cell"))
+            .sortWithinPartitions("cell")
+            .write.mode("overwrite")
+            .parquet(screened_dir.rstrip("/") + TMP_SUFFIX)
+        )
+        atomic_swap_dirs(screened_dir)
 
 
 def compact_embedding_corpus(

@@ -67,6 +67,11 @@ ROWS_ONLY = {
     # (test_bpe_span_excision_matches_literal_python). The tokens_col
     # span path itself IS oracle-graded via q154.
     "q153_bpe_repeat_excision",
+    # r10: LogisticRegression fit + probability scores (CCNet-style
+    # model-based quality filter) — iterative-solver floats, no SQL
+    # twin; AUC floor / row preservation / tier separation pinned in
+    # test_ml_and_features.py.
+    "q160_quality_classifier",
 }
 
 

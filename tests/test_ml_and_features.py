@@ -359,3 +359,106 @@ def test_word2vec_trains_and_embeds(spark):
     assert all(len(v) == 8 for v in vecs.values())
     row = out.first()
     assert len(row["w2v"]) == 8 and "__tokens" not in out.columns
+
+
+def _planted_quality_corpus(spark):
+    """Planted-quality fixture: 40 natural-English docs (common shared
+    words, stopwords, normal lengths) vs 40 gibberish docs (globally
+    unique rare tokens — each appears once in the corpus, so the
+    self-corpus unigram proxy scores them at the vocabulary floor),
+    plus edge docs (empty / one short) that must survive scoring."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            (
+                i,
+                "the quick brown fox and the lazy dog walk to the old "
+                "market of the town and they talk about the weather and "
+                f"the news of the day number {i} with a friend",
+                "en",
+                1.0,
+            )
+        )
+    for i in range(40):
+        gibberish = " ".join(f"qz{i}x{j}vw" for j in range(30))
+        rows.append((100 + i, gibberish, "en", 0.0))
+    rows.append((900, "", "en", 0.0))  # empty doc
+    rows.append((901, "tiny", "en", 0.0))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, truth double"
+    )
+
+
+def test_quality_classifier_rows_auc_and_separation(spark):
+    """Model-based quality filter (ml/quality.py, q160 — VERDICT r9
+    item 2): (a) EXACT row preservation incl. empty docs; (b) AUC of
+    p_head against the PLANTED truth ≥ 0.95 on a corpus the weak
+    head/tail tier labels can separate; (c) mean head-class score
+    strictly above mean tail-class score; (d) keep == (p_head >=
+    threshold) row-wise."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        quality_classifier_scores,
+    )
+
+    docs = _planted_quality_corpus(spark)
+    out = quality_classifier_scores(
+        docs, lang_col="lang", keep_threshold=0.5
+    ).persist()
+    try:
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert {r["doc_id"] for r in rows} == {
+            r["doc_id"] for r in docs.collect()
+        }
+        truth = {r["doc_id"]: r["truth"] for r in docs.collect()}
+        scored = [(r["p_head"], truth[r["doc_id"]]) for r in rows]
+        pos = sorted(p for p, t in scored if t == 1.0)
+        neg = sorted(p for p, t in scored if t == 0.0)
+        # exact Mann-Whitney AUC (ties at 0.5 credit)
+        import bisect
+
+        hits = 0.0
+        for p in pos:
+            lo = bisect.bisect_left(neg, p)
+            hi = bisect.bisect_right(neg, p)
+            hits += lo + 0.5 * (hi - lo)
+        auc = hits / (len(pos) * len(neg))
+        assert auc >= 0.95, auc
+        mean_pos = sum(pos) / len(pos)
+        mean_neg = sum(neg) / len(neg)
+        assert mean_pos > mean_neg
+        for r in rows:
+            assert r["keep"] == (r["p_head"] >= 0.5)
+    finally:
+        out.unpersist()
+
+
+def test_quality_feature_table_one_row_per_doc(spark):
+    """The classifier's feature pass: one row per document, all six
+    features non-NULL (0.0 sentinels for the empty doc — a NULL would
+    make the assembler drop the row and break row preservation)."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        QUALITY_FEATURES,
+        quality_feature_table,
+    )
+
+    docs = _planted_quality_corpus(spark)
+    feats = quality_feature_table(docs, lang_col="lang")
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    assert set(QUALITY_FEATURES) <= set(feats.columns)
+    for r in rows:
+        for c in QUALITY_FEATURES:
+            assert r[c] is not None, (r["doc_id"], c)
+    empty = [r for r in rows if r["doc_id"] == 900][0]
+    assert empty["n_tokens"] == 0 and empty["mean_logp"] == 0.0
+
+
+def test_quality_classifier_validates_n_buckets(spark):
+    from big_data_ml_pipeline_spark.ml.quality import (
+        quality_classifier_scores,
+    )
+
+    docs = _planted_quality_corpus(spark)
+    with pytest.raises(ValueError, match="n_buckets"):
+        quality_classifier_scores(docs, lang_col="lang", n_buckets=1)

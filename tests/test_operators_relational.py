@@ -503,3 +503,61 @@ def test_gap_fill_linear_interpolation_hand_computed(spark):
     with _pytest.raises(ValueError, match="method"):
         gap_fill_resample(df, "user_id", "ts", "value", "event_id",
                           method="cubic")
+
+
+def test_component_split_never_straddles_groups(spark):
+    """component_split (q161, VERDICT r9 item 3): every duplicate
+    GROUP lands wholly on one side — no edge of the component label
+    table may straddle train/test. On the same corpus the row-keyed
+    hash_split DOES straddle at least one group (the leakage this
+    operator exists to close), singletons split exactly as hash_split
+    would, and the two sides partition the input."""
+    from big_data_ml_pipeline_spark.operators import dedup as dedup_ops
+
+    # 60 singletons + 20 groups of 3 linked by explicit edges
+    rows = [(i, f"solo {i}") for i in range(60)]
+    edges = []
+    for g in range(20):
+        base = 1000 + g * 10
+        rows += [(base + j, f"group {g} member {j}") for j in range(3)]
+        edges += [(base, base + 1), (base + 1, base + 2)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    labels = dedup_ops.connected_components(
+        spark.createDataFrame(edges, ["id_a", "id_b"])
+    )
+
+    train, test = set_ops.component_split(df, labels, id_col="doc_id")
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr | te == {r["doc_id"] for r in df.collect()}
+    assert not (tr & te)
+    assert train.columns == df.columns  # helper columns dropped
+    straddled = [
+        (a, b) for a, b in edges if (a in tr) != (b in tr)
+    ]
+    assert straddled == []
+
+    # the row-keyed split strands at least one of these groups — the
+    # leakage mode this operator closes.
+    htrain, _ = set_ops.hash_split(df, ["doc_id"])
+    h_tr = {r["doc_id"] for r in htrain.collect()}
+    assert any((a in h_tr) != (b in h_tr) for a, b in edges)
+
+    # singletons (no label row) bucket on their own id == hash_split
+    solo_ids = set(range(60))
+    assert {i for i in solo_ids if i in tr} == {
+        i for i in solo_ids if i in h_tr
+    }
+
+    # group_col surfaces the resolved label; members share it
+    g_train, g_test = set_ops.component_split(
+        df, labels, id_col="doc_id", group_col="grp"
+    )
+    grp = {
+        r["doc_id"]: r["grp"]
+        for r in g_train.unionByName(g_test).collect()
+    }
+    for a, b in edges:
+        assert grp[a] == grp[b]
+    for i in solo_ids:
+        assert grp[i] == i

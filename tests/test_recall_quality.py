@@ -600,3 +600,35 @@ def test_ivf_recall_report_monotone_and_consistent(spark, emb_and_queries):
         assert report[n]["n_hits"] == hits
         assert report[n]["n_queries"] == len(exact)
         assert report[n]["recall"] == hits / (len(exact) * 10)
+
+
+def test_ivf_recall_report_normalizes_and_validates_nprobes(
+    spark, emb_and_queries
+):
+    """ADVICE r9: duplicate nprobe values must not double-count
+    candidates inside a budget's ranking window (the report must equal
+    the deduplicated call exactly), and a budget beyond the index's
+    cell count must raise instead of silently reporting the exhaustive
+    number under a label promising more cells than exist."""
+    import pytest as _pytest
+
+    emb, _ = emb_and_queries
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    pred = F.col("vec_id") % 20 == 0
+    clean = {
+        r["nprobe"]: (r["n_hits"], r["recall"])
+        for r in sim_ops.ivf_recall_report(
+            emb, cents, pred, k=10, nprobes=(1, 4)
+        ).collect()
+    }
+    dup = {
+        r["nprobe"]: (r["n_hits"], r["recall"])
+        for r in sim_ops.ivf_recall_report(
+            emb, cents, pred, k=10, nprobes=(4, 1, 4, 4, 1)
+        ).collect()
+    }
+    assert dup == clean
+    with _pytest.raises(ValueError, match="exceeds the index's 16 cells"):
+        sim_ops.ivf_recall_report(emb, cents, pred, k=10, nprobes=(1, 17))
+    with _pytest.raises(ValueError, match="positive"):
+        sim_ops.ivf_recall_report(emb, cents, pred, k=10, nprobes=(0, 4))

@@ -2376,3 +2376,133 @@ def test_streaming_embedding_track_components(spark, tmp_path):
         for r in spark.read.parquet(out + "_components").collect()
     }
     assert got == expect == {1: 1, 4: 1, 10: 1, 20: 1}
+
+
+def test_streaming_embedding_bucketed_screened_extras(spark, tmp_path):
+    """ADVICE r9 (medium): under ``cell_n_buckets`` the group-tracking
+    screened-extras table shares the landed table's bucketed-on-cell
+    layout and is folded on the compaction cadence. Pins: (a) bucketed
+    mode lands/screens/groups exactly what plain mode does on the
+    dropped-twin rotation chain; (b) the extras dir carries its own
+    _BUCKET_SPEC and reads back through its catalog table; (c) a full
+    at-least-once replay (fresh checkpoint, same input) re-derives
+    every dropped row — duplicates that compact_screened_extras folds
+    back to one row per id with content unchanged; (d) the extras
+    probe join against a batch needs no extras-side exchange."""
+    import math
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+    from big_data_ml_pipeline_spark.streaming import embeddings as se
+    from pyspark.sql import functions as F
+
+    def rot(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0, 0.0]
+
+    v1, v2, v3 = rot(0), rot(20), rot(40)
+    e2 = [0.0, 0.0, 1.0, 0.0]
+    shards = [
+        [(1, v1, 0)],
+        [(10, v2, 0), (4, v1, 0), (30, e2, 0)],
+        [(20, v3, 0)],
+    ]
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+
+    def make_input(sub):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["vec_id", "embedding", "label"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        return str(in_dir)
+
+    def snap(out):
+        return (
+            sorted(r["vec_id"] for r in spark.read.parquet(out).collect()),
+            sorted(
+                r["vec_id"]
+                for r in spark.read.parquet(out + "_screened")
+                .select("vec_id").distinct().collect()
+            ),
+            {
+                r["id"]: r["comp"]
+                for r in spark.read.parquet(out + "_components").collect()
+            },
+        )
+
+    in_plain = make_input("plain")
+    out_plain = str(tmp_path / "out_plain")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_plain),
+        out_plain, str(tmp_path / "ck_plain"), centroids=cents,
+        threshold=0.9, track_components=True,
+    )
+
+    in_b = make_input("bucketed")
+    out_b = str(tmp_path / "out_bucketed")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_b),
+        out_b, str(tmp_path / "ck_b1"), centroids=cents,
+        threshold=0.9, track_components=True, cell_n_buckets=4,
+    )
+    assert snap(out_b) == snap(out_plain)
+    assert snap(out_b)[0] == [1, 30] and snap(out_b)[1] == [10, 20]
+
+    scr_dir = out_b + "_screened"
+    assert os.path.exists(os.path.join(scr_dir, "_BUCKET_SPEC"))
+    scr_tbl = corpus_ops._state_table_name(scr_dir, "emb_screened")
+    assert sorted(
+        r["vec_id"] for r in spark.table(scr_tbl).collect()
+    ) == [10, 20]
+
+    # (c) full at-least-once replay (fresh checkpoint, same input):
+    # the extras table participates in the exact fp screen, so a
+    # replayed dropped vector is screened BY ITS OWN extras row and
+    # re-appends nothing — extras growth under replay is zero, not
+    # just bounded. Pin that, then inject a duplicate row directly
+    # (the retry interleaving the fold guards against) and fold it.
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_b),
+        out_b, str(tmp_path / "ck_b2"), centroids=cents,
+        threshold=0.9, track_components=True, cell_n_buckets=4,
+    )
+    spark.catalog.refreshTable(scr_tbl)
+    assert spark.table(scr_tbl).count() == 2  # replay added nothing
+    dup_row = spark.table(scr_tbl).filter(F.col("vec_id") == 10)
+    corpus_ops._append_bucketed(dup_row, scr_tbl, 4, ["cell"])
+    spark.catalog.refreshTable(scr_tbl)
+    assert spark.table(scr_tbl).count() == 3
+    se.compact_screened_extras(spark, scr_dir, scr_tbl, 4)
+    folded = spark.table(scr_tbl)
+    assert folded.count() == 2
+    assert sorted(r["vec_id"] for r in folded.collect()) == [10, 20]
+    # landed corpus and groups untouched by the replay + fold
+    assert snap(out_b) == snap(out_plain)
+
+    # (d) the extras probe join is exchange-free on the extras side,
+    # same pin as the landed table (non-foldable probe cell — a
+    # literal would constant-fold the equi-join away).
+    probe = spark.createDataFrame(
+        [(99, v2, 0)], ["vec_id", "embedding", "label"]
+    ).selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x as double)) as v",
+        "cast(pmod(vec_id, 4) as int) as cell",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.join(
+            spark.table(scr_tbl).select("cell", F.col("v").alias("__sv")),
+            on="cell",
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

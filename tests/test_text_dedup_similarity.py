@@ -1794,3 +1794,40 @@ def test_ccnet_buckets_empty_docs_sink_to_tail(spark):
     assert tiers[3]["n_docs"] == 2
     assert tiers[3]["n_tokens_total"] == 0  # the tail IS the empties
     assert tiers[1]["n_docs"] == 3 and tiers[2]["n_docs"] == 3
+
+
+def test_compact_index_cap_prefers_landed_ids(spark, tmp_path):
+    """ADVICE r9: under group tracking the index also holds DROPPED
+    docs' rows; the compaction cap must keep LANDED survivors' witness
+    rows over lower-id dropped rows in a hot bucket (default lowest-id
+    would evict them and silently lower cross-batch screen recall).
+    Within each preference class the lowest-id rule is unchanged, so
+    the result is still deterministic."""
+    text = "identical duplicate document text repeated many times over " * 3
+    idx_path = str(tmp_path / "hot_index_pref")
+    for lo in (0, 100, 200):
+        batch = spark.createDataFrame(
+            [(lo + i, text) for i in range(4)], ["doc_id", "text"]
+        )
+        dedup_ops.minhash_index(batch, max_bucket_size=4).write.mode(
+            "append"
+        ).parquet(idx_path)
+    landed = spark.createDataFrame(
+        [(201,), (202,), (103,)], ["doc_id"]
+    )
+    dedup_ops.compact_minhash_index(
+        spark, idx_path, max_bucket_size=4, prefer_ids=landed
+    )
+    compacted = spark.read.parquet(idx_path)
+    assert (
+        compacted.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        <= 4
+    )
+    # all three landed ids survive every bucket's cap; the remaining
+    # slot goes to the lowest dropped id — deterministic as before.
+    assert {
+        r["id"] for r in compacted.select("id").distinct().collect()
+    } == {103, 201, 202, 0}
