@@ -2940,6 +2940,93 @@ def q161_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_split(train, "train").unionByName(per_split(test, "test"))
 
 
+def q162_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE merge learning (text.bpe_learn_merges — VERDICT
+    r9 item 4): the full Sennrich trainer loop q123 computes one round
+    of — 8 greedy iterations of corpus-weighted pair counting, argmax
+    merge (count DESC, pair ASC ties), and re-segmentation via the
+    separator-wrapped literal replace (left-to-right non-overlapping
+    in both engines — the BPE rule itself). Emits the rank-ordered
+    merge table (merge_rank, a, b, pair_count) bpe_encode consumes.
+    Oracle: the identical 8-stage chain as generated DuckDB CTEs —
+    integer counts end to end, exact-value checked. Excluded from
+    BENCH like q83/q158: the rounds are driver-paced vocab-sized jobs
+    that measure scheduler latency at bench SF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.bpe_learn_merges(docs, n_merges=8)
+
+
+def q163_streaming_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible streaming-ingest probe (VERDICT r9 item 5 — the
+    document ingest was pytest-only, so no BENCH number tracked its
+    per-batch cost). Replays the documents table as FOUR contiguous
+    id-range shards through the REAL ingest_documents_stream path
+    (file stream → per-batch quality gate → within-batch exact dedup →
+    anti-join vs landed state → append) into a throwaway dir, then
+    reports (n_batches, n_input, dropped_quality, dropped_exact_dup,
+    docs_landed) with docs_landed counted from the ACTUAL landed
+    corpus. Oracle-checkable because id-ordered contiguous batches
+    make first-landed-wins == global min-id-per-fingerprint, so the
+    streamed outcome must equal the one-shot batch reduction (q103's
+    gate + q26's fingerprint dedup) — the stream==batch contract as an
+    exact-value driver check, with its wall-clock visible in BENCH."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="q163_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        # Contiguous id quartiles (non-foldable single-partition key —
+        # the r8 WindowExec lesson), written as 4 shard files whose
+        # mtimes pin the replay order to id order.
+        tiled = docs.withColumn(
+            "__tile",
+            F.ntile(4).over(
+                Window.partitionBy(
+                    F.pmod(F.col("doc_id"), F.lit(1))
+                ).orderBy("doc_id")
+            ),
+        )
+        now = _time.time()
+        for i in range(1, 5):
+            p = os.path.join(in_dir, f"s{i}.parquet")
+            tiled.filter(F.col("__tile") == i).drop("__tile").toPandas().to_parquet(
+                p, index=False
+            )
+            os.utime(p, (now + i, now + i))
+        out = os.path.join(base, "out")
+        corpus_stream.ingest_documents_stream(
+            corpus_stream.read_documents_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+        )
+        n_landed = spark.read.parquet(out).count()
+        n_input = docs.count()
+        n_quality = (
+            text_ops.quality_rules(docs).filter(F.col("keep")).count()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                4,
+                n_input,
+                n_input - n_quality,
+                n_quality - n_landed,
+                n_landed,
+            )
+        ],
+        "n_batches long, n_input long, dropped_quality long, "
+        "dropped_exact_dup long, docs_landed long",
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3107,6 +3194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_ccnet_buckets": q159_ccnet_buckets,
         "q160_quality_classifier": q160_quality_classifier,
         "q161_component_split": q161_component_split,
+        "q162_bpe_learn_merges": q162_bpe_learn_merges,
+        "q163_streaming_ingest_probe": q163_streaming_ingest_probe,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

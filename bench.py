@@ -91,6 +91,10 @@ EXCLUDE = {
     # q83/q95, bench SF measures per-round scheduler latency, not
     # engine throughput. Correctness-gated at sf0.01 via oracle_sql().
     "q158_incremental_components",
+    # r10: 8 driver-paced BPE trainer rounds over the vocab-sized seg
+    # frame (localCheckpoint per iteration) — same scheduler-latency
+    # reason as q83/q158. Correctness-gated at sf0.01 via oracle_sql().
+    "q162_bpe_learn_merges",
 }
 EXTRA = [
     "q40_minhash_pairs",

@@ -1420,6 +1420,51 @@ SELECT doc_id, n_tokens, mean_token_len, stopword_frac, distinct_ratio,
 FROM s
 """
 
+# q163: the streamed ingest outcome must equal the one-shot batch
+# reduction — q103's gate (identical thresholds) + q26's fingerprint
+# dedup — because the probe replays contiguous id-range batches in id
+# order (first-landed-wins == global min-id per fingerprint).
+_Q163_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         {_DUCK_TOKENS.format(col='text')} AS toks,
+         {_DUCK_LTOKS} AS ltoks
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(toks) > 0 THEN
+      CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+    ELSE 0.0 END AS mean_token_len,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_filter(ltoks, t -> t IN ('the', 'a', 'and', 'of', 'to')))
+           AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS stopword_frac,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(len(list_distinct(ltoks)) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS distinct_ratio,
+    CASE WHEN len(ltoks) > 0 THEN
+      CAST(list_max(list_transform(list_distinct(ltoks),
+             u -> len(list_filter(ltoks, x -> x = u)))) AS DOUBLE) / len(ltoks)
+    ELSE 0.0 END AS top_token_frac
+  FROM t),
+f AS (
+  SELECT doc_id, md5({_DUCK_NORM}) AS fp
+  FROM s
+  WHERE n_tokens BETWEEN 30 AND 50000
+    AND mean_token_len BETWEEN 2.0 AND 10.0
+    AND stopword_frac >= 0.01
+    AND distinct_ratio >= 0.30
+    AND top_token_frac <= 0.20)
+SELECT CAST(4 AS BIGINT) AS n_batches,
+  (SELECT COUNT(*) FROM documents) AS n_input,
+  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM f)
+    AS dropped_quality,
+  (SELECT COUNT(*) FROM f) - (SELECT COUNT(DISTINCT fp) FROM f)
+    AS dropped_exact_dup,
+  (SELECT COUNT(DISTINCT fp) FROM f) AS docs_landed
+"""
+
 _Q104_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
@@ -2036,6 +2081,54 @@ SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count,
   COUNT(DISTINCT token) AS n_token_types
 FROM p GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 50
 """
+
+def _q162_sql(n_merges: int = 8) -> str:
+    """Twin of q162: the iterative BPE trainer as a generated chain of
+    per-iteration CTEs — pair counts over the unit arrays, argmax with
+    (count DESC, a ASC, b ASC) ties, re-segmentation via the SAME
+    separator-wrapped literal replace() the Spark side uses (literal
+    string replace is left-to-right non-overlapping in both engines,
+    which IS the BPE merge rule). chr(31) mirrors text._BPE_SEP."""
+    ctes = [
+        f"tok AS (SELECT unnest({_DUCK_LTOKS}) AS token FROM documents)",
+        "v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)",
+        "seg0 AS (SELECT cnt, chr(31) || array_to_string("
+        "list_transform(generate_series(1, len(token)), i -> "
+        "substr(token, i, 1)), chr(31) || chr(31)) || chr(31) AS seg "
+        "FROM v)",
+    ]
+    selects = []
+    for k in range(n_merges):
+        ctes.append(
+            f"u{k} AS (SELECT cnt, seg, string_split(substr(seg, 2, "
+            f"length(seg) - 2), chr(31) || chr(31)) AS units FROM seg{k})"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT cnt, unnest(list_transform("
+            "generate_series(1, len(units) - 1), "
+            "i -> {'a': units[i], 'b': units[i + 1]})) AS pr "
+            f"FROM u{k} WHERE len(units) >= 2)"
+        )
+        ctes.append(
+            f"m{k} AS (SELECT pr.a AS a, pr.b AS b, "
+            "CAST(SUM(cnt) AS BIGINT) AS pair_count "
+            f"FROM p{k} GROUP BY pr.a, pr.b "
+            "ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"seg{k + 1} AS (SELECT cnt, replace(seg, "
+            "chr(31) || m.a || chr(31) || chr(31) || m.b || chr(31), "
+            f"chr(31) || m.a || m.b || chr(31)) AS seg FROM u{k}, m{k} m)"
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, a, b, pair_count "
+            f"FROM m{k}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_Q162_SQL = _q162_sql()
+
 
 def _q124_sql() -> str:
     """Twin of q124: the q110 IVF probe machinery, but aggregated to a
@@ -3551,5 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "q158_incremental_components": _Q158_SQL,
         "q159_ccnet_buckets": _Q159_SQL,
         "q161_component_split": _Q161_SQL,
+        "q162_bpe_learn_merges": _Q162_SQL,
+        "q163_streaming_ingest_probe": _Q163_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

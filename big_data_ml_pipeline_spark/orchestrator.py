@@ -108,11 +108,22 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # (text.excise_duplicate_spans) after the quality/
                # decontam gates, so budgets count post-excision tokens.
                "span_dedup": None,
+               # model_quality_filter: None disables; a dict (e.g.
+               # {"keep_threshold": 0.5, "lang_col": "lang"}) trains
+               # the CCNet-style head-vs-tail quality classifier on
+               # the gated corpus itself (ml/quality.py) and keeps
+               # documents it scores head-like — the model-based
+               # filter modern pipelines run after the rule gates.
+               "model_quality_filter": None,
                # bpe_merges: None chunks on whitespace tokens; an
                # ordered [[left, right], ...] merge list makes the
                # chunk step window over BPE tokenizer tokens
                # (text.bpe_encode -> chunk_tokens tokens_col).
+               # bpe_learn: an int N LEARNS N merges from the gated
+               # corpus itself (text.bpe_learn_merges) and chunks on
+               # them — mutually exclusive with bpe_merges.
                "bpe_merges": None,
+               "bpe_learn": None,
                "mix": None, "shards": None,
                "ingest_quality_rules": {}, "ingest_near_dup_threshold": None,
                # ingest_near_dup_n_buckets: keep the MinHash index as a
@@ -127,6 +138,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # instead of a per-batch full rewrite.
                "ingest_track_components": False,
                "ingest_components_n_buckets": None,
+               # ingest_components_auto_compact_files: override the
+               # versioned state's growth-triggered auto-fold
+               # threshold (default 8 x n_buckets data files).
+               "ingest_components_auto_compact_files": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
                "ingest_lm_floor": None,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
@@ -156,6 +171,7 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # id-bucketed state layout.
                    "ingest_track_components": False,
                    "ingest_components_n_buckets": None,
+                   "ingest_components_auto_compact_files": None,
                    "ingest_track_drift": False,
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
@@ -344,7 +360,11 @@ class PipelineOrchestrator:
         (token-count bounds, heuristic quality floor, ONE combined
         filter over a single narrow projection) → Gopher/C4 rule filter
         (``corpus.quality_rules`` threshold dict → quality_rules keep
-        verdict, signal columns dropped) → benchmark decontamination
+        verdict, signal columns dropped) → model-based quality filter
+        (``corpus.model_quality_filter``: the q160 CCNet-style
+        head-vs-tail classifier trained on the gated corpus itself,
+        head-like docs kept via one left-semi join) → benchmark
+        decontamination
         (``corpus.decontam`` + ``eval_df``: drop docs sharing n-grams
         with the eval corpus, left-semi against the clean keep-list) →
         duplicate-span excision (``corpus.span_dedup``: cross-document
@@ -352,7 +372,9 @@ class PipelineOrchestrator:
         token budget (left-semi against the budget keep-list)
         → proportional source mixing (``corpus.mix``) → context-window
         chunking (on whitespace tokens, or BPE tokenizer tokens when
-        ``corpus.bpe_merges`` is set) → deterministic shard/pos export
+        ``corpus.bpe_merges`` supplies a merge list — or
+        ``corpus.bpe_learn`` = N trains one from the gated corpus
+        itself) → deterministic shard/pos export
         columns (``corpus.shards``). Every step is pure Catalyst
         (BPE chunking adds the one Arrow-batched encode stage); a
         disabled step (None) adds nothing to the plan, so the default
@@ -398,6 +420,22 @@ class PipelineOrchestrator:
             out = scored.filter(F.col("keep")).drop(
                 "n_tokens", "mean_token_len", "stopword_frac",
                 "distinct_ratio", "top_token_frac", "keep", "__lang_auto",
+            )
+        if c["model_quality_filter"] is not None:
+            # Model-based quality filter (q160 composition): train the
+            # head-vs-tail classifier on the corpus that survived the
+            # rule gates and keep head-like documents. One left-semi
+            # join; the feature/label passes are the q103/q106/q159
+            # shapes.
+            from .ml.quality import quality_classifier_scores
+
+            keep_scores = quality_classifier_scores(
+                out, text_col=text_col, id_col=id_col,
+                **dict(c["model_quality_filter"]),
+            )
+            out = out.join(
+                keep_scores.filter(F.col("keep")).select(id_col),
+                on=id_col, how="left_semi",
             )
         if c["decontam"] is not None:
             if eval_df is None:
@@ -470,10 +508,27 @@ class PipelineOrchestrator:
             ).select(id_col, "pack_id")
             out = out.join(packed, on=id_col)
         if c["chunk_size"] is not None:
-            if c["bpe_merges"]:
+            merges = None
+            if c.get("bpe_learn"):
+                if c["bpe_merges"]:
+                    raise ValueError(
+                        "set either corpus.bpe_merges or corpus.bpe_learn,"
+                        " not both"
+                    )
+                learned = text_ops.bpe_learn_merges(
+                    out, n_merges=int(c["bpe_learn"]), text_col=text_col
+                ).orderBy("merge_rank").collect()
+                if not learned:
+                    raise ValueError(
+                        "corpus.bpe_learn found no mergeable pair — the"
+                        " corpus is degenerate; unset bpe_learn"
+                    )
+                merges = [(r["a"], r["b"]) for r in learned]
+            elif c["bpe_merges"]:
+                merges = [tuple(m) for m in c["bpe_merges"]]
+            if merges:
                 enc = text_ops.bpe_encode(
-                    out, [tuple(m) for m in c["bpe_merges"]],
-                    text_col=text_col, id_col=id_col,
+                    out, merges, text_col=text_col, id_col=id_col,
                 )
                 out = text_ops.chunk_tokens(
                     enc, id_col=id_col, chunk_size=c["chunk_size"],
@@ -521,6 +576,9 @@ class PipelineOrchestrator:
             near_dup_n_buckets=c.get("ingest_near_dup_n_buckets"),
             track_components=c.get("ingest_track_components", False),
             components_n_buckets=c.get("ingest_components_n_buckets"),
+            components_auto_compact_files=c.get(
+                "ingest_components_auto_compact_files"
+            ),
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
@@ -603,6 +661,9 @@ class PipelineOrchestrator:
             cell_n_buckets=c.get("ingest_cell_n_buckets"),
             track_components=c.get("ingest_track_components", False),
             components_n_buckets=c.get("ingest_components_n_buckets"),
+            components_auto_compact_files=c.get(
+                "ingest_components_auto_compact_files"
+            ),
         )
 
     # -- predict ------------------------------------------------------------

@@ -313,13 +313,24 @@ def _merge_component_state(
     batch_id: int,
     id_dtype,
     compact_every: int | None = None,
+    auto_compact_files: int | None = None,
 ) -> None:
     """Merge one batch's (pinned) duplicate-pair edges into the group
     state — the shared write path behind ``track_components`` on both
     ingests. Versioned-bucketed mode appends only the delta and folds
     on the compaction cadence; rewrite mode swaps the full relabelled
     state in crash-safely. Call BEFORE the corpus append (see the
-    document ingest's ordering rationale)."""
+    document ingest's ordering rationale).
+
+    Auto-compaction policy (VERDICT r9 item 6): the versioned layout
+    appends one file set per batch and grows without bound if no
+    ``compact_every`` cadence was configured, so the fold ALSO fires
+    whenever the state dir's data-file count exceeds
+    ``auto_compact_files`` (default ``8 * cb`` — about eight appended
+    versions per bucket). Folding is a pure physical rewrite
+    (latest-wins per id — exactly what :func:`resolve_components`
+    reads), so labels are identical with or without it; the rewrite
+    rides the same crash-safe swap as every other state table."""
     from ..operators.dedup import update_components, update_components_delta
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
@@ -339,7 +350,14 @@ def _merge_component_state(
             .localCheckpoint(eager=True)  # pin before reading+writing
         )  # the same table below
         _append_bucketed(delta, comp_tbl, cb, ["id"])
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        n_files = sum(
+            1 for n in os.listdir(comp_dir) if n.endswith(".parquet")
+        )
+        cadence_due = compact_every and (batch_id + 1) % compact_every == 0
+        growth_due = n_files > (
+            auto_compact_files if auto_compact_files is not None else 8 * cb
+        )
+        if cadence_due or growth_due:
             folded = (
                 spark.table(comp_tbl)
                 .groupBy("id")
@@ -378,6 +396,7 @@ def ingest_documents_stream(
     near_dup_n_buckets: int | None = None,
     track_components: bool = False,
     components_n_buckets: int | None = None,
+    components_auto_compact_files: int | None = None,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -835,6 +854,7 @@ def ingest_documents_stream(
                     spark, comp_dir, comp_tbl, cb, comp_edges,
                     batch_id, stream.schema[id_col].dataType,
                     compact_every=compact_every,
+                    auto_compact_files=components_auto_compact_files,
                 )
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)

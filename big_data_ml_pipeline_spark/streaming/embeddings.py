@@ -70,6 +70,7 @@ def ingest_embeddings_stream(
     cell_n_buckets: int | None = None,
     track_components: bool = False,
     components_n_buckets: int | None = None,
+    components_auto_compact_files: int | None = None,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -370,6 +371,7 @@ def ingest_embeddings_stream(
                     spark, comp_dir, comp_tbl, cb, comp_edges,
                     batch_id, stream.schema[id_col].dataType,
                     compact_every=compact_every,
+                    auto_compact_files=components_auto_compact_files,
                 )
             else:
                 # 2: within-batch semantic dedup (min-id rep per clique).

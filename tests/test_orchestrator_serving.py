@@ -730,3 +730,93 @@ def test_corpus_pack_stage_shares_one_quantile_scan(spark, monkeypatch):
     )
     assert got_b == got_p
     assert len(got_b) > 0
+
+
+def test_corpus_config_bpe_learn_chunking(spark):
+    """corpus.bpe_learn trains the merge table from the gated corpus
+    itself and chunks on the learned tokenizer tokens — equal to
+    learning with bpe_learn_merges and passing the table as
+    corpus.bpe_merges; setting both knobs is a loud error."""
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators import text as text_ops
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = [(i, "the quick and steady hand then struck " * 2) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    orch = PipelineOrchestrator(
+        config={"corpus": {"chunk_size": 16, "chunk_overlap": 0,
+                           "bpe_learn": 4}},
+        spark=spark,
+    )
+    out = orch.prepare_text_corpus(df).collect()
+
+    learned = [
+        (r["a"], r["b"])
+        for r in text_ops.bpe_learn_merges(df, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    orch2 = PipelineOrchestrator(
+        config={"corpus": {"chunk_size": 16, "chunk_overlap": 0,
+                           "bpe_merges": [list(m) for m in learned]}},
+        spark=spark,
+    )
+    expect = orch2.prepare_text_corpus(df).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"])  # noqa: E731
+    assert sorted(
+        [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in out]
+    ) == sorted(
+        [(r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in expect]
+    )
+
+    with _pytest.raises(ValueError, match="not both"):
+        PipelineOrchestrator(
+            config={"corpus": {"chunk_size": 16, "bpe_learn": 2,
+                               "bpe_merges": [["t", "h"]]}},
+            spark=spark,
+        ).prepare_text_corpus(df).collect()
+
+
+def test_corpus_config_model_quality_filter(spark):
+    """corpus.model_quality_filter runs the q160 classifier composition
+    inside prepare_text_corpus: on a planted corpus the head-like docs
+    survive, the gibberish tail is dropped, and the caller's schema is
+    untouched (no score columns leak)."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            (
+                i,
+                "the quick brown fox and the lazy dog walk to the old "
+                f"market of the town and they talk about the news {i}",
+                "en",
+            )
+        )
+    for i in range(30):
+        rows.append(
+            (100 + i, " ".join(f"qz{i}x{j}vw" for j in range(30)), "en")
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    orch = PipelineOrchestrator(
+        config={
+            "corpus": {
+                "model_quality_filter": {
+                    "keep_threshold": 0.5,
+                    "lang_col": "lang",
+                }
+            }
+        },
+        spark=spark,
+    )
+    out = orch.prepare_text_corpus(df)
+    assert out.columns == df.columns
+    kept = {r["doc_id"] for r in out.collect()}
+    heads = set(range(30))
+    tails = {100 + i for i in range(30)}
+    # the classifier must keep a clear majority of heads and drop a
+    # clear majority of tails (exact membership is solver float)
+    assert len(kept & heads) >= 25
+    assert len(kept & tails) <= 5

@@ -2506,3 +2506,118 @@ def test_streaming_embedding_bucketed_screened_extras(spark, tmp_path):
         assert plan.count("Exchange") == 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_components_versioned_auto_compaction_bounds_files(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 item 6: with NO compact_every cadence configured,
+    the versioned component state auto-folds once its data-file count
+    exceeds components_auto_compact_files — a long replay keeps the
+    state directory bounded instead of growing one file set per batch.
+    Labels are identical with the policy effectively disabled (the
+    fold is a latest-wins physical rewrite), a crash injected right
+    after the growth-triggered fold's swap self-heals on restart, and
+    the bucketed layout survives the folds."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_ml_pipeline_spark.sources import state as state_mod
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    # 8 batches, each a private near-dup pair (disjoint vocab across
+    # batches: edges never cross batches, so expected labels are flat)
+    shards = []
+    for g in range(8):
+        words = " ".join(f"w{g}x{j}" for j in range(25))
+        shards.append(
+            [
+                (100 * g + 1, words, "en"),
+                (100 * g + 2, words + f" extra{g}", "en"),
+            ]
+        )
+    expect = {}
+    for g in range(8):
+        expect[100 * g + 1] = 100 * g + 1
+        expect[100 * g + 2] = 100 * g + 1
+
+    def stage(sub):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        return str(in_dir), str(tmp_path / f"out_{sub}")
+
+    def labels(out):
+        comp_dir = out + "_components"
+        tbl = corpus_ops._state_table_name(comp_dir, "components")
+        return {
+            r["id"]: r["comp"]
+            for r in corpus_ops.resolve_components(
+                spark.table(tbl)
+            ).collect()
+        }
+
+    def n_files(out):
+        return len(
+            [
+                f
+                for f in os.listdir(out + "_components")
+                if f.endswith(".parquet")
+            ]
+        )
+
+    # policy effectively off: every batch's delta accumulates
+    in_off, out_off = stage("off")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, in_off),
+        out_off, str(tmp_path / "ck_off"), apply_quality=False,
+        near_dup_threshold=0.4, track_components=True,
+        components_n_buckets=2, components_auto_compact_files=10**6,
+    )
+    assert n_files(out_off) >= 8  # one file set per batch, unbounded
+
+    # policy on (threshold 4 files), with a crash injected right after
+    # the FIRST growth-triggered fold completes its directory swap
+    in_on, out_on = stage("on")
+    real_swap = state_mod.atomic_swap_dirs
+    fired = {"n": 0}
+
+    def swap_then_crash(path, *a, **k):
+        got = real_swap(path, *a, **k)
+        if path.endswith("_components"):
+            fired["n"] += 1
+            if fired["n"] == 1:
+                raise RuntimeError("injected crash after components fold")
+        return got
+
+    monkeypatch.setattr(state_mod, "atomic_swap_dirs", swap_then_crash)
+    with _pytest.raises(StreamingQueryException, match="injected crash"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, in_on),
+            out_on, str(tmp_path / "ck_on"), apply_quality=False,
+            near_dup_threshold=0.4, track_components=True,
+            components_n_buckets=2, components_auto_compact_files=4,
+        )
+    monkeypatch.setattr(state_mod, "atomic_swap_dirs", real_swap)
+    # restart with the same checkpoint: the killed batch replays and
+    # re-merges idempotently, remaining batches drain
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, in_on),
+        out_on, str(tmp_path / "ck_on"), apply_quality=False,
+        near_dup_threshold=0.4, track_components=True,
+        components_n_buckets=2, components_auto_compact_files=4,
+    )
+    assert labels(out_on) == labels(out_off) == expect
+    # bounded: threshold + at most one post-fold append of ≤2 files
+    assert n_files(out_on) <= 6
+    assert os.path.exists(
+        os.path.join(out_on + "_components", "_BUCKET_SPEC")
+    )
