@@ -207,7 +207,10 @@ def main() -> None:
         "sf": sf,
         "anchor": anchor_name,
         "worst_ratio": max(ratios.values()) if ratios else None,
-        "over15": over15,
+        # capped: an all-contended run must not grow the line past the
+        # driver's ~2000-char stdout tail; n_over15 carries the truth.
+        "n_over15": len(over15),
+        "over15": over15[:8],
     }
     line = json.dumps(payload, separators=(",", ":"))
     print(f"bench total: {total}s over {len(timings)} queries", file=sys.stderr)

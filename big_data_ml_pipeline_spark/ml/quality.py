@@ -138,6 +138,16 @@ def quality_classifier_scores(
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     feats = quality_feature_table(df, text_col, id_col, lang_col)
     train = _tier_labels(feats, id_col, lang_col, n_buckets)
+    # A corpus too small for its tier count (or an all-identical one)
+    # can leave one weak-label class empty; the LR fit would fail with
+    # an opaque solver error — name the cause instead. One tiny agg on
+    # the (already ≤2/n_buckets-sized) training slice.
+    if train.select("label").distinct().count() < 2:
+        raise ValueError(
+            "quality_classifier_scores: head and tail tiers did not "
+            "yield two label classes — corpus too small or degenerate "
+            f"for n_buckets={n_buckets}"
+        )
     # handleInvalid="error": the features are non-NULL by construction
     # (0.0 sentinels for empty docs) — a dropped row here would break
     # the one-row-per-document contract silently.

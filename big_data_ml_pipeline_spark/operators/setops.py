@@ -94,13 +94,17 @@ def component_split(
     ngram/semantic decontamination (q105/q124) scrubbed at corpus prep
     and a row-keyed split silently reintroduces.
 
-    ``components`` is any (id, comp) label table — batch
-    :func:`~.dedup.connected_components` output or the streaming
-    ingests' maintained ``{out}_components`` state. Documents without
-    a label (never matched any duplicate screen) are singletons and
-    bucket on their own id, identical to :func:`hash_split`. With
-    ``group_col``, the resolved group label survives on the outputs
-    (e.g. for per-split group accounting).
+    ``components`` must be a RESOLVED (id, comp) label table — one row
+    per id: batch :func:`~.dedup.connected_components` output, or
+    ``resolve_components`` over the streaming ingests' VERSIONED state
+    (passing the raw versioned table would multiply corpus rows
+    through the join and could land one document on both sides — the
+    exact leakage this operator exists to prevent, so duplicate labels
+    fail loudly here). Documents without a label (never matched any
+    duplicate screen) are singletons and bucket on their own id,
+    identical to :func:`hash_split`. With ``group_col``, the resolved
+    group label survives on the outputs (e.g. for per-split group
+    accounting).
 
     Scale shape: ONE left equi-join of the corpus against the (much
     smaller) label table, then the same map-only md5 bucket filter as
@@ -108,7 +112,19 @@ def component_split(
     sizes, and engines."""
     comp = components.select(
         F.col("id").alias(id_col), F.col("comp").alias("__comp")
+    ).dropDuplicates([id_col, "__comp"])
+    # One label per id or fail loudly (see docstring). One small job
+    # on the label table — far cheaper than the silent row
+    # multiplication an unresolved versioned table would cause.
+    conflicted = (
+        comp.groupBy(id_col).count().filter(F.col("count") > 1).head(1)
     )
+    if conflicted:
+        raise ValueError(
+            "component_split: components carries multiple labels for "
+            f"{id_col}={conflicted[0][id_col]} — pass RESOLVED labels "
+            "(resolve_components for versioned streaming state)"
+        )
     keyed = df.join(comp, on=id_col, how="left").withColumn(
         "__grp", F.coalesce(F.col("__comp"), F.col(id_col))
     )

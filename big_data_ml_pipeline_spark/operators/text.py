@@ -969,7 +969,15 @@ def bpe_learn_merges(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     s = _BPE_SEP
     tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
-    vocab = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    # A token CONTAINING the separator would make its own chars
+    # ambiguous against unit boundaries — exclude such tokens from the
+    # trainer (mirrored in the q162 oracle); ASCII 31 never occurs in
+    # sane text, so this is a well-definedness guard, not a data loss.
+    vocab = (
+        tok.filter(~F.col("token").contains(s))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
     chars = F.transform(
         F.sequence(F.lit(1), F.length("token")),
         lambda i: F.col("token").substr(i, F.lit(1)),

@@ -2091,7 +2091,9 @@ def _q162_sql(n_merges: int = 8) -> str:
     which IS the BPE merge rule). chr(31) mirrors text._BPE_SEP."""
     ctes = [
         f"tok AS (SELECT unnest({_DUCK_LTOKS}) AS token FROM documents)",
-        "v AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)",
+        # separator-bearing tokens excluded — mirrors the Spark guard
+        "v AS (SELECT token, COUNT(*) AS cnt FROM tok "
+        "WHERE NOT contains(token, chr(31)) GROUP BY token)",
         "seg0 AS (SELECT cnt, chr(31) || array_to_string("
         "list_transform(generate_series(1, len(token)), i -> "
         "substr(token, i, 1)), chr(31) || chr(31)) || chr(31) AS seg "

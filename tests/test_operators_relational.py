@@ -561,3 +561,29 @@ def test_component_split_never_straddles_groups(spark):
         assert grp[a] == grp[b]
     for i in solo_ids:
         assert grp[i] == i
+
+
+def test_component_split_rejects_unresolved_labels(spark):
+    """A versioned label table (multiple rows per id) silently
+    multiplies corpus rows through the split join and can land one
+    document on BOTH sides — component_split must fail loudly on
+    conflicting labels and tolerate harmless exact-duplicate rows."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["doc_id", "text"]
+    )
+    conflicted = spark.createDataFrame(
+        [(1, 1), (1, 2), (3, 3)], ["id", "comp"]
+    )
+    with _pytest.raises(ValueError, match="RESOLVED"):
+        set_ops.component_split(df, conflicted, id_col="doc_id")
+    # exact-duplicate rows (benign retry appends) are folded, not fatal
+    dup_rows = spark.createDataFrame(
+        [(1, 1), (1, 1), (2, 1)], ["id", "comp"]
+    )
+    train, test = set_ops.component_split(df, dup_rows, id_col="doc_id")
+    got = sorted(
+        r["doc_id"] for r in train.unionByName(test).collect()
+    )
+    assert got == list(range(10))  # no row multiplied, none lost
