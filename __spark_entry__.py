@@ -3027,6 +3027,119 @@ def q163_streaming_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q164_embedding_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side streaming-ingest probe (VERDICT r9 item 5's
+    second half — q163 covers the document ingest): replay the
+    embeddings table as FOUR contiguous id-range shards through the
+    REAL ingest_embeddings_stream path (exact-fp screen → within-batch
+    SemDeDup → cross-batch cosine screen, group tracking ON so chains
+    through dropped vectors screen exactly as one-shot batch semantics
+    would) and report (n_batches, n_input, dropped_exact,
+    dropped_semantic, vecs_landed) with vecs_landed counted from the
+    ACTUAL landed corpus. Oracle-checkable end to end: id-ordered
+    batches + the ingest's determinism knobs (rounded argmax cells,
+    6-digit-rounded screen cosine) make the streamed outcome equal the
+    one-shot reduction — min-id per distinct vector, then drop any rep
+    with a lower-id same-cell twin at cosine ≥ 0.42 (the q57 demo
+    threshold; this corpus is near-random, max pairwise cos ≈ 0.51)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as emb_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    base = tempfile.mkdtemp(prefix="q164_")
+    try:
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        tiled = emb.withColumn(
+            "__tile",
+            F.ntile(4).over(
+                Window.partitionBy(
+                    F.pmod(F.col("vec_id"), F.lit(1))
+                ).orderBy("vec_id")
+            ),
+        )
+        now = _time.time()
+        for i in range(1, 5):
+            stage = os.path.join(base, f"stage{i}")
+            tiled.filter(F.col("__tile") == i).drop("__tile").coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(in_dir, f"s{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (now + i, now + i))
+        out = os.path.join(base, "out")
+        emb_stream.ingest_embeddings_stream(
+            emb_stream.read_embeddings_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+            centroids=cents,
+            threshold=0.42,
+            track_components=True,
+            round_assign_digits=6,
+            screen_round_digits=6,
+        )
+        n_landed = spark.read.parquet(out).count()
+        n_input = emb.count()
+        n_reps = emb.select("embedding").distinct().count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(4, n_input, n_input - n_reps, n_reps - n_landed, n_landed)],
+        "n_batches long, n_input long, dropped_exact long, "
+        "dropped_semantic long, vecs_landed long",
+    )
+
+
+def q165_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.pq_encode — Jégou
+    2011): every embedding becomes m=8 per-subspace argmin codes over
+    the deterministic codebook kit; emitted exploded as (vec_id,
+    subspace, code) so every code is a scalar the oracle hash-checks.
+    The compact representation ADC probes read instead of raw vectors
+    — at 100 TB the index that fits hot storage. Exact: distances are
+    ROUND(‖s‖²−2s·c+‖c‖², 9) with lowest-code ties, mirrored 1:1 in
+    the generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    enc = sim_ops.pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q166_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with asymmetric distance computation
+    (similarity.ivf_pq_knn_join): queries (vec_id%100==0) broadcast
+    with their nprobe=4 cell fan-out AND m×k nano-unit-quantized
+    lookup tables; ONE cell equi-join against the (id, cell, codes)
+    index; per-candidate cost is 8 integer lookups + an integer sum —
+    no raw corpus vector read at probe time. (qid, vec_id, adist_q,
+    rn) top-10, integer-exact against the SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3196,6 +3309,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_component_split": q161_component_split,
         "q162_bpe_learn_merges": q162_bpe_learn_merges,
         "q163_streaming_ingest_probe": q163_streaming_ingest_probe,
+        "q164_embedding_ingest_probe": q164_embedding_ingest_probe,
+        "q165_pq_encode": q165_pq_encode,
+        "q166_ivf_pq_topk": q166_ivf_pq_topk,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

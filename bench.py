@@ -95,6 +95,13 @@ EXCLUDE = {
     # frame (localCheckpoint per iteration) — same scheduler-latency
     # reason as q83/q158. Correctness-gated at sf0.01 via oracle_sql().
     "q162_bpe_learn_merges",
+    # r10: the embedding-ingest probe runs group tracking, which chains
+    # an update_components fixed point + three eager state pins PER
+    # BATCH — q158's scheduler-latency reasoning ×4 batches (~28s at
+    # sf0.1, all driver-paced rounds). Correctness-gated at sf0.01 via
+    # oracle_sql(); the document ingest's q163 keeps streaming-ingest
+    # wall-time visible in BENCH.
+    "q164_embedding_ingest_probe",
 }
 EXTRA = [
     "q40_minhash_pairs",

@@ -1541,3 +1541,277 @@ def hard_negative_pairs(
         )
     )
     return pos.unionByName(neg)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ — Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"). The memory-bounded ANN
+# layer: a 64-double vector becomes m small integer codes, so the
+# candidate side of a probe carries bytes instead of the raw vectors —
+# at 100 TB the difference between an index that fits hot storage and
+# one that doesn't. Same build/probe split and determinism-kit
+# conventions as the IVF machinery above.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, k: int = 16, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks (the oracle anchor, like
+    :func:`deterministic_ivf_centroids`): m codebooks of k centroids
+    over dim/m-wide subvectors, pure Python literals reproducible in
+    an ANSI SQL twin. Data-blind — for real retrieval quality train
+    with :func:`fit_pq_codebooks`; this kit pins the MACHINERY
+    (encode/ADC arithmetic) exactly."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    return [
+        deterministic_ivf_centroids(dim=d, n_cells=k, seed=seed + 1000 * (j + 1))
+        for j in range(m)
+    ]
+
+
+def fit_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Data-trained codebooks: one seeded MLlib KMeans per subspace
+    over the sliced subvectors (the PQ paper's training step). m
+    bounded fits over dim/m-wide columns; returns plain literals like
+    every other centroid kit so downstream encode/probe plans are
+    identical either way."""
+    from pyspark.ml.functions import array_to_vector
+
+    first = embeddings.select(to_double_array(F.col(vec_col)).alias("v")).first()
+    dim = len(first["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    out = []
+    for j in range(m):
+        sub = embeddings.select(
+            array_to_vector(
+                F.slice(to_double_array(F.col(vec_col)), j * d + 1, d)
+            ).alias("features")
+        )
+        from pyspark.ml.clustering import KMeans
+
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(sub)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out
+
+
+def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
+    """Shared PQ expression builders over codebook literals.
+
+    Returns (prep, codes_col, luts_col):
+      prep(df, vec_col)  -> df with __pqs{j} (subvector) and __pqn{j}
+                            (its squared norm, folded ONCE — inlining
+                            it would re-fold per candidate, the q43
+                            re-fold trap) materialized per subspace;
+      codes_col()        -> array<int> of per-subspace argmin codes
+                            over ROUND(|s|² − 2·s·c + |c|², round_digits)
+                            with first-occurrence (lowest code) ties —
+                            the exact expression the SQL twin mirrors;
+      luts_col()         -> array<array<bigint>> ADC lookup tables,
+                            each term quantized to nano-units so the
+                            final distance sum is integer-exact."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+
+    def prep(df: DataFrame, vec_expr) -> DataFrame:
+        # Subvector and its squared norm materialized ONCE per
+        # subspace in their own selects — inlined into the candidate
+        # lambda they would re-evaluate per codebook entry (the q43
+        # re-fold trap).
+        stage1 = df.withColumn("__pqv", to_double_array(vec_expr))
+        stage2 = stage1.select(
+            "*",
+            *[
+                F.slice(F.col("__pqv"), j * d + 1, d).alias(f"__pqs{j}")
+                for j in range(m)
+            ],
+        )
+        return stage2.select(
+            "*",
+            *[
+                dot(F.col(f"__pqs{j}"), F.col(f"__pqs{j}")).alias(f"__pqn{j}")
+                for j in range(m)
+            ],
+        )
+
+    # Tree-size lesson (measured at sf0.1, 2000 rows — execution is
+    # trivial, PLAN+CODEGEN per call is what costs): k expanded dot()
+    # folds per subspace = 8-12s; fully-unrolled scalar arithmetic
+    # (1024 multiply-add nodes) = 8-16s; zip_with over CreateArray
+    # literal trees = ~5s. The winner is zip_with over SINGLE Literal
+    # nodes (F.lit of the nested Python list — one plan node per
+    # codebook instead of 128 scalar literals): ~1-2s. The per-element
+    # float arithmetic and order are identical in every form, so the
+    # SQL twins never changed.
+    def _dists(j: int):
+        cb_lit = F.lit([[float(x) for x in cb] for cb in codebooks[j]])
+        cb2_lit = F.lit(
+            [float(sum(x * x for x in cb)) for cb in codebooks[j]]
+        )
+        return F.zip_with(
+            cb_lit,
+            cb2_lit,
+            lambda cbv, cb2: (
+                F.col(f"__pqn{j}")
+                - 2.0 * dot(F.col(f"__pqs{j}"), cbv)
+                + cb2
+            ),
+        )
+
+    def codes_col():
+        per_j = []
+        for j in range(m):
+            dists = F.transform(
+                _dists(j), lambda x: F.round(x, round_digits)
+            )
+            per_j.append(
+                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+            )
+        return F.array(*per_j)
+
+    def luts_col():
+        return F.array(
+            *[
+                F.transform(
+                    _dists(j),
+                    lambda x: F.round(x * 1e9).cast("long"),
+                )
+                for j in range(m)
+            ]
+        )
+
+    return prep, codes_col, luts_col
+
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """PQ-encode every vector: (id, codes array<int>) with codes[j] =
+    argmin_c ROUND(‖s_j − c‖², 9), lowest code on ties. Map-only —
+    encoding 100 TB is a single scan; the output is the compact
+    representation every ADC probe reads instead of the raw vectors."""
+    prep, codes_col, _ = _pq_exprs(codebooks, round_digits)
+    return prep(embeddings, F.col(vec_col)).select(
+        F.col(id_col), codes_col().alias("codes")
+    )
+
+
+def ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """The composed IVF-PQ index: (id, cell, codes) in ONE map-only
+    pass over the corpus — coarse cell from the IVF kit, fine codes
+    from the PQ codebooks. This table (two ints + m small ints per
+    vector) is what a 100 TB deployment keeps hot; the raw vectors
+    stay cold."""
+    assigned = ivf_index(
+        embeddings, centroids, id_col, vec_col, round_assign_digits
+    )
+    prep, codes_col, _ = _pq_exprs(codebooks, round_digits)
+    return prep(assigned, F.col("v")).select(
+        F.col(id_col), F.col("cell"), codes_col().alias("codes")
+    )
+
+
+def ivf_pq_knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    round_digits: int = 9,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ probe with asymmetric distance computation (ADC): for
+    every query, rank the candidates in its nprobe cells by
+    Σ_j lut_j[code_j] — m integer lookups per candidate instead of a
+    dim-length float fold, over a candidate side that carries CODES
+    instead of vectors. Returns (qid, id, adist_q, rn) with adist_q
+    the nano-unit integer ADC distance (ascending = nearer).
+
+    Scale shape: the corpus is assigned+encoded ONCE (``index`` =
+    :func:`ivf_pq_index` output reused across query batches); the
+    query batch broadcasts with its nprobe cell fan-out AND its m×k
+    quantized lookup tables computed in its own projection; ONE cell
+    equi-join; per-(query, candidate) work is m ``element_at`` lookups
+    + an integer sum — no raw corpus vector is ever read at probe
+    time. Exactness: every lut term is ROUND(·1e9) BIGINT, so the
+    distance sum is commutative integer arithmetic — the oracle twin
+    (q166) matches it exactly; ranking ties break by candidate id."""
+    m = len(codebooks)
+    cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
+    enc = (
+        index
+        if index is not None
+        else ivf_pq_index(
+            embeddings, centroids, codebooks, id_col, vec_col,
+            round_assign_digits, round_digits,
+        )
+    )
+    prep, _, luts_col = _pq_exprs(codebooks, round_digits)
+    qbase = prep(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            to_double_array(F.col(query_vec_col)).alias("__qv"),
+        ),
+        F.col("__qv"),
+    ).withColumn("__qnorm", l2_norm(F.col("__qv")))
+    q = F.broadcast(
+        qbase.select(
+            "qid",
+            luts_col().alias("__luts"),
+            F.explode(
+                top_cells(
+                    cell_sims(F.col("__qv"), F.col("__qnorm")), nprobe
+                )
+            ).alias("cell"),
+        )
+    )
+    adist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(F.col("__luts"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        adist = term if adist is None else adist + term
+    scored = enc.join(q, on="cell").select(
+        "qid", F.col(id_col), adist.alias("adist_q")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("adist_q").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "qid", id_col, "adist_q", F.col("rn").cast("long").alias("rn")
+        )
+    )

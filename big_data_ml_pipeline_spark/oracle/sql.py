@@ -2132,6 +2132,172 @@ def _q162_sql(n_merges: int = 8) -> str:
 _Q162_SQL = _q162_sql()
 
 
+def _q164_sql(threshold: float = 0.42) -> str:
+    """Twin of q164: the embedding ingest's one-shot reduction — min-id
+    per distinct vector (the exact-fp screen), then drop any rep with
+    a lower-id same-cell twin at rounded cosine >= threshold (the
+    SemDeDup rule the within/cross-batch screens compose to, given
+    id-ordered batches and the group-tracking extras). Assignment is
+    the q124 machinery: deterministic centroid VALUES + rounded argmax
+    with (csim DESC, cell ASC) ties."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, c) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+reps AS (SELECT MIN(vec_id) AS vec_id, v FROM e GROUP BY v),
+sims AS (
+  SELECT r.vec_id, r.v, cents.cell,
+         ROUND(list_dot_product(r.v, cents.c) /
+               (sqrt(list_dot_product(r.v, r.v)) *
+                sqrt(list_dot_product(cents.c, cents.c))), 6) AS csim
+  FROM reps r CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+d AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}
+)
+SELECT CAST(4 AS BIGINT) AS n_batches,
+  (SELECT COUNT(*) FROM e) AS n_input,
+  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM reps) AS dropped_exact,
+  (SELECT COUNT(*) FROM d) AS dropped_semantic,
+  (SELECT COUNT(*) FROM reps) - (SELECT COUNT(*) FROM d) AS vecs_landed
+"""
+
+
+_Q164_SQL = _q164_sql()
+
+
+def _pq_cbs_values(m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """(j, c, cb, cb2) VALUES rows for the deterministic PQ codebook
+    kit — cb2 emitted as the SAME Python float literal Spark folds in,
+    so both engines use the identical double constant."""
+    from ..operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(dim=dim, m=m, k=k)
+    rows = []
+    for j, cb_j in enumerate(cbs):
+        for c, cb in enumerate(cb_j):
+            arr = ", ".join(repr(x) for x in cb)
+            cb2 = repr(float(sum(x * x for x in cb)))
+            rows.append(f"({j}, {c}, CAST([{arr}] AS DOUBLE[]), {cb2})")
+    return ", ".join(rows)
+
+
+#: Shared encode CTEs for q165/q166: per-(vector, subspace) argmin code
+#: over ROUND(|s|^2 - 2 s.c + |c|^2, 9) with lowest-code ties — the
+#: 1:1 mirror of similarity._pq_exprs (d = 8 per subspace).
+_PQ_ENCODE_CTES = f"""cbs(j, c, cb, cb2) AS (VALUES {_pq_cbs_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dists AS (
+  SELECT e.vec_id, cbs.j, cbs.c,
+         ROUND(list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+               - 2 * list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                      cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM e CROSS JOIN cbs
+),
+enc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) t WHERE rn = 1
+)"""
+
+_Q165_SQL = f"""
+WITH {_PQ_ENCODE_CTES}
+SELECT vec_id, CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+FROM enc
+"""
+
+
+def _q166_sql(k_top: int = 10, nprobe: int = 4) -> str:
+    """Twin of q166: the q124 rounded-argmax cell machinery + the PQ
+    encode CTEs + nano-unit-quantized ADC lookup tables joined on
+    (query, subspace, code), summed as exact integers."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH {_PQ_ENCODE_CTES},
+cents(cell, cv) AS (VALUES {values}),
+csims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.cv, cents.cv))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims) t WHERE rn = 1
+),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+lut AS (
+  SELECT q.qid, cbs.j, cbs.c,
+         CAST(ROUND((list_dot_product(q.qv[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                      q.qv[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+                     - 2 * list_dot_product(
+                         q.qv[cbs.j * 8 + 1 : cbs.j * 8 + 8], cbs.cb)
+                     + cbs.cb2) * 1e9) AS BIGINT) AS term
+  FROM q CROSS JOIN cbs
+),
+cand AS (
+  SELECT qc.qid, a.vec_id
+  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id, SUM(lut.term) AS adist
+  FROM cand
+  JOIN enc ON enc.vec_id = cand.vec_id
+  JOIN lut ON lut.qid = cand.qid AND lut.j = enc.j AND lut.c = enc.code
+  GROUP BY cand.qid, cand.vec_id
+)
+SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist_q, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM scored) t
+WHERE rn <= {k_top}
+"""
+
+
+_Q166_SQL = _q166_sql()
+
+
 def _q124_sql() -> str:
     """Twin of q124: the q110 IVF probe machinery, but aggregated to a
     per-training-vector MAX eval similarity with a clean/contaminated
@@ -3648,5 +3814,8 @@ def oracle_sql() -> dict[str, str]:
         "q161_component_split": _Q161_SQL,
         "q162_bpe_learn_merges": _Q162_SQL,
         "q163_streaming_ingest_probe": _Q163_SQL,
+        "q164_embedding_ingest_probe": _Q164_SQL,
+        "q165_pq_encode": _Q165_SQL,
+        "q166_ivf_pq_topk": _Q166_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -71,6 +71,8 @@ def ingest_embeddings_stream(
     track_components: bool = False,
     components_n_buckets: int | None = None,
     components_auto_compact_files: int | None = None,
+    round_assign_digits: int | None = None,
+    screen_round_digits: int | None = None,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -146,6 +148,14 @@ def ingest_embeddings_stream(
     :func:`compact_screened_extras`). An empty extras table costs one
     ``head(1)`` probe per batch and nothing else.
 
+    ``round_assign_digits`` / ``screen_round_digits`` are the batch
+    operators' determinism knobs threaded onto the ingest: rounded
+    argmax cell assignment (the q43 kit) and a 6-digit-rounded
+    cross-batch cosine make the whole streamed outcome mirrorable in
+    ANSI SQL (the q164 probe uses both; the within-batch pair screens
+    already round to 6 digits). Defaults (None) keep raw floats —
+    byte-identical to the previous behavior.
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from ..operators.similarity import cosine_near_dup_pairs
@@ -220,6 +230,12 @@ def ingest_embeddings_stream(
         emb_tbl = None
 
     _read_state = _read_state_dir  # shared missing-vs-corrupt handling
+
+    def _screen_sim(v_col, lv_col):
+        simc = cosine_similarity(v_col, lv_col)
+        if screen_round_digits is not None:
+            simc = F.round(simc, screen_round_digits)
+        return simc
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -312,7 +328,8 @@ def ingest_embeddings_stream(
                 # are pinned eagerly so the drop anti-joins below reuse
                 # them instead of re-running the cosine joins.
                 assigned_b = ivf_index(
-                    batch, centroids, id_col=id_col, vec_col=vec_col
+                    batch, centroids, id_col=id_col, vec_col=vec_col,
+                    round_assign_digits=round_assign_digits,
                 ).join(batch.select(id_col, "fp"), on=id_col)
                 pairs_w = cosine_near_dup_pairs(
                     assigned_b, block_cols=["cell"], threshold=threshold,
@@ -330,7 +347,7 @@ def ingest_embeddings_stream(
                             on="cell",
                         )
                         .filter(
-                            cosine_similarity(F.col("v"), F.col("__lv"))
+                            _screen_sim(F.col("v"), F.col("__lv"))
                             >= F.lit(threshold)
                         )
                         .select(
@@ -377,13 +394,17 @@ def ingest_embeddings_stream(
                 # 2: within-batch semantic dedup (min-id rep per clique).
                 kept_ids = (
                     semdedup(batch, centroids, threshold=threshold,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             round_assign_digits=round_assign_digits)
                     .filter(F.col("is_kept") == 1)
                     .select(id_col)
                 )
                 batch = batch.join(kept_ids, on=id_col, how="left_semi")
                 # 3: cross-batch semantic screen via the landed cells.
-                assigned = ivf_index(batch, centroids, id_col=id_col, vec_col=vec_col)
+                assigned = ivf_index(
+                    batch, centroids, id_col=id_col, vec_col=vec_col,
+                    round_assign_digits=round_assign_digits,
+                )
                 assigned = assigned.join(
                     batch.select(id_col, "fp"), on=id_col
                 )
@@ -396,7 +417,7 @@ def ingest_embeddings_stream(
                             on="cell",
                         )
                         .filter(
-                            cosine_similarity(F.col("v"), F.col("__lv"))
+                            _screen_sim(F.col("v"), F.col("__lv"))
                             >= F.lit(threshold)
                         )
                         .select(id_col)

@@ -632,3 +632,48 @@ def test_ivf_recall_report_normalizes_and_validates_nprobes(
         sim_ops.ivf_recall_report(emb, cents, pred, k=10, nprobes=(1, 17))
     with _pytest.raises(ValueError, match="positive"):
         sim_ops.ivf_recall_report(emb, cents, pred, k=10, nprobes=(0, 4))
+
+
+def test_ivf_pq_recall_on_clustered_corpus(spark, clustered_corpus):
+    """IVF-PQ ADC probe quality with TRAINED codebooks (fit_pq_codebooks
+    — the deterministic kit is the q165/q166 oracle anchor, not the
+    retrieval path): on the clustered corpus the quantized distances
+    must surface the planted FAMILIES. PQ deliberately collapses a
+    tight family to (near-)identical codes, so which 10 of a 25-member
+    family fill the top-10 is tie-arbitrary — exact-member recall@10
+    is structurally ~0.45 here and is floor-pinned as such, while the
+    family-level pins are strict: every query's top-1 is from its own
+    family, the query itself appears in its own top-10, and codes are
+    within [0, k)."""
+    import numpy as np
+
+    emb, cents, V, _ = clustered_corpus
+    cbs = sim_ops.fit_pq_codebooks(emb, m=8, k=16)
+    assert len(cbs) == 8 and all(len(cb) == 16 for cb in cbs)
+    enc = sim_ops.pq_encode(emb, cbs)
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    assert len(codes) == 500
+    assert all(0 <= c < 16 for cs in codes.values() for c in cs)
+
+    queries = emb.filter(F.col("vec_id") % 25 == 7)
+    got = {}
+    for r in sim_ops.ivf_pq_knn_join(
+        emb, queries, cents, cbs, k=10, nprobe=4, round_assign_digits=6
+    ).collect():
+        got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+    assert len(got) == 20
+    hits = 0
+    for c in range(20):
+        qi = c * 25 + 7
+        sims = V @ V[qi]
+        sims[qi] = 2.0
+        exact_top = set(np.argsort(-sims)[:10].tolist())
+        ranked = [v for _, v in sorted(got[qi])]
+        assert ranked[0] // 25 == c  # top hit from the query's family
+        assert qi in ranked  # the query survives its own quantization
+        hits += len(set(ranked) & exact_top)
+    recall = hits / (20 * 10)
+    # measured 0.455: within-family ranking is tie-arbitrary once
+    # codes collapse — the floor pins "retrieves the family", not
+    # "re-derives the exact cosine order PQ exists to avoid computing"
+    assert recall >= 0.35, recall
