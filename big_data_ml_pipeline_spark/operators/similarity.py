@@ -1588,6 +1588,8 @@ def fit_pq_codebooks(
     from pyspark.ml.functions import array_to_vector
 
     first = embeddings.select(to_double_array(F.col(vec_col)).alias("v")).first()
+    if first is None:
+        raise ValueError("fit_pq_codebooks: embeddings frame is empty")
     dim = len(first["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")

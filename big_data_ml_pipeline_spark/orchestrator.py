@@ -175,7 +175,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    "ingest_track_drift": False,
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
-                   "recenter_iters": 0},
+                   "recenter_iters": 0,
+                   # pq: None lands the raw (id, v, cell) IVF index; a
+                   # dict (e.g. {"m": 8, "k": 16, "fit": True}) lands
+                   # the COMPACT (id, cell, codes) IVF-PQ index instead
+                   # — fit=True trains per-subspace codebooks on the
+                   # data (fit_pq_codebooks), else the deterministic
+                   # kit. ivf_pq_knn_join probes it via index=.
+                   "pq": None},
 }
 
 
@@ -597,7 +604,10 @@ class PipelineOrchestrator:
         write the (id, v, cell) table range-clustered on ``cell`` (so
         per-cell probes prune files by parquet footer min/max), and
         return the :func:`~.operators.similarity.ivf_cell_stats` health
-        report. The build/probe split at scale: the corpus is assigned
+        report. With ``embeddings.pq`` set, the landed table is the
+        COMPACT (id, cell, codes) IVF-PQ index instead — m small codes
+        per vector in place of the raw doubles, probed by
+        :func:`~.operators.similarity.ivf_pq_knn_join` via ``index=``. The build/probe split at scale: the corpus is assigned
         ONCE; every later query batch reads only its nprobe cells.
 
         With ``embeddings.recenter_iters = N`` the centroid kit is
@@ -610,9 +620,12 @@ class PipelineOrchestrator:
         drift table calls for."""
         from .operators.similarity import (
             deterministic_ivf_centroids,
+            fit_pq_codebooks,
             ivf_cell_stats,
             ivf_index,
+            ivf_pq_index,
             ivf_recenter,
+            pq_codebooks,
         )
         from .sources.writers import write_range_clustered
 
@@ -628,7 +641,19 @@ class PipelineOrchestrator:
             for r in rows:
                 new[r["cell"]][r["pos"] - 1] = r["centroid_val"]
             cents = new
-        index = ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
+        pq = c.get("pq")
+        if pq:
+            mm, kk = int(pq.get("m", 8)), int(pq.get("k", 16))
+            cbs = (
+                fit_pq_codebooks(df, m=mm, k=kk, vec_col=vec_col)
+                if pq.get("fit")
+                else pq_codebooks(dim=c["ingest_dim"], m=mm, k=kk)
+            )
+            index = ivf_pq_index(
+                df, cents, cbs, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            index = ivf_index(df, cents, id_col=id_col, vec_col=vec_col)
         write_range_clustered(index, out_dir, "cell")
         return ivf_cell_stats(df, cents, id_col=id_col, vec_col=vec_col)
 

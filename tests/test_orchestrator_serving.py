@@ -820,3 +820,40 @@ def test_corpus_config_model_quality_filter(spark):
     # clear majority of tails (exact membership is solver float)
     assert len(kept & heads) >= 25
     assert len(kept & tails) <= 5
+
+
+def test_orchestrator_build_pq_index(spark, tmp_path):
+    """embeddings.pq config: the landed index carries (id, cell,
+    codes) instead of raw vectors, probing the LANDED index through
+    ivf_pq_knn_join(index=) equals the inline probe, and the health
+    report is unchanged by the compact representation."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        ivf_pq_knn_join,
+        pq_codebooks,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orch = PipelineOrchestrator(
+        config={"embeddings": {"pq": {"m": 8, "k": 16}}}, spark=spark
+    )
+    out = str(tmp_path / "ivfpq")
+    stats = orch.build_embedding_index(emb, out).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+
+    loaded = spark.read.parquet(out)
+    assert set(loaded.columns) == {"vec_id", "cell", "codes"}
+    assert loaded.count() == emb.count()
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = pq_codebooks(dim=64, m=8, k=16)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    from_index = ivf_pq_knn_join(
+        emb, q, cents, cbs, k=5, nprobe=4,
+        round_assign_digits=6, index=loaded,
+    ).collect()
+    inline = ivf_pq_knn_join(
+        emb, q, cents, cbs, k=5, nprobe=4, round_assign_digits=6
+    ).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
