@@ -33,7 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.text import quality_rules, unigram_loglik
+from ..operators.text import (
+    quality_rules,
+    unigram_loglik,
+    unigram_loglik_from_counts,
+)
 
 #: The six model features — q103's five rule signals + q106's proxy.
 QUALITY_FEATURES = [
@@ -51,13 +55,18 @@ def quality_feature_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str | None = None,
+    lm_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document feature table: (id[, lang], *QUALITY_FEATURES).
 
     Deterministic (each feature is an exact-integer division or the
     quantized-integer LM mean), exactly one row per input document —
     empty documents score 0.0 everywhere, never NULL, so the
-    downstream assembler never drops rows."""
+    downstream assembler never drops rows. ``lm_counts`` (a (token,
+    cnt) table, e.g. the streaming vocabulary summary) scores the LM
+    proxy under an EXTERNAL unigram model instead of the frame's own
+    distribution — the right form when scoring a small batch against
+    the corpus-so-far model."""
     keep_cols = [id_col] + ([lang_col] if lang_col else [])
     sigs = quality_rules(
         df.select(*keep_cols, text_col), text_col=text_col
@@ -69,9 +78,13 @@ def quality_feature_table(
         "distinct_ratio",
         "top_token_frac",
     )
-    lm = unigram_loglik(df, text_col=text_col, id_col=id_col).select(
-        id_col, "mean_logp"
-    )
+    lm = (
+        unigram_loglik_from_counts(
+            df, lm_counts, text_col=text_col, id_col=id_col
+        )
+        if lm_counts is not None
+        else unigram_loglik(df, text_col=text_col, id_col=id_col)
+    ).select(id_col, "mean_logp")
     return sigs.join(lm, on=id_col)
 
 
@@ -110,33 +123,31 @@ def _tier_labels(
     )
 
 
-def quality_classifier_scores(
+def fit_quality_classifier(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str | None = None,
     n_buckets: int = 3,
-    keep_threshold: float = 0.5,
     max_iter: int = 100,
     reg_param: float = 0.01,
-) -> DataFrame:
+    lm_counts: DataFrame | None = None,
+):
     """Train the CCNet-style quality classifier on this corpus's own
-    head-vs-tail tiers and score EVERY document.
-
-    Returns exactly one row per input document: (id_col, p_head,
-    keep) with ``p_head`` = P(head-like | features) from the M9
-    LogisticRegression and ``keep = p_head >= keep_threshold``.
-    ``n_buckets`` controls tier width (3 → train on the top and
-    bottom thirds; larger values train on sharper extremes)."""
+    head-vs-tail tiers and return the fitted PipelineModel (assembler
+    + M9 LogisticRegression) — persistable with ml.train.save_model
+    and reusable as a streaming-ingest gate (score arriving batches
+    without retraining). ``n_buckets`` controls tier width (3 → train
+    on the top and bottom thirds; larger values train on sharper
+    extremes)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     from .models import build_estimator
 
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
-    feats = quality_feature_table(df, text_col, id_col, lang_col)
+    feats = quality_feature_table(df, text_col, id_col, lang_col, lm_counts)
     train = _tier_labels(feats, id_col, lang_col, n_buckets)
     # A corpus too small for its tier count (or an all-identical one)
     # can leave one weak-label class empty; the LR fit would fail with
@@ -144,7 +155,7 @@ def quality_classifier_scores(
     # the (already ≤2/n_buckets-sized) training slice.
     if train.select("label").distinct().count() < 2:
         raise ValueError(
-            "quality_classifier_scores: head and tail tiers did not "
+            "quality classifier: head and tail tiers did not "
             "yield two label classes — corpus too small or degenerate "
             f"for n_buckets={n_buckets}"
         )
@@ -163,7 +174,27 @@ def quality_classifier_scores(
         max_iter=max_iter,
         reg_param=reg_param,
     )
-    model = Pipeline(stages=[va, lr]).fit(train)
+    return Pipeline(stages=[va, lr]).fit(train)
+
+
+def score_quality(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_threshold: float = 0.5,
+    lm_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Score EVERY document under a fitted quality classifier: exactly
+    one row per input — (id_col, p_head, keep) with ``p_head`` =
+    P(head-like | features) and ``keep = p_head >= keep_threshold``.
+    The feature pass recomputes the same deterministic table the
+    trainer used; pass the training corpus's vocabulary summary as
+    ``lm_counts`` when scoring a SMALL batch (a batch-local unigram
+    proxy is meaningless at a few hundred rows)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = quality_feature_table(df, text_col, id_col, None, lm_counts)
     scored = model.transform(feats)
     return scored.select(
         F.col(id_col),
@@ -171,3 +202,22 @@ def quality_classifier_scores(
             "p_head"
         ),
     ).withColumn("keep", F.col("p_head") >= F.lit(keep_threshold))
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    n_buckets: int = 3,
+    keep_threshold: float = 0.5,
+    max_iter: int = 100,
+    reg_param: float = 0.01,
+) -> DataFrame:
+    """One-shot train-and-score (the q160 driver surface):
+    :func:`fit_quality_classifier` on the corpus's own tiers, then
+    :func:`score_quality` over every document."""
+    model = fit_quality_classifier(
+        df, text_col, id_col, lang_col, n_buckets, max_iter, reg_param
+    )
+    return score_quality(model, df, text_col, id_col, keep_threshold)

@@ -144,6 +144,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
                "ingest_components_auto_compact_files": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
                "ingest_lm_floor": None,
+               # ingest_quality_model: a saved fit_quality_classifier
+               # model path -> gate each batch on its p_head score
+               # (>= ingest_quality_model_floor) — the q160 classifier
+               # as an ingest screen.
+               "ingest_quality_model": None,
+               "ingest_quality_model_floor": 0.5,
                # ingest_span_dedup: {"k": 5, "min_len": 10} -> excise
                # substrings duplicated within the batch or against the
                # persisted gram index of everything already landed;
@@ -590,6 +596,8 @@ class PipelineOrchestrator:
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
             lm_floor=c.get("ingest_lm_floor"),
+            quality_model=c.get("ingest_quality_model"),
+            quality_model_floor=c.get("ingest_quality_model_floor", 0.5),
             span_dedup=c.get("ingest_span_dedup"),
             compact_every=c.get("ingest_compact_every"),
             **(rules or {}),

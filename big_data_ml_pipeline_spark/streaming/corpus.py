@@ -397,6 +397,8 @@ def ingest_documents_stream(
     track_components: bool = False,
     components_n_buckets: int | None = None,
     components_auto_compact_files: int | None = None,
+    quality_model=None,
+    quality_model_floor: float = 0.5,
     **quality_kwargs,
 ):
     """Quality-gate the stream and append only never-seen texts.
@@ -527,6 +529,18 @@ def ingest_documents_stream(
     rule signals look fine (plausible lengths/ratios, OOV-heavy soup)
     is exactly what this catches.
 
+    With ``quality_model`` set (a fitted
+    :func:`~..ml.quality.fit_quality_classifier` PipelineModel or a
+    saved-model path), each batch is ALSO gated by the MODEL-BASED
+    quality filter — the q160 CCNet/DataComp-LM classifier as an
+    ingest screen: the batch's deterministic feature table is scored
+    under the pre-fitted model and documents below
+    ``quality_model_floor`` (p_head) are dropped before dedup. Under
+    ``maintain_vocab=True`` the LM-proxy feature is computed against
+    the corpus-so-far vocabulary summary, matching how the lm_floor
+    gate reads it; train the model with the same ``lm_counts`` form
+    for feature consistency.
+
     With ``track_drift=True``, each batch appends one row to
     ``{out_dir}_drift`` — (batch_id, n_batch_docs, n_landed_docs,
     n_tokens_batch, n_tokens_corpus, n_shared_tokens, jsd_bits) from
@@ -654,6 +668,16 @@ def ingest_documents_stream(
 
     _read_state = _read_state_dir  # shared missing-vs-corrupt handling
 
+    # Model-based gate: resolve once at ingest start (a path string
+    # loads the persisted PipelineModel; a fitted model passes through)
+    # — never per batch.
+    if isinstance(quality_model, str):
+        from pyspark.ml import PipelineModel
+
+        _qmodel = PipelineModel.load(quality_model)
+    else:
+        _qmodel = quality_model
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         vocab_dir = out_dir.rstrip("/") + "_vocab"
@@ -675,6 +699,26 @@ def ingest_documents_stream(
                     .select(id_col)
                 )
                 batch_df = batch_df.join(passing, on=id_col, how="left_semi")
+            # 1c: model-based quality gate (the q160 classifier as an
+            # ingest screen — CCNet's trained filter instead of the
+            # rule thresholds alone). Scores the batch's deterministic
+            # feature table under the PRE-FITTED model; the LM-proxy
+            # feature uses the corpus-so-far vocabulary summary when
+            # the ingest maintains one (a batch-local unigram model is
+            # meaningless at micro-batch size).
+            if _qmodel is not None:
+                from ..ml.quality import score_quality
+
+                keep_q = (
+                    score_quality(
+                        _qmodel, batch_df, text_col=text_col,
+                        id_col=id_col, keep_threshold=quality_model_floor,
+                        lm_counts=vocab_pre,
+                    )
+                    .filter(F.col("keep"))
+                    .select(id_col)
+                )
+                batch_df = batch_df.join(keep_q, on=id_col, how="left_semi")
             # 2: within-batch exact dedup — one shuffle of (fp, id).
             keep = batch_df.groupBy("fp").agg(F.min(id_col).alias(id_col))
             exact_within = None

@@ -191,3 +191,53 @@ def test_temperature_mix_report_quotas(spark):
     assert 0.5 < mid["big"]["q"] < 0.9  # tempering sits between the extremes
     for r in mid.values():
         assert r["quota"] <= r["n_docs"]
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering (Spark's bloom-filter join
+    optimization) — the lever that keeps a selective dim⋈fact join
+    from shuffling the whole fact side at 100 TB: with the feature on,
+    a bloom filter built from the filtered creation side is pushed
+    into the probe side's scan filter (might_contain BELOW the join),
+    and the join result is identical to the feature-off run. Local
+    parquet is tiny, so the application-side size threshold (10 GB
+    default) is lowered to let the injection fire — on a real fact
+    table the defaults fire on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    prev["spark.sql.optimizer.runtime.bloomFilter.enabled"] = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    )
+
+    def run(bloom: bool):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        part = spark.read.parquet(
+            "/root/testdata/sf0.001/part.parquet"
+        ).filter(F.col("p_brand") == "Brand#13")
+        j = li.join(part, li.l_partkey == part.p_partkey).select(
+            "l_orderkey", "l_partkey", "p_brand"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", str(bloom).lower()
+        )
+        rows = sorted(map(tuple, j.collect()))
+        return rows, j._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bloom, plan_on = run(True)
+        without, plan_off = run(False)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "might_contain" in plan_on
+    assert "might_contain" not in plan_off
+    assert with_bloom == without and len(with_bloom) > 0

@@ -2621,3 +2621,134 @@ def test_components_versioned_auto_compaction_bounds_files(
     assert os.path.exists(
         os.path.join(out_on + "_components", "_BUCKET_SPEC")
     )
+
+
+def test_streaming_model_quality_gate(spark, tmp_path):
+    """The q160 classifier as a streaming-ingest screen
+    (``quality_model``): a model trained offline on a planted-quality
+    corpus, persisted, and loaded BY PATH gates arriving batches on
+    p_head — gibberish documents are dropped before dedup while
+    natural text lands; with the gate off the same stream lands
+    everything. The LM-proxy feature reads the corpus-so-far
+    vocabulary summary (maintain_vocab), matching the lm_floor gate's
+    model form."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.ml.quality import fit_quality_classifier
+    from big_data_ml_pipeline_spark.ml.train import save_model
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    def good(i):
+        return (
+            "the quick brown fox and the lazy dog walk to the old market "
+            f"of the town and they talk about the news of day {i} together"
+        )
+
+    def bad(i):
+        return " ".join(f"qz{i}x{j}vw" for j in range(30))
+
+    train_rows = [(i, good(i), "en") for i in range(30)]
+    train_rows += [(100 + i, bad(i), "en") for i in range(30)]
+    train_df = spark.createDataFrame(train_rows, ["doc_id", "text", "lang"])
+    model = fit_quality_classifier(train_df)
+    mpath = str(tmp_path / "qmodel")
+    save_model(model, mpath)
+
+    shards = [
+        [(201, good(201), "en"), (202, good(202), "en")],
+        [(203, good(203), "en"), (210, bad(210), "en"),
+         (211, bad(211), "en")],
+    ]
+
+    def stage(sub):
+        in_dir = tmp_path / f"in_{sub}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, ["doc_id", "text", "lang"]
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        return str(in_dir)
+
+    out_gated = str(tmp_path / "out_gated")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, stage("gated")),
+        out_gated, str(tmp_path / "ck_g"), apply_quality=False,
+        maintain_vocab=True, quality_model=mpath,
+        quality_model_floor=0.5,
+    )
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_gated).collect()
+    )
+    assert landed == [201, 202, 203]
+
+    out_open = str(tmp_path / "out_open")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, stage("open")),
+        out_open, str(tmp_path / "ck_o"), apply_quality=False,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out_open).collect()
+    ) == [201, 202, 203, 210, 211]
+
+
+def test_streaming_components_feed_leakage_safe_split(spark, tmp_path):
+    """End-to-end leakage story across both halves (q158 ∘ q161): the
+    duplicate-GROUP labels the streaming ingest maintains feed
+    setops.component_split directly — resolve_components over the
+    versioned bucketed state, split on md5(group), and no near-dup
+    pair the ingest ever saw straddles train/test, INCLUDING pairs
+    through documents the ingest dropped."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators import setops as set_ops
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shards = []
+    edges = []
+    for g in range(10):
+        words = " ".join(f"g{g}w{j}" for j in range(25))
+        # near-dup pair split ACROSS batches; the second member is
+        # dropped by the screen but must still group (and split) with
+        # its keeper.
+        shards.append([(100 * g + 1, words, "en")])
+        shards.append([(100 * g + 2, words + f" tail{g}", "en")])
+        edges.append((100 * g + 1, 100 * g + 2))
+    solo = [(9000 + i, f"unique document number {i} " * 5, "en")
+            for i in range(10)]
+    shards.append(solo)
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i:02d}.parquet")
+        spark.createDataFrame(
+            rows, ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out = str(tmp_path / "out")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        near_dup_threshold=0.4, track_components=True,
+        components_n_buckets=2,
+    )
+    comp_tbl = corpus_ops._state_table_name(
+        out + "_components", "components"
+    )
+    labels = corpus_ops.resolve_components(spark.table(comp_tbl))
+
+    # the full corpus (landed + dropped) is what a training pipeline
+    # splits; dropped docs' rows still exist upstream of the ingest
+    full = spark.createDataFrame(
+        [r for rows in shards for r in rows], ["doc_id", "text", "lang"]
+    )
+    train, test = set_ops.component_split(full, labels, id_col="doc_id")
+    tr = {r["doc_id"] for r in train.collect()}
+    te = {r["doc_id"] for r in test.collect()}
+    assert tr | te == {r[0] for rows in shards for r in rows}
+    assert not (tr & te)
+    assert [(a, b) for a, b in edges if (a in tr) != (b in tr)] == []
