@@ -2926,6 +2926,10 @@ def q161_component_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     q83 recursive-CTE labels + the q46 md5 bucket pattern on the
     group key."""
     docs = load_table(spark, sf_dir, "documents")
+    # min-label CC, not alternating: near-dup groups here are 2-3
+    # members, so min-label converges in 1-2 cheap rounds while
+    # alternating's 2-ops-per-round costs ~2× (A/B'd at sf0.1:
+    # 3.1s vs 6.5s). Alternating wins on DEEP components (q95).
     labels = dedup_ops.connected_components(_dedup_edge_set(docs))
     train, test = set_ops.component_split(
         docs, labels, id_col="doc_id", group_col="grp"
