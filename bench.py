@@ -86,6 +86,11 @@ EXCLUDE = {
     "q95_components_alternating",
     # Canonical election on top of the q83 fixed point — same reason.
     "q117_canonical_docs",
+    # r10: component-aware split on top of the q83 CC fixed point —
+    # the same reasoning as q117's exclusion (the split/accounting
+    # above the labels is sub-second; the 3s reading is driver-paced
+    # CC rounds). Correctness-gated at sf0.01 via oracle_sql().
+    "q161_component_split",
     # r9: chained incremental-CC merges (three update_components calls,
     # each an alternating-CC fixed point over a comp graph) — like
     # q83/q95, bench SF measures per-round scheduler latency, not
