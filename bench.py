@@ -14,7 +14,9 @@ query is min-of-2 (min-of-3 when the first two runs disagree >1.5× —
 the signature of a contended run), and worst_ratio/over15 compare those
 mins against the newest blessed BENCH_ANCHOR_r{N}.json so a regression
 (over15 non-empty on unchanged code) is distinguishable from
-environment noise without re-running anything.
+environment noise without re-running anything. over15 requires BOTH
+ratio > 1.5 AND an absolute delta > 0.3s — sub-second queries jitter
+±0.1s between runs, and 0.18s→0.28s is noise, not regression.
 
 Round-1 lesson (BENCH_r01.json parsed:null): the driver keeps only a
 ~2000-char tail of stdout and parses the JSON from it, so the line must
@@ -169,6 +171,7 @@ def main() -> None:
     )
     timings: dict[str, float] = {}
     ratios: dict[str, float] = {}
+    full_name: dict[str, str] = {}
     for name in bench_queries:
         per_run = []
         for _ in range(2):
@@ -184,6 +187,7 @@ def main() -> None:
             per_run.append(time.time() - t0)
         timings[name] = round(min(per_run), 2)
         short_name = name.split("_", 1)[0]
+        full_name[short_name] = name
         if anchor.get(short_name):
             ratios[short_name] = round(timings[name] / anchor[short_name], 2)
         print(
@@ -210,7 +214,15 @@ def main() -> None:
     # regression (over15 non-empty on clean code) from contention noise
     # (min-of-2/3 already absorbed it). Kept tiny so the one-short-line
     # stdout contract (driver tail ~2000 chars) survives.
-    over15 = sorted([q for q, r in ratios.items() if r > 1.5])
+    # A query is flagged only when BOTH the ratio and the absolute
+    # delta are material: sub-second queries jitter ±0.1s between
+    # runs, so a 0.18s→0.28s reading is 1.56× of pure noise — the
+    # flags exist to catch the q111-style 1-3s regressions, not that.
+    over15 = sorted(
+        q
+        for q, r in ratios.items()
+        if r > 1.5 and timings[full_name[q]] - anchor[q] > 0.3
+    )
     payload = {
         "metric": "total_query_seconds",
         "value": total,

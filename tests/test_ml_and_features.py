@@ -462,3 +462,37 @@ def test_quality_classifier_validates_n_buckets(spark):
     docs = _planted_quality_corpus(spark)
     with pytest.raises(ValueError, match="n_buckets"):
         quality_classifier_scores(docs, lang_col="lang", n_buckets=1)
+
+
+def test_quality_classifier_external_lm_counts_consistency(spark):
+    """Feature-consistent train/score pairing (the streaming-gate
+    form): fitting AND scoring under the SAME external (token, cnt)
+    model — token_counts of the training corpus, the shape the
+    streaming vocabulary summary feeds score_quality — still separates
+    the planted classes, and scoring the training corpus under the
+    external model equals the self-corpus path when the external model
+    IS that corpus's own counts (unigram_loglik == its from_counts
+    twin on the defining corpus, modulo Laplace smoothing — so p_head
+    ordering, not exact values, is pinned)."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        fit_quality_classifier,
+        score_quality,
+    )
+    from big_data_ml_pipeline_spark.operators.text import token_counts
+
+    docs = _planted_quality_corpus(spark)
+    counts = token_counts(docs).persist()
+    try:
+        model = fit_quality_classifier(docs, lm_counts=counts)
+        scored = {
+            r["doc_id"]: r["p_head"]
+            for r in score_quality(
+                model, docs, lm_counts=counts
+            ).collect()
+        }
+        assert len(scored) == docs.count()
+        good = [scored[i] for i in range(40)]
+        bad = [scored[100 + i] for i in range(40)]
+        assert min(good) > max(bad)
+    finally:
+        counts.unpersist()
