@@ -3144,6 +3144,19 @@ def q166_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q167_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ distortion report (similarity.pq_reconstruction_report —
+    the q157 publish-your-evidence precedent applied to quantization):
+    per subspace, the nano-unit integer sum and exact mean of each
+    vector's assigned (minimum) rounded squared subvector distance.
+    The table that says WHERE ADC ranking quality leaks and which
+    subspace needs more codes. One map pass + one m-row-bounded
+    integer aggregation; exact against the generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.pq_reconstruction_report(emb, cbs)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3316,6 +3329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_embedding_ingest_probe": q164_embedding_ingest_probe,
         "q165_pq_encode": q165_pq_encode,
         "q166_ivf_pq_topk": q166_ivf_pq_topk,
+        "q167_pq_distortion": q167_pq_distortion,
         "q40_minhash_pairs": q40_minhash_pairs,
         "q41_simhash_pairs": q41_simhash_pairs,
         "q42_lsh_embedding_pairs": q42_lsh_embedding_pairs,

@@ -1622,7 +1622,10 @@ def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
                             the exact expression the SQL twin mirrors;
       luts_col()         -> array<array<bigint>> ADC lookup tables,
                             each term quantized to nano-units so the
-                            final distance sum is integer-exact."""
+                            final distance sum is integer-exact;
+      dists(j)           -> the subspace's raw per-candidate distance
+                            array (codes/luts/reports all derive from
+                            this one expression)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
 
@@ -1693,7 +1696,14 @@ def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
             ]
         )
 
-    return prep, codes_col, luts_col
+    def min_dist_col(j: int):
+        # the ASSIGNED entry's rounded distance — array_min of the
+        # same rounded array codes_col argmins over
+        return F.array_min(
+            F.transform(_dists(j), lambda x: F.round(x, round_digits))
+        )
+
+    return prep, codes_col, luts_col, min_dist_col
 
 
 
@@ -1708,7 +1718,7 @@ def pq_encode(
     argmin_c ROUND(‖s_j − c‖², 9), lowest code on ties. Map-only —
     encoding 100 TB is a single scan; the output is the compact
     representation every ADC probe reads instead of the raw vectors."""
-    prep, codes_col, _ = _pq_exprs(codebooks, round_digits)
+    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
     return prep(embeddings, F.col(vec_col)).select(
         F.col(id_col), codes_col().alias("codes")
     )
@@ -1731,9 +1741,62 @@ def ivf_pq_index(
     assigned = ivf_index(
         embeddings, centroids, id_col, vec_col, round_assign_digits
     )
-    prep, codes_col, _ = _pq_exprs(codebooks, round_digits)
+    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
     return prep(assigned, F.col("v")).select(
         F.col(id_col), F.col("cell"), codes_col().alias("codes")
+    )
+
+
+def pq_reconstruction_report(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> DataFrame:
+    """The distortion evidence a PQ index owes its users (the q157
+    recall-report precedent applied to quantization): per subspace,
+    how far vectors sit from their assigned codebook entry —
+    (subspace, n_vectors, sum_dist_q, mean_sq_dist) with sum_dist_q
+    the nano-unit integer sum of each vector's ASSIGNED (minimum)
+    rounded squared subvector distance and mean = sum/n/1e9 (one IEEE
+    division of exact integers — oracle-checkable). A subspace whose
+    mean distortion dwarfs the others is where ADC ranking quality
+    leaks; give it more codes or train with fit_pq_codebooks.
+
+    Scale shape: the encode pass's map-only distance arrays, one
+    m-row explode per vector, ONE subspace-keyed integer aggregation —
+    reduce side bounded by m, not corpus size."""
+    prep, _, _, min_dist_col = _pq_exprs(codebooks, round_digits)
+    m = len(codebooks)
+    prepped = prep(
+        embeddings.select(F.col(id_col), F.col(vec_col)), F.col(vec_col)
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("subspace"),
+                F.round(min_dist_col(j) * 1e9).cast("long").alias("dist_q"),
+            )
+            for j in range(m)
+        ]
+    )
+    return (
+        prepped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.subspace").alias("subspace"),
+                F.col("p.dist_q").alias("dist_q"))
+        .groupBy("subspace")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("dist_q").cast("long").alias("sum_dist_q"),
+        )
+        .select(
+            "subspace",
+            "n_vectors",
+            "sum_dist_q",
+            (F.col("sum_dist_q").cast("double") / F.col("n_vectors") / 1e9)
+            .alias("mean_sq_dist"),
+        )
     )
 
 
@@ -1778,7 +1841,7 @@ def ivf_pq_knn_join(
             round_assign_digits, round_digits,
         )
     )
-    prep, _, luts_col = _pq_exprs(codebooks, round_digits)
+    prep, _, luts_col, _ = _pq_exprs(codebooks, round_digits)
     qbase = prep(
         queries.select(
             F.col(query_id_col).alias("qid"),

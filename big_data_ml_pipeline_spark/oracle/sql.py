@@ -2297,6 +2297,23 @@ WHERE rn <= {k_top}
 
 _Q166_SQL = _q166_sql()
 
+# q167: per-subspace PQ distortion — the dists CTE's per-(vector,
+# subspace) MIN is the assigned entry's rounded distance; nano-unit
+# integer sum + one exact IEEE division, mirroring
+# similarity.pq_reconstruction_report 1:1.
+_Q167_SQL = f"""
+WITH {_PQ_ENCODE_CTES},
+md AS (
+  SELECT vec_id, j, MIN(dist) AS dist FROM dists GROUP BY vec_id, j
+)
+SELECT CAST(j AS BIGINT) AS subspace,
+  COUNT(*) AS n_vectors,
+  CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS sum_dist_q,
+  CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS DOUBLE)
+    / COUNT(*) / 1e9 AS mean_sq_dist
+FROM md GROUP BY j
+"""
+
 
 def _q124_sql() -> str:
     """Twin of q124: the q110 IVF probe machinery, but aggregated to a
@@ -3817,5 +3834,6 @@ def oracle_sql() -> dict[str, str]:
         "q164_embedding_ingest_probe": _Q164_SQL,
         "q165_pq_encode": _Q165_SQL,
         "q166_ivf_pq_topk": _Q166_SQL,
+        "q167_pq_distortion": _Q167_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
