@@ -1707,6 +1707,96 @@ def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
 
 
 
+def pq_append_codes(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "v",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Append a PQ ``codes array<int>`` column to ``df`` keeping every
+    existing column — the state-table form of :func:`pq_encode` (the
+    streaming embedding ingest and its legacy-layout migration both
+    encode (id, v, cell, fp) rows in place). Same argmin/rounding/tie
+    rule as pq_encode; map-only."""
+    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
+    return prep(df, F.col(vec_col)).select(
+        *df.columns, codes_col().alias("codes")
+    )
+
+
+def pq_adc_screen_kit(codebooks: list[list[list[float]]]):
+    """Expression kit for screening RAW vectors against PQ CODES — the
+    asymmetric form (Jégou 2011 §III-B: query stays exact, database
+    side is its reconstruction). Powers the codes-only streaming
+    embedding state (VERDICT r10 item 1): the landed table carries
+    (id, cell, codes, fp) — bytes per vector — and the cross-batch
+    cosine screen compares each incoming raw vector against the
+    RECONSTRUCTION of every landed candidate in its cell.
+
+    Returns ``(prep_raw, adc_cos)``:
+
+    - ``prep_raw(df, vec_expr)`` → df + ``__adc_luts`` (per subspace,
+      the dot products of the raw subvector with every codebook entry
+      — m arrays of k doubles, computed ONCE per raw row in its own
+      projection, the q43 re-fold lesson) and ``__adc_norm`` (the raw
+      vector's L2 norm).
+    - ``adc_cos(codes_col)`` → cosine of the raw vector against the
+      codes' reconstruction: Σ_j lut_j[code_j] / (‖v‖·‖recon‖) with
+      ‖recon‖² = Σ_j ‖cb_j[code_j]‖² read from a literal table — m
+      integer lookups per (raw, candidate) pair, no reconstruction
+      materialized, no raw landed vector read. 0.0 when either norm
+      is 0 (cosine_similarity's convention). Deterministic per pair
+      (per-row sequential folds); the ingest rounds it via its
+      ``screen_round_digits`` knob before thresholding.
+    """
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    cb2 = [
+        [float(sum(x * x for x in cb)) for cb in codebooks[j]]
+        for j in range(m)
+    ]
+
+    def prep_raw(df: DataFrame, vec_expr) -> DataFrame:
+        stage1 = df.withColumn("__adcv", to_double_array(vec_expr))
+        stage2 = stage1.select(
+            "*",
+            *[
+                F.slice(F.col("__adcv"), j * d + 1, d).alias(f"__adcs{j}")
+                for j in range(m)
+            ],
+        )
+
+        def _lut(j: int):  # factory — HOF lambdas must not close over j
+            def _dot_entry(cbv):
+                return dot(F.col(f"__adcs{j}"), cbv)
+
+            return F.transform(
+                F.lit([[float(x) for x in cb] for cb in codebooks[j]]),
+                _dot_entry,
+            )
+
+        return stage2.select(
+            *df.columns,
+            F.array(*[_lut(j) for j in range(m)]).alias("__adc_luts"),
+            l2_norm(F.col("__adcv")).alias("__adc_norm"),
+        )
+
+    def adc_cos(codes_col):
+        cb2_lit = F.lit(cb2)
+        dotsum = None
+        r2 = None
+        for j in range(m):
+            code1 = F.element_at(codes_col, j + 1) + 1
+            t = F.element_at(F.element_at(F.col("__adc_luts"), j + 1), code1)
+            n = F.element_at(F.element_at(cb2_lit, j + 1), code1)
+            dotsum = t if dotsum is None else dotsum + t
+            r2 = n if r2 is None else r2 + n
+        denom = F.col("__adc_norm") * F.sqrt(r2)
+        return F.when(denom != 0, dotsum / denom).otherwise(F.lit(0.0))
+
+    return prep_raw, adc_cos
+
+
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]],
