@@ -57,6 +57,33 @@ def read_embeddings_stream(
     )
 
 
+def _check_embedding_state_layout(
+    spark: SparkSession, path: str, pq_mode: bool
+) -> None:
+    """Refuse a silent hot-state layout switch (VERDICT r10 item 1's
+    migration contract): the raw layout carries ``v array<double>``,
+    the PQ layout ``codes array<int>`` — reopening one as the other
+    would either crash deep inside a batch join or, worse, silently
+    screen against the wrong representation. Driver-side footer probe,
+    no job."""
+    from .corpus import _has_parquet
+
+    if not _has_parquet(path):
+        return
+    cols = {f.name for f in spark.read.parquet(path).schema.fields}
+    if pq_mode and "codes" not in cols:
+        raise ValueError(
+            f"embedding state at {path} carries raw vectors (legacy "
+            "layout); run migrate_embedding_state_to_pq before "
+            "reopening with codebooks"
+        )
+    if not pq_mode and "codes" in cols:
+        raise ValueError(
+            f"embedding state at {path} is codes-only (PQ layout); "
+            "reopen with the codebooks it was built with"
+        )
+
+
 def ingest_embeddings_stream(
     stream: DataFrame,
     out_dir: str,
@@ -73,6 +100,8 @@ def ingest_embeddings_stream(
     components_auto_compact_files: int | None = None,
     round_assign_digits: int | None = None,
     screen_round_digits: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    pq_round_digits: int = 9,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -156,6 +185,29 @@ def ingest_embeddings_stream(
     already round to 6 digits). Defaults (None) keep raw floats —
     byte-identical to the previous behavior.
 
+    With ``codebooks`` (VERDICT r10 item 1 — the 100 TB hot-state fix),
+    the landed table and the screened extras are CODES-ONLY: ``(id,
+    codes array<int>, cell, fp)`` — m small ints per vector instead of
+    the raw ``array<double>`` — so the ONE unboundedly-growing state
+    table stores bytes, not vectors; the raw corpus stays cold. The
+    semantic screens switch to the asymmetric form (ADC, Jégou 2011
+    §III-B) via :func:`~..operators.similarity.pq_adc_screen_kit`: an
+    incoming RAW vector is compared against each candidate's
+    RECONSTRUCTION through m integer lookups — cross-batch against the
+    landed/extras codes, and within a batch the lower-id side
+    contributes its codes (the representation it is about to land
+    with), so within-batch and cross-batch apply the IDENTICAL
+    comparison and the streamed outcome still equals the one-shot
+    batch reduction under the q164 conditions (id-ordered contiguous
+    batches + ``track_components`` + the rounding knobs — the q168
+    probe's oracle mirrors the ADC expression term-for-term). Note the
+    within-batch rule in PQ mode is the pair rule (drop on ANY
+    lower-id twin, kept or dropped) rather than SemDeDup's greedy
+    kept-rep rule — the two agree exactly when ``track_components``
+    extras are on, which is the mode the exact contract needs anyway.
+    Reopening a legacy raw-layout state dir with ``codebooks`` fails
+    loudly — run :func:`migrate_embedding_state_to_pq` first.
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from ..operators.similarity import cosine_near_dup_pairs
@@ -183,6 +235,9 @@ def ingest_embeddings_stream(
     # The screened extras table is compacted (swapped) below, so a crash
     # inside ITS swap needs the same repair as the landed table's.
     recover_interrupted_swap(screened_dir)
+    pq = codebooks is not None
+    _check_embedding_state_layout(stream.sparkSession, out_dir.rstrip("/"), pq)
+    _check_embedding_state_layout(stream.sparkSession, screened_dir, pq)
     cb, comp_tbl = _components_setup(
         stream.sparkSession, comp_dir, track_components,
         components_n_buckets,
@@ -191,8 +246,9 @@ def ingest_embeddings_stream(
 
     nb = int(cell_n_buckets or 0)
     id_ddl = stream.schema[id_col].dataType.simpleString()
+    payload_ddl = "`codes` array<int>" if pq else "`v` array<double>"
     state_ddl = (
-        f"`{id_col}` {id_ddl}, `v` array<double>, `cell` int, `fp` bigint"
+        f"`{id_col}` {id_ddl}, {payload_ddl}, `cell` int, `fp` bigint"
     )
     scr_tbl = None
     if nb:
@@ -236,6 +292,63 @@ def ingest_embeddings_stream(
         if screen_round_digits is not None:
             simc = F.round(simc, screen_round_digits)
         return simc
+
+    if pq:
+        from ..operators.similarity import pq_adc_screen_kit, pq_append_codes
+
+        prep_raw, adc_cos = pq_adc_screen_kit(codebooks)
+
+        def _adc_sim(codes_col):
+            simc = adc_cos(codes_col)
+            if screen_round_digits is not None:
+                simc = F.round(simc, screen_round_digits)
+            return simc
+
+    def _cell_hist(df_):
+        c = df_.groupBy("cell").agg(F.count("*").cast("long").alias("cnt"))
+        return {r["cell"]: r["cnt"] for r in c.collect()}
+
+    def _write_drift(spark, batch_id, survivors, hl):
+        # Cell-histogram JSD of the checkpointed survivors vs the
+        # pre-append landed snapshot. Written after the corpus append —
+        # observability never blocks landing. Layout-agnostic: both the
+        # raw and codes-only paths carry `cell`.
+        hb = _cell_hist(survivors)
+        tb, tl = sum(hb.values()), sum(hl.values())
+        shared = set(hb) & set(hl)
+        jsd_q = pa_q = pb_q = 0
+        import math as _m
+
+        for cell in shared:
+            pa, pb = hb[cell] / tb, hl[cell] / tl
+            mm = (pa + pb) / 2.0
+            jsd_q += round((0.5 * pa * _m.log2(pa / mm)
+                            + 0.5 * pb * _m.log2(pb / mm)) * 1e9)
+            pa_q += round(pa * 1e9)
+            pb_q += round(pb * 1e9)
+        jsd = (jsd_q + 0.5 * (2e9 - pa_q - pb_q)) / 1e9 if tb else 1.0
+        spark.createDataFrame(
+            [(int(batch_id), int(tb), int(tl), len(shared), float(jsd))],
+            "batch_id long, n_batch_vecs long, n_landed_vecs long, "
+            "n_shared_cells int, jsd_bits double",
+        ).write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
+
+    def _maybe_compact(spark, batch_id):
+        if not (compact_every and (batch_id + 1) % compact_every == 0
+                and os.path.exists(out_dir)):
+            return
+        if nb:
+            # Fold per-append bucket files back to one per bucket,
+            # PRESERVING the shuffle-free join layout (same murmur3
+            # spec rides the directory swap).
+            _rewrite_bucketed_state(
+                spark, out_dir.rstrip("/"), emb_tbl,
+                spark.table(emb_tbl), nb, ["cell"],
+            )
+        else:
+            compact_embedding_corpus(spark, out_dir)
+        if track_components and _has_parquet(screened_dir):
+            compact_screened_extras(spark, screened_dir, scr_tbl, nb, id_col)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -429,12 +542,6 @@ def ingest_embeddings_stream(
                 eager=True
             )
 
-            def cell_hist(df_):
-                c = df_.groupBy("cell").agg(
-                    F.count("*").cast("long").alias("cnt")
-                )
-                return {r["cell"]: r["cnt"] for r in c.collect()}
-
             # Pin the landed histogram BEFORE the append: the bucketed
             # CATALOG table refreshes its file listing in place on
             # insert, so a post-append read would count this batch's
@@ -442,7 +549,7 @@ def ingest_embeddings_stream(
             # path pins its listing at _read_state time, but collecting
             # here keeps both modes on the same pre-append snapshot).
             hl = (
-                cell_hist(landed)
+                _cell_hist(landed)
                 if track_drift and landed is not None
                 else {}
             )
@@ -469,58 +576,294 @@ def ingest_embeddings_stream(
                 else:
                     extras_delta.write.mode("append").parquet(screened_dir)
             if track_drift:
-                # Cell-histogram JSD of the checkpointed survivors vs
-                # the pre-append landed snapshot. Written after the
-                # corpus append — observability never blocks landing.
-                hb = cell_hist(survivors)
-                tb, tl = sum(hb.values()), sum(hl.values())
-                shared = set(hb) & set(hl)
-                jsd_q = pa_q = pb_q = 0
-                import math as _m
+                _write_drift(spark, batch_id, survivors, hl)
+            _maybe_compact(spark, batch_id)
+        finally:
+            cached.unpersist()
 
-                for cell in shared:
-                    pa, pb = hb[cell] / tb, hl[cell] / tl
-                    mm = (pa + pb) / 2.0
-                    jsd_q += round((0.5 * pa * _m.log2(pa / mm)
-                                    + 0.5 * pb * _m.log2(pb / mm)) * 1e9)
-                    pa_q += round(pa * 1e9)
-                    pb_q += round(pb * 1e9)
-                jsd = (jsd_q + 0.5 * (2e9 - pa_q - pb_q)) / 1e9 if tb else 1.0
-                spark.createDataFrame(
-                    [(int(batch_id), int(tb), int(tl), len(shared), float(jsd))],
-                    "batch_id long, n_batch_vecs long, n_landed_vecs long, "
-                    "n_shared_cells int, jsd_bits double",
-                ).write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
-            if compact_every and (batch_id + 1) % compact_every == 0 and os.path.exists(out_dir):
+    def write_batch_pq(batch_df: DataFrame, batch_id: int) -> None:
+        """Codes-only twin of write_batch (VERDICT r10 item 1): the
+        hot state carries (id, codes, cell, fp); every semantic screen
+        is the asymmetric ADC comparison — incoming raw vector vs a
+        candidate's codes — through pq_adc_screen_kit, so the batch's
+        raw vectors are read once and never stored."""
+        spark = batch_df.sparkSession
+        tagged = batch_df.withColumn("fp", F.xxhash64(F.col(vec_col)))
+        cached = tagged.persist()
+        try:
+            # 1: exact dedup — identical to the raw path (the
+            # fingerprint is computed on the incoming raw vector and
+            # STORED, so the exact screen never needs `v` back).
+            keep = cached.groupBy("fp").agg(F.min(id_col).alias(id_col))
+            exact_within = None
+            if track_components:
+                exact_within = (
+                    cached.select(F.col(id_col), "fp")
+                    .join(keep.withColumnRenamed(id_col, "__keep"), on="fp")
+                    .filter(F.col(id_col) != F.col("__keep"))
+                    .select(
+                        F.col("__keep").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
+            batch = cached.join(keep, on=[id_col, "fp"], how="left_semi")
+            if nb:
+                landed = (
+                    spark.table(emb_tbl)
+                    if _has_parquet(out_dir.rstrip("/"))
+                    else None
+                )
+            else:
+                landed = _read_state(spark, out_dir)
+            extras = None
+            if track_components:
+                extras = (
+                    spark.table(scr_tbl)
+                    if nb and _has_parquet(screened_dir)
+                    else (None if nb else _read_state(spark, screened_dir))
+                )
+                if extras is not None and not extras.head(1):
+                    extras = None
+            states = [s for s in (landed, extras) if s is not None]
+            exact_cross = None
+            if track_components and states:
+                per_state_min = [
+                    s.select("fp", F.col(id_col))
+                    .join(
+                        F.broadcast(batch.select("fp").distinct()),
+                        on="fp", how="left_semi",
+                    )
+                    .groupBy("fp")
+                    .agg(F.min(id_col).alias("__sid"))
+                    for s in states
+                ]
+                state_min = per_state_min[0]
+                for sm in per_state_min[1:]:
+                    state_min = state_min.unionByName(sm)
+                state_min = state_min.groupBy("fp").agg(
+                    F.min("__sid").alias("__sid")
+                )
+                exact_cross = (
+                    batch.select(F.col(id_col), "fp")
+                    .join(state_min, on="fp")
+                    .select(
+                        F.col("__sid").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                )
+            for s in states:
+                batch = batch.join(s.select("fp"), on="fp", how="left_anti")
+            # Assignment + PQ encode + ADC prep ONCE per batch — all
+            # map-only over the batch; the corpus side is never touched
+            # until the cell equi-joins below.
+            assigned_b = ivf_index(
+                batch, centroids, id_col=id_col, vec_col=vec_col,
+                round_assign_digits=round_assign_digits,
+            ).join(batch.select(id_col, "fp"), on=id_col)
+            encoded_b = pq_append_codes(
+                assigned_b, codebooks, vec_col="v",
+                round_digits=pq_round_digits,
+            )
+            probe_b = prep_raw(encoded_b, F.col("v"))
+            # 2: within-batch ADC pairs — the lower-id side contributes
+            # its CODES (the representation it is about to land with),
+            # the higher-id side its raw vector: exactly the comparison
+            # a later batch would make against the landed table, so
+            # within-batch and cross-batch screens are the same
+            # function and the streamed outcome matches the one-shot
+            # pair rule (drop on ANY lower-id twin in the same cell).
+            a_side = probe_b.select(
+                F.col("cell"),
+                F.col(id_col).alias("id_a"),
+                F.col("codes").alias("__acodes"),
+            )
+            pairs_w = (
+                probe_b.select(
+                    F.col("cell"), F.col(id_col).alias("id_b"),
+                    "__adc_luts", "__adc_norm",
+                )
+                .join(a_side, on="cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(_adc_sim(F.col("__acodes")) >= F.lit(threshold))
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
+            )
+            # 3: cross-batch ADC screen vs landed (∪ screened extras
+            # under group tracking — chains through dropped twins).
+            # Probed separately per state frame to keep each bucketed
+            # table's CLUSTERED BY (cell) distribution (see raw path).
+            near_pairs = None
+            if states:
+                per_state = [
+                    probe_b.join(
+                        s.select(
+                            F.col("cell"),
+                            F.col("codes").alias("__scodes"),
+                            F.col(id_col).alias("__sid"),
+                        ),
+                        on="cell",
+                    )
+                    .filter(_adc_sim(F.col("__scodes")) >= F.lit(threshold))
+                    .select(
+                        F.col("__sid").alias("id_a"),
+                        F.col(id_col).alias("id_b"),
+                    )
+                    for s in states
+                ]
+                near_pairs = per_state[0]
+                for ps in per_state[1:]:
+                    near_pairs = near_pairs.unionByName(ps)
+                near_pairs = near_pairs.localCheckpoint(eager=True)
+            if track_components:
+                comp_edges = pairs_w
+                for extra_e in (exact_within, exact_cross, near_pairs):
+                    if extra_e is not None:
+                        comp_edges = comp_edges.unionByName(extra_e)
+                # Pin edges BEFORE any state write below.
+                comp_edges = comp_edges.localCheckpoint(eager=True)
+                _merge_component_state(
+                    spark, comp_dir, comp_tbl, cb, comp_edges,
+                    batch_id, stream.schema[id_col].dataType,
+                    compact_every=compact_every,
+                    auto_compact_files=components_auto_compact_files,
+                )
+            dropped = pairs_w.select(F.col("id_b").alias(id_col))
+            if near_pairs is not None:
+                dropped = dropped.unionByName(
+                    near_pairs.select(F.col("id_b").alias(id_col))
+                )
+            # 4: single append — codes-only survivors ARE the new state.
+            survivors = (
+                encoded_b.join(
+                    dropped.distinct(), on=id_col, how="left_anti"
+                )
+                .select(id_col, "codes", "cell", "fp")
+                .localCheckpoint(eager=True)
+            )
+            hl = (
+                _cell_hist(landed)
+                if track_drift and landed is not None
+                else {}
+            )
+            if nb:
+                _append_bucketed(survivors, emb_tbl, nb, ["cell"])
+            else:
+                survivors.write.mode("append").parquet(out_dir)
+            if track_components:
+                extras_delta = (
+                    encoded_b.join(
+                        survivors.select(id_col), on=id_col, how="left_anti"
+                    )
+                    .select(id_col, "codes", "cell", "fp")
+                    .localCheckpoint(eager=True)
+                )
                 if nb:
-                    # Fold per-append bucket files back to one per
-                    # bucket, PRESERVING the shuffle-free join layout
-                    # (same murmur3 spec rides the directory swap).
-                    _rewrite_bucketed_state(
-                        spark,
-                        out_dir.rstrip("/"),
-                        emb_tbl,
-                        spark.table(emb_tbl),
-                        nb,
-                        ["cell"],
-                    )
+                    _append_bucketed(extras_delta, scr_tbl, nb, ["cell"])
                 else:
-                    compact_embedding_corpus(spark, out_dir)
-                if track_components and _has_parquet(screened_dir):
-                    compact_screened_extras(
-                        spark, screened_dir, scr_tbl, nb, id_col
-                    )
+                    extras_delta.write.mode("append").parquet(screened_dir)
+            if track_drift:
+                _write_drift(spark, batch_id, survivors, hl)
+            _maybe_compact(spark, batch_id)
         finally:
             cached.unpersist()
 
     query = (
-        stream.writeStream.foreachBatch(write_batch)
+        stream.writeStream.foreachBatch(write_batch_pq if pq else write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
     return query
+
+
+def migrate_embedding_state_to_pq(
+    spark: SparkSession,
+    out_dir: str,
+    codebooks: list[list[list[float]]],
+    cell_n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    pq_round_digits: int = 9,
+) -> str:
+    """Upgrade a legacy raw-vector embedding state dir — landed table
+    plus its ``_screened`` sibling if present — to the codes-only PQ
+    layout in one crash-safe map pass per table (VERDICT r10 item 1's
+    migration contract): ``(id, v, cell, fp)`` → ``(id, codes, cell,
+    fp)`` with ``codes`` from :func:`~..operators.similarity.
+    pq_append_codes` (identical argmin/rounding/tie rule to the ingest
+    itself, so a migrated row is byte-identical to the row the PQ
+    ingest would have landed). The rewrite lands in a ``__tmp`` dir and
+    swaps atomically (the compaction-swap precedent,
+    ``sources.state.atomic_swap_dirs``); a crash at any point is
+    repaired by ``recover_interrupted_swap`` — which both this function
+    and the ingest run first. Idempotent: an already-migrated dir is a
+    no-op. Returns a short status string per table, joined by '; '.
+
+    Pass the same ``cell_n_buckets`` the ingest uses: bucketed mode
+    rewrites through the registered catalog table so the murmur3
+    bucket layout (and the shuffle-free probe joins it powers)
+    survives the migration; plain mode range-clusters on ``cell``.
+    """
+    from ..operators.similarity import pq_append_codes
+    from ..sources.state import (
+        TMP_SUFFIX,
+        atomic_swap_dirs,
+        recover_interrupted_swap,
+    )
+    from .corpus import (
+        _check_bucket_marker,
+        _has_parquet,
+        _register_bucketed_state,
+        _rewrite_bucketed_state,
+        _state_table_name,
+    )
+
+    nb = int(cell_n_buckets or 0)
+    id_ddl = None
+    statuses = []
+    targets = [(out_dir.rstrip("/"), "emb_corpus")]
+    screened = out_dir.rstrip("/") + "_screened"
+    if os.path.isdir(screened):
+        targets.append((screened, "emb_screened"))
+    for path, prefix in targets:
+        recover_interrupted_swap(path)
+        if not _has_parquet(path):
+            statuses.append(f"{path}: no state")
+            continue
+        df = spark.read.parquet(path)
+        cols = set(df.columns)
+        if "codes" in cols and "v" not in cols:
+            statuses.append(f"{path}: already migrated")
+            continue
+        if "v" not in cols:
+            raise ValueError(
+                f"embedding state at {path} has neither `v` nor `codes`"
+                " — not an embedding state table"
+            )
+        enc = pq_append_codes(
+            df, codebooks, vec_col="v", round_digits=pq_round_digits
+        ).select(id_col, "codes", "cell", "fp")
+        if nb:
+            _check_bucket_marker(path, nb, "embedding state migration")
+            id_ddl = id_ddl or df.schema[id_col].dataType.simpleString()
+            tbl = _register_bucketed_state(
+                spark, path, _state_table_name(path, prefix),
+                f"`{id_col}` {id_ddl}, `codes` array<int>, `cell` int, "
+                "`fp` bigint",
+                ["cell"], nb,
+            )
+            _rewrite_bucketed_state(spark, path, tbl, enc, nb, ["cell"])
+        else:
+            n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+            (
+                enc.repartitionByRange(n_out, F.col("cell"))
+                .sortWithinPartitions("cell")
+                .write.mode("overwrite")
+                .parquet(path + TMP_SUFFIX)
+            )
+            atomic_swap_dirs(path)
+        statuses.append(f"{path}: migrated")
+    return "; ".join(statuses)
 
 
 def compact_screened_extras(

@@ -1,0 +1,405 @@
+"""Codes-only PQ streaming embedding state (VERDICT r10 item 1).
+
+Covers the four contracts the ADC wiring depends on:
+
+1. **ADC arithmetic pin** — ``pq_adc_screen_kit``'s ``adc_cos`` equals a
+   pure-Python IEEE-754 reference computed with the IDENTICAL fold
+   grouping (per-subspace partial dot products summed in j order)
+   bit-for-bit. NOTE the ADVICE-r11 phrasing "equals
+   cosine_similarity(raw, reconstruction) bit-for-bit" cannot hold
+   literally: the flat cosine folds all dim elements in one sequence
+   while ADC sums m per-subspace partials — IEEE addition is not
+   associative, so the two differ in the last ulps. What the
+   stream==batch contract actually needs is that the BATCH TWIN uses
+   the same grouped expression — pinned here against Python (and in the
+   q168 oracle twin term-for-term). The flat form is asserted to within
+   1e-9 and equal after the screen's 6-digit rounding.
+2. **stream == batch** — the codes-only ingest over id-ordered shards
+   lands exactly the one-shot pair-rule reduction (drop on ANY lower-id
+   same-cell rep whose CODES the raw vector ADC-matches), with the
+   landed table carrying (id, codes, cell, fp) and NO raw vectors.
+3. **Layout guard** — reopening a legacy raw-vector state dir with
+   codebooks fails loudly (and vice versa).
+4. **Migration** — ``migrate_embedding_state_to_pq`` upgrades a legacy
+   dir (landed + screened extras) crash-safely and idempotently, and a
+   PQ ingest continued on the migrated state matches the phase-aware
+   one-shot reduction.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_ml_pipeline_spark.operators.similarity import (
+    deterministic_ivf_centroids,
+    pq_adc_screen_kit,
+    pq_append_codes,
+    pq_codebooks,
+    pq_encode,
+)
+from big_data_ml_pipeline_spark.streaming import embeddings as se
+
+DIM, M, K, NCELLS = 16, 4, 4, 4
+D = DIM // M
+CBS = pq_codebooks(dim=DIM, m=M, k=K)
+CENTS = deterministic_ivf_centroids(dim=DIM, n_cells=NCELLS)
+
+
+# ---------------------------------------------------------------- python ref
+# Pure-Python IEEE-754 references mirroring the Spark expressions'
+# exact fold order: aggregate(zip_with(a,b,*), 0.0, acc+x) is a
+# sequential left fold, F.round is HALF_UP over the shortest-repr
+# decimal (java BigDecimal.valueOf == Python Decimal(repr(x))).
+
+def seq_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def seq_norm(a):
+    acc = 0.0
+    for x in a:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def rhu(x, n):
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+CB2 = [[float(sum(x * x for x in cb)) for cb in CBS[j]] for j in range(M)]
+
+
+def py_codes(v, round_digits=9):
+    codes = []
+    for j in range(M):
+        s = v[j * D: (j + 1) * D]
+        sn = seq_dot(s, s)
+        dists = [
+            rhu(sn - 2.0 * seq_dot(s, cb) + CB2[j][c], round_digits)
+            for c, cb in enumerate(CBS[j])
+        ]
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def py_adc_cos(v, codes):
+    dotsum = None
+    r2 = None
+    for j in range(M):
+        t = seq_dot(v[j * D: (j + 1) * D], CBS[j][codes[j]])
+        n = CB2[j][codes[j]]
+        dotsum = t if dotsum is None else dotsum + t
+        r2 = n if r2 is None else r2 + n
+    denom = seq_norm(v) * math.sqrt(r2)
+    return dotsum / denom if denom != 0 else 0.0
+
+
+def py_cell(v):
+    vnorm = seq_norm(v)
+    sims = []
+    for c in CENTS:
+        nc = math.sqrt(sum(x * x for x in c))
+        s = seq_dot(v, c) / (vnorm * nc) if (vnorm * nc) != 0 else 0.0
+        sims.append(rhu(s, 6))
+    return sims.index(max(sims))
+
+
+def py_raw_cos(a, b):
+    denom = seq_norm(a) * seq_norm(b)
+    return seq_dot(a, b) / denom if denom != 0 else 0.0
+
+
+def one_shot(rows, thr, pq_from_id=None):
+    """One-shot pair-rule reduction: min-id rep per identical vector,
+    then drop any rep with a lower-id same-cell twin. ``pq_from_id``
+    phase boundary: a rep b with id >= pq_from_id is screened with the
+    ADC sim against the lower rep's CODES (the PQ ingest's rule),
+    below it with the raw-raw cosine (the legacy ingest's rule); both
+    rounded to 6 digits. Returns (kept ids, dropped-semantic ids,
+    reps dict id->v)."""
+    first = {}
+    for vid, v in sorted(rows):
+        key = tuple(v)
+        if key not in first:
+            first[key] = vid
+    reps = {vid: v for vid, v in rows if first[tuple(v)] == vid}
+    cells = {vid: py_cell(v) for vid, v in reps.items()}
+    codes = {vid: py_codes(v) for vid, v in reps.items()}
+    dropped = set()
+    for vid in sorted(reps):
+        for lower in sorted(reps):
+            if lower >= vid:
+                break
+            if cells[lower] != cells[vid]:
+                continue
+            if pq_from_id is not None and vid >= pq_from_id:
+                sim = py_adc_cos(reps[vid], codes[lower])
+            else:
+                sim = py_raw_cos(reps[vid], reps[lower])
+            if rhu(sim, 6) >= thr:
+                dropped.add(vid)
+                break
+    return set(reps) - dropped, dropped, reps
+
+
+# ---------------------------------------------------------------- fixtures
+
+def recon(p, q, r, s):
+    """A vector that IS its own PQ reconstruction (distance-0 codes),
+    so its ADC self-similarity is exactly 1 and near copies score
+    ~0.999 — lets the fixture plant semantic twins the coarse k=4
+    codebooks actually catch."""
+    return [float(x) for x in CBS[0][p] + CBS[1][q] + CBS[2][r] + CBS[3][s]]
+
+
+def near(v, eps, coord=0):
+    out = list(v)
+    out[coord] = out[coord] + eps
+    return [float(x) for x in out]
+
+
+def write_shards(spark, in_dir, shards):
+    os.makedirs(in_dir, exist_ok=True)
+    for i, rows in enumerate(shards):
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        p = os.path.join(in_dir, f"s{i}.parquet")
+        df.toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+
+
+BASE = [recon(0, 1, 2, 3), recon(1, 0, 3, 2), recon(2, 3, 0, 1),
+        recon(3, 2, 1, 0), recon(0, 0, 1, 1), recon(2, 2, 3, 3)]
+
+# Shard layout (ids ascending across shards — the q164 replay-order
+# condition): shard1 plants an exact dup, shard2 a cross-batch near
+# twin AND a chain through it (31 twins 30 which twins 11's base),
+# shard3 an exact dup of a DROPPED vector (extras fp screen) plus a
+# novel vector.
+SHARD1 = [(10, BASE[0]), (11, BASE[1]), (12, BASE[2]), (13, BASE[0])]
+SHARD2 = [(20, BASE[3]), (21, near(BASE[1], 1e-3)), (22, BASE[4])]
+SHARD3 = [(30, near(BASE[1], 2e-3)), (31, BASE[5]), (32, near(BASE[1], 1e-3))]
+ALL_ROWS = SHARD1 + SHARD2 + SHARD3
+THR = 0.9
+
+
+def test_adc_cos_bitexact_vs_grouped_reference(spark):
+    """adc_cos == the grouped-fold Python reference bit-for-bit, and
+    ~= the flat reconstruction cosine to 1e-9 / equal at the screen's
+    6-digit rounding (the association caveat documented above)."""
+    import random
+
+    rng = random.Random(42)
+    vecs = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(20)]
+    vecs += BASE + [near(BASE[0], 1e-3)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    enc = pq_append_codes(df, CBS, vec_col="embedding")
+    prep_raw, adc_cos = pq_adc_screen_kit(CBS)
+    # Screen every vector against every OTHER vector's codes — the
+    # exact shape the ingest's cell joins produce.
+    a = enc.select(
+        F.col("vec_id").alias("id_a"), F.col("codes").alias("__acodes")
+    )
+    b = prep_raw(df, F.col("embedding")).select(
+        F.col("vec_id").alias("id_b"), "__adc_luts", "__adc_norm"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in b.crossJoin(a)
+        .select("id_a", "id_b", adc_cos(F.col("__acodes")).alias("sim"))
+        .collect()
+    }
+    codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    by_id = dict(rows)
+    n_close = 0
+    for (ia, ib), sim in got.items():
+        expect = py_adc_cos(by_id[ib], codes[ia])
+        assert sim == expect, (ia, ib, sim, expect)  # bit-for-bit
+        rec = [x for j in range(M) for x in CBS[j][codes[ia][j]]]
+        flat = py_raw_cos(by_id[ib], rec)
+        assert abs(sim - flat) < 1e-9
+        if rhu(sim, 6) == rhu(flat, 6):
+            n_close += 1
+    # 6-digit rounding: allow the (never-yet-seen) boundary straddle
+    # on at most a stray pair, but the fixture must agree en masse.
+    assert n_close >= len(got) - 1
+    # Spark's codes match the Python HALF_UP argmin reference too.
+    for vid, v in rows:
+        assert codes[vid] == py_codes(v), vid
+
+
+def test_pq_ingest_codes_only_stream_equals_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, ckpt,
+        centroids=CENTS, threshold=THR, track_components=True,
+        round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+    )
+    landed = spark.read.parquet(out)
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    kept, dropped, reps = one_shot(ALL_ROWS, THR, pq_from_id=0)
+    # The fixture must exercise every screen: exact dups (13, 32),
+    # a cross-batch ADC drop (21), and a chain through a dropped twin
+    # (30 vs 21's codes).
+    assert dropped, "fixture no longer plants semantic twins"
+    got = {r["vec_id"]: r for r in landed.collect()}
+    assert set(got) == kept
+    for vid in kept:
+        assert list(got[vid]["codes"]) == py_codes(reps[vid])
+        assert got[vid]["cell"] == py_cell(reps[vid])
+    # Extras carry the DROPPED reps (codes-only too); landed ∪ extras
+    # = all reps exactly once.
+    extras = spark.read.parquet(out + "_screened")
+    assert set(extras.columns) == {"vec_id", "codes", "cell", "fp"}
+    eids = {r["vec_id"] for r in extras.select("vec_id").collect()}
+    assert eids == dropped
+    # Replay with a fresh checkpoint: the fp screens (landed + extras)
+    # land nothing new.
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck2"),
+        centroids=CENTS, threshold=THR, track_components=True,
+        round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+    )
+    assert spark.read.parquet(out).count() == len(kept)
+    assert spark.read.parquet(out + "_screened").count() == len(dropped)
+
+
+def test_pq_ingest_bucketed_matches_plain(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    results = {}
+    for mode, nb in (("plain", None), ("bucketed", 4)):
+        out = str(tmp_path / f"out_{mode}")
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out,
+            str(tmp_path / f"ck_{mode}"),
+            centroids=CENTS, threshold=THR, track_components=True,
+            round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+            cell_n_buckets=nb, compact_every=2,
+        )
+        results[mode] = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out).collect()
+        }
+    assert results["plain"] == results["bucketed"]
+    assert os.path.exists(str(tmp_path / "out_bucketed") + "/_BUCKET_SPEC")
+
+
+def test_pq_ingest_rejects_legacy_layout(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1])
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, str(tmp_path / "ck"),
+        centroids=CENTS, threshold=THR,
+        round_assign_digits=6, screen_round_digits=6,
+    )
+    assert "v" in spark.read.parquet(out).columns
+    with pytest.raises(ValueError, match="legacy"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out,
+            str(tmp_path / "ck2"),
+            centroids=CENTS, threshold=THR, codebooks=CBS,
+        )
+    # And the reverse: a codes-only dir refuses a raw-mode reopen.
+    out2 = str(tmp_path / "out2")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out2,
+        str(tmp_path / "ck3"),
+        centroids=CENTS, threshold=THR, codebooks=CBS,
+        round_assign_digits=6, screen_round_digits=6,
+    )
+    with pytest.raises(ValueError, match="codes-only"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out2,
+            str(tmp_path / "ck4"),
+            centroids=CENTS, threshold=THR,
+        )
+
+
+def test_pq_state_migration_continues_exactly(spark, tmp_path):
+    """Legacy raw-mode history (shard1, group tracking on) → migrate →
+    PQ ingest of shards 2+3 on the migrated state == the phase-aware
+    one-shot reduction (raw rule below id 20, ADC rule from 20 up).
+    Also pins idempotence and the crash-leftover repair."""
+    in1, in23 = str(tmp_path / "in1"), str(tmp_path / "in23")
+    write_shards(spark, in1, [SHARD1])
+    write_shards(spark, in23, [SHARD2, SHARD3])
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in1), out, str(tmp_path / "ck1"),
+        centroids=CENTS, threshold=THR, track_components=True,
+        round_assign_digits=6, screen_round_digits=6,
+    )
+    legacy = {
+        r["vec_id"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert "v" in next(iter(legacy.values())).asDict()
+    # Crash leftover: a half-written rewrite must be discarded, not
+    # swapped in.
+    from big_data_ml_pipeline_spark.sources.state import TMP_SUFFIX
+
+    stale = out + TMP_SUFFIX
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("x")
+    status = se.migrate_embedding_state_to_pq(spark, out, CBS)
+    assert "migrated" in status
+    assert not os.path.exists(stale)
+    migrated = spark.read.parquet(out)
+    assert set(migrated.columns) == {"vec_id", "codes", "cell", "fp"}
+    # Migrated codes == pq_encode of the legacy raw vectors, row by row.
+    legacy_codes = {
+        vid: py_codes([float(x) for x in r["v"]])
+        for vid, r in legacy.items()
+    }
+    for r in migrated.collect():
+        assert list(r["codes"]) == legacy_codes[r["vec_id"]]
+        assert r["cell"] == legacy[r["vec_id"]]["cell"]
+        assert r["fp"] == legacy[r["vec_id"]]["fp"]
+    assert "already migrated" in se.migrate_embedding_state_to_pq(
+        spark, out, CBS
+    )
+    # Continue in PQ mode over shards 2+3.
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in23), out, str(tmp_path / "ck2"),
+        centroids=CENTS, threshold=THR, track_components=True,
+        round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+    )
+    kept, dropped, reps = one_shot(ALL_ROWS, THR, pq_from_id=20)
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == kept
+    for vid in kept:
+        assert list(got[vid]["codes"]) == py_codes(reps[vid])
+
+
+def test_pq_encode_matches_append_codes(spark):
+    """pq_encode and pq_append_codes share one expression builder —
+    pin that the state-table form emits identical codes."""
+    rows = [(i, v) for i, v in enumerate(BASE)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, CBS).collect()}
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(df, CBS, vec_col="embedding").collect()
+    }
+    assert a == b
+    # And the self-reconstruction property the fixture relies on:
+    # a concat-of-codebook-entries vector encodes to those entries.
+    assert a[0] == [0, 1, 2, 3]
