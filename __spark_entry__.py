@@ -3195,6 +3195,63 @@ def q167_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_reconstruction_report(emb, cbs)
 
 
+def q168_pq_embedding_ingest_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Codes-only (PQ) embedding streaming-ingest probe (VERDICT r10
+    item 1 landed): q164's replay through the SAME
+    ingest_embeddings_stream path, but with ``codebooks`` set, so the
+    hot state — landed corpus and screened extras alike — carries
+    (id, codes array<int>, cell, fp), m=8 small ints per vector
+    instead of the raw 64-double array, and every semantic screen is
+    the asymmetric ADC comparison (incoming raw vector vs a
+    candidate's codes, 6-digit-rounded, threshold 0.30 — this corpus's
+    max same-cell ADC sim is ≈0.38). The landed table is asserted
+    codes-only (no `v` column) before reporting. Oracle-checkable end
+    to end: the twin mirrors the ADC cosine term-for-term in Spark's
+    fold order (see oracle/sql.py _q168_sql). Shard staging and the
+    bookkeeping counts share q164's per-(sf, mtime) cache."""
+    import shutil
+    import tempfile
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as emb_stream
+
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    in_dir = _stage_id_shards(spark, sf_dir, "embeddings", "vec_id")
+    base = tempfile.mkdtemp(prefix="q168_")
+    try:
+        out = os.path.join(base, "out")
+        emb_stream.ingest_embeddings_stream(
+            emb_stream.read_embeddings_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+            centroids=cents,
+            threshold=0.30,
+            track_components=True,
+            round_assign_digits=6,
+            screen_round_digits=6,
+            codebooks=cbs,
+        )
+        landed = spark.read.parquet(out)
+        assert "v" not in landed.columns and "codes" in landed.columns
+        n_landed = landed.count()
+        if in_dir not in _PROBE_COUNTS:
+            emb = load_table(spark, sf_dir, "embeddings")
+            _PROBE_COUNTS[in_dir] = (
+                emb.count(),
+                emb.select("embedding").distinct().count(),
+            )
+        n_input, n_reps = _PROBE_COUNTS[in_dir]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(4, n_input, n_input - n_reps, n_reps - n_landed, n_landed)],
+        "n_batches long, n_input long, dropped_exact long, "
+        "dropped_semantic long, vecs_landed long",
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3385,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_streaming_sessions": q69_streaming_sessions,
         "q72_multimodal_resize": q72_multimodal_resize,
         "q73_ml_regression": q73_ml_regression,
+        "q168_pq_embedding_ingest_probe": q168_pq_embedding_ingest_probe,
     }
 
 

@@ -109,6 +109,10 @@ EXCLUDE = {
     # oracle_sql(); the document ingest's q163 keeps streaming-ingest
     # wall-time visible in BENCH.
     "q164_embedding_ingest_probe",
+    # r13: q164's codes-only (PQ) twin — identical group-tracking
+    # driver-paced CC rounds per batch; same reasoning. Correctness-
+    # gated at sf0.01 via oracle_sql().
+    "q168_pq_embedding_ingest_probe",
 }
 EXTRA = [
     "q40_minhash_pairs",

@@ -2315,6 +2315,93 @@ FROM md GROUP BY j
 """
 
 
+def _q168_sql(threshold: float = 0.30, m: int = 8, k: int = 16,
+              dim: int = 64) -> str:
+    """Twin of q168 — the codes-only (PQ) embedding ingest's one-shot
+    reduction: min-id rep per distinct vector, then drop any rep with
+    a lower-id same-cell twin whose CODES the rep's raw vector
+    ADC-matches at rounded cosine >= threshold. The ADC cosine is
+    mirrored term-for-term in Spark's fold order (the bit-for-bit pin
+    in tests/test_pq_streaming_state.py): per-subspace
+    list_dot_product partials summed left-to-right in j order, the
+    reconstruction norm² as the SAME Python cb2 float literals summed
+    in j order — never a SUM() over rows, whose addition order the
+    engine doesn't guarantee."""
+    from ..operators.similarity import (
+        deterministic_ivf_centroids,
+        pq_codebooks,
+    )
+
+    d = dim // m
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    cbs = pq_codebooks(dim=dim, m=m, k=k)
+    cb3 = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in cb) + "]" for cb in cbs[j]
+        ) + "]" for j in range(m)
+    ) + "]"
+    cb23 = "[" + ", ".join(
+        "[" + ", ".join(
+            repr(float(sum(x * x for x in cb))) for cb in cbs[j]
+        ) + "]" for j in range(m)
+    ) + "]"
+    dot_terms = "\n      + ".join(
+        f"list_dot_product(b.v[{j * d + 1}:{j * d + d}], "
+        f"cb3[{j + 1}][ac.codes[{j + 1}] + 1])"
+        for j in range(m)
+    )
+    r2_terms = " + ".join(
+        f"cb23[{j + 1}][ac.codes[{j + 1}] + 1]" for j in range(m)
+    )
+    return f"""
+WITH {_PQ_ENCODE_CTES},
+cents(cell, cv) AS (VALUES {values}),
+cbl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
+               CAST({cb23} AS DOUBLE[][]) AS cb23),
+reps AS (SELECT MIN(vec_id) AS vec_id, v FROM e GROUP BY v),
+acodes AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM enc GROUP BY vec_id
+),
+sims AS (
+  SELECT r.vec_id, r.v, cents.cell,
+         ROUND(list_dot_product(r.v, cents.cv) /
+               (sqrt(list_dot_product(r.v, r.v)) *
+                sqrt(list_dot_product(cents.cv, cents.cv))), 6) AS csim
+  FROM reps r CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM sims) t WHERE rn = 1
+),
+dsem AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN acodes ac ON ac.vec_id = a.vec_id
+  CROSS JOIN cbl
+  WHERE ROUND((
+        {dot_terms}
+      ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms})), 6)
+      >= {threshold}
+)
+SELECT CAST(4 AS BIGINT) AS n_batches,
+  (SELECT COUNT(*) FROM e) AS n_input,
+  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM reps) AS dropped_exact,
+  (SELECT COUNT(*) FROM dsem) AS dropped_semantic,
+  (SELECT COUNT(*) FROM reps) - (SELECT COUNT(*) FROM dsem) AS vecs_landed
+"""
+
+
+_Q168_SQL = _q168_sql()
+
+
 def _q124_sql() -> str:
     """Twin of q124: the q110 IVF probe machinery, but aggregated to a
     per-training-vector MAX eval similarity with a clean/contaminated
@@ -3835,5 +3922,6 @@ def oracle_sql() -> dict[str, str]:
         "q165_pq_encode": _Q165_SQL,
         "q166_ivf_pq_topk": _Q166_SQL,
         "q167_pq_distortion": _Q167_SQL,
+        "q168_pq_embedding_ingest_probe": _Q168_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
