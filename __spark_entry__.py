@@ -2981,15 +2981,43 @@ def _stage_id_shards(
     import time as _time
 
     src = os.path.join(sf_dir, f"{table}.parquet")
-    key = "{}_{}_{}".format(
+    probe = src if os.path.exists(src) else sf_dir
+    # Cache key (ADVICE r11 #1): basename+int(mtime) alone can collide
+    # across a same-second regeneration or two roots sharing a name —
+    # fold in the source byte size and the shard count so a stale
+    # entry can never be read against fresh bookkeeping counts.
+    key = "{}_{}_{}_{}_s{}".format(
         table,
         os.path.basename(sf_dir.rstrip("/")),
-        int(os.path.getmtime(src if os.path.exists(src) else sf_dir)),
+        int(os.path.getmtime(probe)),
+        os.path.getsize(probe) if os.path.isfile(probe) else 0,
+        n_shards,
     )
-    base = os.path.join(tempfile.gettempdir(), "spark_graft_stage", key)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_stage")
+    base = os.path.join(root, key)
     in_dir = os.path.join(base, "in")
     if os.path.exists(os.path.join(base, "_STAGED")):
         return in_dir
+    # Prune before building (ADVICE r11 #4 — the cache grew one full
+    # staged copy per dataset vintage, forever): any sibling entry for
+    # the same (table, sf) prefix is a stale vintage, and any
+    # leaked .build-* dir older than an hour is a crashed build. A
+    # YOUNG foreign build dir is skipped — it may be a concurrent
+    # process mid-stage, and deleting it under that process would
+    # break its rename.
+    prefix = "{}_{}_".format(table, os.path.basename(sf_dir.rstrip("/")))
+    now0 = _time.time()
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if not name.startswith(prefix) or p == base:
+                continue
+            try:
+                if ".build-" in name and now0 - os.path.getmtime(p) < 3600:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
     build = base + ".build-{}".format(os.getpid())
     shutil.rmtree(build, ignore_errors=True)
     os.makedirs(os.path.join(build, "in"), exist_ok=True)
@@ -3016,8 +3044,20 @@ def _stage_id_shards(
         f.write("ok")
     try:
         os.rename(build, base)
-    except OSError:  # another process won the rename race — use theirs
-        shutil.rmtree(build, ignore_errors=True)
+    except OSError:
+        # ADVICE r11 #2: only treat this as a lost rename race when
+        # the winner's entry is actually COMPLETE — discarding our
+        # finished build on any other failure would return a path
+        # that later surfaces as an opaque parquet/schema error.
+        if os.path.exists(os.path.join(base, "_STAGED")):
+            shutil.rmtree(build, ignore_errors=True)
+        else:
+            # base exists but incomplete (a crash between its rename
+            # and nothing — _STAGED is written inside build, so a
+            # complete entry always carries it): replace it. A second
+            # failure here is a real error and propagates.
+            shutil.rmtree(base, ignore_errors=True)
+            os.rename(build, base)
     return in_dir
 
 
@@ -3252,6 +3292,103 @@ def q168_pq_embedding_ingest_probe(
     )
 
 
+def q169_pq_codebook_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-vs-kit PQ codebook distortion evidence (VERDICT r10
+    item 2): fit_pq_codebooks — one seeded KMeans per subspace over a
+    bounded 50% Bernoulli sample, all m fits sharing a single
+    persisted scan — against the deterministic codebook kit, both
+    measured by pq_reconstruction_report over the SAME full corpus.
+    Emits (subspace, n_vectors, kit_mean_sq_dist, trained_mean_sq_dist,
+    trained_wins) — the per-subspace evidence that training the
+    codebooks on the data actually buys distortion, and WHERE. The
+    10-row-bounded spine (one row per subspace) keeps the result
+    stable across runs. Rows-only: KMeans cluster centers are
+    iterative-solver floats with no SQL twin; the ORDERING claim
+    (trained <= kit per subspace on clustered data) is pinned in
+    tests/test_recall_quality.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    kit = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    trained = sim_ops.fit_pq_codebooks(
+        emb, m=8, k=16, seed=42, sample_fraction=0.5
+    )
+    rk = sim_ops.pq_reconstruction_report(emb, kit).select(
+        "subspace", "n_vectors",
+        F.col("mean_sq_dist").alias("kit_mean_sq_dist"),
+    )
+    rt = sim_ops.pq_reconstruction_report(emb, trained).select(
+        "subspace", F.col("mean_sq_dist").alias("trained_mean_sq_dist")
+    )
+    return (
+        rk.join(rt, "subspace")
+        .select(
+            "subspace",
+            "n_vectors",
+            "kit_mean_sq_dist",
+            "trained_mean_sq_dist",
+            (
+                F.col("trained_mean_sq_dist") <= F.col("kit_mean_sq_dist")
+            ).alias("trained_wins"),
+        )
+        .orderBy("subspace")
+    )
+
+
+def q170_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier threshold calibration (VERDICT r10 item 6):
+    per-p_head-decile document counts with the RULE-based gate's keep
+    counts alongside — the evidence that q160's keep_threshold=0.5 is
+    a principled choice (rule-keep fraction should climb with the
+    model score, and the 0.5 boundary should sit where it crosses).
+    Built on the same deterministic feature table q160 trains on
+    (quality_classifier_scores with lang tiers) joined to q103's
+    quality_rules verdicts; aggregated onto a STATIC 10-row decile
+    spine (left join against range(10)) so the row count never
+    depends on which deciles happen to be populated. Rows-only: LR
+    probabilities have no SQL twin; monotonicity is pinned in pytest
+    on a planted-quality corpus."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        quality_classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_classifier_scores(docs, lang_col="lang")
+    rules = text_ops.quality_rules(docs).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    j = scored.join(rules, "doc_id").withColumn(
+        "decile",
+        F.least(F.floor(F.col("p_head") * 10), F.lit(9)).cast("long"),
+    )
+    agg = j.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("rule_keep").cast("long")).cast("long").alias(
+            "n_rule_keep"
+        ),
+        F.sum(F.col("keep").cast("long")).cast("long").alias(
+            "n_model_keep"
+        ),
+    )
+    spine = spark.range(10).select(F.col("id").cast("long").alias("decile"))
+    return (
+        spine.join(agg, "decile", "left")
+        .select(
+            "decile",
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("n_rule_keep", F.lit(0)).cast("long").alias(
+                "n_rule_keep"
+            ),
+            F.coalesce("n_model_keep", F.lit(0)).cast("long").alias(
+                "n_model_keep"
+            ),
+            F.when(
+                F.coalesce("n_docs", F.lit(0)) > 0,
+                F.col("n_rule_keep").cast("double") / F.col("n_docs"),
+            ).alias("frac_rule_keep"),
+        )
+        .orderBy("decile")
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3443,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_multimodal_resize": q72_multimodal_resize,
         "q73_ml_regression": q73_ml_regression,
         "q168_pq_embedding_ingest_probe": q168_pq_embedding_ingest_probe,
+        "q169_pq_codebook_training": q169_pq_codebook_training,
+        "q170_quality_calibration": q170_quality_calibration,
     }
 
 

@@ -72,6 +72,14 @@ ROWS_ONLY = {
     # twin; AUC floor / row preservation / tier separation pinned in
     # test_ml_and_features.py.
     "q160_quality_classifier",
+    # r13: trained-vs-kit PQ codebook distortion — KMeans cluster
+    # centers have no SQL twin; the trained<=kit per-subspace ordering
+    # is pinned on the clustered fixture in test_recall_quality.py.
+    "q169_pq_codebook_training",
+    # r13: per-p_head-decile calibration over the q160 classifier —
+    # same no-SQL-twin reason; 10-row spine + planted-corpus
+    # monotonicity pinned in test_ml_and_features.py.
+    "q170_quality_calibration",
 }
 
 

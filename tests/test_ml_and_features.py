@@ -496,3 +496,47 @@ def test_quality_classifier_external_lm_counts_consistency(spark):
         assert min(good) > max(bad)
     finally:
         counts.unpersist()
+
+
+def test_quality_calibration_deciles_monotone(spark):
+    """q170's calibration evidence pinned on the planted corpus
+    (VERDICT r10 item 6): bucket p_head into the same deciles the
+    driver query publishes and check the keep_threshold=0.5 boundary
+    is principled — everything scoring in the >= 0.5 deciles is
+    planted-good (frac_true >= 0.9), everything below is planted-bad
+    (<= 0.1), and the score ORDERS the classes (mean decile of good
+    docs well above bad docs). The planted corpus separates sharply
+    (the AUC >= 0.95 pin above), so these are strong floors, not
+    tuned slack."""
+    from big_data_ml_pipeline_spark.ml.quality import (
+        quality_classifier_scores,
+    )
+
+    docs = _planted_quality_corpus(spark)
+    scored = quality_classifier_scores(docs)
+    j = (
+        scored.join(docs.select("doc_id", "truth"), "doc_id")
+        .withColumn(
+            "decile",
+            F.least(F.floor(F.col("p_head") * 10), F.lit(9)).cast("long"),
+        )
+        .collect()
+    )
+    assert len(j) == docs.count()
+    lo = [r for r in j if r["decile"] < 5]
+    hi = [r for r in j if r["decile"] >= 5]
+    assert lo and hi
+    frac_hi = sum(r["truth"] for r in hi) / len(hi)
+    frac_lo = sum(r["truth"] for r in lo) / len(lo)
+    assert frac_hi >= 0.9, frac_hi
+    assert frac_lo <= 0.1, frac_lo
+    mean_dec_good = sum(r["decile"] for r in j if r["truth"] == 1.0) / sum(
+        1 for r in j if r["truth"] == 1.0
+    )
+    mean_dec_bad = sum(r["decile"] for r in j if r["truth"] == 0.0) / sum(
+        1 for r in j if r["truth"] == 0.0
+    )
+    assert mean_dec_good - mean_dec_bad >= 3, (mean_dec_good, mean_dec_bad)
+    # keep == (p_head >= 0.5) must agree with the decile boundary.
+    for r in j:
+        assert r["keep"] == (r["decile"] >= 5)

@@ -677,3 +677,75 @@ def test_ivf_pq_recall_on_clustered_corpus(spark, clustered_corpus):
     # codes collapse — the floor pins "retrieves the family", not
     # "re-derives the exact cosine order PQ exists to avoid computing"
     assert recall >= 0.35, recall
+
+
+def test_trained_pq_codebooks_beat_kit_per_subspace(spark, clustered_corpus):
+    """Trained-codebook distortion evidence (VERDICT r10 item 2): on
+    clustered data, fit_pq_codebooks (seeded, sample-bounded) must
+    beat the data-blind deterministic kit in mean squared
+    reconstruction distortion on EVERY subspace — the per-subspace
+    claim q169 publishes on the driver surface. Also pins the
+    sample_fraction path's shape contract."""
+    emb, _, _, _ = clustered_corpus
+    kit = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    trained = sim_ops.fit_pq_codebooks(
+        emb, m=8, k=16, seed=42, sample_fraction=0.8
+    )
+    assert len(trained) == 8 and all(len(cb) == 16 for cb in trained)
+    rk = {
+        r["subspace"]: r["mean_sq_dist"]
+        for r in sim_ops.pq_reconstruction_report(emb, kit).collect()
+    }
+    rt = {
+        r["subspace"]: r["mean_sq_dist"]
+        for r in sim_ops.pq_reconstruction_report(emb, trained).collect()
+    }
+    assert set(rk) == set(rt) == set(range(8))
+    for j in range(8):
+        assert rt[j] <= rk[j], (j, rt[j], rk[j])
+
+
+def test_rrf_fusion_improves_hits_at_k(spark):
+    """Retrieval-quality evidence for rrf_fuse (VERDICT r10 item 5):
+    on COMPLEMENTARY rankings — each system ranks the relevant doc
+    first on half the queries and eighth on the other half, with
+    disjoint noise elsewhere — fused hits@3 is 10/10 while either
+    system alone scores 5/10, and per query the fused outcome is
+    never below the better single system. Pure rank-table fusion
+    (rrf_fuse's actual input interface): rel gets 1/(60+1) + 1/(60+8)
+    ≈ 0.0311, strictly above any single-system noise doc's best
+    1/(60+1) ≈ 0.0164 — the complementarity argument itself, pinned."""
+    K = 3
+    lex_hits = cos_hits = rrf_hits = 0
+    for q in range(10):
+        rel = 1000 + q
+        strong_lex = q % 2 == 0
+        lex_rank_rel = 1 if strong_lex else 8
+        cos_rank_rel = 8 if strong_lex else 1
+        lex_rows = [(rel, lex_rank_rel)]
+        cos_rows = [(rel, cos_rank_rel)]
+        for rank in range(1, 11):
+            if rank != lex_rank_rel:
+                lex_rows.append((2000 + q * 100 + rank, rank))
+            if rank != cos_rank_rel:
+                cos_rows.append((3000 + q * 100 + rank, rank))
+        lex = spark.createDataFrame(lex_rows, "doc_id long, rank long")
+        cos = spark.createDataFrame(cos_rows, "doc_id long, rank long")
+        fused = sim_ops.rrf_fuse([(lex, "lex"), (cos, "cos")], k=60)
+        top = [
+            r["doc_id"]
+            for r in fused.orderBy(
+                F.col("rrf_score").desc(), F.col("doc_id").asc()
+            )
+            .limit(K)
+            .collect()
+        ]
+        lex_hit = lex_rank_rel <= K
+        cos_hit = cos_rank_rel <= K
+        rrf_hit = rel in top
+        lex_hits += lex_hit
+        cos_hits += cos_hit
+        rrf_hits += rrf_hit
+        assert rrf_hit >= max(lex_hit, cos_hit), q
+    assert lex_hits == 5 and cos_hits == 5
+    assert rrf_hits == 10
