@@ -3333,6 +3333,32 @@ def q169_pq_codebook_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe with exact re-ranking (IVFADC+R, Jégou 2011
+    §III-C — similarity.ivf_pq_knn_join rerank_from=40): the q166 ADC
+    top-40 candidate list joins back to the raw corpus for EXACTLY 40
+    vectors per query (one broadcast equi-join — raw vectors stay cold
+    otherwise) and re-ranks by 6-digit-rounded exact cosine to top-10.
+    The recall lever of the memory-bounded ANN stack: ADC ranking
+    quality is bounded by quantization distortion (q167), re-ranking
+    recovers exact-cosine order over the shortlist at R raw-row reads
+    per query. Exact against the generated SQL twin (same candidate
+    integers as q166, same rounded-cosine/tie machinery as q38)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        rerank_from=40,
+    )
+
+
 def q170_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier threshold calibration (VERDICT r10 item 6):
     per-p_head-decile document counts with the RULE-based gate's keep
@@ -3582,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_pq_embedding_ingest_probe": q168_pq_embedding_ingest_probe,
         "q169_pq_codebook_training": q169_pq_codebook_training,
         "q170_quality_calibration": q170_quality_calibration,
+        "q171_ivf_pq_rerank_topk": q171_ivf_pq_rerank_topk,
     }
 
 

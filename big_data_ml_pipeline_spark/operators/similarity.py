@@ -1923,6 +1923,8 @@ def ivf_pq_knn_join(
     round_assign_digits: int | None = None,
     round_digits: int = 9,
     index: DataFrame | None = None,
+    rerank_from: int | None = None,
+    rerank_round_digits: int = 6,
 ) -> DataFrame:
     """IVF-PQ probe with asymmetric distance computation (ADC): for
     every query, rank the candidates in its nprobe cells by
@@ -1939,7 +1941,16 @@ def ivf_pq_knn_join(
     + an integer sum — no raw corpus vector is ever read at probe
     time. Exactness: every lut term is ROUND(·1e9) BIGINT, so the
     distance sum is commutative integer arithmetic — the oracle twin
-    (q166) matches it exactly; ranking ties break by candidate id."""
+    (q166) matches it exactly; ranking ties break by candidate id.
+
+    ``rerank_from=R`` (IVFADC+R, Jégou 2011 §III-C): take the ADC
+    top-R per query, fetch ONLY those R raw corpus vectors, and
+    re-rank them by exact cosine (rounded to ``rerank_round_digits``,
+    ties by id) down to k — returns (qid, id, sim, rn) instead of the
+    integer ADC distance. The recall lever that keeps raw vectors
+    cold: per query the raw corpus is touched at exactly R ids (one
+    broadcast equi-join of the candidate list against the corpus),
+    never per cell. Oracle-checkable end to end (q171)."""
     m = len(codebooks)
     cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
     enc = (
@@ -1982,10 +1993,37 @@ def ivf_pq_knn_join(
     w = Window.partitionBy("qid").orderBy(
         F.col("adist_q").asc(), F.col(id_col).asc()
     )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    if rerank_from is None:
+        return ranked.filter(F.col("rn") <= k).select(
             "qid", id_col, "adist_q", F.col("rn").cast("long").alias("rn")
         )
+    cand = ranked.filter(F.col("rn") <= rerank_from).select("qid", id_col)
+    corp = embeddings.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__cv")
+    )
+    qraw = queries.select(
+        F.col(query_id_col).alias("qid"),
+        to_double_array(F.col(query_vec_col)).alias("__qrv"),
+    )
+    # Candidate list (|queries|·R rows) broadcasts against the corpus:
+    # the only raw-vector reads are the R hits per query.
+    rr = (
+        corp.join(F.broadcast(cand), on=id_col)
+        .join(F.broadcast(qraw), on="qid")
+        .withColumn(
+            "sim",
+            F.round(
+                cosine_similarity(F.col("__qrv"), F.col("__cv")),
+                rerank_round_digits,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        rr.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("qid", id_col, "sim", F.col("rn").cast("long").alias("rn"))
     )

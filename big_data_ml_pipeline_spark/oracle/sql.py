@@ -2229,16 +2229,33 @@ FROM enc
 """
 
 
-def _q166_sql(k_top: int = 10, nprobe: int = 4) -> str:
+def _q166_sql(
+    k_top: int = 10,
+    nprobe: int = 4,
+    rerank_from: int | None = None,
+    rerank_round_digits: int = 6,
+) -> str:
     """Twin of q166: the q124 rounded-argmax cell machinery + the PQ
     encode CTEs + nano-unit-quantized ADC lookup tables joined on
-    (query, subspace, code), summed as exact integers."""
+    (query, subspace, code), summed as exact integers.
+
+    With ``rerank_from`` (q171, IVFADC+R): the ADC top-R candidate
+    list joins back to the raw corpus vectors and re-ranks by rounded
+    exact cosine (sim DESC, id ASC ties) — mirroring
+    similarity.ivf_pq_knn_join's rerank path expression-for-
+    expression (query norm × candidate norm, one division, one
+    ROUND)."""
     from ..operators.similarity import deterministic_ivf_centroids
 
     cents = deterministic_ivf_centroids(dim=64, n_cells=16)
     values = ", ".join(
         f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
         for i, c in enumerate(cents)
+    )
+    tail = (
+        _q166_tail(k_top)
+        if rerank_from is None
+        else _q171_tail(k_top, rerank_from, rerank_round_digits)
     )
     return f"""
 WITH {_PQ_ENCODE_CTES},
@@ -2284,18 +2301,51 @@ scored AS (
   JOIN enc ON enc.vec_id = cand.vec_id
   JOIN lut ON lut.qid = cand.qid AND lut.j = enc.j AND lut.c = enc.code
   GROUP BY cand.qid, cand.vec_id
-)
+){tail}
+"""
+
+
+def _q166_tail(k_top: int) -> str:
+    return f"""
 SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist_q, CAST(rn AS BIGINT) AS rn
 FROM (
   SELECT qid, vec_id, adist,
          ROW_NUMBER() OVER (PARTITION BY qid
                             ORDER BY adist ASC, vec_id ASC) AS rn
   FROM scored) t
-WHERE rn <= {k_top}
-"""
+WHERE rn <= {k_top}"""
+
+
+def _q171_tail(k_top: int, rerank_from: int, rerank_round_digits: int) -> str:
+    return f""",
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM scored
+),
+rr AS (
+  SELECT t.qid, t.vec_id,
+         ROUND(list_dot_product(q.qv, c.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(c.v, c.v))),
+               {rerank_round_digits}) AS sim
+  FROM ranked t
+  JOIN e c ON c.vec_id = t.vec_id
+  JOIN q ON q.qid = t.qid
+  WHERE t.rn <= {rerank_from}
+)
+SELECT qid, vec_id, sim, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM rr) t
+WHERE rn <= {k_top}"""
 
 
 _Q166_SQL = _q166_sql()
+_Q171_SQL = _q166_sql(rerank_from=40)
 
 # q167: per-subspace PQ distortion — the dists CTE's per-(vector,
 # subspace) MIN is the assigned entry's rounded distance; nano-unit
@@ -3923,5 +3973,6 @@ def oracle_sql() -> dict[str, str]:
         "q166_ivf_pq_topk": _Q166_SQL,
         "q167_pq_distortion": _Q167_SQL,
         "q168_pq_embedding_ingest_probe": _Q168_SQL,
+        "q171_ivf_pq_rerank_topk": _Q171_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
