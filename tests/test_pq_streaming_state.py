@@ -298,7 +298,27 @@ def test_pq_ingest_bucketed_matches_plain(spark, tmp_path):
             for r in spark.read.parquet(out).collect()
         }
     assert results["plain"] == results["bucketed"]
-    assert os.path.exists(str(tmp_path / "out_bucketed") + "/_BUCKET_SPEC")
+    out_b = str(tmp_path / "out_bucketed")
+    assert os.path.exists(out_b + "/_BUCKET_SPEC")
+    # The cross-batch ADC screen's cell join against the bucketed
+    # CODES table needs no landed-side exchange — the codes-only
+    # layout inherits the raw path's shuffle-free screen (the r8
+    # bucketed-state property, re-pinned on the new schema).
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    tbl = corpus_ops._state_table_name(out_b, "emb_corpus")
+    probe = spark.createDataFrame(
+        [(99, BASE[0])], ["vec_id", "embedding"]
+    ).selectExpr("vec_id", "cast(pmod(vec_id, 4) as int) as cell")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = probe.join(spark.table(tbl).select("cell", "codes"), on="cell")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert plan.count("Exchange") == 1  # probe side only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_pq_ingest_rejects_legacy_layout(spark, tmp_path):
