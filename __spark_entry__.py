@@ -3359,6 +3359,33 @@ def q171_ivf_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_semantic_decontamination_pq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADC decontamination over a codes-only train side
+    (similarity.semantic_decontamination_pq): q124's screen — flag
+    every training vector (vec_id % 100 != 0) with an eval twin
+    (% 100 == 0) — but the train side is the persisted IVF-PQ index
+    (id, cell, codes), so at 100 TB the pass reads m small ints per
+    training vector and NO raw training vectors; the eval set
+    broadcasts with nprobe=4 cells + ADC lookup tables. Threshold
+    0.30 on the ADC scale (this corpus's same-cell ADC max ≈ 0.38).
+    Per-train MAX of rounded sims is order-independent — exact
+    against the generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.semantic_decontamination_pq(
+        emb.filter(F.col("vec_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        threshold=0.30,
+        nprobe=4,
+        round_assign_digits=6,
+    )
+
+
 def q170_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier threshold calibration (VERDICT r10 item 6):
     per-p_head-decile document counts with the RULE-based gate's keep
@@ -3609,6 +3636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_pq_codebook_training": q169_pq_codebook_training,
         "q170_quality_calibration": q170_quality_calibration,
         "q171_ivf_pq_rerank_topk": q171_ivf_pq_rerank_topk,
+        "q172_semantic_decontamination_pq": q172_semantic_decontamination_pq,
     }
 
 

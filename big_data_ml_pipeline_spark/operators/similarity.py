@@ -1102,6 +1102,96 @@ def semantic_decontamination(
     )
 
 
+def semantic_decontamination_pq(
+    train: DataFrame,
+    eval_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    threshold: float = 0.30,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    round_digits: int = 9,
+    screen_round_digits: int = 6,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`semantic_decontamination` over a CODES-ONLY train side —
+    the decontamination pass a 100 TB deployment actually runs: the
+    training corpus is represented by its persisted
+    :func:`ivf_pq_index` (``index`` — id, cell, codes; m small ints
+    per vector), the eval set broadcasts with its nprobe cell fan-out
+    plus per-subspace ADC lookup tables, and every (train, eval)
+    candidate is scored by the asymmetric ADC cosine (raw eval vector
+    vs the train vector's reconstruction) in m ``element_at`` lookups
+    — NO raw training vector is read at screen time. Same output
+    contract as the raw operator: (id, max_eval_sim, is_clean) with
+    the rounded per-train MAX (order-independent, so the SQL twin is
+    exact — q172). ADC similarity is bounded by quantization
+    distortion (q167/q169), so thresholds calibrate against the ADC
+    scale, not the raw-cosine scale; recall vs the raw screen follows
+    the measured distortion, and ``nprobe = n_cells`` makes the CELL
+    side exhaustive."""
+    enc = (
+        index
+        if index is not None
+        else ivf_pq_index(
+            train, centroids, codebooks, id_col, vec_col,
+            round_assign_digits, round_digits,
+        )
+    )
+    prep_raw, adc_cos = pq_adc_screen_kit(codebooks)
+    cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
+    qbase = prep_raw(
+        eval_df.select(
+            F.col(eval_id_col).alias("qid"),
+            to_double_array(F.col(eval_vec_col)).alias("__qv"),
+        ),
+        F.col("__qv"),
+    )
+    # __adc_norm IS the eval vector's L2 norm — reuse it for the cell
+    # ranking instead of folding a second norm (the q43 re-fold trap).
+    q = F.broadcast(
+        qbase.select(
+            "qid",
+            "__adc_luts",
+            "__adc_norm",
+            F.explode(
+                top_cells(
+                    cell_sims(F.col("__qv"), F.col("__adc_norm")), nprobe
+                )
+            ).alias("cell"),
+        )
+    )
+    worst = (
+        enc.join(q, on="cell")
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.round(adc_cos(F.col("codes")), screen_round_digits)
+            ).alias("__max_sim")
+        )
+    )
+    ids = (
+        index.select(id_col)
+        if index is not None
+        else train.select(F.col(id_col))
+    )
+    return (
+        ids.join(worst, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__max_sim"), F.lit(0.0)).alias("max_eval_sim"),
+            F.when(F.coalesce(F.col("__max_sim"), F.lit(0.0)) < threshold, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_clean"),
+        )
+    )
+
+
 def cluster_balanced_sample(
     embeddings: DataFrame,
     centroids: list[list[float]],

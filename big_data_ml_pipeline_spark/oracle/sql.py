@@ -2365,6 +2365,41 @@ FROM md GROUP BY j
 """
 
 
+def _adc_sql_parts(
+    vec_expr: str, codes_expr: str, m: int = 8, k: int = 16, dim: int = 64
+) -> tuple[str, str, str, str]:
+    """Shared DuckDB pieces of the ADC cosine, mirroring
+    pq_adc_screen_kit's fold order exactly: (cb3 literal, cb23
+    literal, dot_terms, r2_terms) with the per-subspace
+    list_dot_product partials summed left-to-right in j order and the
+    reconstruction norm² read from the SAME Python cb2 float literals
+    Spark folds in. Used by the q168 ingest twin and the q172
+    decontamination twin."""
+    from ..operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(dim=dim, m=m, k=k)
+    d = dim // m
+    cb3 = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in cb) + "]" for cb in cbs[j]
+        ) + "]" for j in range(m)
+    ) + "]"
+    cb23 = "[" + ", ".join(
+        "[" + ", ".join(
+            repr(float(sum(x * x for x in cb))) for cb in cbs[j]
+        ) + "]" for j in range(m)
+    ) + "]"
+    dot_terms = "\n      + ".join(
+        f"list_dot_product({vec_expr}[{j * d + 1}:{j * d + d}], "
+        f"cb3[{j + 1}][{codes_expr}[{j + 1}] + 1])"
+        for j in range(m)
+    )
+    r2_terms = " + ".join(
+        f"cb23[{j + 1}][{codes_expr}[{j + 1}] + 1]" for j in range(m)
+    )
+    return cb3, cb23, dot_terms, r2_terms
+
+
 def _q168_sql(threshold: float = 0.30, m: int = 8, k: int = 16,
               dim: int = 64) -> str:
     """Twin of q168 — the codes-only (PQ) embedding ingest's one-shot
@@ -2377,35 +2412,15 @@ def _q168_sql(threshold: float = 0.30, m: int = 8, k: int = 16,
     reconstruction norm² as the SAME Python cb2 float literals summed
     in j order — never a SUM() over rows, whose addition order the
     engine doesn't guarantee."""
-    from ..operators.similarity import (
-        deterministic_ivf_centroids,
-        pq_codebooks,
-    )
+    from ..operators.similarity import deterministic_ivf_centroids
 
-    d = dim // m
     cents = deterministic_ivf_centroids(dim=dim, n_cells=16)
     values = ", ".join(
         f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
         for i, c in enumerate(cents)
     )
-    cbs = pq_codebooks(dim=dim, m=m, k=k)
-    cb3 = "[" + ", ".join(
-        "[" + ", ".join(
-            "[" + ", ".join(repr(x) for x in cb) + "]" for cb in cbs[j]
-        ) + "]" for j in range(m)
-    ) + "]"
-    cb23 = "[" + ", ".join(
-        "[" + ", ".join(
-            repr(float(sum(x * x for x in cb))) for cb in cbs[j]
-        ) + "]" for j in range(m)
-    ) + "]"
-    dot_terms = "\n      + ".join(
-        f"list_dot_product(b.v[{j * d + 1}:{j * d + d}], "
-        f"cb3[{j + 1}][ac.codes[{j + 1}] + 1])"
-        for j in range(m)
-    )
-    r2_terms = " + ".join(
-        f"cb23[{j + 1}][ac.codes[{j + 1}] + 1]" for j in range(m)
+    cb3, cb23, dot_terms, r2_terms = _adc_sql_parts(
+        "b.v", "ac.codes", m=m, k=k, dim=dim
     )
     return f"""
 WITH {_PQ_ENCODE_CTES},
@@ -2450,6 +2465,78 @@ SELECT CAST(4 AS BIGINT) AS n_batches,
 
 
 _Q168_SQL = _q168_sql()
+
+
+def _q172_sql(threshold: float = 0.30, nprobe: int = 4, m: int = 8,
+              k: int = 16, dim: int = 64) -> str:
+    """Twin of q172 — ADC decontamination over a codes-only train
+    side: the q124 shape (per-train MAX eval similarity + clean flag)
+    with the similarity swapped for the ADC cosine of the raw EVAL
+    vector against the TRAIN vector's codes. MAX of rounded doubles
+    is order-independent, so no quantized-sum machinery is needed;
+    the ADC expression itself reuses q168's exact mirror."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    cb3, cb23, dot_terms, r2_terms = _adc_sql_parts(
+        "q.qv", "ac.codes", m=m, k=k, dim=dim
+    )
+    return f"""
+WITH {_PQ_ENCODE_CTES},
+cents(cell, cv) AS (VALUES {values}),
+cbl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
+               CAST({cb23} AS DOUBLE[][]) AS cb23),
+acodes AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM enc GROUP BY vec_id
+),
+csims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.cv, cents.cv))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims) t WHERE rn = 1 AND vec_id % 100 <> 0
+),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT a.vec_id,
+         ROUND((
+        {dot_terms}
+      ) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({r2_terms})), 6) AS sim
+  FROM assigned a
+  JOIN acodes ac ON ac.vec_id = a.vec_id
+  JOIN qcells qc ON qc.cell = a.cell
+  JOIN q ON q.qid = qc.qid
+  CROSS JOIN cbl
+),
+worst AS (SELECT vec_id, MAX(sim) AS max_sim FROM pairs GROUP BY vec_id)
+SELECT t.vec_id,
+       COALESCE(w.max_sim, 0.0) AS max_eval_sim,
+       CAST(CASE WHEN COALESCE(w.max_sim, 0.0) < {threshold}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+FROM (SELECT vec_id FROM e WHERE vec_id % 100 <> 0) t
+LEFT JOIN worst w ON w.vec_id = t.vec_id
+"""
+
+
+_Q172_SQL = _q172_sql()
 
 
 def _q124_sql() -> str:
@@ -3974,5 +4061,6 @@ def oracle_sql() -> dict[str, str]:
         "q167_pq_distortion": _Q167_SQL,
         "q168_pq_embedding_ingest_probe": _Q168_SQL,
         "q171_ivf_pq_rerank_topk": _Q171_SQL,
+        "q172_semantic_decontamination_pq": _Q172_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -785,3 +785,49 @@ def test_ivf_pq_rerank_recovers_exact_order(spark, clustered_corpus):
         hits += len({v for _, v in got[qi]} & exact_top)
     recall = hits / 200
     assert recall >= 0.9, recall
+
+
+def test_pq_decontamination_flags_planted_twins(spark, clustered_corpus):
+    """ADC decontamination over a codes-only train side (q172,
+    similarity.semantic_decontamination_pq): with data-trained
+    codebooks and an exhaustive cell probe, every same-family train
+    member of every eval query is flagged (measured 480/480 at ADC
+    sim median 0.925), while far-away distractor vectors stay clean —
+    the screen discriminates, it doesn't just fire. Also pins the
+    output contract: one row per train id, is_clean == (max_eval_sim
+    < threshold)."""
+    import numpy as np
+
+    emb, cents, _, _ = clustered_corpus
+    rng = np.random.RandomState(7)
+    distract = []
+    for i in range(50):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        distract.append((10_000 + i, [float(x) for x in v]))
+    full = emb.unionByName(
+        spark.createDataFrame(distract, "vec_id long, embedding array<double>")
+    )
+    cbs = sim_ops.fit_pq_codebooks(emb, m=8, k=16)
+    evalq = emb.filter(F.col("vec_id") % 25 == 7)
+    train = full.filter(F.col("vec_id") % 25 != 7)
+    out = sim_ops.semantic_decontamination_pq(
+        train, evalq, cents, cbs, threshold=0.5, nprobe=16,
+        round_assign_digits=6,
+    )
+    res = {
+        r["vec_id"]: (r["max_eval_sim"], r["is_clean"])
+        for r in out.collect()
+    }
+    assert len(res) == train.count()  # one row per train id
+    for vid, (s, c) in res.items():
+        assert c == (0 if s >= 0.5 else 1), (vid, s, c)
+    fam = {vid for vid in res if vid < 10_000}
+    flagged_fam = sum(1 for vid in fam if res[vid][1] == 0)
+    assert flagged_fam == len(fam), (flagged_fam, len(fam))
+    clean_distractors = sum(
+        1 for vid in res if vid >= 10_000 and res[vid][1] == 1
+    )
+    # random 64-dim unit vectors sit far below ADC 0.5 of any family
+    # seed; allow a stray collision but require the mass to stay clean
+    assert clean_distractors >= 48, clean_distractors
