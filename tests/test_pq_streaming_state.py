@@ -423,3 +423,45 @@ def test_pq_encode_matches_append_codes(spark):
     # And the self-reconstruction property the fixture relies on:
     # a concat-of-codebook-entries vector encodes to those entries.
     assert a[0] == [0, 1, 2, 3]
+
+
+def test_pq_state_migration_bucketed(spark, tmp_path):
+    """Bucketed-layout migration: a raw ingest history kept as a
+    CLUSTERED BY (cell) table migrates to codes-only through the
+    registered catalog table (murmur3 bucket layout and _BUCKET_SPEC
+    survive), and a bucketed PQ ingest continued on it matches the
+    plain two-phase run row for row."""
+    in1, in23 = str(tmp_path / "in1"), str(tmp_path / "in23")
+    write_shards(spark, in1, [SHARD1])
+    write_shards(spark, in23, [SHARD2, SHARD3])
+    results = {}
+    for mode, nb in (("plain", None), ("bucketed", 4)):
+        out = str(tmp_path / f"out_{mode}")
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in1), out,
+            str(tmp_path / f"ck1_{mode}"),
+            centroids=CENTS, threshold=THR, track_components=True,
+            round_assign_digits=6, screen_round_digits=6,
+            cell_n_buckets=nb,
+        )
+        status = se.migrate_embedding_state_to_pq(
+            spark, out, CBS, cell_n_buckets=nb
+        )
+        assert "migrated" in status
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in23), out,
+            str(tmp_path / f"ck2_{mode}"),
+            centroids=CENTS, threshold=THR, track_components=True,
+            round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+            cell_n_buckets=nb,
+        )
+        results[mode] = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out).collect()
+        }
+    assert results["plain"] == results["bucketed"]
+    out_b = str(tmp_path / "out_bucketed")
+    with open(os.path.join(out_b, "_BUCKET_SPEC")) as fh:
+        assert fh.read().strip() == "4"
+    kept, _, reps = one_shot(ALL_ROWS, THR, pq_from_id=20)
+    assert {t[0] for t in results["plain"]} == kept
