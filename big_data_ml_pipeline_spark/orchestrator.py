@@ -188,7 +188,19 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # — fit=True trains per-subspace codebooks on the
                    # data (fit_pq_codebooks), else the deterministic
                    # kit. ivf_pq_knn_join probes it via index=.
-                   "pq": None},
+                   # With "ingest": True the STREAMING ingest also
+                   # keeps its hot state codes-only ((id, codes, cell,
+                   # fp) via the same codebooks — m small ints per
+                   # vector instead of raw doubles; screens switch to
+                   # ADC). Streaming uses the deterministic kit or an
+                   # explicit "codebooks" literal — fit on a stream
+                   # has no bounded corpus to train on.
+                   "pq": None,
+                   # Determinism knobs threaded to the streaming
+                   # ingest (rounded argmax cells / rounded screen
+                   # cosine — the q164/q168 oracle conditions).
+                   "ingest_round_assign_digits": None,
+                   "ingest_screen_round_digits": None},
 }
 
 
@@ -672,9 +684,16 @@ class PipelineOrchestrator:
         """Config-driven streaming embedding ingestion: replay
         embedding shards from ``in_dir`` through streaming/embeddings
         with the ``embeddings.ingest_*`` config (cosine threshold,
-        centroid kit, compaction cadence). Runs to completion
-        (Trigger.AvailableNow) and returns the finished query."""
-        from .operators.similarity import deterministic_ivf_centroids
+        centroid kit, compaction cadence). With ``embeddings.pq``
+        carrying ``"ingest": True``, the hot state is codes-only
+        ((id, codes, cell, fp)) and the screens are ADC — the
+        config-surface switch for VERDICT r10 item 1. Runs to
+        completion (Trigger.AvailableNow) and returns the finished
+        query."""
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            pq_codebooks,
+        )
         from .streaming.embeddings import (
             ingest_embeddings_stream,
             read_embeddings_stream,
@@ -684,6 +703,14 @@ class PipelineOrchestrator:
         cents = c["ingest_centroids"] or deterministic_ivf_centroids(
             dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
         )
+        pq = c.get("pq") or {}
+        cbs = None
+        if pq.get("ingest"):
+            cbs = pq.get("codebooks") or pq_codebooks(
+                dim=c["ingest_dim"],
+                m=int(pq.get("m", 8)),
+                k=int(pq.get("k", 16)),
+            )
         stream = read_embeddings_stream(self.spark, in_dir)
         return ingest_embeddings_stream(
             stream, out_dir, checkpoint_dir,
@@ -697,6 +724,9 @@ class PipelineOrchestrator:
             components_auto_compact_files=c.get(
                 "ingest_components_auto_compact_files"
             ),
+            round_assign_digits=c.get("ingest_round_assign_digits"),
+            screen_round_digits=c.get("ingest_screen_round_digits"),
+            codebooks=cbs,
         )
 
     # -- predict ------------------------------------------------------------

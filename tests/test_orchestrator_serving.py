@@ -857,3 +857,47 @@ def test_orchestrator_build_pq_index(spark, tmp_path):
         emb, q, cents, cbs, k=5, nprobe=4, round_assign_digits=6
     ).collect()
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
+
+
+def test_orchestrator_pq_ingest_codes_only(spark, tmp_path):
+    """embeddings.pq with ingest:true flows into the streaming path:
+    the landed hot state is codes-only (no raw vector column), the
+    codes match pq_encode under the same kit, and exact duplicates
+    still drop via the stored fingerprint."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    e1 = [1.0, 0.0, 0.0, 0.0, 0.5, 0.5, -0.5, 0.25]
+    e2 = [0.0, 1.0, 0.0, 0.0, -0.5, 0.5, 0.5, -0.25]
+    df = spark.createDataFrame(
+        [(1, e1, 0), (2, e1, 0), (3, e2, 0)],
+        ["vec_id", "embedding", "label"],
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    orch = PipelineOrchestrator(
+        config={"embeddings": {"ingest_threshold": 0.99,
+                               "ingest_dim": 8, "ingest_n_cells": 4,
+                               "ingest_screen_round_digits": 6,
+                               "pq": {"m": 4, "k": 4, "ingest": True}}},
+        spark=spark,
+    )
+    orch.ingest_embeddings_stream(
+        str(in_dir), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    landed = spark.read.parquet(str(tmp_path / "out"))
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    rows = {r["vec_id"]: list(r["codes"]) for r in landed.collect()}
+    assert sorted(rows) == [1, 3]  # 2 is an exact duplicate of 1
+    cbs = pq_codebooks(dim=8, m=4, k=4)
+    expect = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(
+            df.filter(F.col("vec_id") != 2), cbs
+        ).collect()
+    }
+    assert rows == expect
