@@ -163,6 +163,12 @@ def _rewrite_bucketed_state(
     spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
     with open(os.path.join(tmp, "_BUCKET_SPEC"), "w") as f:
         f.write(str(n_buckets))
+    # Any other spec marker (e.g. the PQ codebook fingerprint on a
+    # codes-only embedding state) rides the swap the same way — a
+    # compaction must never strip the guards on its own files.
+    pq_spec = os.path.join(path, "_PQ_SPEC")
+    if os.path.exists(pq_spec):
+        shutil.copy(pq_spec, os.path.join(tmp, "_PQ_SPEC"))
     if os.path.exists(path):
         atomic_swap_dirs(path)
     else:  # healing a crash that lost the very first index write

@@ -57,6 +57,48 @@ def read_embeddings_stream(
     )
 
 
+def _pq_fingerprint(codebooks: list[list[list[float]]]) -> str:
+    """Content fingerprint of a codebook kit (md5 over the exact float
+    repr literals — the same strings the SQL twins embed)."""
+    import hashlib
+
+    return hashlib.md5(repr(codebooks).encode()).hexdigest()
+
+
+def _check_pq_marker(
+    state_dir: str, codebooks: list[list[list[float]]]
+) -> None:
+    """Refuse to screen against codes produced by a DIFFERENT codebook
+    kit — the codes themselves carry no provenance, so a mismatched
+    kit would silently compute ADC similarities against the wrong
+    reconstructions (the `_BUCKET_SPEC` lesson applied to the PQ
+    layout: no engine-side check exists)."""
+    marker = os.path.join(state_dir, "_PQ_SPEC")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prev = f.read().strip()
+        if prev != _pq_fingerprint(codebooks):
+            raise ValueError(
+                f"codes-only embedding state at {state_dir} was encoded "
+                "with a different codebook kit; reopen with the original "
+                "codebooks or re-encode via migrate_embedding_state_to_pq "
+                "after clearing the state"
+            )
+
+
+def _write_pq_marker(
+    state_dir: str, codebooks: list[list[list[float]]]
+) -> None:
+    """Idempotent marker write at OPEN time, before any data file can
+    land (the ADVICE-r8 ordering: a crash mid-first-batch must never
+    leave codes on disk without the spec guarding their reuse)."""
+    os.makedirs(state_dir, exist_ok=True)
+    marker = os.path.join(state_dir, "_PQ_SPEC")
+    if not os.path.exists(marker):
+        with open(marker, "w") as f:
+            f.write(_pq_fingerprint(codebooks))
+
+
 def _check_embedding_state_layout(
     spark: SparkSession, path: str, pq_mode: bool
 ) -> None:
@@ -238,6 +280,12 @@ def ingest_embeddings_stream(
     pq = codebooks is not None
     _check_embedding_state_layout(stream.sparkSession, out_dir.rstrip("/"), pq)
     _check_embedding_state_layout(stream.sparkSession, screened_dir, pq)
+    if pq:
+        _check_pq_marker(out_dir.rstrip("/"), codebooks)
+        _write_pq_marker(out_dir.rstrip("/"), codebooks)
+        if track_components:
+            _check_pq_marker(screened_dir, codebooks)
+            _write_pq_marker(screened_dir, codebooks)
     cb, comp_tbl = _components_setup(
         stream.sparkSession, comp_dir, track_components,
         components_n_buckets,
@@ -334,8 +382,11 @@ def ingest_embeddings_stream(
         ).write.mode("append").parquet(out_dir.rstrip("/") + "_drift")
 
     def _maybe_compact(spark, batch_id):
+        # _has_parquet, not exists: the PQ marker pre-creates the state
+        # dir at open, and compacting a dir with no data files yet
+        # would fail the plain-parquet read.
         if not (compact_every and (batch_id + 1) % compact_every == 0
-                and os.path.exists(out_dir)):
+                and _has_parquet(out_dir.rstrip("/"))):
             return
         if nb:
             # Fold per-append bucket files back to one per bucket,
@@ -833,6 +884,11 @@ def migrate_embedding_state_to_pq(
         df = spark.read.parquet(path)
         cols = set(df.columns)
         if "codes" in cols and "v" not in cols:
+            # Guard the no-op path too: "already migrated" must mean
+            # "with THESE codebooks" (and heal a marker a crash
+            # between swap and marker-write may have lost).
+            _check_pq_marker(path, codebooks)
+            _write_pq_marker(path, codebooks)
             statuses.append(f"{path}: already migrated")
             continue
         if "v" not in cols:
@@ -853,6 +909,7 @@ def migrate_embedding_state_to_pq(
                 ["cell"], nb,
             )
             _rewrite_bucketed_state(spark, path, tbl, enc, nb, ["cell"])
+            _write_pq_marker(path, codebooks)
         else:
             n_out = max(2, spark.sparkContext.defaultParallelism // 4)
             (
@@ -861,6 +918,9 @@ def migrate_embedding_state_to_pq(
                 .write.mode("overwrite")
                 .parquet(path + TMP_SUFFIX)
             )
+            # The marker rides the swap: codes and their fingerprint
+            # land atomically together.
+            _write_pq_marker(path + TMP_SUFFIX, codebooks)
             atomic_swap_dirs(path)
         statuses.append(f"{path}: migrated")
     return "; ".join(statuses)
@@ -906,6 +966,7 @@ def compact_screened_extras(
             .write.mode("overwrite")
             .parquet(screened_dir.rstrip("/") + TMP_SUFFIX)
         )
+        _carry_pq_spec(screened_dir, screened_dir.rstrip("/") + TMP_SUFFIX)
         atomic_swap_dirs(screened_dir)
 
 
@@ -930,4 +991,16 @@ def compact_embedding_corpus(
         .write.mode("overwrite")
         .parquet(path.rstrip("/") + TMP_SUFFIX)
     )
+    _carry_pq_spec(path, path.rstrip("/") + TMP_SUFFIX)
     atomic_swap_dirs(path)
+
+
+def _carry_pq_spec(src_dir: str, dst_dir: str) -> None:
+    """Ride the codebook-fingerprint marker through a directory swap —
+    a compaction/migration rewrite must never strip the guard on its
+    own files (same rule as _BUCKET_SPEC in the bucketed rewrite)."""
+    import shutil
+
+    spec = os.path.join(src_dir.rstrip("/"), "_PQ_SPEC")
+    if os.path.exists(spec):
+        shutil.copy(spec, os.path.join(dst_dir, "_PQ_SPEC"))

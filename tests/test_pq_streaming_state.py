@@ -465,3 +465,38 @@ def test_pq_state_migration_bucketed(spark, tmp_path):
         assert fh.read().strip() == "4"
     kept, _, reps = one_shot(ALL_ROWS, THR, pq_from_id=20)
     assert {t[0] for t in results["plain"]} == kept
+
+
+def test_pq_codebook_marker_guards_reopen(spark, tmp_path):
+    """_PQ_SPEC fingerprint marker (the _BUCKET_SPEC lesson applied to
+    the codes-only layout): codes carry no provenance, so reopening a
+    codes-only state with a DIFFERENT codebook kit must fail loudly —
+    otherwise every ADC screen would silently compare raw vectors
+    against the wrong reconstructions. The marker survives compaction
+    (rides the swap) and guards the migration no-op path too."""
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2])
+    out = str(tmp_path / "out")
+    kw = dict(centroids=CENTS, threshold=THR, track_components=True,
+              round_assign_digits=6, screen_round_digits=6)
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck"), codebooks=CBS, compact_every=1, **kw
+    )
+    assert os.path.exists(out + "/_PQ_SPEC")  # survived compaction
+    assert os.path.exists(out + "_screened/_PQ_SPEC")
+    other = pq_codebooks(dim=DIM, m=M, k=K, seed=7)
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out,
+            str(tmp_path / "ck2"), codebooks=other, **kw
+        )
+    # The same kit reopens fine; a full replay lands nothing new.
+    n = spark.read.parquet(out).count()
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck3"), codebooks=CBS, **kw
+    )
+    assert spark.read.parquet(out).count() == n
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.migrate_embedding_state_to_pq(spark, out, other)
