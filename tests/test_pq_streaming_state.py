@@ -500,3 +500,69 @@ def test_pq_codebook_marker_guards_reopen(spark, tmp_path):
     assert spark.read.parquet(out).count() == n
     with pytest.raises(ValueError, match="different codebook kit"):
         se.migrate_embedding_state_to_pq(spark, out, other)
+
+
+def test_adc_bitexact_randomized_configs(spark):
+    """Property sweep generalizing the bit-for-bit pin: across seeded
+    random (dim, m, k) configs with ARBITRARY random codebooks (not
+    the deterministic kit), Spark's encode argmin and adc_cos equal
+    the pure-Python IEEE references exactly. Guards the expression
+    builders against silent fold-order regressions for any codebook
+    shape a user supplies."""
+    import random
+
+    for seed, dim, m, k in [(1, 8, 2, 3), (2, 12, 3, 5), (3, 32, 8, 4)]:
+        rng = random.Random(seed)
+        d = dim // m
+        cbs = [
+            [[rng.uniform(-2, 2) for _ in range(d)] for _ in range(k)]
+            for _ in range(m)
+        ]
+        cb2 = [[float(sum(x * x for x in cb)) for cb in cbs[j]]
+               for j in range(m)]
+        vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(12)]
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        enc = pq_append_codes(df, cbs, vec_col="embedding")
+        codes = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+
+        def pcodes(v):
+            out = []
+            for j in range(m):
+                s = v[j * d:(j + 1) * d]
+                sn = seq_dot(s, s)
+                dists = [
+                    rhu(sn - 2.0 * seq_dot(s, cb) + cb2[j][c], 9)
+                    for c, cb in enumerate(cbs[j])
+                ]
+                out.append(dists.index(min(dists)))
+            return out
+
+        def padc(v, cs):
+            dotsum = r2 = None
+            for j in range(m):
+                t = seq_dot(v[j * d:(j + 1) * d], cbs[j][cs[j]])
+                n = cb2[j][cs[j]]
+                dotsum = t if dotsum is None else dotsum + t
+                r2 = n if r2 is None else r2 + n
+            den = seq_norm(v) * math.sqrt(r2)
+            return dotsum / den if den != 0 else 0.0
+
+        by_id = dict(rows)
+        for vid, v in rows:
+            assert codes[vid] == pcodes(v), (seed, vid)
+        prep_raw, adc_cos = pq_adc_screen_kit(cbs)
+        a = enc.select(
+            F.col("vec_id").alias("id_a"), F.col("codes").alias("__ac")
+        )
+        b = prep_raw(df, F.col("embedding")).select(
+            F.col("vec_id").alias("id_b"), "__adc_luts", "__adc_norm"
+        )
+        got = (
+            b.crossJoin(a)
+            .select("id_a", "id_b", adc_cos(F.col("__ac")).alias("sim"))
+            .collect()
+        )
+        for r in got:
+            expect = padc(by_id[r["id_b"]], codes[r["id_a"]])
+            assert r["sim"] == expect, (seed, r["id_a"], r["id_b"])
