@@ -3386,6 +3386,28 @@ def q172_semantic_decontamination_pq(
     )
 
 
+def q173_pq_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rerank_from ↔ recall curve of the IVF-PQ probe
+    (similarity.pq_rerank_recall_report — the q157 publish-your-
+    evidence precedent applied to IVFADC+R): measured recall@10 of
+    ADC-top-R-then-exact-rerank at shortlist budgets R ∈ {10, 20, 40}
+    against the exact brute-force top-10 — the table that tells an
+    operator how much shortlist depth buys back the quantization-
+    distortion loss q167 reports, alongside q171's single-budget
+    probe. One ADC candidate pass serves every budget via a literal
+    (rerank_from, rn) equi fan-out; rerank and baseline cosines are
+    6-digit-rounded with id ties; recall is one BIGINT/BIGINT
+    division — engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.pq_rerank_recall_report(
+        emb, cents, cbs, F.col("vec_id") % 100 == 0,
+        k=10, rerank_budgets=(10, 20, 40), nprobe=4,
+        round_assign_digits=6,
+    )
+
+
 def q170_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-classifier threshold calibration (VERDICT r10 item 6):
     per-p_head-decile document counts with the RULE-based gate's keep
@@ -3637,6 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_quality_calibration": q170_quality_calibration,
         "q171_ivf_pq_rerank_topk": q171_ivf_pq_rerank_topk,
         "q172_semantic_decontamination_pq": q172_semantic_decontamination_pq,
+        "q173_pq_rerank_recall": q173_pq_rerank_recall,
     }
 
 

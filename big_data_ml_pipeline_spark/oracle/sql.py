@@ -2234,6 +2234,7 @@ def _q166_sql(
     nprobe: int = 4,
     rerank_from: int | None = None,
     rerank_round_digits: int = 6,
+    recall_budgets: tuple[int, ...] | None = None,
 ) -> str:
     """Twin of q166: the q124 rounded-argmax cell machinery + the PQ
     encode CTEs + nano-unit-quantized ADC lookup tables joined on
@@ -2252,11 +2253,12 @@ def _q166_sql(
         f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
         for i, c in enumerate(cents)
     )
-    tail = (
-        _q166_tail(k_top)
-        if rerank_from is None
-        else _q171_tail(k_top, rerank_from, rerank_round_digits)
-    )
+    if recall_budgets is not None:
+        tail = _q173_tail(k_top, recall_budgets)
+    elif rerank_from is not None:
+        tail = _q171_tail(k_top, rerank_from, rerank_round_digits)
+    else:
+        tail = _q166_tail(k_top)
     return f"""
 WITH {_PQ_ENCODE_CTES},
 cents(cell, cv) AS (VALUES {values}),
@@ -2344,8 +2346,62 @@ FROM (
 WHERE rn <= {k_top}"""
 
 
+def _q173_tail(k_top: int, budgets: tuple[int, ...]) -> str:
+    """q173: the rerank_from ↔ recall sweep — ADC top-R (literal
+    (rb, rn) budget fan-out, equi-join), exact-cosine rerank to top-k
+    per budget, graded against the q157-style brute-force baseline."""
+    bud_rows = ", ".join(
+        f"({R}, {r})" for R in budgets for r in range(1, R + 1)
+    )
+    return f""",
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM scored
+),
+buds(rb, rn) AS (VALUES {bud_rows}),
+rr AS (
+  SELECT b.rb, t.qid, t.vec_id,
+         ROUND(list_dot_product(c.v, q.qv) /
+               (sqrt(list_dot_product(c.v, c.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+  FROM ranked t
+  JOIN buds b ON b.rn = t.rn
+  JOIN e c ON c.vec_id = t.vec_id
+  JOIN q ON q.qid = t.qid
+),
+topk AS (
+  SELECT rb, qid, vec_id FROM (
+    SELECT rb, qid, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY rb, qid
+                              ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM rr) t WHERE rn <= {k_top}
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_dot_product(e.v, q.qv) /
+                   (sqrt(list_dot_product(e.v, e.v)) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id ASC) AS rn
+    FROM e CROSS JOIN q) t WHERE rn <= {k_top}
+)
+SELECT CAST(t.rb AS BIGINT) AS rerank_from,
+       CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
+       CAST(COUNT(x.qid) AS BIGINT) AS n_hits,
+       CAST(COUNT(x.qid) AS BIGINT) /
+         (CAST(COUNT(DISTINCT t.qid) AS BIGINT) * {k_top}) AS recall
+FROM topk t
+LEFT JOIN exact x ON t.qid = x.qid AND t.vec_id = x.vec_id
+GROUP BY t.rb
+"""
+
+
 _Q166_SQL = _q166_sql()
 _Q171_SQL = _q166_sql(rerank_from=40)
+_Q173_SQL = _q166_sql(recall_budgets=(10, 20, 40))
 
 # q167: per-subspace PQ distortion — the dists CTE's per-(vector,
 # subspace) MIN is the assigned entry's rounded distance; nano-unit
@@ -4062,5 +4118,6 @@ def oracle_sql() -> dict[str, str]:
         "q168_pq_embedding_ingest_probe": _Q168_SQL,
         "q171_ivf_pq_rerank_topk": _Q171_SQL,
         "q172_semantic_decontamination_pq": _Q172_SQL,
+        "q173_pq_rerank_recall": _Q173_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -831,3 +831,27 @@ def test_pq_decontamination_flags_planted_twins(spark, clustered_corpus):
     # random 64-dim unit vectors sit far below ADC 0.5 of any family
     # seed; allow a stray collision but require the mass to stay clean
     assert clean_distractors >= 48, clean_distractors
+
+
+def test_pq_rerank_recall_curve_monotone(spark, clustered_corpus):
+    """q173's curve on the clustered fixture: recall@k is monotone in
+    the shortlist budget (provably — under the shared rounded-sim/id
+    total order, hits = |exact-top-k ∩ shortlist|, and shortlists
+    nest), every query is counted in every row, and a 40-deep
+    shortlist with trained codebooks recovers (near-)exact order."""
+    emb, cents, _, _ = clustered_corpus
+    cbs = sim_ops.fit_pq_codebooks(emb, m=8, k=16)
+    rows = {
+        r["rerank_from"]: r
+        for r in sim_ops.pq_rerank_recall_report(
+            emb, cents, cbs, F.col("vec_id") % 25 == 7, k=10,
+            rerank_budgets=(10, 20, 40), nprobe=4,
+            round_assign_digits=6,
+        ).collect()
+    }
+    assert set(rows) == {10, 20, 40}
+    assert all(rows[R]["n_queries"] == 20 for R in rows)
+    assert (
+        rows[10]["recall"] <= rows[20]["recall"] <= rows[40]["recall"]
+    ), {R: rows[R]["recall"] for R in rows}
+    assert rows[40]["recall"] >= 0.9, rows[40]["recall"]

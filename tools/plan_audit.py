@@ -65,6 +65,10 @@ BNL_ALLOWLIST = {
     # cross join is the ground-truth side by definition; the probe
     # side under test is all equi-joins.
     "q157_ivf_nprobe_recall": "broadcast bounded query batch (exact ground-truth side)",
+    # Same structure as q157: the rerank_from sweep is graded against
+    # the exact brute-force baseline; the ADC probe + rerank side
+    # under test is all equi-joins.
+    "q173_pq_rerank_recall": "broadcast bounded query batch (exact ground-truth side)",
 }
 
 
