@@ -3013,7 +3013,14 @@ def _stage_id_shards(
             if not name.startswith(prefix) or p == base:
                 continue
             try:
-                if ".build-" in name and now0 - os.path.getmtime(p) < 3600:
+                # The one-hour age guard covers COMPLETED siblings too
+                # (ADVICE r13): a same-prefix entry with a different
+                # vintage/shard key may still be mid-read by a
+                # concurrent process (e.g. two SF dirs sharing a
+                # basename) — deleting it under that reader breaks its
+                # stream. Anything older than an hour is a genuinely
+                # stale vintage or a crashed build.
+                if now0 - os.path.getmtime(p) < 3600:
                     continue
                 shutil.rmtree(p, ignore_errors=True)
             except OSError:
@@ -3464,6 +3471,124 @@ def q170_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q174_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC encoding (similarity.ivf_pq_index
+    residual=True — Jégou 2011 §III-A, VERDICT r13 item 1): every
+    embedding is coarse-assigned to its IVF cell, then the PQ codes
+    quantize the RESIDUAL v − centroid(cell) instead of the raw
+    vector — the same m×k code budget spends its resolution on the
+    part the coarse quantizer doesn't explain. Emitted exploded as
+    (vec_id, cell, subspace, code). One map-only pass (assignment and
+    encode fuse into a single projection chain — no shuffle, no raw
+    vector stored). Exact: elementwise subtraction commutes with
+    slicing, so the twin subtracts over the full vector then slices,
+    bit-identically (oracle/sql.py _pq_residual_ctes)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    enc = sim_ops.ivf_pq_index(
+        emb, cents, cbs, round_assign_digits=6, residual=True
+    )
+    return enc.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.posexplode(F.col("codes")).alias("subspace", "code"),
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q175_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVFADC probe (similarity.ivf_pq_knn_join
+    residual=True): the q166 ADC machinery over a RESIDUAL index —
+    the query's m×k lookup tables are built per probed cell from the
+    query's own residual q − centroid(cell), so Σ_j lut_j[code_j] is
+    the exact quantized ‖q − (centroid + recon)‖², comparable across
+    the nprobe=4 probed cells. The broadcast query fan-out carries
+    nprobe lut sets per query instead of one (still bounded:
+    |queries|·nprobe·m·k small integers); the corpus side reads codes
+    only. Integer-exact against the SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        residual=True,
+    )
+
+
+def q176_pq_residual_rerank_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q173's rerank_from ↔ recall curve measured over the RESIDUAL
+    index (pq_rerank_recall_report residual=True) — the direct
+    evidence for what residual encoding buys at each shortlist
+    budget R ∈ {10, 20, 40}: the R=10 row is plain ADC recall@10
+    (re-ranking k of k can't change membership), so comparing it to
+    q173's R=10 row reads as 'residual vs raw-code pre-rerank floor'
+    on this corpus. Same literal budget fan-out, same exact
+    brute-force baseline (the allowlisted ground-truth BNL), same
+    spine denominator; engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.pq_rerank_recall_report(
+        emb, cents, cbs, F.col("vec_id") % 100 == 0,
+        k=10, rerank_budgets=(10, 20, 40), nprobe=4,
+        round_assign_digits=6, residual=True,
+    )
+
+
+def q177_pq_residual_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Raw-codes vs residual-codes distortion, side by side
+    (pq_reconstruction_report with and without centroids=) — the
+    q167/q169 publish-your-evidence precedent applied to VERDICT r13
+    item 1: per subspace, the nano-unit integer distortion sums of
+    BOTH encodings of the same corpus under the same kit codebooks,
+    with resid_wins comparing the integer sums (same n_vectors, so it
+    IS the mean comparison, integer-exact). On corpora where the
+    coarse cells explain real variance the residual wins; on
+    centered near-isotropic data it documents HOW MUCH the cell mean
+    absorbs. Two map passes + two m-bounded integer aggregations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    raw = sim_ops.pq_reconstruction_report(emb, cbs).select(
+        "subspace", "n_vectors",
+        F.col("sum_dist_q").alias("raw_sum_dist_q"),
+        F.col("mean_sq_dist").alias("raw_mean_sq_dist"),
+    )
+    res = sim_ops.pq_reconstruction_report(
+        emb, cbs, centroids=cents, round_assign_digits=6
+    ).select(
+        "subspace",
+        F.col("sum_dist_q").alias("resid_sum_dist_q"),
+        F.col("mean_sq_dist").alias("resid_mean_sq_dist"),
+    )
+    return raw.join(res, "subspace").select(
+        "subspace",
+        "n_vectors",
+        "raw_sum_dist_q",
+        "resid_sum_dist_q",
+        "raw_mean_sq_dist",
+        "resid_mean_sq_dist",
+        F.when(
+            F.col("resid_sum_dist_q") <= F.col("raw_sum_dist_q"), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("resid_wins"),
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3660,6 +3785,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_ivf_pq_rerank_topk": q171_ivf_pq_rerank_topk,
         "q172_semantic_decontamination_pq": q172_semantic_decontamination_pq,
         "q173_pq_rerank_recall": q173_pq_rerank_recall,
+        "q174_pq_residual_encode": q174_pq_residual_encode,
+        "q175_ivf_pq_residual_topk": q175_ivf_pq_residual_topk,
+        "q176_pq_residual_rerank_recall": q176_pq_residual_rerank_recall,
+        "q177_pq_residual_distortion": q177_pq_residual_distortion,
     }
 
 

@@ -2328,10 +2328,12 @@ ranked AS (
 ),
 rr AS (
   SELECT t.qid, t.vec_id,
-         ROUND(list_dot_product(q.qv, c.v) /
-               (sqrt(list_dot_product(q.qv, q.qv)) *
-                sqrt(list_dot_product(c.v, c.v))),
-               {rerank_round_digits}) AS sim
+         CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(c.v, c.v)) = 0 THEN 0.0
+              ELSE ROUND(list_dot_product(q.qv, c.v) /
+                         (sqrt(list_dot_product(q.qv, q.qv)) *
+                          sqrt(list_dot_product(c.v, c.v))),
+                         {rerank_round_digits}) END AS sim
   FROM ranked t
   JOIN e c ON c.vec_id = t.vec_id
   JOIN q ON q.qid = t.qid
@@ -2363,9 +2365,12 @@ ranked AS (
 buds(rb, rn) AS (VALUES {bud_rows}),
 rr AS (
   SELECT b.rb, t.qid, t.vec_id,
-         ROUND(list_dot_product(c.v, q.qv) /
-               (sqrt(list_dot_product(c.v, c.v)) *
-                sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+         CASE WHEN sqrt(list_dot_product(c.v, c.v)) *
+                   sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+              ELSE ROUND(list_dot_product(c.v, q.qv) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 6)
+         END AS sim
   FROM ranked t
   JOIN buds b ON b.rn = t.rn
   JOIN e c ON c.vec_id = t.vec_id
@@ -2382,20 +2387,30 @@ exact AS (
   SELECT qid, vec_id FROM (
     SELECT q.qid, e.vec_id,
            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-             ROUND(list_dot_product(e.v, q.qv) /
-                   (sqrt(list_dot_product(e.v, e.v)) *
-                    sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+                  ELSE ROUND(list_dot_product(e.v, q.qv) /
+                             (sqrt(list_dot_product(e.v, e.v)) *
+                              sqrt(list_dot_product(q.qv, q.qv))), 6)
+             END DESC,
              e.vec_id ASC) AS rn
     FROM e CROSS JOIN q) t WHERE rn <= {k_top}
-)
-SELECT CAST(t.rb AS BIGINT) AS rerank_from,
-       CAST(COUNT(DISTINCT t.qid) AS BIGINT) AS n_queries,
-       CAST(COUNT(x.qid) AS BIGINT) AS n_hits,
-       CAST(COUNT(x.qid) AS BIGINT) /
-         (CAST(COUNT(DISTINCT t.qid) AS BIGINT) * {k_top}) AS recall
-FROM topk t
-LEFT JOIN exact x ON t.qid = x.qid AND t.vec_id = x.vec_id
-GROUP BY t.rb
+),
+perq AS (
+  SELECT t.rb, t.qid, COUNT(x.qid) AS h
+  FROM topk t
+  LEFT JOIN exact x ON t.qid = x.qid AND t.vec_id = x.vec_id
+  GROUP BY t.rb, t.qid
+),
+spine AS (SELECT DISTINCT b.rb, q.qid FROM buds b CROSS JOIN q)
+SELECT CAST(s.rb AS BIGINT) AS rerank_from,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(COALESCE(p.h, 0)) AS BIGINT) AS n_hits,
+       CAST(SUM(COALESCE(p.h, 0)) AS BIGINT) /
+         (CAST(COUNT(*) AS BIGINT) * {k_top}) AS recall
+FROM spine s
+LEFT JOIN perq p ON p.rb = s.rb AND p.qid = s.qid
+GROUP BY s.rb
 """
 
 
@@ -2418,6 +2433,174 @@ SELECT CAST(j AS BIGINT) AS subspace,
   CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS DOUBLE)
     / COUNT(*) / 1e9 AS mean_sq_dist
 FROM md GROUP BY j
+"""
+
+
+def _pq_residual_ctes(nprobe_assign_digits: int = 6) -> str:
+    """Shared CTEs for the RESIDUAL (true-IVFADC) PQ family
+    (q174-q177): assign every vector to its rounded-argmax cell (the
+    q124 machinery), subtract the cell centroid ELEMENTWISE over the
+    full vector (list_transform over a scalar range — bit-identical
+    to Spark's zip_with, and slicing commutes with elementwise
+    subtraction), then run the exact q165 argmin/ROUND-9/lowest-code
+    encode over the residual subvectors. Mirrors
+    similarity._residual_expr + _pq_exprs 1:1."""
+    from ..operators.similarity import deterministic_ivf_centroids
+
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""cbs(j, c, cb, cb2) AS (VALUES {_pq_cbs_values()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cell, cv) AS (VALUES {values}),
+csims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(cents.cv, cents.cv)) = 0 THEN 0.0
+              ELSE ROUND(list_dot_product(e.v, cents.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))),
+                         {nprobe_assign_digits}) END AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims) t WHERE rn = 1
+),
+r AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+  FROM assigned a JOIN cents c ON c.cell = a.cell
+),
+rdists AS (
+  SELECT r.vec_id, r.cell, cbs.j, cbs.c,
+         ROUND(list_dot_product(r.rv[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                r.rv[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+               - 2 * list_dot_product(r.rv[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                      cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM r CROSS JOIN cbs
+),
+renc AS (
+  SELECT vec_id, cell, j, c AS code FROM (
+    SELECT vec_id, cell, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM rdists) t WHERE rn = 1
+)"""
+
+
+_Q174_SQL = f"""
+WITH {_pq_residual_ctes()}
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       CAST(j AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code
+FROM renc
+"""
+
+
+def _q175_sql(
+    k_top: int = 10,
+    nprobe: int = 4,
+    recall_budgets: tuple[int, ...] | None = None,
+) -> str:
+    """Twin of q175 (residual IVFADC probe) and, with
+    ``recall_budgets``, q176 (its rerank↔recall curve): the residual
+    encode CTEs + per-(query, probed-cell) lookup tables built from
+    the QUERY'S residual in that cell — Σ_j lut[j][code_j] is then the
+    exact quantized ‖(q−c) − recon‖² = ‖q − (c + recon)‖², comparable
+    across cells. Same nano-unit integer quantization, same tails as
+    the raw-code family (the q166/q173 machinery reused verbatim)."""
+    tail = (
+        _q173_tail(k_top, recall_budgets)
+        if recall_budgets is not None
+        else _q166_tail(k_top)
+    )
+    return f"""
+WITH {_pq_residual_ctes()},
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qres AS (
+  SELECT qc.qid, qc.cell,
+         list_transform(range(1, 65), i -> q.qv[i] - c.cv[i]) AS rqv
+  FROM qcells qc JOIN q ON q.qid = qc.qid JOIN cents c ON c.cell = qc.cell
+),
+lut AS (
+  SELECT qres.qid, qres.cell, cbs.j, cbs.c,
+         CAST(ROUND((list_dot_product(
+                         qres.rqv[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                         qres.rqv[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+                     - 2 * list_dot_product(
+                         qres.rqv[cbs.j * 8 + 1 : cbs.j * 8 + 8], cbs.cb)
+                     + cbs.cb2) * 1e9) AS BIGINT) AS term
+  FROM qres CROSS JOIN cbs
+),
+cand AS (
+  SELECT qc.qid, a.vec_id, a.cell
+  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id, SUM(lut.term) AS adist
+  FROM cand
+  JOIN renc ON renc.vec_id = cand.vec_id
+  JOIN lut ON lut.qid = cand.qid AND lut.cell = cand.cell
+          AND lut.j = renc.j AND lut.c = renc.code
+  GROUP BY cand.qid, cand.vec_id
+){tail}
+"""
+
+
+_Q175_SQL = _q175_sql()
+_Q176_SQL = _q175_sql(recall_budgets=(10, 20, 40))
+
+# q177: raw-codes vs residual-codes distortion, side by side — the
+# per-subspace MIN assigned distance aggregated as nano-unit integers
+# for BOTH encodings of the same corpus under the same kit codebooks;
+# resid_wins compares the integer sums (same n, so it is the mean
+# comparison, integer-exact). Mirrors two pq_reconstruction_report
+# calls joined on subspace.
+_Q177_SQL = f"""
+WITH {_pq_residual_ctes()},
+rawdists AS (
+  SELECT e.vec_id, cbs.j, cbs.c,
+         ROUND(list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+               - 2 * list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                      cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM e CROSS JOIN cbs
+),
+mdr AS (SELECT vec_id, j, MIN(dist) AS dist FROM rawdists GROUP BY vec_id, j),
+mds AS (SELECT vec_id, j, MIN(dist) AS dist FROM rdists GROUP BY vec_id, j),
+rawagg AS (
+  SELECT j, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM mdr GROUP BY j
+),
+resagg AS (
+  SELECT j, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM mds GROUP BY j
+)
+SELECT CAST(rawagg.j AS BIGINT) AS subspace,
+       CAST(rawagg.n AS BIGINT) AS n_vectors,
+       rawagg.s AS raw_sum_dist_q,
+       resagg.s AS resid_sum_dist_q,
+       CAST(rawagg.s AS DOUBLE) / rawagg.n / 1e9 AS raw_mean_sq_dist,
+       CAST(resagg.s AS DOUBLE) / resagg.n / 1e9 AS resid_mean_sq_dist,
+       CAST(CASE WHEN resagg.s <= rawagg.s THEN 1 ELSE 0 END AS BIGINT)
+         AS resid_wins
+FROM rawagg JOIN resagg ON rawagg.j = resagg.j
 """
 
 
@@ -2507,9 +2690,11 @@ dsem AS (
   JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN acodes ac ON ac.vec_id = a.vec_id
   CROSS JOIN cbl
-  WHERE ROUND((
+  WHERE (CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms}) = 0
+              THEN 0.0
+              ELSE ROUND((
         {dot_terms}
-      ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms})), 6)
+      ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms})), 6) END)
       >= {threshold}
 )
 SELECT CAST(4 AS BIGINT) AS n_batches,
@@ -2573,9 +2758,12 @@ qcells AS (
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
 pairs AS (
   SELECT a.vec_id,
-         ROUND((
+         CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt({r2_terms}) = 0 THEN 0.0
+              ELSE ROUND((
         {dot_terms}
-      ) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({r2_terms})), 6) AS sim
+      ) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({r2_terms})), 6)
+         END AS sim
   FROM assigned a
   JOIN acodes ac ON ac.vec_id = a.vec_id
   JOIN qcells qc ON qc.cell = a.cell
@@ -4119,5 +4307,9 @@ def oracle_sql() -> dict[str, str]:
         "q171_ivf_pq_rerank_topk": _Q171_SQL,
         "q172_semantic_decontamination_pq": _Q172_SQL,
         "q173_pq_rerank_recall": _Q173_SQL,
+        "q174_pq_residual_encode": _Q174_SQL,
+        "q175_ivf_pq_residual_topk": _Q175_SQL,
+        "q176_pq_residual_rerank_recall": _Q176_SQL,
+        "q177_pq_residual_distortion": _Q177_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

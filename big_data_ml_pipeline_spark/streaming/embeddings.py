@@ -87,14 +87,18 @@ def _check_pq_marker(
 
 
 def _write_pq_marker(
-    state_dir: str, codebooks: list[list[list[float]]]
+    state_dir: str, codebooks: list[list[list[float]]],
+    overwrite: bool = False,
 ) -> None:
     """Idempotent marker write at OPEN time, before any data file can
     land (the ADVICE-r8 ordering: a crash mid-first-batch must never
-    leave codes on disk without the spec guarding their reuse)."""
+    leave codes on disk without the spec guarding their reuse).
+    ``overwrite=True`` replaces an existing marker — only valid when
+    the caller is about to (re-)encode the whole state under the
+    given kit (migration/rotation), never on a plain reopen."""
     os.makedirs(state_dir, exist_ok=True)
     marker = os.path.join(state_dir, "_PQ_SPEC")
-    if not os.path.exists(marker):
+    if overwrite or not os.path.exists(marker):
         with open(marker, "w") as f:
             f.write(_pq_fingerprint(codebooks))
 
@@ -242,13 +246,21 @@ def ingest_embeddings_stream(
     comparison and the streamed outcome still equals the one-shot
     batch reduction under the q164 conditions (id-ordered contiguous
     batches + ``track_components`` + the rounding knobs — the q168
-    probe's oracle mirrors the ADC expression term-for-term). Note the
-    within-batch rule in PQ mode is the pair rule (drop on ANY
-    lower-id twin, kept or dropped) rather than SemDeDup's greedy
-    kept-rep rule — the two agree exactly when ``track_components``
-    extras are on, which is the mode the exact contract needs anyway.
-    Reopening a legacy raw-layout state dir with ``codebooks`` fails
-    loudly — run :func:`migrate_embedding_state_to_pq` first.
+    probe's oracle mirrors the ADC expression term-for-term). The
+    within-batch RULE is the same in BOTH layouts: SemDeDup's min-id
+    rule, i.e. drop on ANY lower-id same-cell twin, kept or dropped
+    (:func:`~..operators.similarity.semdedup` removes every ``id_b``
+    of its pair set — an A—B—C chain lands {A} in both layouts and
+    both tracking modes; pinned by ``tests/test_pq_streaming_state.
+    py::test_pq_within_batch_rule_identical_across_layouts``). What
+    ``codebooks=`` DOES change is the similarity itself: screens
+    compare an incoming raw vector against candidates'
+    RECONSTRUCTIONS, so a vector far from its quantization can
+    keep/drop differently than under the raw-layout ingest's raw-raw
+    cosine (same pin test, quantization fixture) — an inherent
+    property of the codes-only design, independent of the tracking
+    mode. Reopening a legacy raw-layout state dir with ``codebooks``
+    fails loudly — run :func:`migrate_embedding_state_to_pq` first.
 
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
@@ -267,6 +279,20 @@ def ingest_embeddings_stream(
         _write_bucket_marker,
     )
 
+    if track_drift and len(centroids) > 65536:
+        # The drift report collects one (cell, count) histogram per
+        # side per batch to the driver — bounded by n_cells, which is
+        # fine at any realistic IVF fan-out but would quietly become a
+        # driver-side bottleneck at an extreme cell count (VERDICT r13
+        # nit 2: make the implicit bound explicit). 64Ki cells ×
+        # ~16 B/entry ≈ 1 MiB per histogram — comfortably under any
+        # driver budget; beyond that, disable drift or aggregate it as
+        # a side output instead.
+        raise ValueError(
+            f"track_drift collects a per-batch cell histogram to the "
+            f"driver; {len(centroids)} cells exceeds the supported "
+            "bound (65536) — disable track_drift at this fan-out"
+        )
     # The landed table IS the dedup state: finish/roll back any
     # compaction swap a previous run crashed inside, or a restarted
     # stream would see landed=None and re-ingest duplicates (ADVICE r6).
@@ -908,8 +934,19 @@ def migrate_embedding_state_to_pq(
                 "`fp` bigint",
                 ["cell"], nb,
             )
+            # Marker BEFORE the rewrite (ADVICE r13): the rewrite
+            # copies an existing _PQ_SPEC into its tmp dir, so codes
+            # and fingerprint swap in atomically together — writing it
+            # after leaves a crash window where codes-only files sit
+            # on disk unguarded and the next open would "heal" the
+            # marker with whatever kit the caller passes. A pre-swap
+            # crash instead leaves raw layout + marker, which the
+            # PQ-mode layout check still rejects. Overwrite: on a
+            # raw-layout dir any existing marker is a crashed earlier
+            # attempt's, and it must match the kit THIS rewrite
+            # encodes with.
+            _write_pq_marker(path, codebooks, overwrite=True)
             _rewrite_bucketed_state(spark, path, tbl, enc, nb, ["cell"])
-            _write_pq_marker(path, codebooks)
         else:
             n_out = max(2, spark.sparkContext.defaultParallelism // 4)
             (
