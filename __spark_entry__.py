@@ -3197,9 +3197,16 @@ def q165_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
     enc = sim_ops.pq_encode(emb, cbs)
+    # posexplode_OUTER: codes is a computed array-of-m expression that
+    # is never null/empty, so outer is semantically identical — but it
+    # keeps InferFiltersFromGenerate from pushing a size(codes)>0
+    # filter (with the WHOLE encode tree inlined) down to the scan,
+    # which doubles the encode work and bloats codegen (found via
+    # q174, where the residual+cell tree made the inlined filter a
+    # 3 MB plan and a 100x slowdown).
     return enc.select(
         "vec_id",
-        F.posexplode(F.col("codes")).alias("subspace", "code"),
+        F.posexplode_outer(F.col("codes")).alias("subspace", "code"),
     ).select(
         "vec_id",
         F.col("subspace").cast("long").alias("subspace"),
@@ -3489,10 +3496,13 @@ def q174_pq_residual_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = sim_ops.ivf_pq_index(
         emb, cents, cbs, round_assign_digits=6, residual=True
     )
+    # posexplode_OUTER, not posexplode: see q165 — the inferred
+    # size(codes)>0 filter would inline the full residual+cell encode
+    # tree into a pushed-down Filter (3 MB plan, ~100x slower).
     return enc.select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
-        F.posexplode(F.col("codes")).alias("subspace", "code"),
+        F.posexplode_outer(F.col("codes")).alias("subspace", "code"),
     ).select(
         "vec_id",
         "cell",

@@ -137,12 +137,18 @@ def _rewrite_bucketed_state(
     n_buckets: int,
     bucket_cols: list[str],
     sort_cols: list[str] | None = None,
+    pq_spec: str | None = None,
 ) -> None:
     """Bucketed compaction rewrite: land the rewritten table in the
     swap-in dir via a throwaway EXTERNAL table definition (dropping it
     keeps the files), ride the ``_BUCKET_SPEC`` marker along so the
     swap is all-or-nothing, swap directories crash-safely, and refresh
-    the live definition's stale file listing."""
+    the live definition's stale file listing.
+
+    ``pq_spec`` (codebook rotation): write THIS fingerprint into the
+    swap-in dir instead of copying the current one — the new marker
+    then lands atomically WITH the re-encoded codes; a crash on either
+    side of the swap leaves codes and fingerprint paired."""
     import shutil
 
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
@@ -166,9 +172,13 @@ def _rewrite_bucketed_state(
     # Any other spec marker (e.g. the PQ codebook fingerprint on a
     # codes-only embedding state) rides the swap the same way — a
     # compaction must never strip the guards on its own files.
-    pq_spec = os.path.join(path, "_PQ_SPEC")
-    if os.path.exists(pq_spec):
-        shutil.copy(pq_spec, os.path.join(tmp, "_PQ_SPEC"))
+    if pq_spec is not None:
+        with open(os.path.join(tmp, "_PQ_SPEC"), "w") as f:
+            f.write(pq_spec)
+    else:
+        spec_path = os.path.join(path, "_PQ_SPEC")
+        if os.path.exists(spec_path):
+            shutil.copy(spec_path, os.path.join(tmp, "_PQ_SPEC"))
     if os.path.exists(path):
         atomic_swap_dirs(path)
     else:  # healing a crash that lost the very first index write

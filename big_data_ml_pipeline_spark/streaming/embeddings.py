@@ -963,6 +963,139 @@ def migrate_embedding_state_to_pq(
     return "; ".join(statuses)
 
 
+def rotate_embedding_state_codebooks(
+    spark: SparkSession,
+    out_dir: str,
+    new_codebooks: list[list[list[float]]],
+    raw_corpus: DataFrame,
+    old_codebooks: list[list[list[float]]] | None = None,
+    cell_n_buckets: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pq_round_digits: int = 9,
+) -> str:
+    """Re-encode a LIVE codes-only embedding state under retrained
+    codebooks (VERDICT r13 item 2 — the lifecycle gap
+    migrate_embedding_state_to_pq can't cover: codes cannot be
+    re-encoded from codes). Joins each state table — landed corpus
+    plus its ``_screened`` sibling if present — back to the COLD raw
+    corpus by id, recomputes ``codes`` with the new kit (identical
+    argmin/rounding/tie rule to the ingest, via
+    :func:`~..operators.similarity.pq_append_codes`), keeps ``cell``
+    and ``fp`` untouched (centroids and raw bytes don't change under
+    a codebook rotation), and swaps each table in crash-safely with
+    the NEW ``_PQ_SPEC`` fingerprint riding the same swap — a crash
+    at any point leaves old codes + old marker or new codes + new
+    marker, never a mismatched pair. Continuing the ingest with the
+    new kit afterwards equals a fresh ingest that used the new kit
+    from the start (pytest-pinned).
+
+    ``old_codebooks`` (recommended) asserts the state was encoded
+    with the kit you think it was; rotation refuses a fingerprint
+    mismatch instead of silently re-encoding someone else's state.
+    Raises if any state id is missing from ``raw_corpus`` — a partial
+    rotation would silently mix code spaces.
+
+    Scale shape: per table, ONE id equi-join against the cold corpus
+    (shuffle on the join key — unavoidable and linear) + the map-only
+    encode; the bucketed layout (pass the ingest's
+    ``cell_n_buckets``) is preserved through the catalog-table
+    rewrite, so post-rotation probes stay exchange-free.
+    """
+    from ..operators.similarity import pq_append_codes
+    from ..sources.state import (
+        TMP_SUFFIX,
+        atomic_swap_dirs,
+        recover_interrupted_swap,
+    )
+    from .corpus import (
+        _check_bucket_marker,
+        _has_parquet,
+        _register_bucketed_state,
+        _rewrite_bucketed_state,
+        _state_table_name,
+    )
+
+    nb = int(cell_n_buckets or 0)
+    new_fp = _pq_fingerprint(new_codebooks)
+    raw = raw_corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__raw_v")
+    )
+    statuses = []
+    targets = [(out_dir.rstrip("/"), "emb_corpus")]
+    screened = out_dir.rstrip("/") + "_screened"
+    if os.path.isdir(screened):
+        targets.append((screened, "emb_screened"))
+    for path, prefix in targets:
+        recover_interrupted_swap(path)
+        if not _has_parquet(path):
+            statuses.append(f"{path}: no state")
+            continue
+        df = spark.read.parquet(path)
+        if "codes" not in df.columns:
+            raise ValueError(
+                f"embedding state at {path} is not codes-only — rotation "
+                "re-encodes PQ codes; run migrate_embedding_state_to_pq "
+                "for a raw-layout state"
+            )
+        marker = os.path.join(path, "_PQ_SPEC")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                prev = f.read().strip()
+            if prev == new_fp:
+                statuses.append(f"{path}: already rotated")
+                continue
+            if (
+                old_codebooks is not None
+                and prev != _pq_fingerprint(old_codebooks)
+            ):
+                raise ValueError(
+                    f"embedding state at {path} was encoded with a "
+                    "different kit than old_codebooks — refusing to "
+                    "rotate a state of unknown provenance"
+                )
+        n_state = df.count()
+        enc = pq_append_codes(
+            df.drop("codes").join(raw, on=id_col),
+            new_codebooks, vec_col="__raw_v",
+            round_digits=pq_round_digits,
+        ).select(id_col, "codes", "cell", "fp")
+        n_enc = enc.count()
+        if n_enc != n_state:
+            raise ValueError(
+                f"rotation of {path}: raw_corpus covers {n_enc} of "
+                f"{n_state} state rows — every landed/screened id needs "
+                "its cold raw vector to re-encode"
+            )
+        if nb:
+            _check_bucket_marker(path, nb, "embedding codebook rotation")
+            id_ddl = df.schema[id_col].dataType.simpleString()
+            tbl = _register_bucketed_state(
+                spark, path, _state_table_name(path, prefix),
+                f"`{id_col}` {id_ddl}, `codes` array<int>, `cell` int, "
+                "`fp` bigint",
+                ["cell"], nb,
+            )
+            # New marker rides the rewrite's swap (pq_spec=...): codes
+            # and fingerprint land atomically together.
+            _rewrite_bucketed_state(
+                spark, path, tbl, enc, nb, ["cell"], pq_spec=new_fp
+            )
+        else:
+            n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+            (
+                enc.repartitionByRange(n_out, F.col("cell"))
+                .sortWithinPartitions("cell")
+                .write.mode("overwrite")
+                .parquet(path + TMP_SUFFIX)
+            )
+            with open(os.path.join(path + TMP_SUFFIX, "_PQ_SPEC"), "w") as f:
+                f.write(new_fp)
+            atomic_swap_dirs(path)
+        statuses.append(f"{path}: rotated")
+    return "; ".join(statuses)
+
+
 def compact_screened_extras(
     spark: SparkSession,
     screened_dir: str,

@@ -695,3 +695,94 @@ def test_pq_within_batch_rule_identical_across_layouts(spark, tmp_path):
             )
             kept = {r["vec_id"] for r in spark.read.parquet(out).collect()}
             assert kept == expected[tag], (tag, tracking, kept)
+
+
+def test_pq_codebook_rotation_continues_exactly(spark, tmp_path):
+    """Codebook rotation for a LIVE codes-only state (VERDICT r13
+    item 2): ingest shards 1+2 under kit A, rotate the landed AND
+    screened tables to kit B by joining back to the cold raw corpus,
+    continue the ingest over shard 3 under kit B — and the final
+    state equals a fresh ingest that used kit B from the start, in
+    plain and bucketed layouts. Kit B is kit A with every codebook's
+    entries REVERSED: the reconstruction SET per subspace is
+    identical, so every ADC screen decision is provably unchanged and
+    the pin isolates the rotation machinery itself (codes must all
+    change; keep/drop must not). Also pins: the new _PQ_SPEC lands
+    with the new codes on both tables, a wrong old_codebooks refuses,
+    re-rotation is a no-op, and a raw_corpus that misses state ids
+    refuses."""
+    kit_b = [list(reversed(cb)) for cb in CBS]
+    in12, in3, in_all = (
+        str(tmp_path / "in12"), str(tmp_path / "in3"), str(tmp_path / "inall")
+    )
+    write_shards(spark, in12, [SHARD1, SHARD2])
+    write_shards(spark, in3, [SHARD3])
+    write_shards(spark, in_all, [SHARD1, SHARD2, SHARD3])
+    raw_corpus = spark.createDataFrame(
+        [(i, v) for i, v in SHARD1 + SHARD2 + SHARD3],
+        ["vec_id", "embedding"],
+    )
+    kw = dict(centroids=CENTS, threshold=THR, track_components=True,
+              round_assign_digits=6, screen_round_digits=6)
+    for mode, nb in (("plain", None), ("bucketed", 4)):
+        out = str(tmp_path / f"out_{mode}")
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in12), out,
+            str(tmp_path / f"ck1_{mode}"),
+            codebooks=CBS, cell_n_buckets=nb, **kw
+        )
+        before = {r["vec_id"]: list(r["codes"])
+                  for r in spark.read.parquet(out).collect()}
+        # Wrong provenance refuses.
+        other = pq_codebooks(dim=DIM, m=M, k=K, seed=99)
+        with pytest.raises(ValueError, match="different kit"):
+            se.rotate_embedding_state_codebooks(
+                spark, out, kit_b, raw_corpus, old_codebooks=other,
+                cell_n_buckets=nb,
+            )
+        # Incomplete cold corpus refuses (drop one landed id).
+        some_id = next(iter(before))
+        with pytest.raises(ValueError, match="raw_corpus covers"):
+            se.rotate_embedding_state_codebooks(
+                spark, out, kit_b,
+                raw_corpus.filter(F.col("vec_id") != some_id),
+                old_codebooks=CBS, cell_n_buckets=nb,
+            )
+        status = se.rotate_embedding_state_codebooks(
+            spark, out, kit_b, raw_corpus, old_codebooks=CBS,
+            cell_n_buckets=nb,
+        )
+        assert status.count("rotated") == 2, status  # landed + screened
+        for d in (out, out + "_screened"):
+            with open(os.path.join(d, "_PQ_SPEC")) as fh:
+                assert fh.read().strip() == se._pq_fingerprint(kit_b), d
+        after = {r["vec_id"]: list(r["codes"])
+                 for r in spark.read.parquet(out).collect()}
+        assert set(after) == set(before)
+        for vid in after:  # every code re-encoded: reversed index
+            assert after[vid] == [K - 1 - c for c in before[vid]], vid
+        assert "already rotated" in se.rotate_embedding_state_codebooks(
+            spark, out, kit_b, raw_corpus, cell_n_buckets=nb,
+        )
+        # Continue under kit B; compare against a fresh kit-B run.
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in3), out,
+            str(tmp_path / f"ck2_{mode}"),
+            codebooks=kit_b, cell_n_buckets=nb, **kw
+        )
+        fresh = str(tmp_path / f"fresh_{mode}")
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_all), fresh,
+            str(tmp_path / f"ckf_{mode}"),
+            codebooks=kit_b, cell_n_buckets=nb, **kw
+        )
+        for suffix in ("", "_screened"):
+            got = {
+                (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+                for r in spark.read.parquet(out + suffix).collect()
+            }
+            want = {
+                (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+                for r in spark.read.parquet(fresh + suffix).collect()
+            }
+            assert got == want, (mode, suffix)

@@ -855,3 +855,63 @@ def test_pq_rerank_recall_curve_monotone(spark, clustered_corpus):
         rows[10]["recall"] <= rows[20]["recall"] <= rows[40]["recall"]
     ), {R: rows[R]["recall"] for R in rows}
     assert rows[40]["recall"] >= 0.9, rows[40]["recall"]
+
+
+def test_residual_pq_beats_raw_codes_on_clustered_corpus(
+    spark, clustered_corpus
+):
+    """Residual IVFADC evidence (VERDICT r13 item 1, Jégou 2011
+    §III-A): with codebooks TRAINED on what they will quantize (raw
+    vectors vs cell residuals), the residual index must (a) cut
+    trained reconstruction distortion on EVERY subspace — the cell
+    mean absorbs the family structure, so the same m×k budget
+    resolves the remainder — and (b) lift ADC-only recall@10 at
+    nprobe=4 over the raw-code index. Measured on this fixture
+    (seed 42): distortion roughly halves per subspace; recall 0.44 →
+    0.605. Floors pinned with margin (KMeans seeds are stable but not
+    contractual)."""
+    import numpy as np
+
+    emb, cents, V, _ = clustered_corpus
+    raw_cbs = sim_ops.fit_pq_codebooks(emb, m=8, k=16)
+    res_cbs = sim_ops.fit_pq_codebooks(
+        emb, m=8, k=16, centroids=cents, round_assign_digits=6
+    )
+    rk = {
+        r["subspace"]: r["mean_sq_dist"]
+        for r in sim_ops.pq_reconstruction_report(emb, raw_cbs).collect()
+    }
+    rr = {
+        r["subspace"]: r["mean_sq_dist"]
+        for r in sim_ops.pq_reconstruction_report(
+            emb, res_cbs, centroids=cents, round_assign_digits=6
+        ).collect()
+    }
+    assert set(rk) == set(rr) == set(range(8))
+    for j in range(8):
+        assert rr[j] <= rk[j], (j, rr[j], rk[j])
+
+    queries = emb.filter(F.col("vec_id") % 25 == 7)
+
+    def recall(cbs, residual):
+        got = {}
+        for r in sim_ops.ivf_pq_knn_join(
+            emb, queries, cents, cbs, k=10, nprobe=4,
+            round_assign_digits=6, residual=residual,
+        ).collect():
+            got.setdefault(r["qid"], []).append((r["rn"], r["vec_id"]))
+        hits = 0
+        for c in range(20):
+            qi = c * 25 + 7
+            sims = V @ V[qi]
+            sims[qi] = 2.0
+            exact_top = set(np.argsort(-sims)[:10].tolist())
+            ranked = [v for _, v in sorted(got[qi])]
+            hits += len(set(ranked) & exact_top)
+        return hits / 200.0
+
+    raw_rec = recall(raw_cbs, residual=False)
+    res_rec = recall(res_cbs, residual=True)
+    print(f"ADC-only recall@10: raw {raw_rec:.3f} residual {res_rec:.3f}")
+    assert res_rec >= raw_rec + 0.05, (raw_rec, res_rec)
+    assert res_rec >= 0.5, res_rec
