@@ -178,6 +178,10 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    "ingest_track_components": False,
                    "ingest_components_n_buckets": None,
                    "ingest_components_auto_compact_files": None,
+                   # ingest_nprobe: cells an incoming vector probes in
+                   # the semantic screens (1 = SemDeDup cell-local;
+                   # 2+ also catches twins straddling a cell boundary).
+                   "ingest_nprobe": 1,
                    "ingest_track_drift": False,
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
@@ -727,6 +731,7 @@ class PipelineOrchestrator:
             round_assign_digits=c.get("ingest_round_assign_digits"),
             screen_round_digits=c.get("ingest_screen_round_digits"),
             codebooks=cbs,
+            nprobe=int(c.get("ingest_nprobe", 1)),
         )
 
     # -- predict ------------------------------------------------------------

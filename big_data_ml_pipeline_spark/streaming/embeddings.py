@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, l2_norm
 from ..operators.similarity import ivf_index, semdedup
 from ..session import apply_runtime_confs
 
@@ -148,6 +148,7 @@ def ingest_embeddings_stream(
     screen_round_digits: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     pq_round_digits: int = 9,
+    nprobe: int = 1,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -262,9 +263,24 @@ def ingest_embeddings_stream(
     mode. Reopening a legacy raw-layout state dir with ``codebooks``
     fails loudly — run :func:`migrate_embedding_state_to_pq` first.
 
+    ``nprobe`` (VERDICT r13 item 3): how many cells an INCOMING vector
+    probes in every semantic screen — within-batch and cross-batch, in
+    both layouts. The default 1 is SemDeDup's cell-local design (and
+    the historical behavior, byte-identical): a twin that straddles a
+    cell boundary — assigned to the neighbouring cell — is not seen.
+    ``nprobe=2+`` explodes each incoming vector to its top-n cells
+    before the screens' cell equi-joins (the batch decontamination's
+    probe pattern, q172), so boundary twins are caught; candidates
+    are still compared at their single ASSIGNED cell, so the join
+    fan-out is nprobe × batch on the PROBE side only, never on the
+    corpus side. Stream == one-shot batch still holds under the q164
+    conditions with the rule "drop b iff some lower-id rep a has
+    cell(a) ∈ top-nprobe-cells(b) and sim ≥ threshold"
+    (tests/test_pq_streaming_state.py::test_ingest_nprobe_*).
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
-    from ..operators.similarity import cosine_near_dup_pairs
+    from ..operators.similarity import _centroid_exprs, cosine_near_dup_pairs
     from ..sources.state import recover_interrupted_swap
     from .corpus import (
         _append_bucketed,
@@ -366,6 +382,27 @@ def ingest_embeddings_stream(
         if screen_round_digits is not None:
             simc = F.round(simc, screen_round_digits)
         return simc
+
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    _pc_sims, _pc_top = (
+        _centroid_exprs(centroids, round_assign_digits)
+        if nprobe > 1
+        else (None, None)
+    )
+
+    def _with_probe_cells(df_, keep_cols):
+        """Explode a batch frame (must carry `v`) to one row per
+        top-``nprobe`` probe cell — the b-side of every semantic
+        screen when nprobe > 1. Candidates keep their single ASSIGNED
+        cell, so only the batch-sized probe side fans out; the
+        corpus-side join stays one row per landed vector."""
+        return df_.select(
+            *keep_cols,
+            F.explode(
+                _pc_top(_pc_sims(F.col("v"), l2_norm(F.col("v"))), nprobe)
+            ).alias("cell"),
+        )
 
     if pq:
         from ..operators.similarity import pq_adc_screen_kit, pq_append_codes
@@ -521,14 +558,48 @@ def ingest_embeddings_stream(
                     batch, centroids, id_col=id_col, vec_col=vec_col,
                     round_assign_digits=round_assign_digits,
                 ).join(batch.select(id_col, "fp"), on=id_col)
-                pairs_w = cosine_near_dup_pairs(
-                    assigned_b, block_cols=["cell"], threshold=threshold,
-                    id_col=id_col, vec_col="v", max_block_size=4096,
-                ).select("id_a", "id_b").localCheckpoint(eager=True)
+                if nprobe > 1:
+                    # b probes its top-n cells; a sits at its assigned
+                    # cell — pair iff cell(a) ∈ topn(b), matching the
+                    # cross-batch rule below exactly.
+                    bpr = _with_probe_cells(
+                        assigned_b,
+                        [F.col(id_col).alias("id_b"),
+                         F.col("v").alias("__bv")],
+                    )
+                    pairs_w = (
+                        bpr.join(
+                            assigned_b.select(
+                                "cell",
+                                F.col(id_col).alias("id_a"),
+                                F.col("v").alias("__av"),
+                            ),
+                            on="cell",
+                        )
+                        .filter(F.col("id_a") < F.col("id_b"))
+                        .filter(
+                            _screen_sim(F.col("__bv"), F.col("__av"))
+                            >= F.lit(threshold)
+                        )
+                        .select("id_a", "id_b")
+                        .localCheckpoint(eager=True)
+                    )
+                else:
+                    pairs_w = cosine_near_dup_pairs(
+                        assigned_b, block_cols=["cell"], threshold=threshold,
+                        id_col=id_col, vec_col="v", max_block_size=4096,
+                    ).select("id_a", "id_b").localCheckpoint(eager=True)
+                probe_side = (
+                    _with_probe_cells(
+                        assigned_b, [F.col(id_col), F.col("v")]
+                    )
+                    if nprobe > 1
+                    else assigned_b
+                )
                 near_pairs = None
                 if states:
                     per_state = [
-                        assigned_b.join(
+                        probe_side.join(
                             s.select(
                                 F.col("cell"),
                                 F.col("v").alias("__lv"),
@@ -582,25 +653,63 @@ def ingest_embeddings_stream(
                 )
             else:
                 # 2: within-batch semantic dedup (min-id rep per clique).
-                kept_ids = (
-                    semdedup(batch, centroids, threshold=threshold,
-                             id_col=id_col, vec_col=vec_col,
-                             round_assign_digits=round_assign_digits)
-                    .filter(F.col("is_kept") == 1)
-                    .select(id_col)
-                )
-                batch = batch.join(kept_ids, on=id_col, how="left_semi")
-                # 3: cross-batch semantic screen via the landed cells.
-                assigned = ivf_index(
-                    batch, centroids, id_col=id_col, vec_col=vec_col,
-                    round_assign_digits=round_assign_digits,
-                )
-                assigned = assigned.join(
-                    batch.select(id_col, "fp"), on=id_col
-                )
+                if nprobe > 1:
+                    assigned = ivf_index(
+                        batch, centroids, id_col=id_col, vec_col=vec_col,
+                        round_assign_digits=round_assign_digits,
+                    ).join(batch.select(id_col, "fp"), on=id_col)
+                    bpr = _with_probe_cells(
+                        assigned,
+                        [F.col(id_col).alias("__idb"),
+                         F.col("v").alias("__bv")],
+                    )
+                    dropped_w = (
+                        bpr.join(
+                            assigned.select(
+                                "cell",
+                                F.col(id_col).alias("__ida"),
+                                F.col("v").alias("__av"),
+                            ),
+                            on="cell",
+                        )
+                        .filter(F.col("__ida") < F.col("__idb"))
+                        .filter(
+                            _screen_sim(F.col("__bv"), F.col("__av"))
+                            >= F.lit(threshold)
+                        )
+                        .select(F.col("__idb").alias(id_col))
+                        .distinct()
+                    )
+                    assigned = assigned.join(
+                        dropped_w, on=id_col, how="left_anti"
+                    )
+                else:
+                    kept_ids = (
+                        semdedup(batch, centroids, threshold=threshold,
+                                 id_col=id_col, vec_col=vec_col,
+                                 round_assign_digits=round_assign_digits)
+                        .filter(F.col("is_kept") == 1)
+                        .select(id_col)
+                    )
+                    batch = batch.join(kept_ids, on=id_col, how="left_semi")
+                    # 3: cross-batch semantic screen via the landed cells.
+                    assigned = ivf_index(
+                        batch, centroids, id_col=id_col, vec_col=vec_col,
+                        round_assign_digits=round_assign_digits,
+                    )
+                    assigned = assigned.join(
+                        batch.select(id_col, "fp"), on=id_col
+                    )
                 if landed is not None:
+                    probe_nt = (
+                        _with_probe_cells(
+                            assigned, [F.col(id_col), F.col("v")]
+                        )
+                        if nprobe > 1
+                        else assigned
+                    )
                     near = (
-                        assigned.join(
+                        probe_nt.join(
                             landed.select(
                                 F.col("cell"), F.col("v").alias("__lv")
                             ),
@@ -754,11 +863,20 @@ def ingest_embeddings_stream(
                 F.col(id_col).alias("id_a"),
                 F.col("codes").alias("__acodes"),
             )
-            pairs_w = (
-                probe_b.select(
+            b_side = (
+                _with_probe_cells(
+                    probe_b,
+                    [F.col(id_col).alias("id_b"),
+                     F.col("__adc_luts"), F.col("__adc_norm")],
+                )
+                if nprobe > 1
+                else probe_b.select(
                     F.col("cell"), F.col(id_col).alias("id_b"),
                     "__adc_luts", "__adc_norm",
                 )
+            )
+            pairs_w = (
+                b_side
                 .join(a_side, on="cell")
                 .filter(F.col("id_a") < F.col("id_b"))
                 .filter(_adc_sim(F.col("__acodes")) >= F.lit(threshold))
@@ -769,10 +887,19 @@ def ingest_embeddings_stream(
             # under group tracking — chains through dropped twins).
             # Probed separately per state frame to keep each bucketed
             # table's CLUSTERED BY (cell) distribution (see raw path).
+            probe_x = (
+                _with_probe_cells(
+                    probe_b,
+                    [F.col(id_col), F.col("__adc_luts"),
+                     F.col("__adc_norm")],
+                )
+                if nprobe > 1
+                else probe_b
+            )
             near_pairs = None
             if states:
                 per_state = [
-                    probe_b.join(
+                    probe_x.join(
                         s.select(
                             F.col("cell"),
                             F.col("codes").alias("__scodes"),

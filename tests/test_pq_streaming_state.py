@@ -786,3 +786,116 @@ def test_pq_codebook_rotation_continues_exactly(spark, tmp_path):
                 for r in spark.read.parquet(fresh + suffix).collect()
             }
             assert got == want, (mode, suffix)
+
+
+def _angle_vec(deg):
+    import math as _m
+
+    return [_m.cos(_m.radians(deg)), _m.sin(_m.radians(deg))] * 2
+
+
+def test_ingest_nprobe_catches_boundary_twins(spark, tmp_path):
+    """VERDICT r13 item 3: the streaming semantic screen's nprobe
+    knob. Fixture: two centroids at 0° and 40° (in a repeated 2-d
+    plane), twins v1 at 19° and v2 at 21° (cos(v1,v2)=cos 2° ≈ 0.9994
+    ≥ 0.9) that straddle the cell boundary — v1 assigns to cell 0,
+    v2 to cell 1. At nprobe=1 (SemDeDup cell-local, the default and
+    historical behavior) BOTH land; at nprobe=2 v2 probes its second
+    cell, finds v1, and is dropped. Pinned in BOTH layouts (raw
+    cosine and ADC — v1 is an exact codebook reconstruction so the
+    ADC sim IS the raw cosine), within-batch AND cross-batch, with
+    and without tracking."""
+    cents = [_angle_vec(0.0), _angle_vec(40.0)]
+    entry = [_angle_vec(19.0)[:2], _angle_vec(90.0)[:2],
+             _angle_vec(135.0)[:2], _angle_vec(180.0)[:2]]
+    cbs = [entry, entry]
+    v1, v2 = _angle_vec(19.0), _angle_vec(21.0)
+    # within-batch fixture: same shard; cross-batch: separate shards.
+    in_w, in_x = str(tmp_path / "in_w"), str(tmp_path / "in_x")
+    write_shards(spark, in_w, [[(10, v1), (11, v2)]])
+    write_shards(spark, in_x, [[(10, v1)], [(11, v2)]])
+    case = 0
+    for in_dir in (in_w, in_x):
+        for tracking in (False, True):
+            for cb_kit in (None, cbs):
+                for np_, want in ((1, {10, 11}), (2, {10})):
+                    out = str(tmp_path / f"o{case}")
+                    se.ingest_embeddings_stream(
+                        se.read_embeddings_stream(spark, in_dir), out,
+                        str(tmp_path / f"c{case}"),
+                        centroids=cents, threshold=0.9,
+                        track_components=tracking,
+                        round_assign_digits=6, screen_round_digits=6,
+                        codebooks=cb_kit, nprobe=np_,
+                    )
+                    kept = {
+                        r["vec_id"]
+                        for r in spark.read.parquet(out).collect()
+                    }
+                    assert kept == want, (
+                        in_dir, tracking, cb_kit is not None, np_, kept
+                    )
+                    case += 1
+
+
+def test_ingest_nprobe2_stream_equals_batch(spark, tmp_path):
+    """stream == one-shot batch at nprobe=2 (the q164/q168 contract
+    generalized): the streamed PQ ingest over id-ordered shards with
+    nprobe=2 lands exactly the one-shot reduction under the rule
+    'drop b iff some lower-id rep a has cell(a) ∈ top-2-cells(b) and
+    ADC sim ≥ threshold' — including chains through dropped twins
+    (track_components extras) and exact dups."""
+    def py_top_cells(v, n):
+        vnorm = seq_norm(v)
+        sims = []
+        for c in CENTS:
+            nc = math.sqrt(sum(x * x for x in c))
+            sv = seq_dot(v, c) / (vnorm * nc) if (vnorm * nc) != 0 else 0.0
+            sims.append(rhu(sv, 6))
+        order = sorted(range(len(CENTS)), key=lambda i: (-sims[i], i))
+        return order[:n]
+
+    def one_shot_nprobe(rows, thr, n):
+        first = {}
+        for vid, v in sorted(rows):
+            key = tuple(v)
+            if key not in first:
+                first[key] = vid
+        reps = {vid: v for vid, v in rows if first[tuple(v)] == vid}
+        cells = {vid: py_cell(v) for vid, v in reps.items()}
+        codes = {vid: py_codes(v) for vid, v in reps.items()}
+        dropped = set()
+        for vid in sorted(reps):
+            probe = py_top_cells(reps[vid], n)
+            for lower in sorted(reps):
+                if lower >= vid:
+                    break
+                if cells[lower] not in probe:
+                    continue
+                if rhu(py_adc_cos(reps[vid], codes[lower]), 6) >= thr:
+                    dropped.add(vid)
+                    break
+        return set(reps) - dropped, dropped, reps
+
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, str(tmp_path / "ck"),
+        centroids=CENTS, threshold=THR, track_components=True,
+        round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+        nprobe=2,
+    )
+    kept, dropped, reps = one_shot_nprobe(ALL_ROWS, THR, 2)
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == kept, (set(got), kept)
+    for vid in kept:
+        assert list(got[vid]["codes"]) == py_codes(reps[vid])
+        assert got[vid]["cell"] == py_cell(reps[vid])
+    # nprobe=2 must be at least as aggressive as nprobe=1 on the same
+    # stream; the extras table carries exactly the dropped reps.
+    kept1, _, _ = one_shot(ALL_ROWS, THR, pq_from_id=0)
+    assert kept <= kept1
+    eids = {r["vec_id"]
+            for r in spark.read.parquet(out + "_screened").collect()}
+    assert eids == dropped
