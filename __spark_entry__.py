@@ -3599,6 +3599,54 @@ def q177_pq_residual_distortion(
     )
 
 
+def q178_incremental_bm25_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental lexical retrieval (VERDICT r13 item 4 —
+    streaming.corpus maintain_lexicon + text.bm25_topk_from_lexicon):
+    q163's shard replay through the REAL ingest_documents_stream path
+    (quality gate OFF, so landed = min-id per normalized-text
+    fingerprint), maintaining the ``{out}_lexicon`` state — per-batch
+    INTEGER partials of (df, cnt) per token plus (n_docs, sum_dl) —
+    then answering the q126 BM25 query with N, Σdl and per-term df
+    read from THAT state instead of a corpus-wide aggregation pass.
+    At 100 TB the two corpus-sized global aggregates become a read of
+    a vocab-sized summary. Exact end to end: integer partial sums
+    equal the one-shot statistics, so the oracle twin is the q126
+    BM25 shape over the SQL-expressed landed set (min doc_id per
+    md5-normalized text). Staging shares q163's per-(sf, mtime)
+    cache."""
+    import shutil
+    import tempfile
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    in_dir = _stage_id_shards(spark, sf_dir, "documents", "doc_id")
+    base = tempfile.mkdtemp(prefix="q178_")
+    try:
+        out = os.path.join(base, "out")
+        corpus_stream.ingest_documents_stream(
+            corpus_stream.read_documents_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+            apply_quality=False,
+            maintain_lexicon=True,
+        )
+        landed = spark.read.parquet(out)
+        result = text_ops.bm25_topk_from_lexicon(
+            landed,
+            spark.read.parquet(out + "_lexicon"),
+            Q126_BM25_TERMS,
+            k=12,
+            k1=Q126_BM25_K1,
+            b=Q126_BM25_B,
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3799,6 +3847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_ivf_pq_residual_topk": q175_ivf_pq_residual_topk,
         "q176_pq_residual_rerank_recall": q176_pq_residual_rerank_recall,
         "q177_pq_residual_distortion": q177_pq_residual_distortion,
+        "q178_incremental_bm25_probe": q178_incremental_bm25_probe,
     }
 
 

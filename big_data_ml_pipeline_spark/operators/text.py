@@ -1925,6 +1925,114 @@ def bm25_topk(
     )
 
 
+def bm25_topk_from_lexicon(
+    df: DataFrame,
+    lexicon: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bm25_topk` whose GLOBAL statistics — N, Σdl and per-term
+    document frequency — come from the streaming ingest's incremental
+    LEXICON state (``ingest_documents_stream(maintain_lexicon=True)``
+    → ``{out}_lexicon``) instead of a corpus-wide aggregation pass
+    (VERDICT r13 item 4). The per-document side (tf, dl over matched
+    postings) still reads the landed corpus filtered to the query
+    terms — that scan is query-term-bounded after pushdown — but the
+    two corpus-sized global aggregates (COUNT/SUM over every doc, df
+    over every posting) become a read of the vocab-sized summary
+    table: at 100 TB that is the difference between touching every
+    row per query and touching none.
+
+    Exactness: the lexicon partials are integer sums per batch of
+    exactly the quantities bm25_topk aggregates one-shot (df = docs
+    containing the term, once per landed doc; n_docs/sum_dl from the
+    same tokenizer), so every downstream integer/quantized expression
+    — reproduced here verbatim from bm25_topk — is bit-identical;
+    incremental == batch is pinned in
+    tests/test_streaming_corpus.py-style pytest and the q178 oracle
+    twin. Replayed-batch duplicate partials are removed by the
+    (batch_id, token) dedup the state layout guarantees exact."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    lex = lexicon.dropDuplicates(["batch_id", "token"])
+    stats = lex.filter(F.col("token").isNull()).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+    dfreq = (
+        lex.filter(F.col("token").isin(*[str(t) for t in query_terms]))
+        .groupBy(F.col("token").alias("term"))
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.lower(F.col(text_col))).alias("__toks"),
+    ).select(
+        "id",
+        F.size("__toks").cast("long").alias("dl"),
+        F.filter("__toks", lambda t: F.array_contains(terms, t)).alias(
+            "__hits"
+        ),
+    )
+    tf = (
+        base.select("id", "dl", F.explode_outer("__hits").alias("term"))
+        .filter(F.col("term").isNotNull())
+        .groupBy("id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    idf_q = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "sum_dl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__idf_q"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf_q), "term")
+        .select(
+            "id",
+            F.round(
+                (F.col("__idf_q").cast("double") / 1e6)
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1 * (1.0 - b))
+                    + F.lit(k1 * b)
+                    * (F.col("dl") * F.col("n_docs")).cast("double")
+                    / F.col("sum_dl")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__score_q"),
+        )
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__score_q").cast("long").alias("__sum_q"),
+    )
+    return (
+        per_doc.select(
+            F.col("id").alias(id_col),
+            "n_terms",
+            (F.col("__sum_q").cast("double") / 1e6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 4,

@@ -2929,6 +2929,58 @@ FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 15
 
 _Q126_SQL = _q126_sql()
 
+# q178: the q126 BM25 machinery over the STREAMED landed corpus (quality
+# gate off -> min doc_id per md5-normalized-text fingerprint, the q163
+# exact-dedup convention), top-12. The Spark side reads N/sum_dl/df from
+# the incremental lexicon state; those are integer partial sums of the
+# identical one-shot quantities, so the SQL can aggregate one-shot.
+def _q178_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q126_BM25_TERMS)
+    k1p1 = repr(Q126_BM25_K1 + 1.0)
+    k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
+    k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM corpus),
+b2 AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, t -> list_contains([{terms}], t)) AS hits
+  FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+tf AS (
+  SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, dl, unnest(hits) AS term FROM b2) t
+  GROUP BY id, dl, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, n_docs, sum_dl,
+         CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+              AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats),
+scored AS (
+  SELECT id,
+         CAST(ROUND((CAST(idf_q AS DOUBLE) / 1000000.0) * (tf * {k1p1})
+              / (tf + {k1_1mb} + {k1b} * CAST(dl * n_docs AS DOUBLE) / sum_dl)
+              * 1000000.0) AS BIGINT) AS score_q
+  FROM tf JOIN idf USING (term)),
+per_doc AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(score_q) AS BIGINT) AS sum_q
+  FROM scored GROUP BY id)
+SELECT id AS doc_id, n_terms, CAST(sum_q AS DOUBLE) / 1000000.0 AS score
+FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 12
+"""
+
+
+_Q178_SQL = _q178_sql()
+
 _Q127_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
@@ -4311,5 +4363,6 @@ def oracle_sql() -> dict[str, str]:
         "q175_ivf_pq_residual_topk": _Q175_SQL,
         "q176_pq_residual_rerank_recall": _Q176_SQL,
         "q177_pq_residual_distortion": _Q177_SQL,
+        "q178_incremental_bm25_probe": _Q178_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

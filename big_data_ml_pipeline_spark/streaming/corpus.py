@@ -407,6 +407,7 @@ def ingest_documents_stream(
     compact_every: int | None = None,
     track_drift: bool = False,
     maintain_vocab: bool = False,
+    maintain_lexicon: bool = False,
     lm_floor: float | None = None,
     span_dedup: dict | None = None,
     near_dup_n_buckets: int | None = None,
@@ -534,6 +535,22 @@ def ingest_documents_stream(
     accepted observability gap, never a correctness one (dedup state
     is the corpus itself, not the vocab).
 
+    With ``maintain_lexicon=True`` (VERDICT r13 item 4), each batch
+    also appends BM25-grade retrieval statistics to
+    ``{out_dir}_lexicon``: per surviving token (batch_id, token, df,
+    cnt, 0, 0) — df the number of landed docs containing the token —
+    plus one (batch_id, NULL, 0, 0, n_docs, sum_dl) row, all integer
+    partials mergeable by SUM. :func:`~..operators.text.
+    bm25_topk_from_lexicon` then answers lexical queries with NO
+    corpus-wide aggregate: N, Σdl and per-term df come from this
+    vocab-sized table and equal the one-shot batch statistics exactly
+    (integer sums are order-free). Crash-safe by ordering + layout:
+    the lexicon is appended BEFORE the corpus (a crash between the
+    two replays the batch, whose survivors re-derive byte-identical
+    partials — removed by the (batch_id, token) dedup on read), and a
+    replay AFTER the corpus landed finds zero survivors and appends
+    nothing.
+
     With ``lm_floor`` set (requires ``maintain_vocab=True``), each
     batch is ALSO gated by the corpus's own incremental language
     model — the CCNet recipe running live: documents whose mean log10
@@ -594,6 +611,7 @@ def ingest_documents_stream(
         out_dir.rstrip("/"),
         out_dir.rstrip("/") + "_minhash_index",
         out_dir.rstrip("/") + "_vocab",
+        out_dir.rstrip("/") + "_lexicon",
         out_dir.rstrip("/") + "_gram_index",
         out_dir.rstrip("/") + "_components",
     ):
@@ -916,6 +934,49 @@ def ingest_documents_stream(
                     compact_every=compact_every,
                     auto_compact_files=components_auto_compact_files,
                 )
+            if maintain_lexicon and survivors.head(1):
+                # BEFORE the corpus append (see docstring: a replay
+                # after the corpus landed has zero survivors and must
+                # append nothing; a replay before it re-derives these
+                # exact rows, deduped on read by (batch_id, token)).
+                from ..operators.text import tokens as _tokens
+
+                toks = survivors.select(
+                    F.col(id_col).alias("__lid"),
+                    _tokens(F.lower(F.col(text_col))).alias("__toks"),
+                )
+                per_tok = (
+                    toks.select(
+                        "__lid", F.explode_outer("__toks").alias("token")
+                    )
+                    .filter(F.col("token").isNotNull())
+                    .groupBy("__lid", "token")
+                    .agg(F.count("*").cast("long").alias("__tf"))
+                )
+                token_rows = per_tok.groupBy("token").agg(
+                    F.count("*").cast("long").alias("df"),
+                    F.sum("__tf").cast("long").alias("cnt"),
+                ).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    "token", "df", "cnt",
+                    F.lit(0).cast("long").alias("n_docs"),
+                    F.lit(0).cast("long").alias("sum_dl"),
+                )
+                doc_row = toks.agg(
+                    F.count("*").cast("long").alias("n_docs"),
+                    F.coalesce(
+                        F.sum(F.size("__toks").cast("long")), F.lit(0)
+                    ).cast("long").alias("sum_dl"),
+                ).select(
+                    F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                    F.lit(None).cast("string").alias("token"),
+                    F.lit(0).cast("long").alias("df"),
+                    F.lit(0).cast("long").alias("cnt"),
+                    "n_docs", "sum_dl",
+                )
+                token_rows.unionByName(doc_row).write.mode(
+                    "append"
+                ).parquet(out_dir.rstrip("/") + "_lexicon")
             # 5: corpus first, index second (see docstring).
             survivors.write.mode("append").parquet(out_dir)
             if maintain_vocab:
@@ -1069,6 +1130,13 @@ def ingest_documents_stream(
                 and os.path.exists(vocab_dir)
             ):
                 compact_vocab(spark, vocab_dir)
+            if (
+                maintain_lexicon
+                and compact_every
+                and (batch_id + 1) % compact_every == 0
+                and os.path.exists(out_dir.rstrip("/") + "_lexicon")
+            ):
+                compact_lexicon(spark, out_dir.rstrip("/") + "_lexicon")
         finally:
             cached.unpersist()
 
@@ -1153,6 +1221,31 @@ def compact_vocab(spark: SparkSession, path: str) -> None:
 
     df = spark.read.parquet(path)
     folded = df.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt"))
+    folded.coalesce(1).write.mode("overwrite").parquet(
+        path.rstrip("/") + TMP_SUFFIX
+    )
+    atomic_swap_dirs(path)
+
+
+def compact_lexicon(spark: SparkSession, path: str) -> None:
+    """Fold the appended per-batch lexicon partials to one row per
+    token: dedup replayed batches by (batch_id, token) — replay
+    partials are byte-identical by construction — then SUM the
+    integer columns under batch_id = -1 (committed batches can never
+    replay, so the fold is final; later appends carry real batch
+    ids). Same crash-safe swap as the vocab compaction."""
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+    df = spark.read.parquet(path).dropDuplicates(["batch_id", "token"])
+    folded = df.groupBy("token").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    ).select(
+        F.lit(-1).cast("long").alias("batch_id"),
+        "token", "df", "cnt", "n_docs", "sum_dl",
+    )
     folded.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + TMP_SUFFIX
     )

@@ -2752,3 +2752,78 @@ def test_streaming_components_feed_leakage_safe_split(spark, tmp_path):
     assert tr | te == {r[0] for rows in shards for r in rows}
     assert not (tr & te)
     assert [(a, b) for a, b in edges if (a in tr) != (b in tr)] == []
+
+
+def test_streaming_lexicon_bm25_equals_batch(spark, tmp_path):
+    """maintain_lexicon (VERDICT r13 item 4): BM25 answered from the
+    incremental lexicon state equals bm25_topk's one-shot corpus
+    aggregation on the same landed corpus, row for row — df/N/Σdl are
+    integer partial sums of exactly the batch quantities, so every
+    downstream quantized expression is bit-identical. Also pins:
+    dropped duplicates contribute NO statistics, compaction preserves
+    the sums, and a fresh-checkpoint replay appends nothing (zero
+    survivors per batch)."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_lexicon,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shards = [
+        [(0, "spark window vector spark"), (1, "window beta vector")],
+        [(2, "spark window vector spark"),  # exact dup of 0 -> dropped
+         (3, "vector vector gamma window spark")],
+        [(4, "delta epsilon spark"), (5, "window window vector")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in rows], ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_lexicon=True, compact_every=2,
+    )
+    landed = spark.read.parquet(out)
+    assert landed.count() == 5  # doc 2 deduped
+    lexicon = spark.read.parquet(out + "_lexicon")
+    terms = ("spark", "window", "vector")
+    inc = bm25_topk_from_lexicon(
+        landed, lexicon, terms, k=10, k1=1.2, b=0.75
+    ).collect()
+    bat = bm25_topk(landed, terms, k=10, k1=1.2, b=0.75).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in bat]
+    assert len(inc) == 5 and inc[0]["score"] > 0
+    # The dropped duplicate contributed nothing: stats equal the
+    # landed corpus exactly.
+    from pyspark.sql import functions as SF
+
+    lex = lexicon.dropDuplicates(["batch_id", "token"])
+    st = lex.filter(SF.col("token").isNull()).agg(
+        SF.sum("n_docs").alias("n"), SF.sum("sum_dl").alias("s")
+    ).collect()[0]
+    assert st["n"] == 5
+    assert st["s"] == sum(
+        len(t.split()) for d, t in sum(shards, []) if d != 2
+    )
+    # Fresh-checkpoint replay: every batch's survivors are already
+    # landed -> zero new lexicon rows, stats unchanged.
+    n_rows = lexicon.count()
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ckpt2"), apply_quality=False,
+        maintain_lexicon=True,
+    )
+    assert spark.read.parquet(out + "_lexicon").count() == n_rows
+    inc2 = bm25_topk_from_lexicon(
+        landed, spark.read.parquet(out + "_lexicon"), terms, k=10
+    ).collect()
+    assert [tuple(r) for r in inc2] == [tuple(r) for r in bat]
