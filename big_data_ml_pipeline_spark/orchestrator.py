@@ -199,6 +199,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # ADC). Streaming uses the deterministic kit or an
                    # explicit "codebooks" literal — fit on a stream
                    # has no bounded corpus to train on.
+                   # add "residual": True for true IVFADC — codes
+                   # quantize v - centroid(cell); with "fit" the
+                   # codebooks train on residuals.
                    "pq": None,
                    # Determinism knobs threaded to the streaming
                    # ingest (rounded argmax cells / rounded screen
@@ -668,13 +671,20 @@ class PipelineOrchestrator:
         pq = c.get("pq")
         if pq:
             mm, kk = int(pq.get("m", 8)), int(pq.get("k", 16))
+            residual = bool(pq.get("residual"))
             cbs = (
-                fit_pq_codebooks(df, m=mm, k=kk, vec_col=vec_col)
+                fit_pq_codebooks(
+                    df, m=mm, k=kk, vec_col=vec_col,
+                    # residual kits train on what they quantize
+                    # (Jégou 2011 §III-A).
+                    centroids=cents if residual else None,
+                )
                 if pq.get("fit")
                 else pq_codebooks(dim=c["ingest_dim"], m=mm, k=kk)
             )
             index = ivf_pq_index(
-                df, cents, cbs, id_col=id_col, vec_col=vec_col
+                df, cents, cbs, id_col=id_col, vec_col=vec_col,
+                residual=residual,
             )
         else:
             index = ivf_index(df, cents, id_col=id_col, vec_col=vec_col)

@@ -901,3 +901,54 @@ def test_orchestrator_pq_ingest_codes_only(spark, tmp_path):
         ).collect()
     }
     assert rows == expect
+
+
+def test_orchestrator_build_pq_index_residual(spark, tmp_path):
+    """embeddings.pq with residual:true (true IVFADC): the landed
+    index equals ivf_pq_index(residual=True) under the same kit, and
+    probing it through ivf_pq_knn_join(residual=True, index=) equals
+    the inline residual probe."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        ivf_pq_index,
+        ivf_pq_knn_join,
+        pq_codebooks,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    orch = PipelineOrchestrator(
+        config={"embeddings": {"pq": {"m": 8, "k": 16, "residual": True}}},
+        spark=spark,
+    )
+    out = str(tmp_path / "ivfpq_res")
+    orch.build_embedding_index(emb, out)
+    loaded = spark.read.parquet(out)
+    cents = deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = pq_codebooks(dim=64, m=8, k=16)
+    want = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ivf_pq_index(emb, cents, cbs, residual=True).collect()
+    }
+    got = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in loaded.collect()
+    }
+    assert got == want
+    # Residual codes must differ from raw codes somewhere (the config
+    # flag actually changed the encoding).
+    raw = {
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ivf_pq_index(emb, cents, cbs).collect()
+    }
+    assert got != raw
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    from_index = ivf_pq_knn_join(
+        emb, q, cents, cbs, k=5, nprobe=4,
+        round_assign_digits=6, index=loaded, residual=True,
+    ).collect()
+    inline = ivf_pq_knn_join(
+        emb, q, cents, cbs, k=5, nprobe=4,
+        round_assign_digits=6, residual=True,
+    ).collect()
+    assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))

@@ -69,6 +69,10 @@ BNL_ALLOWLIST = {
     # the exact brute-force baseline; the ADC probe + rerank side
     # under test is all equi-joins.
     "q173_pq_rerank_recall": "broadcast bounded query batch (exact ground-truth side)",
+    # Residual twin of q173 — same structure, same ground-truth side.
+    "q176_pq_residual_rerank_recall": (
+        "broadcast bounded query batch (exact ground-truth side)"
+    ),
 }
 
 
