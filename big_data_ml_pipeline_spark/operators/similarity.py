@@ -2126,7 +2126,10 @@ def ivf_pq_knn_join(
     full reconstruction, so distances stay comparable ACROSS probed
     cells. Cost: the broadcast query fan-out carries nprobe lut sets
     per query instead of one — still |queries|·nprobe·m·k small
-    integers, map-only."""
+    integers, map-only. A pre-built ``index`` must have been encoded
+    with the SAME ``residual`` setting (codes carry no provenance —
+    the q168 `_PQ_SPEC` marker guards the streaming state, but a
+    batch index table is the caller's contract)."""
     m = len(codebooks)
     cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
     enc = (
