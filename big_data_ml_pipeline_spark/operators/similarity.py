@@ -1878,7 +1878,10 @@ def pq_append_codes(
     return prep(df, vec).select(*df.columns, codes_col().alias("codes"))
 
 
-def pq_adc_screen_kit(codebooks: list[list[list[float]]]):
+def pq_adc_screen_kit(
+    codebooks: list[list[list[float]]],
+    centroids: list[list[float]] | None = None,
+):
     """Expression kit for screening RAW vectors against PQ CODES — the
     asymmetric form (Jégou 2011 §III-B: query stays exact, database
     side is its reconstruction). Powers the codes-only streaming
@@ -1902,6 +1905,25 @@ def pq_adc_screen_kit(codebooks: list[list[list[float]]]):
       is 0 (cosine_similarity's convention). Deterministic per pair
       (per-row sequential folds); the ingest rounds it via its
       ``screen_round_digits`` knob before thresholding.
+
+    With ``centroids``, the kit speaks RESIDUAL codes (true IVFADC,
+    Jégou 2011 §III-A applied to the cosine screen): a candidate's
+    reconstruction is ``centroid(cell) + Σ_j cb_j[code_j]``, so
+
+    - ``prep_raw`` additionally materializes ``__adc_cdots`` — the raw
+      vector's dot product with EVERY coarse centroid (n_cells
+      doubles, the same cost family as the cell assignment itself);
+    - ``adc_cos(codes_col, cell_col)`` (``cell_col`` defaults to the
+      post-join ``cell`` column — the CANDIDATE's assigned cell, which
+      every screen join carries as its key) becomes
+      ``(cdots[cell] + Σ_j lut_j[code_j]) / (‖v‖·‖recon‖)`` with
+      ``‖recon‖² = ‖c‖² + Σ_j (2·c_j·cb_j[code_j] + ‖cb_j[code_j]‖²)``
+      read from a ``[cell][j][code]`` literal table of driver-
+      precomputed Python floats — still m+1 / m+1 lookups per pair,
+      no reconstruction materialized. The cross-term table is
+      n_cells·m·k doubles embedded as ONE nested Literal node (the
+      q165 tree-size lesson); beyond ~2M entries prefer a broadcast
+      join table instead (guarded).
     """
     m = len(codebooks)
     d = len(codebooks[0][0])
@@ -1909,6 +1931,33 @@ def pq_adc_screen_kit(codebooks: list[list[list[float]]]):
         [float(sum(x * x for x in cb)) for cb in codebooks[j]]
         for j in range(m)
     ]
+    residual = centroids is not None
+    if residual:
+        k = len(codebooks[0])
+        if len(centroids) * m * k > 2_000_000:
+            raise ValueError(
+                "residual ADC cross-term literal would exceed 2M entries "
+                f"({len(centroids)} cells × {m} × {k}); use a coarser "
+                "cell kit or a broadcast cross-term table"
+            )
+        cent = [[float(x) for x in c] for c in centroids]
+        c2 = [float(sum(x * x for x in c)) for c in cent]
+        # rt[cell][j][code] = 2·(centroid slice_j)·cb + ‖cb‖² — plain
+        # Python floats, shared verbatim with the SQL twins (no
+        # engine-side fold to mirror).
+        rt = [
+            [
+                [
+                    float(
+                        2.0 * sum(c[j * d + i] * cb[i] for i in range(d))
+                        + cb2[j][ci]
+                    )
+                    for ci, cb in enumerate(codebooks[j])
+                ]
+                for j in range(m)
+            ]
+            for c in cent
+        ]
 
     def prep_raw(df: DataFrame, vec_expr) -> DataFrame:
         stage1 = df.withColumn("__adcv", to_double_array(vec_expr))
@@ -1929,13 +1978,36 @@ def pq_adc_screen_kit(codebooks: list[list[list[float]]]):
                 _dot_entry,
             )
 
+        extra = []
+        if residual:
+            extra.append(
+                F.transform(
+                    F.lit(cent), lambda cv: dot(F.col("__adcv"), cv)
+                ).alias("__adc_cdots")
+            )
         return stage2.select(
             *df.columns,
             F.array(*[_lut(j) for j in range(m)]).alias("__adc_luts"),
             l2_norm(F.col("__adcv")).alias("__adc_norm"),
+            *extra,
         )
 
-    def adc_cos(codes_col):
+    def adc_cos(codes_col, cell_col=None):
+        if residual:
+            cell1 = (
+                cell_col if cell_col is not None else F.col("cell")
+            ) + 1
+            dotsum = F.element_at(F.col("__adc_cdots"), cell1)
+            r2 = F.element_at(F.lit(c2), cell1)
+            rt_cell = F.element_at(F.lit(rt), cell1)
+            for j in range(m):
+                code1 = F.element_at(codes_col, j + 1) + 1
+                dotsum = dotsum + F.element_at(
+                    F.element_at(F.col("__adc_luts"), j + 1), code1
+                )
+                r2 = r2 + F.element_at(F.element_at(rt_cell, j + 1), code1)
+            denom = F.col("__adc_norm") * F.sqrt(r2)
+            return F.when(denom != 0, dotsum / denom).otherwise(F.lit(0.0))
         cb2_lit = F.lit(cb2)
         dotsum = None
         r2 = None

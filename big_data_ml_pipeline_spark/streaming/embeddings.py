@@ -57,16 +57,32 @@ def read_embeddings_stream(
     )
 
 
-def _pq_fingerprint(codebooks: list[list[list[float]]]) -> str:
+def _pq_fingerprint(
+    codebooks: list[list[list[float]]],
+    residual_centroids: list[list[float]] | None = None,
+) -> str:
     """Content fingerprint of a codebook kit (md5 over the exact float
-    repr literals — the same strings the SQL twins embed)."""
+    repr literals — the same strings the SQL twins embed). Residual
+    codes are a DIFFERENT code space under the same codebooks (they
+    quantize v − centroid(cell)), so residual mode folds the coarse
+    centroids into the fingerprint: reopening residual codes as raw
+    codes — or under different coarse centroids — fails the marker
+    check instead of silently screening against wrong
+    reconstructions. Raw-mode fingerprints are unchanged (existing
+    states stay valid)."""
     import hashlib
 
-    return hashlib.md5(repr(codebooks).encode()).hexdigest()
+    payload = (
+        repr(codebooks)
+        if residual_centroids is None
+        else repr(("residual", residual_centroids, codebooks))
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
 
 
 def _check_pq_marker(
-    state_dir: str, codebooks: list[list[list[float]]]
+    state_dir: str, codebooks: list[list[list[float]]],
+    residual_centroids: list[list[float]] | None = None,
 ) -> None:
     """Refuse to screen against codes produced by a DIFFERENT codebook
     kit — the codes themselves carry no provenance, so a mismatched
@@ -77,17 +93,19 @@ def _check_pq_marker(
     if os.path.exists(marker):
         with open(marker) as f:
             prev = f.read().strip()
-        if prev != _pq_fingerprint(codebooks):
+        if prev != _pq_fingerprint(codebooks, residual_centroids):
             raise ValueError(
                 f"codes-only embedding state at {state_dir} was encoded "
-                "with a different codebook kit; reopen with the original "
-                "codebooks or re-encode via migrate_embedding_state_to_pq "
-                "after clearing the state"
+                "with a different codebook kit (or the other raw/residual "
+                "code space); reopen with the original kit or re-encode "
+                "via migrate_embedding_state_to_pq / "
+                "rotate_embedding_state_codebooks after clearing the state"
             )
 
 
 def _write_pq_marker(
     state_dir: str, codebooks: list[list[list[float]]],
+    residual_centroids: list[list[float]] | None = None,
     overwrite: bool = False,
 ) -> None:
     """Idempotent marker write at OPEN time, before any data file can
@@ -100,7 +118,7 @@ def _write_pq_marker(
     marker = os.path.join(state_dir, "_PQ_SPEC")
     if overwrite or not os.path.exists(marker):
         with open(marker, "w") as f:
-            f.write(_pq_fingerprint(codebooks))
+            f.write(_pq_fingerprint(codebooks, residual_centroids))
 
 
 def _check_embedding_state_layout(
@@ -149,6 +167,7 @@ def ingest_embeddings_stream(
     codebooks: list[list[list[float]]] | None = None,
     pq_round_digits: int = 9,
     nprobe: int = 1,
+    pq_residual: bool = False,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -278,6 +297,22 @@ def ingest_embeddings_stream(
     cell(a) ∈ top-nprobe-cells(b) and sim ≥ threshold"
     (tests/test_pq_streaming_state.py::test_ingest_nprobe_*).
 
+    ``pq_residual`` (round-14 close of the NOTES known non-goal):
+    with ``codebooks``, the hot state stores RESIDUAL codes — each
+    landed/screened vector's codes quantize v − centroid(cell) (true
+    IVFADC, Jégou 2011 §III-A), so the same m×k code budget spends
+    its resolution on the part the coarse cell doesn't explain. Every
+    ADC screen switches to the residual reconstruction algebra
+    (``pq_adc_screen_kit(codebooks, centroids=centroids)``):
+    sim(v, cand) = (v·c + Σ_j lut_j) / (‖v‖·‖c + recon‖) with the
+    cross-term ‖·‖² table precomputed driver-side — still m+1 literal
+    lookups per pair, map-only prep. Residual codes are a DIFFERENT
+    code space under the same codebooks, so the ``_PQ_SPEC``
+    fingerprint folds the coarse centroids in: reopening residual
+    state in raw mode (or vice versa, or under different centroids)
+    fails loudly. Stream == one-shot batch holds under the same
+    conditions as raw-code PQ — only the similarity function changes.
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from ..operators.similarity import _centroid_exprs, cosine_near_dup_pairs
@@ -320,14 +355,17 @@ def ingest_embeddings_stream(
     # inside ITS swap needs the same repair as the landed table's.
     recover_interrupted_swap(screened_dir)
     pq = codebooks is not None
+    if pq_residual and not pq:
+        raise ValueError("pq_residual requires codebooks")
+    res_cents = centroids if (pq and pq_residual) else None
     _check_embedding_state_layout(stream.sparkSession, out_dir.rstrip("/"), pq)
     _check_embedding_state_layout(stream.sparkSession, screened_dir, pq)
     if pq:
-        _check_pq_marker(out_dir.rstrip("/"), codebooks)
-        _write_pq_marker(out_dir.rstrip("/"), codebooks)
+        _check_pq_marker(out_dir.rstrip("/"), codebooks, res_cents)
+        _write_pq_marker(out_dir.rstrip("/"), codebooks, res_cents)
         if track_components:
-            _check_pq_marker(screened_dir, codebooks)
-            _write_pq_marker(screened_dir, codebooks)
+            _check_pq_marker(screened_dir, codebooks, res_cents)
+            _write_pq_marker(screened_dir, codebooks, res_cents)
     cb, comp_tbl = _components_setup(
         stream.sparkSession, comp_dir, track_components,
         components_n_buckets,
@@ -407,9 +445,17 @@ def ingest_embeddings_stream(
     if pq:
         from ..operators.similarity import pq_adc_screen_kit, pq_append_codes
 
-        prep_raw, adc_cos = pq_adc_screen_kit(codebooks)
+        prep_raw, adc_cos = pq_adc_screen_kit(codebooks, centroids=res_cents)
+        # Residual mode carries one extra precomputed probe column —
+        # the raw vector's centroid dot table (see pq_adc_screen_kit).
+        _adc_cols = ["__adc_luts", "__adc_norm"] + (
+            ["__adc_cdots"] if pq_residual else []
+        )
 
         def _adc_sim(codes_col):
+            # Post-join, `cell` is always the CANDIDATE's assigned
+            # cell (probes fan out; candidates never do), which is
+            # exactly the cell the residual algebra needs.
             simc = adc_cos(codes_col)
             if screen_round_digits is not None:
                 simc = F.round(simc, screen_round_digits)
@@ -848,7 +894,7 @@ def ingest_embeddings_stream(
             ).join(batch.select(id_col, "fp"), on=id_col)
             encoded_b = pq_append_codes(
                 assigned_b, codebooks, vec_col="v",
-                round_digits=pq_round_digits,
+                round_digits=pq_round_digits, centroids=res_cents,
             )
             probe_b = prep_raw(encoded_b, F.col("v"))
             # 2: within-batch ADC pairs — the lower-id side contributes
@@ -867,12 +913,12 @@ def ingest_embeddings_stream(
                 _with_probe_cells(
                     probe_b,
                     [F.col(id_col).alias("id_b"),
-                     F.col("__adc_luts"), F.col("__adc_norm")],
+                     *[F.col(c) for c in _adc_cols]],
                 )
                 if nprobe > 1
                 else probe_b.select(
                     F.col("cell"), F.col(id_col).alias("id_b"),
-                    "__adc_luts", "__adc_norm",
+                    *_adc_cols,
                 )
             )
             pairs_w = (
@@ -890,8 +936,7 @@ def ingest_embeddings_stream(
             probe_x = (
                 _with_probe_cells(
                     probe_b,
-                    [F.col(id_col), F.col("__adc_luts"),
-                     F.col("__adc_norm")],
+                    [F.col(id_col), *[F.col(c) for c in _adc_cols]],
                 )
                 if nprobe > 1
                 else probe_b
@@ -988,6 +1033,7 @@ def migrate_embedding_state_to_pq(
     cell_n_buckets: int | None = None,
     id_col: str = "vec_id",
     pq_round_digits: int = 9,
+    residual_centroids: list[list[float]] | None = None,
 ) -> str:
     """Upgrade a legacy raw-vector embedding state dir — landed table
     plus its ``_screened`` sibling if present — to the codes-only PQ
@@ -1007,6 +1053,12 @@ def migrate_embedding_state_to_pq(
     rewrites through the registered catalog table so the murmur3
     bucket layout (and the shuffle-free probe joins it powers)
     survives the migration; plain mode range-clusters on ``cell``.
+
+    ``residual_centroids``: migrate into the RESIDUAL code space
+    instead (the ingest's ``pq_residual=True`` layout) — codes
+    quantize v − centroid(cell) using the legacy rows' own ``cell``
+    column, and the ``_PQ_SPEC`` fingerprint folds the centroids in.
+    Pass the SAME coarse centroids the ingest uses.
     """
     from ..operators.similarity import pq_append_codes
     from ..sources.state import (
@@ -1038,10 +1090,11 @@ def migrate_embedding_state_to_pq(
         cols = set(df.columns)
         if "codes" in cols and "v" not in cols:
             # Guard the no-op path too: "already migrated" must mean
-            # "with THESE codebooks" (and heal a marker a crash
-            # between swap and marker-write may have lost).
-            _check_pq_marker(path, codebooks)
-            _write_pq_marker(path, codebooks)
+            # "with THESE codebooks, in THIS code space" (and heal a
+            # marker a crash between swap and marker-write may have
+            # lost).
+            _check_pq_marker(path, codebooks, residual_centroids)
+            _write_pq_marker(path, codebooks, residual_centroids)
             statuses.append(f"{path}: already migrated")
             continue
         if "v" not in cols:
@@ -1050,7 +1103,8 @@ def migrate_embedding_state_to_pq(
                 " — not an embedding state table"
             )
         enc = pq_append_codes(
-            df, codebooks, vec_col="v", round_digits=pq_round_digits
+            df, codebooks, vec_col="v", round_digits=pq_round_digits,
+            centroids=residual_centroids,
         ).select(id_col, "codes", "cell", "fp")
         if nb:
             _check_bucket_marker(path, nb, "embedding state migration")
@@ -1072,7 +1126,8 @@ def migrate_embedding_state_to_pq(
             # raw-layout dir any existing marker is a crashed earlier
             # attempt's, and it must match the kit THIS rewrite
             # encodes with.
-            _write_pq_marker(path, codebooks, overwrite=True)
+            _write_pq_marker(path, codebooks, residual_centroids,
+                             overwrite=True)
             _rewrite_bucketed_state(spark, path, tbl, enc, nb, ["cell"])
         else:
             n_out = max(2, spark.sparkContext.defaultParallelism // 4)
@@ -1084,7 +1139,7 @@ def migrate_embedding_state_to_pq(
             )
             # The marker rides the swap: codes and their fingerprint
             # land atomically together.
-            _write_pq_marker(path + TMP_SUFFIX, codebooks)
+            _write_pq_marker(path + TMP_SUFFIX, codebooks, residual_centroids)
             atomic_swap_dirs(path)
         statuses.append(f"{path}: migrated")
     return "; ".join(statuses)
@@ -1100,6 +1155,8 @@ def rotate_embedding_state_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pq_round_digits: int = 9,
+    old_centroids: list[list[float]] | None = None,
+    new_centroids: list[list[float]] | None = None,
 ) -> str:
     """Re-encode a LIVE codes-only embedding state under retrained
     codebooks (VERDICT r13 item 2 — the lifecycle gap
@@ -1123,6 +1180,15 @@ def rotate_embedding_state_codebooks(
     Raises if any state id is missing from ``raw_corpus`` — a partial
     rotation would silently mix code spaces.
 
+    ``old_centroids`` / ``new_centroids`` select the RESIDUAL code
+    space on either side (the ingest's ``pq_residual``): pass
+    ``old_centroids`` when the existing state holds residual codes
+    (its fingerprint folds the coarse centroids in), ``new_centroids``
+    to re-encode residuals — so rotation also covers the raw→residual
+    upgrade of a live codes-only state. Cells are NEVER reassigned
+    here (that would be a re-index, not a rotation), so pass the same
+    coarse kit the ingest uses.
+
     Scale shape: per table, ONE id equi-join against the cold corpus
     (shuffle on the join key — unavoidable and linear) + the map-only
     encode; the bucketed layout (pass the ingest's
@@ -1144,7 +1210,7 @@ def rotate_embedding_state_codebooks(
     )
 
     nb = int(cell_n_buckets or 0)
-    new_fp = _pq_fingerprint(new_codebooks)
+    new_fp = _pq_fingerprint(new_codebooks, new_centroids)
     raw = raw_corpus.select(
         F.col(id_col), F.col(vec_col).alias("__raw_v")
     )
@@ -1174,7 +1240,7 @@ def rotate_embedding_state_codebooks(
                 continue
             if (
                 old_codebooks is not None
-                and prev != _pq_fingerprint(old_codebooks)
+                and prev != _pq_fingerprint(old_codebooks, old_centroids)
             ):
                 raise ValueError(
                     f"embedding state at {path} was encoded with a "
@@ -1185,7 +1251,7 @@ def rotate_embedding_state_codebooks(
         enc = pq_append_codes(
             df.drop("codes").join(raw, on=id_col),
             new_codebooks, vec_col="__raw_v",
-            round_digits=pq_round_digits,
+            round_digits=pq_round_digits, centroids=new_centroids,
         ).select(id_col, "codes", "cell", "fp")
         n_enc = enc.count()
         if n_enc != n_state:

@@ -899,3 +899,269 @@ def test_ingest_nprobe2_stream_equals_batch(spark, tmp_path):
     eids = {r["vec_id"]
             for r in spark.read.parquet(out + "_screened").collect()}
     assert eids == dropped
+
+
+# ------------------------------------------------------ residual (IVFADC)
+# Round-14 close of the NOTES known non-goal: the streaming PQ ingest
+# with RESIDUAL codes (pq_residual=True). The reconstruction becomes
+# centroid(cell) + Σ_j cb_j[code_j], so the ADC cosine gains the
+# centroid dot term and the [cell][j][code] cross-term norm table.
+# Python references mirror pq_adc_screen_kit's residual fold order:
+# dotsum = cdot(cell); += lut_j ...; r2 = c2[cell]; += rt[cell][j][c].
+
+C2_CENT = [float(sum(x * x for x in c)) for c in CENTS]
+RT_CENT = [
+    [
+        [
+            float(2.0 * sum(c[j * D + i] * cb[i] for i in range(D))
+                  + CB2[j][ci])
+            for ci, cb in enumerate(CBS[j])
+        ]
+        for j in range(M)
+    ]
+    for c in CENTS
+]
+# Residual ADC on this fixture: near-twins of BASE[1] score ≈0.854,
+# every unrelated same-cell pair ≤0.562 (measured) — 0.7 separates.
+THR_RES = 0.7
+
+
+def py_res_codes(v, cell, round_digits=9):
+    r = [v[i] - CENTS[cell][i] for i in range(DIM)]
+    codes = []
+    for j in range(M):
+        s = r[j * D: (j + 1) * D]
+        sn = seq_dot(s, s)
+        dists = [
+            rhu(sn - 2.0 * seq_dot(s, cb) + CB2[j][c], round_digits)
+            for c, cb in enumerate(CBS[j])
+        ]
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def py_res_adc_cos(v, cell, codes):
+    dotsum = seq_dot(v, CENTS[cell])
+    r2 = C2_CENT[cell]
+    for j in range(M):
+        dotsum = dotsum + seq_dot(v[j * D: (j + 1) * D], CBS[j][codes[j]])
+        r2 = r2 + RT_CENT[cell][j][codes[j]]
+    denom = seq_norm(v) * math.sqrt(r2)
+    return dotsum / denom if denom != 0 else 0.0
+
+
+def one_shot_res(rows, thr, res_from_id=0):
+    """One-shot pair-rule reduction under the RESIDUAL ADC similarity
+    (with ``res_from_id`` the phase boundary: below it the legacy
+    raw-raw cosine rule applies — the migration test's shape)."""
+    first = {}
+    for vid, v in sorted(rows):
+        key = tuple(v)
+        if key not in first:
+            first[key] = vid
+    reps = {vid: v for vid, v in rows if first[tuple(v)] == vid}
+    cells = {vid: py_cell(v) for vid, v in reps.items()}
+    codes = {vid: py_res_codes(v, cells[vid]) for vid, v in reps.items()}
+    dropped = set()
+    for vid in sorted(reps):
+        for lower in sorted(reps):
+            if lower >= vid:
+                break
+            if cells[lower] != cells[vid]:
+                continue
+            if vid >= res_from_id:
+                sim = py_res_adc_cos(reps[vid], cells[lower], codes[lower])
+            else:
+                sim = py_raw_cos(reps[vid], reps[lower])
+            if rhu(sim, 6) >= thr:
+                dropped.add(vid)
+                break
+    return set(reps) - dropped, dropped, reps
+
+
+def test_residual_adc_cos_bitexact(spark):
+    """pq_adc_screen_kit(codebooks, centroids=...) == the grouped-fold
+    Python residual reference bit-for-bit, and ~= the flat cosine
+    against the materialized residual reconstruction to 1e-9."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(12)]
+    vecs += BASE[:3]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from big_data_ml_pipeline_spark.operators.similarity import ivf_index
+
+    assigned = ivf_index(df, CENTS, id_col="vec_id", vec_col="embedding")
+    enc = pq_append_codes(assigned, CBS, vec_col="v", centroids=CENTS)
+    prep_raw, adc_cos = pq_adc_screen_kit(CBS, centroids=CENTS)
+    a = enc.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("codes").alias("__acodes"),
+    )
+    b = prep_raw(df, F.col("embedding")).select(
+        F.col("vec_id").alias("id_b"),
+        "__adc_luts", "__adc_norm", "__adc_cdots",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in b.crossJoin(a)
+        .select("id_a", "id_b", adc_cos(F.col("__acodes")).alias("sim"))
+        .collect()
+    }
+    meta = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in enc.collect()}
+    by_id = dict(rows)
+    for (ia, ib), sim in got.items():
+        cell, codes = meta[ia]
+        assert codes == py_res_codes(by_id[ia], cell), ia
+        expect = py_res_adc_cos(by_id[ib], cell, codes)
+        assert sim == expect, (ia, ib, sim, expect)  # bit-for-bit
+        rec = [
+            CENTS[cell][j * D + i] + CBS[j][codes[j]][i]
+            for j in range(M) for i in range(D)
+        ]
+        assert abs(sim - py_raw_cos(by_id[ib], rec)) < 1e-9
+
+
+def test_residual_pq_ingest_stream_equals_batch(spark, tmp_path):
+    """pq_residual=True: the streamed codes-only ingest with residual
+    codes lands exactly the one-shot pair-rule reduction under the
+    residual ADC similarity; landed codes == the Python residual
+    argmin; the _PQ_SPEC marker refuses the raw↔residual code-space
+    mixups; replay lands nothing new."""
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    kw = dict(centroids=CENTS, threshold=THR_RES, track_components=True,
+              round_assign_digits=6, screen_round_digits=6, codebooks=CBS)
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, ckpt,
+        pq_residual=True, **kw
+    )
+    landed = spark.read.parquet(out)
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    kept, dropped, reps = one_shot_res(ALL_ROWS, THR_RES)
+    # Fixture exercises every screen: exact dups (13, 32), a
+    # cross-batch residual-ADC drop (21), a chain through a dropped
+    # twin (30 vs 21's codes).
+    assert {21, 30} <= dropped and dropped != set()
+    got = {r["vec_id"]: r for r in landed.collect()}
+    assert set(got) == kept
+    for vid in kept:
+        assert got[vid]["cell"] == py_cell(reps[vid])
+        assert list(got[vid]["codes"]) == py_res_codes(
+            reps[vid], got[vid]["cell"]
+        )
+    eids = {r["vec_id"]
+            for r in spark.read.parquet(out + "_screened").collect()}
+    assert eids == dropped
+    # Code-space guards: raw-mode reopen of a residual state refuses
+    # (same codebooks — the marker must still differ), and so does a
+    # residual reopen under different coarse centroids.
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out,
+            str(tmp_path / "ck2"), **kw
+        )
+    other_cents = deterministic_ivf_centroids(
+        dim=DIM, n_cells=NCELLS, seed=9
+    )
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in_dir), out,
+            str(tmp_path / "ck3"),
+            centroids=other_cents, threshold=THR_RES,
+            track_components=True, round_assign_digits=6,
+            screen_round_digits=6, codebooks=CBS, pq_residual=True,
+        )
+    # Replay with a fresh checkpoint: fp screens land nothing new.
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck4"), pq_residual=True, **kw
+    )
+    assert spark.read.parquet(out).count() == len(kept)
+    assert spark.read.parquet(out + "_screened").count() == len(dropped)
+
+
+def test_residual_migration_and_rotation_upgrade(spark, tmp_path):
+    """Residual lifecycle: (a) a legacy raw-vector state migrates
+    straight into the residual code space (residual_centroids=) and a
+    continued pq_residual ingest matches the phase-aware one-shot
+    reduction; (b) a live RAW-codes state upgrades to residual codes
+    via rotation (new_centroids=) and continuing matches a fresh
+    residual ingest from scratch."""
+    in1, in23 = str(tmp_path / "in1"), str(tmp_path / "in23")
+    in12, in3 = str(tmp_path / "in12"), str(tmp_path / "in3")
+    in_all = str(tmp_path / "inall")
+    write_shards(spark, in1, [SHARD1])
+    write_shards(spark, in23, [SHARD2, SHARD3])
+    write_shards(spark, in12, [SHARD1, SHARD2])
+    write_shards(spark, in3, [SHARD3])
+    write_shards(spark, in_all, [SHARD1, SHARD2, SHARD3])
+    kw = dict(centroids=CENTS, threshold=THR_RES, track_components=True,
+              round_assign_digits=6, screen_round_digits=6)
+    # (a) legacy raw-vector shard1 history -> residual migration.
+    out = str(tmp_path / "out_mig")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in1), out,
+        str(tmp_path / "cka1"), **kw
+    )
+    status = se.migrate_embedding_state_to_pq(
+        spark, out, CBS, residual_centroids=CENTS
+    )
+    assert "migrated" in status
+    # Raw-mode PQ reopen refuses the residual marker; the residual
+    # no-op path heals/verifies it.
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.migrate_embedding_state_to_pq(spark, out, CBS)
+    assert "already migrated" in se.migrate_embedding_state_to_pq(
+        spark, out, CBS, residual_centroids=CENTS
+    )
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in23), out,
+        str(tmp_path / "cka2"), codebooks=CBS, pq_residual=True, **kw
+    )
+    kept, dropped, reps = one_shot_res(ALL_ROWS, THR_RES, res_from_id=20)
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == kept
+    for vid in kept:
+        assert list(got[vid]["codes"]) == py_res_codes(
+            reps[vid], got[vid]["cell"]
+        )
+    # (b) raw-codes state (shards 1+2) -> rotation upgrade to residual.
+    out_rot = str(tmp_path / "out_rot")
+    raw_corpus = spark.createDataFrame(
+        [(i, v) for i, v in SHARD1 + SHARD2 + SHARD3],
+        ["vec_id", "embedding"],
+    )
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in12), out_rot,
+        str(tmp_path / "ckb1"), codebooks=CBS, **kw
+    )
+    status = se.rotate_embedding_state_codebooks(
+        spark, out_rot, CBS, raw_corpus, old_codebooks=CBS,
+        new_centroids=CENTS,
+    )
+    assert status.count("rotated") == 2, status
+    for d in (out_rot, out_rot + "_screened"):
+        with open(os.path.join(d, "_PQ_SPEC")) as fh:
+            assert fh.read().strip() == se._pq_fingerprint(CBS, CENTS), d
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in3), out_rot,
+        str(tmp_path / "ckb2"), codebooks=CBS, pq_residual=True, **kw
+    )
+    fresh = str(tmp_path / "fresh")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_all), fresh,
+        str(tmp_path / "ckf"), codebooks=CBS, pq_residual=True, **kw
+    )
+    for suffix in ("", "_screened"):
+        got_s = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out_rot + suffix).collect()
+        }
+        want_s = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(fresh + suffix).collect()
+        }
+        assert got_s == want_s, suffix
