@@ -3647,6 +3647,93 @@ def q178_incremental_bm25_probe(
     return spark.createDataFrame(rows, result.schema)
 
 
+def q179_pq_residual_ingest_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual (true-IVFADC) codes-only embedding ingest probe —
+    q168's replay through the SAME ingest_embeddings_stream path with
+    ``pq_residual=True``: the hot state's codes quantize
+    v − centroid(cell) (Jégou 2011 §III-A, the q174 encode), and every
+    semantic screen is the residual ADC comparison — the incoming raw
+    vector against centroid(cell) + reconstruction, via the
+    per-probe centroid-dot table and the [cell][j][code] cross-term
+    literal (similarity.pq_adc_screen_kit(centroids=...)). The 0.40
+    threshold sits between this corpus's same-cell residual ADC p99
+    (≈0.38) and max (≈0.455), so the semantic screen provably fires
+    without mass drops. Oracle-exact end to end (oracle/sql.py
+    _q179_sql mirrors the residual algebra term-for-term). Staging
+    and bookkeeping counts share q164/q168's per-(sf, mtime) cache."""
+    import shutil
+    import tempfile
+
+    from big_data_ml_pipeline_spark.streaming import embeddings as emb_stream
+
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    in_dir = _stage_id_shards(spark, sf_dir, "embeddings", "vec_id")
+    base = tempfile.mkdtemp(prefix="q179_")
+    try:
+        out = os.path.join(base, "out")
+        emb_stream.ingest_embeddings_stream(
+            emb_stream.read_embeddings_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+            centroids=cents,
+            threshold=0.40,
+            track_components=True,
+            round_assign_digits=6,
+            screen_round_digits=6,
+            codebooks=cbs,
+            pq_residual=True,
+        )
+        landed = spark.read.parquet(out)
+        assert "v" not in landed.columns and "codes" in landed.columns
+        n_landed = landed.count()
+        if in_dir not in _PROBE_COUNTS:
+            emb = load_table(spark, sf_dir, "embeddings")
+            _PROBE_COUNTS[in_dir] = (
+                emb.count(),
+                emb.select("embedding").distinct().count(),
+            )
+        n_input, n_reps = _PROBE_COUNTS[in_dir]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        [(4, n_input, n_input - n_reps, n_reps - n_landed, n_landed)],
+        "n_batches long, n_input long, dropped_exact long, "
+        "dropped_semantic long, vecs_landed long",
+    )
+
+
+def q180_pq_residual_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-ADC decontamination (similarity.
+    semantic_decontamination_pq residual=True): q172's pass — flag
+    every training vector with an eval twin, train side codes-only —
+    but over the RESIDUAL IVF-PQ index (q174's encoding), so the m
+    small ints per train vector quantize v − centroid(cell) and the
+    screen scores the raw eval vector against centroid + recon via
+    the per-eval centroid-dot table and the [cell][j][code]
+    cross-term literal. Threshold 0.40 on the residual ADC scale
+    (q179's calibration: same-cell p99 ≈ 0.38, max ≈ 0.455).
+    Per-train MAX of rounded sims is order-independent — exact
+    against the generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.semantic_decontamination_pq(
+        emb.filter(F.col("vec_id") % 100 != 0),
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        threshold=0.40,
+        nprobe=4,
+        round_assign_digits=6,
+        residual=True,
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3848,6 +3935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_pq_residual_rerank_recall": q176_pq_residual_rerank_recall,
         "q177_pq_residual_distortion": q177_pq_residual_distortion,
         "q178_incremental_bm25_probe": q178_incremental_bm25_probe,
+        "q179_pq_residual_ingest_probe": q179_pq_residual_ingest_probe,
+        "q180_pq_residual_decontamination": q180_pq_residual_decontamination,
     }
 
 

@@ -1117,6 +1117,7 @@ def semantic_decontamination_pq(
     round_digits: int = 9,
     screen_round_digits: int = 6,
     index: DataFrame | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """:func:`semantic_decontamination` over a CODES-ONLY train side —
     the decontamination pass a 100 TB deployment actually runs: the
@@ -1133,16 +1134,26 @@ def semantic_decontamination_pq(
     distortion (q167/q169), so thresholds calibrate against the ADC
     scale, not the raw-cosine scale; recall vs the raw screen follows
     the measured distortion, and ``nprobe = n_cells`` makes the CELL
-    side exhaustive."""
+    side exhaustive.
+
+    ``residual=True`` speaks the RESIDUAL code space (an
+    ``ivf_pq_index(residual=True)`` train side): the ADC cosine
+    scores the raw eval vector against centroid(cell) +
+    reconstruction via the residual screen kit — the post-join
+    ``cell`` is the TRAIN vector's assigned cell, exactly what the
+    cross-term algebra needs. Pass the matching index or let the
+    inline encode build it."""
     enc = (
         index
         if index is not None
         else ivf_pq_index(
             train, centroids, codebooks, id_col, vec_col,
-            round_assign_digits, round_digits,
+            round_assign_digits, round_digits, residual=residual,
         )
     )
-    prep_raw, adc_cos = pq_adc_screen_kit(codebooks)
+    prep_raw, adc_cos = pq_adc_screen_kit(
+        codebooks, centroids=centroids if residual else None
+    )
     cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
     qbase = prep_raw(
         eval_df.select(
@@ -1158,6 +1169,7 @@ def semantic_decontamination_pq(
             "qid",
             "__adc_luts",
             "__adc_norm",
+            *(["__adc_cdots"] if residual else []),
             F.explode(
                 top_cells(
                     cell_sims(F.col("__qv"), F.col("__adc_norm")), nprobe

@@ -2981,6 +2981,172 @@ FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 12
 
 _Q178_SQL = _q178_sql()
 
+
+def _res_adc_sql_parts(
+    vec_expr: str, codes_expr: str, cell_expr: str, cent_dot: str,
+    m: int = 8, k: int = 16, dim: int = 64, n_cells: int = 16,
+) -> tuple[str, str, str, str, str]:
+    """DuckDB pieces of the RESIDUAL ADC cosine, mirroring
+    pq_adc_screen_kit(centroids=...)'s fold order exactly: the
+    reconstruction is centroid(cell) + Σ_j cb_j[code_j], so
+
+      dot = <v, centroid(cell)> + Σ_j <v_slice_j, cb_j[code_j]>
+      ‖recon‖² = c2[cell] + Σ_j (2·<c_slice_j, cb_j[code_j]> +
+                                 ‖cb_j[code_j]‖²)
+
+    with c2 and the [cell][j][code] cross-term table rt3 precomputed
+    DRIVER-side as plain Python floats — the identical double
+    constants Spark embeds via F.lit, so no engine fold to mirror.
+    Returns (cb3, rt3, c2l, dot_terms, r2_terms); ``cent_dot`` is the
+    SQL expression for <v, centroid(cell)> (engine-side, agrees with
+    Spark's sequential fold after the screen's 6-digit rounding, the
+    established list_dot_product precedent)."""
+    from ..operators.similarity import (
+        deterministic_ivf_centroids,
+        pq_codebooks,
+    )
+
+    cbs = pq_codebooks(dim=dim, m=m, k=k)
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=n_cells)
+    d = dim // m
+    cb2 = [
+        [float(sum(x * x for x in cb)) for cb in cbs[j]] for j in range(m)
+    ]
+    cb3 = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(x) for x in cb) + "]" for cb in cbs[j]
+        ) + "]" for j in range(m)
+    ) + "]"
+    rt3 = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(
+                repr(float(
+                    2.0 * sum(c[j * d + i] * cb[i] for i in range(d))
+                    + cb2[j][ci]
+                ))
+                for ci, cb in enumerate(cbs[j])
+            ) + "]" for j in range(m)
+        ) + "]" for c in cents
+    ) + "]"
+    c2l = "[" + ", ".join(
+        repr(float(sum(x * x for x in c))) for c in cents
+    ) + "]"
+    dot_terms = cent_dot + "\n      + " + "\n      + ".join(
+        f"list_dot_product({vec_expr}[{j * d + 1}:{j * d + d}], "
+        f"cb3[{j + 1}][{codes_expr}[{j + 1}] + 1])"
+        for j in range(m)
+    )
+    r2_terms = f"c2l[{cell_expr} + 1] + " + " + ".join(
+        f"rt3[{cell_expr} + 1][{j + 1}][{codes_expr}[{j + 1}] + 1]"
+        for j in range(m)
+    )
+    return cb3, rt3, c2l, dot_terms, r2_terms
+
+
+def _q179_sql(threshold: float = 0.40, m: int = 8, k: int = 16,
+              dim: int = 64) -> str:
+    """Twin of q179 — the RESIDUAL codes-only (PQ) embedding ingest's
+    one-shot reduction: min-id rep per distinct vector, then drop any
+    rep with a lower-id same-cell twin whose RESIDUAL codes the rep's
+    raw vector ADC-matches at rounded cosine >= threshold. Reuses the
+    q174 residual encode CTEs (rounded-argmax assignment + residual
+    argmin codes) and mirrors pq_adc_screen_kit's residual algebra
+    term-for-term (see _res_adc_sql_parts)."""
+    cb3, rt3, c2l, dot_terms, r2_terms = _res_adc_sql_parts(
+        "b.v", "ac.codes", "a.cell",
+        "list_dot_product(b.v, c.cv)", m=m, k=k, dim=dim,
+    )
+    return f"""
+WITH {_pq_residual_ctes()},
+rl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
+              CAST({rt3} AS DOUBLE[][][]) AS rt3,
+              CAST({c2l} AS DOUBLE[]) AS c2l),
+reps AS (SELECT MIN(vec_id) AS vec_id FROM e GROUP BY v),
+ar AS (SELECT a.* FROM assigned a JOIN reps USING (vec_id)),
+racodes AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM renc GROUP BY vec_id
+),
+dsem AS (
+  SELECT DISTINCT b.vec_id
+  FROM ar a
+  JOIN ar b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN racodes ac ON ac.vec_id = a.vec_id
+  JOIN cents c ON c.cell = a.cell
+  CROSS JOIN rl
+  WHERE (CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms}) = 0
+              THEN 0.0
+              ELSE ROUND((
+        {dot_terms}
+      ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({r2_terms})), 6) END)
+      >= {threshold}
+)
+SELECT CAST(4 AS BIGINT) AS n_batches,
+  (SELECT COUNT(*) FROM e) AS n_input,
+  (SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM reps) AS dropped_exact,
+  (SELECT COUNT(*) FROM dsem) AS dropped_semantic,
+  (SELECT COUNT(*) FROM reps) - (SELECT COUNT(*) FROM dsem) AS vecs_landed
+"""
+
+
+_Q179_SQL = _q179_sql()
+
+
+def _q180_sql(threshold: float = 0.40, nprobe: int = 4, m: int = 8,
+              k: int = 16, dim: int = 64) -> str:
+    """Twin of q180 — residual-ADC decontamination: the q172 shape
+    (per-train MAX eval similarity + clean flag over an nprobe cell
+    fan-out) with the similarity swapped for the RESIDUAL ADC cosine
+    of the raw EVAL vector against the train vector's residual codes
+    at the train vector's assigned cell (_res_adc_sql_parts). MAX of
+    rounded doubles is order-independent, so the twin is exact."""
+    cb3, rt3, c2l, dot_terms, r2_terms = _res_adc_sql_parts(
+        "q.qv", "ac.codes", "a.cell",
+        "list_dot_product(q.qv, c.cv)", m=m, k=k, dim=dim,
+    )
+    return f"""
+WITH {_pq_residual_ctes()},
+rl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
+              CAST({rt3} AS DOUBLE[][][]) AS rt3,
+              CAST({c2l} AS DOUBLE[]) AS c2l),
+ar AS (SELECT vec_id, cell FROM assigned WHERE vec_id % 100 <> 0),
+racodes AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM renc GROUP BY vec_id
+),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+pairs AS (
+  SELECT a.vec_id,
+         CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt({r2_terms}) = 0 THEN 0.0
+              ELSE ROUND((
+        {dot_terms}
+      ) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({r2_terms})), 6)
+         END AS sim
+  FROM ar a
+  JOIN racodes ac ON ac.vec_id = a.vec_id
+  JOIN cents c ON c.cell = a.cell
+  JOIN qcells qc ON qc.cell = a.cell
+  JOIN q ON q.qid = qc.qid
+  CROSS JOIN rl
+),
+worst AS (SELECT vec_id, MAX(sim) AS max_sim FROM pairs GROUP BY vec_id)
+SELECT t.vec_id,
+       COALESCE(w.max_sim, 0.0) AS max_eval_sim,
+       CAST(CASE WHEN COALESCE(w.max_sim, 0.0) < {threshold}
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+FROM (SELECT vec_id FROM e WHERE vec_id % 100 <> 0) t
+LEFT JOIN worst w ON w.vec_id = t.vec_id
+"""
+
+
+_Q180_SQL = _q180_sql()
+
 _Q127_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
@@ -4364,5 +4530,7 @@ def oracle_sql() -> dict[str, str]:
         "q176_pq_residual_rerank_recall": _Q176_SQL,
         "q177_pq_residual_distortion": _Q177_SQL,
         "q178_incremental_bm25_probe": _Q178_SQL,
+        "q179_pq_residual_ingest_probe": _Q179_SQL,
+        "q180_pq_residual_decontamination": _Q180_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

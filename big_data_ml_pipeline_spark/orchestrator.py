@@ -201,7 +201,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # has no bounded corpus to train on.
                    # add "residual": True for true IVFADC — codes
                    # quantize v - centroid(cell); with "fit" the
-                   # codebooks train on residuals.
+                   # codebooks train on residuals. Applies to the
+                   # batch index AND (with "ingest") the streaming
+                   # hot state, whose screens then use the residual
+                   # reconstruction algebra; the _PQ_SPEC marker
+                   # keeps the raw/residual code spaces apart.
+                   # rotate_embedding_codebooks() re-encodes a live
+                   # codes-only state under a refit kit (and updates
+                   # "codebooks" here in place).
                    "pq": None,
                    # Determinism knobs threaded to the streaming
                    # ingest (rounded argmax cells / rounded screen
@@ -701,9 +708,12 @@ class PipelineOrchestrator:
         centroid kit, compaction cadence). With ``embeddings.pq``
         carrying ``"ingest": True``, the hot state is codes-only
         ((id, codes, cell, fp)) and the screens are ADC — the
-        config-surface switch for VERDICT r10 item 1. Runs to
-        completion (Trigger.AvailableNow) and returns the finished
-        query."""
+        config-surface switch for VERDICT r10 item 1; add
+        ``"residual": True`` and the codes quantize v − centroid(cell)
+        (true IVFADC — the screens switch to the residual
+        reconstruction algebra, and the state's _PQ_SPEC folds the
+        coarse centroids in). Runs to completion
+        (Trigger.AvailableNow) and returns the finished query."""
         from .operators.similarity import (
             deterministic_ivf_centroids,
             pq_codebooks,
@@ -742,7 +752,71 @@ class PipelineOrchestrator:
             screen_round_digits=c.get("ingest_screen_round_digits"),
             codebooks=cbs,
             nprobe=int(c.get("ingest_nprobe", 1)),
+            pq_residual=bool(cbs is not None and pq.get("residual")),
         )
+
+    def rotate_embedding_codebooks(self, out_dir: str,
+                                   raw_corpus: "DataFrame | str",
+                                   new_codebooks=None,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding") -> str:
+        """Config-surface for the codes-only state's codebook
+        lifecycle (:func:`~.streaming.embeddings.
+        rotate_embedding_state_codebooks`): re-encode the landed +
+        screened tables under a NEW kit by joining ids back to the
+        cold raw corpus (path or DataFrame). The OLD kit and code
+        space come from the current ``embeddings.pq`` config — the
+        provenance the state was ingested with — so a drifted config
+        refuses instead of silently re-encoding. ``new_codebooks``
+        defaults to TRAINING on the raw corpus (fit_pq_codebooks,
+        residual-aware under ``pq.residual`` — the rotate-after-refit
+        maintenance loop the drift report calls for; rotation is
+        where fit IS well-defined on a streamed corpus, because the
+        cold raw table is in hand). On success the config's
+        ``pq.codebooks`` is updated in place so continued ingests
+        through THIS orchestrator screen with the rotated kit.
+        Returns the per-table status string."""
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            fit_pq_codebooks,
+            pq_codebooks,
+        )
+        from .streaming.embeddings import rotate_embedding_state_codebooks
+
+        c = self.config["embeddings"]
+        pq = c.get("pq") or {}
+        if not pq.get("ingest"):
+            raise ValueError(
+                "rotate_embedding_codebooks needs embeddings.pq.ingest "
+                "(the codes-only streaming state) in the config"
+            )
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        residual = bool(pq.get("residual"))
+        mm, kk = int(pq.get("m", 8)), int(pq.get("k", 16))
+        old_cbs = pq.get("codebooks") or pq_codebooks(
+            dim=c["ingest_dim"], m=mm, k=kk
+        )
+        raw = (
+            self.spark.read.parquet(raw_corpus)
+            if isinstance(raw_corpus, str)
+            else raw_corpus
+        )
+        cbs = new_codebooks or fit_pq_codebooks(
+            raw, m=mm, k=kk, vec_col=vec_col,
+            centroids=cents if residual else None,
+        )
+        status = rotate_embedding_state_codebooks(
+            self.spark, out_dir, cbs, raw,
+            old_codebooks=old_cbs,
+            cell_n_buckets=c.get("ingest_cell_n_buckets"),
+            id_col=id_col, vec_col=vec_col,
+            old_centroids=cents if residual else None,
+            new_centroids=cents if residual else None,
+        )
+        pq["codebooks"] = cbs
+        return status
 
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,

@@ -952,3 +952,84 @@ def test_orchestrator_build_pq_index_residual(spark, tmp_path):
         round_assign_digits=6, residual=True,
     ).collect()
     assert sorted(map(tuple, from_index)) == sorted(map(tuple, inline))
+
+
+def test_orchestrator_pq_residual_ingest_and_rotation(spark, tmp_path):
+    """embeddings.pq with ingest+residual flows into the streaming
+    path (landed codes quantize v − centroid(cell)), and
+    rotate_embedding_codebooks re-encodes the live state under a new
+    kit through the config surface — refusing when the config's pq
+    block is missing, stamping the residual-aware _PQ_SPEC, and
+    updating pq.codebooks in place for continued ingests."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        ivf_index,
+        pq_append_codes,
+        pq_codebooks,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+    from big_data_ml_pipeline_spark.streaming.embeddings import (
+        _pq_fingerprint,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    e1 = [1.0, 0.0, 0.0, 0.0, 0.5, 0.5, -0.5, 0.25]
+    e2 = [0.0, 1.0, 0.0, 0.0, -0.5, 0.5, 0.5, -0.25]
+    e3 = [0.25, -1.0, 0.5, 0.0, 0.75, -0.5, 0.5, 1.25]
+    df = spark.createDataFrame(
+        [(1, e1), (2, e1), (3, e2), (4, e3)], ["vec_id", "embedding"]
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    cfg = {"embeddings": {"ingest_threshold": 0.99,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ckpt"))
+    landed = spark.read.parquet(out)
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    rows = {r["vec_id"]: list(r["codes"]) for r in landed.collect()}
+    assert sorted(rows) == [1, 3, 4]  # 2 is an exact duplicate of 1
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+    kit_a = pq_codebooks(dim=8, m=4, k=4)
+    survivors = df.filter(F.col("vec_id") != 2)
+    expect = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(
+            ivf_index(survivors, cents), kit_a, vec_col="v",
+            centroids=cents,
+        ).collect()
+    }
+    assert rows == expect
+    with open(out + "/_PQ_SPEC") as fh:
+        assert fh.read().strip() == _pq_fingerprint(kit_a, cents)
+
+    # Rotation surface: kit B = every codebook's entries reversed —
+    # identical reconstruction SET so decisions can't change; every
+    # code index must flip to K-1-c.
+    kit_b = [list(reversed(cb)) for cb in kit_a]
+    no_pq = PipelineOrchestrator(
+        config={"embeddings": {"ingest_dim": 8, "ingest_n_cells": 4}},
+        spark=spark,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pq.ingest"):
+        no_pq.rotate_embedding_codebooks(out, df)
+    status = orch.rotate_embedding_codebooks(out, df, new_codebooks=kit_b)
+    assert "rotated" in status
+    after = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == {vid: [4 - 1 - c for c in cs] for vid, cs in rows.items()}
+    with open(out + "/_PQ_SPEC") as fh:
+        assert fh.read().strip() == _pq_fingerprint(kit_b, cents)
+    # Config updated in place: a continued ingest through THIS
+    # orchestrator reopens the rotated state without a marker refusal.
+    assert orch.config["embeddings"]["pq"]["codebooks"] == kit_b
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(out).count() == 3  # full replay, no growth

@@ -1165,3 +1165,69 @@ def test_residual_migration_and_rotation_upgrade(spark, tmp_path):
             for r in spark.read.parquet(fresh + suffix).collect()
         }
         assert got_s == want_s, suffix
+
+
+def test_residual_ingest_nprobe2_stream_equals_batch(spark, tmp_path):
+    """Residual codes × nprobe=2 (the interaction that threads the
+    __adc_cdots probe column through the probe-cell explosion):
+    stream == one-shot batch under the rule 'drop b iff some lower-id
+    rep a has cell(a) ∈ top-2-cells(b) and RESIDUAL ADC sim ≥
+    threshold' (codes/cell/cross-term all at a's assigned cell)."""
+    def py_top_cells(v, n):
+        vnorm = seq_norm(v)
+        sims = []
+        for c in CENTS:
+            nc = math.sqrt(sum(x * x for x in c))
+            sv = seq_dot(v, c) / (vnorm * nc) if (vnorm * nc) != 0 else 0.0
+            sims.append(rhu(sv, 6))
+        order = sorted(range(len(CENTS)), key=lambda i: (-sims[i], i))
+        return order[:n]
+
+    def one_shot_res_nprobe(rows, thr, n):
+        first = {}
+        for vid, v in sorted(rows):
+            key = tuple(v)
+            if key not in first:
+                first[key] = vid
+        reps = {vid: v for vid, v in rows if first[tuple(v)] == vid}
+        cells = {vid: py_cell(v) for vid, v in reps.items()}
+        codes = {vid: py_res_codes(v, cells[vid]) for vid, v in reps.items()}
+        dropped = set()
+        for vid in sorted(reps):
+            probe = py_top_cells(reps[vid], n)
+            for lower in sorted(reps):
+                if lower >= vid:
+                    break
+                if cells[lower] not in probe:
+                    continue
+                sim = py_res_adc_cos(
+                    reps[vid], cells[lower], codes[lower]
+                )
+                if rhu(sim, 6) >= thr:
+                    dropped.add(vid)
+                    break
+        return set(reps) - dropped, dropped, reps
+
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, str(tmp_path / "ck"),
+        centroids=CENTS, threshold=THR_RES, track_components=True,
+        round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+        nprobe=2, pq_residual=True,
+    )
+    kept, dropped, reps = one_shot_res_nprobe(ALL_ROWS, THR_RES, 2)
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == kept, (set(got), kept)
+    for vid in kept:
+        assert got[vid]["cell"] == py_cell(reps[vid])
+        assert list(got[vid]["codes"]) == py_res_codes(
+            reps[vid], got[vid]["cell"]
+        )
+    # nprobe=2 at least as aggressive as nprobe=1 under the same rule.
+    kept1, _, _ = one_shot_res(ALL_ROWS, THR_RES)
+    assert kept <= kept1
+    eids = {r["vec_id"]
+            for r in spark.read.parquet(out + "_screened").collect()}
+    assert eids == dropped
