@@ -3734,6 +3734,113 @@ def q180_pq_residual_decontamination(
     )
 
 
+def q181_pq_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-codes vs RESIDUAL-codes ADC screen agreement — the
+    decision-impact evidence for flipping ``pq.residual`` on a live
+    ingest (the r13-VERDICT-noted semantic change, quantified): over
+    every same-cell ordered pair (candidate a contributes its codes,
+    b its raw vector — exactly the ingest's screen shape), count per
+    threshold how many pairs each code space fires on and how many
+    both do. One assignment pass + two map-only encodes (the two code
+    spaces share the kit codebooks, so the probe-side LUTs are
+    computed ONCE via the residual prep — raw ADC reads the same
+    __adc_luts/__adc_norm columns); one cell equi-join; a single-row
+    conditional aggregate stacked onto a literal 4-threshold spine.
+    Integer counts over 6-digit-rounded sims — exact against the
+    generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    from big_data_ml_pipeline_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    # Exchange on the bare scan (cheap .rdd probe there — on the
+    # composed frame AQE materializes upstream stages just to answer
+    # getNumPartitions), so the single-row-group testdata scan doesn't
+    # serialize the encode/prep/pair stages on one core; the exchange
+    # is reused by all three consumers of `assigned`.
+    emb = _ensure_parallelism(emb)
+    assigned = sim_ops.ivf_index(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        round_assign_digits=6,
+    )
+    # ONE encode pass over both code spaces: explode each row to
+    # (variant 0 = raw vector, variant 1 = residual) and run the PQ
+    # argmin once — halves the (driver-side) encode-tree construction
+    # cost vs two pq_append_codes calls with identical codes.
+    # explode_outer, not explode: InferFiltersFromGenerate re-inlines
+    # the whole computed-array tree into a pushed size()>0 filter for
+    # non-outer generates (the q174 lesson); the array is never empty.
+    both = assigned.select(
+        "vec_id", "cell",
+        F.explode_outer(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("variant"), F.col("v").alias("vec")
+                ),
+                F.struct(
+                    F.lit(1).alias("variant"),
+                    sim_ops._residual_expr(
+                        F.col("v"), F.col("cell"), cents
+                    ).alias("vec"),
+                ),
+            )
+        ).alias("__x"),
+    ).select(
+        "vec_id", "cell",
+        F.col("__x.variant").alias("__variant"),
+        F.col("__x.vec").alias("__vec"),
+    )
+    enc = sim_ops.pq_append_codes(both, cbs, vec_col="__vec")
+    craw = enc.filter(F.col("__variant") == 0).select(
+        "vec_id", "cell", F.col("codes").alias("__craw")
+    )
+    cres = enc.filter(F.col("__variant") == 1).select(
+        "vec_id", F.col("codes").alias("__cres")
+    )
+    a_side = craw.join(cres, "vec_id").select(
+        "cell", F.col("vec_id").alias("__ida"), "__craw", "__cres"
+    )
+    _, adc_raw = sim_ops.pq_adc_screen_kit(cbs)
+    prep_res, adc_res = sim_ops.pq_adc_screen_kit(cbs, centroids=cents)
+    b_side = prep_res(
+        assigned.select("vec_id", "v", "cell"), F.col("v")
+    ).select(
+        "cell", F.col("vec_id").alias("__idb"),
+        "__adc_luts", "__adc_norm", "__adc_cdots",
+    )
+    pairs = (
+        b_side.join(a_side, on="cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .select(
+            F.round(adc_raw(F.col("__craw")), 6).alias("__sraw"),
+            F.round(adc_res(F.col("__cres")), 6).alias("__sres"),
+        )
+    )
+    thresholds = [0.30, 0.35, 0.40, 0.45]
+    aggs = [F.count(F.lit(1)).cast("long").alias("np")]
+    for i, t in enumerate(thresholds):
+        aggs += [
+            F.sum((F.col("__sraw") >= t).cast("long")).alias(f"r{i}"),
+            F.sum((F.col("__sres") >= t).cast("long")).alias(f"s{i}"),
+            F.sum(
+                ((F.col("__sraw") >= t) & (F.col("__sres") >= t))
+                .cast("long")
+            ).alias(f"b{i}"),
+        ]
+    row = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"cast({t!r} as double), np, coalesce(r{i}, 0L), "
+        f"coalesce(s{i}, 0L), coalesce(b{i}, 0L)"
+        for i, t in enumerate(thresholds)
+    )
+    return row.selectExpr(
+        f"stack(4, {stack}) as "
+        "(threshold, n_pairs, n_raw_fire, n_res_fire, n_both_fire)"
+    ).orderBy("threshold")
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -3937,6 +4044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_incremental_bm25_probe": q178_incremental_bm25_probe,
         "q179_pq_residual_ingest_probe": q179_pq_residual_ingest_probe,
         "q180_pq_residual_decontamination": q180_pq_residual_decontamination,
+        "q181_pq_screen_agreement": q181_pq_screen_agreement,
     }
 
 

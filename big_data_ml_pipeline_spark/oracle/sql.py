@@ -3147,6 +3147,87 @@ LEFT JOIN worst w ON w.vec_id = t.vec_id
 
 _Q180_SQL = _q180_sql()
 
+
+def _q181_sql(m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """Twin of q181 — raw vs residual ADC screen agreement: the q177
+    pattern (raw encode CTEs grafted onto the residual CTE set, no
+    duplicate names) + BOTH ADC algebras evaluated on every same-cell
+    ordered pair, counted per literal threshold. The two code spaces
+    share the cb3 LUT literal; raw reads cb23, residual rt3/c2l."""
+    cb3, cb23, raw_dot, raw_r2 = _adc_sql_parts(
+        "b.v", "ar.codes", m=m, k=k, dim=dim
+    )
+    _, rt3, c2l, res_dot, res_r2 = _res_adc_sql_parts(
+        "b.v", "ac.codes", "a.cell",
+        "list_dot_product(b.v, c.cv)", m=m, k=k, dim=dim,
+    )
+    thresholds = [0.30, 0.35, 0.40, 0.45]
+    tvals = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in thresholds)
+    return f"""
+WITH {_pq_residual_ctes()},
+rl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
+              CAST({cb23} AS DOUBLE[][]) AS cb23,
+              CAST({rt3} AS DOUBLE[][][]) AS rt3,
+              CAST({c2l} AS DOUBLE[]) AS c2l),
+rawdists AS (
+  SELECT e.vec_id, cbs.j, cbs.c,
+         ROUND(list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8])
+               - 2 * list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+                                      cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM e CROSS JOIN cbs
+),
+rawenc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM rawdists) t WHERE rn = 1
+),
+araw AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM rawenc GROUP BY vec_id
+),
+ares AS (
+  SELECT vec_id, LIST(code ORDER BY j) AS codes FROM renc GROUP BY vec_id
+),
+psims AS (
+  SELECT
+    CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt({raw_r2}) = 0
+         THEN 0.0
+         ELSE ROUND((
+      {raw_dot}
+    ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({raw_r2})), 6) END AS sraw,
+    CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt({res_r2}) = 0
+         THEN 0.0
+         ELSE ROUND((
+      {res_dot}
+    ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({res_r2})), 6) END AS sres
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN araw ar ON ar.vec_id = a.vec_id
+  JOIN ares ac ON ac.vec_id = a.vec_id
+  JOIN cents c ON c.cell = a.cell
+  CROSS JOIN rl
+)
+SELECT t.threshold,
+       (SELECT COUNT(*) FROM psims) AS n_pairs,
+       CAST(COALESCE(SUM(CASE WHEN sraw >= t.threshold THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_raw_fire,
+       CAST(COALESCE(SUM(CASE WHEN sres >= t.threshold THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_res_fire,
+       CAST(COALESCE(SUM(CASE WHEN sraw >= t.threshold
+                              AND sres >= t.threshold
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_both_fire
+FROM (VALUES {tvals}) t(threshold)
+LEFT JOIN psims ON TRUE
+GROUP BY t.threshold
+ORDER BY t.threshold
+"""
+
+
+_Q181_SQL = _q181_sql()
+
 _Q127_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
@@ -4532,5 +4613,6 @@ def oracle_sql() -> dict[str, str]:
         "q178_incremental_bm25_probe": _Q178_SQL,
         "q179_pq_residual_ingest_probe": _Q179_SQL,
         "q180_pq_residual_decontamination": _Q180_SQL,
+        "q181_pq_screen_agreement": _Q181_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -1033,3 +1033,60 @@ def test_orchestrator_pq_residual_ingest_and_rotation(spark, tmp_path):
     assert orch.config["embeddings"]["pq"]["codebooks"] == kit_b
     orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(out).count() == 3  # full replay, no growth
+
+
+def test_orchestrator_rotation_fit_path(spark, tmp_path):
+    """rotate_embedding_codebooks with new_codebooks=None TRAINS the
+    replacement kit on the supplied cold corpus (fit_pq_codebooks,
+    residual-aware): the rotated state reopens cleanly under the
+    updated config (fingerprint written from the very objects stored
+    into pq.codebooks), and the re-encoded codes match a direct
+    pq_append_codes under the fitted kit."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        ivf_index,
+        pq_append_codes,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    cfg = {"embeddings": {"ingest_threshold": 0.999,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck"))
+    n0 = spark.read.parquet(out).count()
+    status = orch.rotate_embedding_codebooks(out, df)
+    assert "rotated" in status
+    fitted = orch.config["embeddings"]["pq"]["codebooks"]
+    assert len(fitted) == 4 and all(len(cb) == 4 for cb in fitted)
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(
+            ivf_index(df, cents), fitted, vec_col="v", centroids=cents
+        ).collect()
+        if r["vec_id"] in {x[0] for x in rows}
+    }
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(out).collect()
+    }
+    for vid, codes in got.items():
+        assert codes == want[vid], vid
+    # Continued ingest under the updated config reopens the rotated
+    # marker without refusal; a full replay lands nothing new.
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == n0
