@@ -3841,6 +3841,36 @@ def q181_pq_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+def q182_ivf_pq_residual_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVFADC+R (similarity.ivf_pq_knn_join residual=True,
+    rerank_from=40): q171's probe-then-exact-rerank over the RESIDUAL
+    index — the ADC shortlist ranks by the per-probed-cell residual
+    LUT distance ‖q − (c + recon)‖², then exactly 40 raw vectors per
+    query re-rank by 6-digit-rounded exact cosine to top-10. The
+    combination a 100 TB deployment runs: residual codes lift the
+    pre-rerank shortlist quality (q176's measured recall floor) at
+    identical storage, and the rerank recovers exact-cosine order at
+    R raw-row reads per query. Exact against the generated SQL twin
+    (_q175_sql(rerank_from=40) — the q171 tail over the residual
+    candidate integers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        cbs,
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        rerank_from=40,
+        residual=True,
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4045,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_pq_residual_ingest_probe": q179_pq_residual_ingest_probe,
         "q180_pq_residual_decontamination": q180_pq_residual_decontamination,
         "q181_pq_screen_agreement": q181_pq_screen_agreement,
+        "q182_ivf_pq_residual_rerank_topk": q182_ivf_pq_residual_rerank_topk,
     }
 
 

@@ -113,6 +113,10 @@ EXCLUDE = {
     # driver-paced CC rounds per batch; same reasoning. Correctness-
     # gated at sf0.01 via oracle_sql().
     "q168_pq_embedding_ingest_probe",
+    # r14: q168's residual-codes twin — same group-tracking ingest
+    # replay, same driver-paced rounds. Correctness-gated at sf0.01
+    # via oracle_sql().
+    "q179_pq_residual_ingest_probe",
 }
 EXTRA = [
     "q40_minhash_pairs",

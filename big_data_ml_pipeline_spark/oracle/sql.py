@@ -2507,19 +2507,24 @@ def _q175_sql(
     k_top: int = 10,
     nprobe: int = 4,
     recall_budgets: tuple[int, ...] | None = None,
+    rerank_from: int | None = None,
+    rerank_round_digits: int = 6,
 ) -> str:
-    """Twin of q175 (residual IVFADC probe) and, with
-    ``recall_budgets``, q176 (its rerank↔recall curve): the residual
-    encode CTEs + per-(query, probed-cell) lookup tables built from
-    the QUERY'S residual in that cell — Σ_j lut[j][code_j] is then the
+    """Twin of q175 (residual IVFADC probe), with ``recall_budgets``
+    q176 (its rerank↔recall curve), and with ``rerank_from`` q182
+    (residual IVFADC+R single-budget rerank): the residual encode
+    CTEs + per-(query, probed-cell) lookup tables built from the
+    QUERY'S residual in that cell — Σ_j lut[j][code_j] is then the
     exact quantized ‖(q−c) − recon‖² = ‖q − (c + recon)‖², comparable
     across cells. Same nano-unit integer quantization, same tails as
-    the raw-code family (the q166/q173 machinery reused verbatim)."""
-    tail = (
-        _q173_tail(k_top, recall_budgets)
-        if recall_budgets is not None
-        else _q166_tail(k_top)
-    )
+    the raw-code family (the q166/q171/q173 machinery reused
+    verbatim)."""
+    if recall_budgets is not None:
+        tail = _q173_tail(k_top, recall_budgets)
+    elif rerank_from is not None:
+        tail = _q171_tail(k_top, rerank_from, rerank_round_digits)
+    else:
+        tail = _q166_tail(k_top)
     return f"""
 WITH {_pq_residual_ctes()},
 qcells AS (
@@ -2562,6 +2567,7 @@ scored AS (
 
 _Q175_SQL = _q175_sql()
 _Q176_SQL = _q175_sql(recall_budgets=(10, 20, 40))
+_Q182_SQL = _q175_sql(rerank_from=40)
 
 # q177: raw-codes vs residual-codes distortion, side by side — the
 # per-subspace MIN assigned distance aggregated as nano-unit integers
@@ -4614,5 +4620,6 @@ def oracle_sql() -> dict[str, str]:
         "q179_pq_residual_ingest_probe": _Q179_SQL,
         "q180_pq_residual_decontamination": _Q180_SQL,
         "q181_pq_screen_agreement": _Q181_SQL,
+        "q182_ivf_pq_residual_rerank_topk": _Q182_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
