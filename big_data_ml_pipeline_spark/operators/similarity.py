@@ -25,7 +25,13 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, dot, l2_norm, to_double_array
+from ..functions.vector import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    nested_double_lit,
+    to_double_array,
+)
 
 if TYPE_CHECKING:  # imported lazily inside tasks
     import pandas as pd
@@ -267,7 +273,7 @@ def _bucket_expr(vec_col, planes: list[list[float]]):
     """Signed-projection LSH bucket id: bit i = sign(v · plane_i)."""
     bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
+        lit_plane = nested_double_lit(plane)
         proj = dot(vec_col, lit_plane)
         bits.append(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
@@ -394,11 +400,9 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
     returns (cell_sims, top_cells) closures over the broadcast centroid
     and centroid-norm literal arrays (see ivf_topk for the bit-stability
     reasoning)."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
-    cnorm_lit = F.array(
-        *[F.lit(math.sqrt(sum(x * x for x in c))) for c in cents]
+    cent_lit = nested_double_lit([[float(x) for x in c] for c in cents])
+    cnorm_lit = nested_double_lit(
+        [math.sqrt(sum(x * x for x in c)) for c in cents]
     )
 
     def cell_sims(vec, vnorm):
@@ -1758,7 +1762,9 @@ def _residual_expr(vec_expr, cell_expr, centroids: list[list[float]]):
     subspace slices of this expression are bit-identical to slicing
     first and subtracting per-subspace — the SQL twins subtract over
     the full vector too."""
-    cent_lit = F.lit([[float(x) for x in c] for c in centroids])
+    cent_lit = nested_double_lit(
+        [[float(x) for x in c] for c in centroids]
+    )
     return F.zip_with(
         to_double_array(vec_expr),
         F.element_at(cent_lit, cell_expr + 1),
@@ -1818,8 +1824,10 @@ def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
     # float arithmetic and order are identical in every form, so the
     # SQL twins never changed.
     def _dists(j: int):
-        cb_lit = F.lit([[float(x) for x in cb] for cb in codebooks[j]])
-        cb2_lit = F.lit(
+        cb_lit = nested_double_lit(
+            [[float(x) for x in cb] for cb in codebooks[j]]
+        )
+        cb2_lit = nested_double_lit(
             [float(sum(x * x for x in cb)) for cb in codebooks[j]]
         )
         return F.zip_with(
@@ -1986,7 +1994,9 @@ def pq_adc_screen_kit(
                 return dot(F.col(f"__adcs{j}"), cbv)
 
             return F.transform(
-                F.lit([[float(x) for x in cb] for cb in codebooks[j]]),
+                nested_double_lit(
+                    [[float(x) for x in cb] for cb in codebooks[j]]
+                ),
                 _dot_entry,
             )
 
@@ -1994,7 +2004,8 @@ def pq_adc_screen_kit(
         if residual:
             extra.append(
                 F.transform(
-                    F.lit(cent), lambda cv: dot(F.col("__adcv"), cv)
+                    nested_double_lit(cent),
+                    lambda cv: dot(F.col("__adcv"), cv),
                 ).alias("__adc_cdots")
             )
         return stage2.select(
@@ -2010,8 +2021,8 @@ def pq_adc_screen_kit(
                 cell_col if cell_col is not None else F.col("cell")
             ) + 1
             dotsum = F.element_at(F.col("__adc_cdots"), cell1)
-            r2 = F.element_at(F.lit(c2), cell1)
-            rt_cell = F.element_at(F.lit(rt), cell1)
+            r2 = F.element_at(nested_double_lit(c2), cell1)
+            rt_cell = F.element_at(nested_double_lit(rt), cell1)
             for j in range(m):
                 code1 = F.element_at(codes_col, j + 1) + 1
                 dotsum = dotsum + F.element_at(
@@ -2020,7 +2031,7 @@ def pq_adc_screen_kit(
                 r2 = r2 + F.element_at(F.element_at(rt_cell, j + 1), code1)
             denom = F.col("__adc_norm") * F.sqrt(r2)
             return F.when(denom != 0, dotsum / denom).otherwise(F.lit(0.0))
-        cb2_lit = F.lit(cb2)
+        cb2_lit = nested_double_lit(cb2)
         dotsum = None
         r2 = None
         for j in range(m):
