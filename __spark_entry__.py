@@ -3871,6 +3871,22 @@ def q182_ivf_pq_residual_rerank_topk(
     )
 
 
+def q183_pq_cell_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell residual distortion report (similarity.
+    pq_cell_distortion_report): q177 tells WHETHER residual encoding
+    buys accuracy and which SUBSPACE leaks; this tells which COARSE
+    CELL leaks — the ranked recenter/refit candidate list that closes
+    the maintenance loop (drift report → recenter → rotation). Static
+    16-row spine, nano-unit integer sums, one IEEE division — exact
+    against the generated SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
+    return sim_ops.pq_cell_distortion_report(
+        emb, cents, cbs, round_assign_digits=6
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4076,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_pq_residual_decontamination": q180_pq_residual_decontamination,
         "q181_pq_screen_agreement": q181_pq_screen_agreement,
         "q182_ivf_pq_residual_rerank_topk": q182_ivf_pq_residual_rerank_topk,
+        "q183_pq_cell_distortion": q183_pq_cell_distortion,
     }
 
 

@@ -2169,6 +2169,82 @@ def pq_reconstruction_report(
     )
 
 
+def pq_cell_distortion_report(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_assign_digits: int | None = None,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-CELL residual quantization distortion — the maintenance
+    signal :func:`pq_reconstruction_report` (per subspace) can't give:
+    WHICH coarse cells the residual codebooks serve poorly. A cell
+    whose mean residual distortion dwarfs the others is where the
+    coarse quantizer stopped explaining its vectors — the recenter
+    (ivf_recenter / drift report) or refit (codebook rotation)
+    candidate list, ranked.
+
+    Per vector: assigned cell + the nano-unit integer SUM over
+    subspaces of the assigned (minimum) rounded residual distance;
+    one cell-keyed integer aggregation (reduce side bounded by
+    n_cells) onto a static n_cells-row spine, so the row count never
+    depends on which cells are populated. mean = sum/n/1e9, one IEEE
+    division of exact integers (0.0 for empty cells) — exact against
+    the generated SQL twin (q183)."""
+    prep, _, _, min_dist_col = _pq_exprs(codebooks, round_digits)
+    m = len(codebooks)
+    assigned = ivf_index(
+        embeddings, centroids, id_col, vec_col, round_assign_digits
+    )
+    prepped = prep(
+        assigned, _residual_expr(F.col("v"), F.col("cell"), centroids)
+    )
+    total = None
+    for j in range(m):
+        t = F.round(min_dist_col(j) * 1e9).cast("long")
+        total = t if total is None else total + t
+    per_cell = (
+        prepped.select(F.col("cell"), total.alias("__dq"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("__dq").cast("long").alias("sum_dist_q"),
+        )
+    )
+    spine = embeddings.sparkSession.range(len(centroids)).select(
+        F.col("id").cast("long").alias("cell")
+    )
+    return (
+        spine.join(
+            per_cell.select(
+                F.col("cell").cast("long").alias("cell"),
+                "n_vectors", "sum_dist_q",
+            ),
+            "cell", "left",
+        )
+        .select(
+            "cell",
+            F.coalesce("n_vectors", F.lit(0)).cast("long").alias(
+                "n_vectors"
+            ),
+            F.coalesce("sum_dist_q", F.lit(0)).cast("long").alias(
+                "sum_dist_q"
+            ),
+            F.when(
+                F.coalesce("n_vectors", F.lit(0)) > 0,
+                F.coalesce("sum_dist_q", F.lit(0)).cast("double")
+                / F.coalesce("n_vectors", F.lit(1))
+                / 1e9,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_sq_dist"),
+        )
+        .orderBy("cell")
+    )
+
+
 def ivf_pq_knn_join(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -3234,6 +3234,35 @@ ORDER BY t.threshold
 
 _Q181_SQL = _q181_sql()
 
+# q183: per-cell residual distortion — the q177 machinery re-keyed on
+# the assigned CELL and summed over subspaces per vector, onto a
+# static 16-row spine. Mirrors pq_cell_distortion_report: nano-unit
+# integer sums, mean = CAST(s AS DOUBLE)/n/1e9, 0.0 for empty cells.
+_Q183_SQL = f"""
+WITH {_pq_residual_ctes()},
+md AS (
+  SELECT vec_id, cell, j, MIN(dist) AS dist
+  FROM rdists GROUP BY vec_id, cell, j
+),
+pv AS (
+  SELECT vec_id, cell,
+         CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS dq
+  FROM md GROUP BY vec_id, cell
+),
+pc AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dq) AS BIGINT) AS s
+  FROM pv GROUP BY cell
+)
+SELECT CAST(t.r AS BIGINT) AS cell,
+       COALESCE(pc.n, 0) AS n_vectors,
+       COALESCE(pc.s, 0) AS sum_dist_q,
+       CASE WHEN COALESCE(pc.n, 0) > 0
+            THEN CAST(COALESCE(pc.s, 0) AS DOUBLE) / pc.n / 1e9
+            ELSE 0.0 END AS mean_sq_dist
+FROM range(16) t(r) LEFT JOIN pc ON pc.cell = t.r
+ORDER BY cell
+"""
+
 _Q127_SQL = f"""
 WITH t AS (
   SELECT doc_id, {_DUCK_LTOKS} AS toks FROM documents),
@@ -4621,5 +4650,6 @@ def oracle_sql() -> dict[str, str]:
         "q180_pq_residual_decontamination": _Q180_SQL,
         "q181_pq_screen_agreement": _Q181_SQL,
         "q182_ivf_pq_residual_rerank_topk": _Q182_SQL,
+        "q183_pq_cell_distortion": _Q183_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
