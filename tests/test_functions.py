@@ -118,3 +118,51 @@ def test_to_double_array_widens_floats(spark):
     out = df.select(to_double_array(F.col("v")).alias("v"))
     assert isinstance(out.schema["v"].dataType.elementType, DoubleType)
     assert out.first()["v"] == [1.5, 2.5]
+
+
+def test_nested_double_lit_bit_exact(spark):
+    """nested_double_lit == F.lit element-for-element on nested tables
+    AND on the repr round-trip edge cases (subnormal min, max double,
+    negative zero, exponent forms) — the guard for the one-parsed-
+    expression literal path every IVF/PQ kit now builds through."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_ml_pipeline_spark.functions.vector import (
+        nested_double_lit,
+    )
+
+    rng = random.Random(11)
+    nested = [
+        [[rng.gauss(0, 1) for _ in range(5)] for _ in range(3)]
+        for _ in range(4)
+    ]
+    edge = [
+        5e-324, -5e-324, 1.7976931348623157e+308,
+        -1.7976931348623157e+308, -0.0, 0.1, -3.5e+16, 1e-17,
+        123456789.123456789, 2.0,
+    ]
+    df = spark.range(1)
+    row = df.select(
+        nested_double_lit(nested).alias("n"),
+        nested_double_lit(edge).alias("e"),
+        F.lit(edge[0]).alias("lit0"),
+    ).collect()[0]
+    got_flat = [x for a in row["n"] for b in a for x in b]
+    want_flat = [float(x) for a in nested for b in a for x in b]
+    assert got_flat == want_flat
+    import struct
+
+    for g, w in zip(row["e"], edge):
+        # bit-pattern compare — value == misses -0.0 vs 0.0
+        assert struct.pack("d", g) == struct.pack("d", float(w)), (g, w)
+    # non-finite refuses instead of silently embedding a parse error
+    import math
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-finite"):
+        nested_double_lit([1.0, math.inf])
+    with _pytest.raises(ValueError, match="non-finite"):
+        nested_double_lit([[math.nan]])
