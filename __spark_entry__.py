@@ -3887,6 +3887,54 @@ def q183_pq_cell_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q184_postings_bm25_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted-postings lexical retrieval (VERDICT r14 item 1 —
+    streaming.corpus maintain_postings + text.bm25_topk_from_postings):
+    q178's shard replay through ingest_documents_stream, now ALSO
+    maintaining the ``{out}_postings`` state — one (batch_id, token,
+    doc_id, tf, dl) row per landed (doc, token), kept as a BUCKETED
+    table on token — then answering the q126 BM25 query (top-15)
+    with ZERO corpus reads: global stats from the lexicon, per-doc
+    (tf, dl) from the postings pruned to the query terms' buckets.
+    This is the classical inverted-index probe as a Spark plan: at
+    100 TB the query cost tracks the terms' posting lists, not the
+    corpus. Integer partials equal the one-shot statistics, so the
+    oracle twin is the q178 one-shot BM25 over the SQL-landed set at
+    LIMIT 15. Staging shares q163/q178's per-(sf, mtime) cache."""
+    import shutil
+    import tempfile
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    in_dir = _stage_id_shards(spark, sf_dir, "documents", "doc_id")
+    base = tempfile.mkdtemp(prefix="q184_")
+    try:
+        out = os.path.join(base, "out")
+        corpus_stream.ingest_documents_stream(
+            corpus_stream.read_documents_stream(spark, in_dir),
+            out,
+            os.path.join(base, "ck"),
+            apply_quality=False,
+            maintain_lexicon=True,
+            maintain_postings=True,
+            postings_n_buckets=8,
+        )
+        result = text_ops.bm25_topk_from_postings(
+            corpus_stream.read_postings(spark, out),
+            spark.read.parquet(out + "_lexicon"),
+            Q126_BM25_TERMS,
+            k=15,
+            k1=Q126_BM25_K1,
+            b=Q126_BM25_B,
+        )
+        rows = result.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4093,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_pq_screen_agreement": q181_pq_screen_agreement,
         "q182_ivf_pq_residual_rerank_topk": q182_ivf_pq_residual_rerank_topk,
         "q183_pq_cell_distortion": q183_pq_cell_distortion,
+        "q184_postings_bm25_probe": q184_postings_bm25_probe,
     }
 
 

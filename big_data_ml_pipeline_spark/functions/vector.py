@@ -58,6 +58,10 @@ def nested_double_lit(values) -> Column:
 
     def _fmt(v) -> str:
         if isinstance(v, (list, tuple)):
+            if not v:
+                # 'array()' parses as an empty UNTYPED array, silently
+                # mismatching array<double> consumers downstream.
+                raise ValueError("empty list in nested_double_lit")
             return "array(" + ",".join(_fmt(x) for x in v) + ")"
         fv = float(v)
         if fv != fv or fv in (float("inf"), float("-inf")):

@@ -2940,7 +2940,7 @@ _Q126_SQL = _q126_sql()
 # exact-dedup convention), top-12. The Spark side reads N/sum_dl/df from
 # the incremental lexicon state; those are integer partial sums of the
 # identical one-shot quantities, so the SQL can aggregate one-shot.
-def _q178_sql() -> str:
+def _q178_sql(limit: int = 12) -> str:
     terms = ", ".join(f"'{t}'" for t in Q126_BM25_TERMS)
     k1p1 = repr(Q126_BM25_K1 + 1.0)
     k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
@@ -2981,11 +2981,18 @@ per_doc AS (
          CAST(SUM(score_q) AS BIGINT) AS sum_q
   FROM scored GROUP BY id)
 SELECT id AS doc_id, n_terms, CAST(sum_q AS DOUBLE) / 1000000.0 AS score
-FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 12
+FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT {limit}
 """
 
 
 _Q178_SQL = _q178_sql()
+
+# q184: the SAME one-shot BM25 over the SQL-landed set, top-15 — the
+# Spark side reads BOTH the global stats (lexicon) AND the per-doc
+# (tf, dl) side (inverted postings, bucketed on token) from ingest
+# state, touching the corpus zero times at query time; every partial
+# is an integer sum of the identical one-shot quantity.
+_Q184_SQL = _q178_sql(limit=15)
 
 
 def _res_adc_sql_parts(
@@ -3169,6 +3176,7 @@ def _q181_sql(m: int = 8, k: int = 16, dim: int = 64) -> str:
     )
     thresholds = [0.30, 0.35, 0.40, 0.45]
     tvals = ", ".join(f"(CAST({t!r} AS DOUBLE))" for t in thresholds)
+    d = dim // m  # subspace width — keep the m/k/dim params honest
     return f"""
 WITH {_pq_residual_ctes()},
 rl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
@@ -3177,9 +3185,9 @@ rl AS (SELECT CAST({cb3} AS DOUBLE[][][]) AS cb3,
               CAST({c2l} AS DOUBLE[]) AS c2l),
 rawdists AS (
   SELECT e.vec_id, cbs.j, cbs.c,
-         ROUND(list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
-                                e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8])
-               - 2 * list_dot_product(e.v[cbs.j * 8 + 1 : cbs.j * 8 + 8],
+         ROUND(list_dot_product(e.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                                e.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+               - 2 * list_dot_product(e.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
                                       cbs.cb)
                + cbs.cb2, 9) AS dist
   FROM e CROSS JOIN cbs
@@ -4651,5 +4659,6 @@ def oracle_sql() -> dict[str, str]:
         "q181_pq_screen_agreement": _Q181_SQL,
         "q182_ivf_pq_residual_rerank_topk": _Q182_SQL,
         "q183_pq_cell_distortion": _Q183_SQL,
+        "q184_postings_bm25_probe": _Q184_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

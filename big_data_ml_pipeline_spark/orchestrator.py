@@ -803,7 +803,7 @@ class PipelineOrchestrator:
             if isinstance(raw_corpus, str)
             else raw_corpus
         )
-        cbs = new_codebooks or fit_pq_codebooks(
+        cbs = new_codebooks if new_codebooks is not None else fit_pq_codebooks(
             raw, m=mm, k=kk, vec_col=vec_col,
             centroids=cents if residual else None,
         )

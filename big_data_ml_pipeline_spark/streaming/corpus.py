@@ -246,6 +246,32 @@ def _write_bucket_marker(state_dir: str, n_buckets: int) -> None:
             f.write(str(n_buckets))
 
 
+def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Open the ``{out_dir}_postings`` inverted-postings state the way
+    it was written: as the registered BUCKETED-on-token table when a
+    ``_BUCKET_SPEC`` marker exists (so `token IN (...)` filters prune
+    to the matching buckets at scan time), else a plain parquet read.
+    Re-registers the external table definition if this session hasn't
+    (catalog is in-memory; files are not)."""
+    postings_dir = out_dir.rstrip("/") + "_postings"
+    marker = os.path.join(postings_dir, "_BUCKET_SPEC")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            n_buckets = int(f.read().strip())
+        tbl = _state_table_name(postings_dir, "postings")
+        if not spark.catalog.tableExists(tbl):
+            sample = spark.read.parquet(postings_dir)
+            id_ddl = sample.schema["doc_id"].dataType.simpleString()
+            _register_bucketed_state(
+                spark, postings_dir, tbl,
+                f"batch_id BIGINT, token STRING, doc_id {id_ddl}, "
+                "tf BIGINT, dl BIGINT",
+                ["token"], n_buckets, sort_cols=["token"],
+            )
+        return spark.table(tbl)
+    return spark.read.parquet(postings_dir)
+
+
 def _has_parquet(path: str) -> bool:
     return os.path.isdir(path) and any(
         n.endswith(".parquet") for n in os.listdir(path)
@@ -408,6 +434,8 @@ def ingest_documents_stream(
     track_drift: bool = False,
     maintain_vocab: bool = False,
     maintain_lexicon: bool = False,
+    maintain_postings: bool = False,
+    postings_n_buckets: int | None = None,
     lm_floor: float | None = None,
     span_dedup: dict | None = None,
     near_dup_n_buckets: int | None = None,
@@ -551,6 +579,24 @@ def ingest_documents_stream(
     replay AFTER the corpus landed finds zero survivors and appends
     nothing.
 
+    With ``maintain_postings=True`` (VERDICT r14 item 1, requires
+    ``maintain_lexicon=True``), each batch ALSO appends the full
+    INVERTED POSTINGS rows to ``{out_dir}_postings``: one
+    (batch_id, token, doc_id, tf, dl) row per surviving (doc, token)
+    pair — derived from the SAME tokenization pass that feeds the
+    lexicon, so the two tables cannot disagree. :func:`~..operators.
+    text.bm25_topk_from_postings` then answers the BM25 query with NO
+    read of the landed corpus at all: global stats from the lexicon,
+    per-doc (tf, dl) from the postings filtered to the query terms —
+    a term-bounded read. With ``postings_n_buckets=B`` the postings
+    live in an external BUCKETED table on ``token`` (the gram-index
+    lever): query-time `token IN (...)` prunes to the matching
+    buckets, so a q-term lookup touches B_hit/B of the files and the
+    read cost tracks the TERM's posting list, not the corpus — the
+    100 TB shape for lexical retrieval. Crash-safety is the lexicon's
+    argument verbatim (appended before the corpus; replay partials
+    byte-identical, deduped on read by (batch_id, token, doc_id)).
+
     With ``lm_floor`` set (requires ``maintain_vocab=True``), each
     batch is ALSO gated by the corpus's own incremental language
     model — the CCNet recipe running live: documents whose mean log10
@@ -612,6 +658,7 @@ def ingest_documents_stream(
         out_dir.rstrip("/") + "_minhash_index",
         out_dir.rstrip("/") + "_vocab",
         out_dir.rstrip("/") + "_lexicon",
+        out_dir.rstrip("/") + "_postings",
         out_dir.rstrip("/") + "_gram_index",
         out_dir.rstrip("/") + "_components",
     ):
@@ -699,6 +746,27 @@ def ingest_documents_stream(
         _write_bucket_marker(index_dir, mh_buckets)
     else:
         mh_tbl = None
+
+    if maintain_postings and not maintain_lexicon:
+        raise ValueError(
+            "maintain_postings requires maintain_lexicon (global BM25 "
+            "stats come from the lexicon state)"
+        )
+    postings_dir = out_dir.rstrip("/") + "_postings"
+    pg_buckets = int(postings_n_buckets or 0) if maintain_postings else 0
+    if pg_buckets:
+        _check_bucket_marker(postings_dir, pg_buckets, "postings index")
+        id_ddl = stream.schema[id_col].dataType.simpleString()
+        pg_tbl = _register_bucketed_state(
+            stream.sparkSession, postings_dir,
+            _state_table_name(postings_dir, "postings"),
+            f"batch_id BIGINT, token STRING, doc_id {id_ddl}, "
+            "tf BIGINT, dl BIGINT",
+            ["token"], pg_buckets, sort_cols=["token"],
+        )
+        _write_bucket_marker(postings_dir, pg_buckets)
+    else:
+        pg_tbl = None
 
     _read_state = _read_state_dir  # shared missing-vs-corrupt handling
 
@@ -947,12 +1015,36 @@ def ingest_documents_stream(
                 )
                 per_tok = (
                     toks.select(
-                        "__lid", F.explode_outer("__toks").alias("token")
+                        "__lid",
+                        F.size("__toks").cast("long").alias("__dl"),
+                        F.explode_outer("__toks").alias("token"),
                     )
                     .filter(F.col("token").isNotNull())
-                    .groupBy("__lid", "token")
+                    .groupBy("__lid", "__dl", "token")
                     .agg(F.count("*").cast("long").alias("__tf"))
                 )
+                if maintain_postings:
+                    # Full inverted postings from the SAME per_tok pass
+                    # (one row per surviving (doc, token)); dl rides
+                    # along so query time never rejoins the corpus.
+                    postings = per_tok.select(
+                        F.lit(int(batch_id)).cast("long").alias(
+                            "batch_id"
+                        ),
+                        "token",
+                        F.col("__lid").alias("doc_id"),
+                        F.col("__tf").alias("tf"),
+                        F.col("__dl").alias("dl"),
+                    )
+                    if pg_tbl is not None:
+                        _append_bucketed(
+                            postings, pg_tbl, pg_buckets, ["token"],
+                            sort_cols=["token"],
+                        )
+                    else:
+                        postings.write.mode("append").parquet(
+                            postings_dir
+                        )
                 token_rows = per_tok.groupBy("token").agg(
                     F.count("*").cast("long").alias("df"),
                     F.sum("__tf").cast("long").alias("cnt"),

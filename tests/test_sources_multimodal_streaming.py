@@ -2827,3 +2827,94 @@ def test_streaming_lexicon_bm25_equals_batch(spark, tmp_path):
         landed, spark.read.parquet(out + "_lexicon"), terms, k=10
     ).collect()
     assert [tuple(r) for r in inc2] == [tuple(r) for r in bat]
+
+
+def test_streaming_postings_bm25_zero_corpus_reads(spark, tmp_path):
+    """maintain_postings (VERDICT r14 item 1): BM25 answered ENTIRELY
+    from ingest state — bm25_topk_from_postings over the bucketed
+    inverted postings + lexicon equals bm25_topk's one-shot corpus
+    aggregation row for row, its physical plan scans NO corpus file
+    (only the postings/lexicon state), the token IN-filter is pushed
+    to the postings scan, and the bucketed-on-token table prunes to
+    the query terms' buckets. Also pins replay idempotency (a
+    fresh-checkpoint replay appends nothing) and the
+    maintain_postings-without-lexicon ValueError."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_from_postings,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    shards = [
+        [(0, "spark window vector spark"), (1, "window beta vector")],
+        [(2, "spark window vector spark"),  # exact dup of 0 -> dropped
+         (3, "vector vector gamma window spark")],
+        [(4, "delta epsilon spark"), (5, "window window vector")],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in rows], ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    with _pytest.raises(ValueError, match="maintain_lexicon"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, ckpt, apply_quality=False, maintain_postings=True,
+        )
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4,
+    )
+    landed = spark.read.parquet(out)
+    assert landed.count() == 5
+    terms = ("spark", "window", "vector")
+    postings = corpus_ops.read_postings(spark, out)
+    result = bm25_topk_from_postings(
+        postings, spark.read.parquet(out + "_lexicon"), terms, k=10
+    )
+    bat = bm25_topk(landed, terms, k=10, k1=1.2, b=0.75).collect()
+    assert [tuple(r) for r in result.collect()] == [
+        tuple(r) for r in bat
+    ]
+    # ZERO corpus reads: the plan scans only state tables — a corpus
+    # scan would read the text column (the text.py scan is gone).
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    tbl = corpus_ops._state_table_name(out + "_postings", "postings")
+    assert tbl in plan  # the bucketed postings table IS the tf side
+    assert "text:string" not in plan
+    # Term filter pushed to the postings scan + bucket pruning active
+    # (3 of 4 buckets for these terms' hashes).
+    assert "In(token, [spark,vector,window])" in plan
+    assert "SelectedBucketsCount: 3 out of 4" in plan
+    # Postings rows are exactly one per landed (doc, token).
+    n_pairs = sum(
+        len(set(t.split())) for d, t in sum(shards, []) if d != 2
+    )
+    assert postings.count() == n_pairs
+    # Fresh-checkpoint replay: zero survivors -> zero new postings.
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ckpt2"), apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4,
+    )
+    assert corpus_ops.read_postings(spark, out).count() == n_pairs
+    # Bucket-count mismatch on reopen refuses loudly.
+    with _pytest.raises(ValueError, match="bucket"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / "ckpt3"), apply_quality=False,
+            maintain_lexicon=True, maintain_postings=True,
+            postings_n_buckets=8,
+        )
