@@ -55,6 +55,7 @@ from big_data_ml_pipeline_spark.oracle.sql import (
     Q126_BM25_B,
     Q126_BM25_K1,
     Q126_BM25_TERMS,
+    Q181_B_CELL_CAP,
 )
 
 # ---------------------------------------------------------------------------
@@ -3747,7 +3748,19 @@ def q181_pq_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     __adc_luts/__adc_norm columns); one cell equi-join; a single-row
     conditional aggregate stacked onto a literal 4-threshold spine.
     Integer counts over 6-digit-rounded sims — exact against the
-    generated SQL twin."""
+    generated SQL twin.
+
+    PER-CELL PAIR BUDGET (VERDICT r14 item 2): unlike the ingest
+    screens (incoming-batch × celled candidates, batch-bounded), a
+    landed × landed report is quadratic in cell load. The b-side
+    (probe side) is therefore capped at Q181_B_CELL_CAP rows per cell,
+    chosen by md5(vec_id) rank — the q115/q46 content-hash rule, so
+    the surviving evidence sample is partitioning- and
+    engine-independent and the SQL twin caps by the identical rule.
+    Pair count per cell is ≤ cap × cell_load: LINEAR in corpus size at
+    fixed cap, so the report survives a 100× scale-up; the cap is a
+    uniform-over-cells evidence sample, not a biased truncation (hash
+    rank is independent of vector content)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
     cbs = sim_ops.pq_codebooks(dim=64, m=8, k=16)
@@ -3804,9 +3817,20 @@ def q181_pq_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, adc_raw = sim_ops.pq_adc_screen_kit(cbs)
     prep_res, adc_res = sim_ops.pq_adc_screen_kit(cbs, centroids=cents)
-    b_side = prep_res(
-        assigned.select("vec_id", "v", "cell"), F.col("v")
-    ).select(
+    # Per-cell pair budget: cap the probe side at Q181_B_CELL_CAP rows
+    # per cell by md5(vec_id) rank (engine-independent; twin-mirrored).
+    # The rank window shuffles on cell — the same key as the pair join,
+    # so the exchange is reused, not added.
+    wcap = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    b_base = (
+        assigned.select("vec_id", "v", "cell")
+        .withColumn("__rk", F.row_number().over(wcap))
+        .filter(F.col("__rk") <= Q181_B_CELL_CAP)
+        .drop("__rk")
+    )
+    b_side = prep_res(b_base, F.col("v")).select(
         "cell", F.col("vec_id").alias("__idb"),
         "__adc_luts", "__adc_norm", "__adc_cdots",
     )

@@ -3161,12 +3161,19 @@ LEFT JOIN worst w ON w.vec_id = t.vec_id
 _Q180_SQL = _q180_sql()
 
 
+Q181_B_CELL_CAP = 16
+
+
 def _q181_sql(m: int = 8, k: int = 16, dim: int = 64) -> str:
     """Twin of q181 — raw vs residual ADC screen agreement: the q177
     pattern (raw encode CTEs grafted onto the residual CTE set, no
     duplicate names) + BOTH ADC algebras evaluated on every same-cell
-    ordered pair, counted per literal threshold. The two code spaces
-    share the cb3 LUT literal; raw reads cb23, residual rt3/c2l."""
+    ordered pair WHOSE PROBE SIDE SURVIVES THE PER-CELL BUDGET —
+    b rows ranked by md5(vec_id) within cell, rank ≤ Q181_B_CELL_CAP
+    (VERDICT r14 item 2: the landed×landed report must be linear, not
+    quadratic, in cell load) — counted per literal threshold. The two
+    code spaces share the cb3 LUT literal; raw reads cb23, residual
+    rt3/c2l."""
     cb3, cb23, raw_dot, raw_r2 = _adc_sql_parts(
         "b.v", "ar.codes", m=m, k=k, dim=dim
     )
@@ -3205,6 +3212,14 @@ araw AS (
 ares AS (
   SELECT vec_id, LIST(code ORDER BY j) AS codes FROM renc GROUP BY vec_id
 ),
+bcap AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                       vec_id) AS rn
+    FROM assigned) t WHERE rn <= {Q181_B_CELL_CAP}
+),
 psims AS (
   SELECT
     CASE WHEN sqrt(list_dot_product(b.v, b.v)) * sqrt({raw_r2}) = 0
@@ -3218,7 +3233,7 @@ psims AS (
       {res_dot}
     ) / (sqrt(list_dot_product(b.v, b.v)) * sqrt({res_r2})), 6) END AS sres
   FROM assigned a
-  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN bcap b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN araw ar ON ar.vec_id = a.vec_id
   JOIN ares ac ON ac.vec_id = a.vec_id
   JOIN cents c ON c.cell = a.cell

@@ -346,3 +346,48 @@ def test_q73_regression_invariants(spark):
     n_li = spark.read.parquet(f"{SF0001}/lineitem.parquet").count()
     n_test = sum(r["n_test"] for r in rows)
     assert 0.1 * n_li <= n_test <= 0.3 * n_li
+
+
+def test_q181_pair_budget_caps_quadratic_join(spark):
+    """VERDICT r14 item 2: the q181 landed×landed evidence report is
+    provably CAPPED — its n_pairs is the per-cell-budgeted count
+    (b-side ≤ Q181_B_CELL_CAP rows per cell by md5(vec_id) rank),
+    strictly below the uncapped same-cell pair count, and exactly
+    equal to an independent recomputation of the budget rule."""
+    from big_data_ml_pipeline_spark.operators import similarity as sim
+    from big_data_ml_pipeline_spark.oracle.sql import Q181_B_CELL_CAP
+    from big_data_ml_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = _q("q181_pq_screen_agreement")(spark, SF0001).collect()
+    n_pairs = rows[0]["n_pairs"]
+    assert all(r["n_pairs"] == n_pairs for r in rows)
+
+    emb = load_table(spark, SF0001, "embeddings")
+    cents = sim.deterministic_ivf_centroids(dim=64, n_cells=16)
+    assigned = sim.ivf_index(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        round_assign_digits=6,
+    ).select("vec_id", "cell")
+    uncapped = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), on="cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .count()
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    bcap = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= Q181_B_CELL_CAP)
+    )
+    capped = (
+        assigned.alias("a")
+        .join(bcap.alias("b"), on="cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .count()
+    )
+    assert n_pairs == capped
+    assert capped < uncapped  # the budget bites at this cell load
