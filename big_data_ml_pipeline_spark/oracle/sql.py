@@ -2184,13 +2184,10 @@ SELECT CAST(4 AS BIGINT) AS n_batches,
 _Q164_SQL = _q164_sql()
 
 
-def _pq_cbs_values(m: int = 8, k: int = 16, dim: int = 64) -> str:
-    """(j, c, cb, cb2) VALUES rows for the deterministic PQ codebook
-    kit — cb2 emitted as the SAME Python float literal Spark folds in,
-    so both engines use the identical double constant."""
-    from ..operators.similarity import pq_codebooks
-
-    cbs = pq_codebooks(dim=dim, m=m, k=k)
+def _cbs_values_from(cbs: list[list[list[float]]]) -> str:
+    """(j, c, cb, cb2) VALUES rows for ANY codebook literal kit — cb2
+    emitted as the SAME Python float Spark folds in, so both engines
+    use the identical double constant."""
     rows = []
     for j, cb_j in enumerate(cbs):
         for c, cb in enumerate(cb_j):
@@ -2198,6 +2195,14 @@ def _pq_cbs_values(m: int = 8, k: int = 16, dim: int = 64) -> str:
             cb2 = repr(float(sum(x * x for x in cb)))
             rows.append(f"({j}, {c}, CAST([{arr}] AS DOUBLE[]), {cb2})")
     return ", ".join(rows)
+
+
+def _pq_cbs_values(m: int = 8, k: int = 16, dim: int = 64) -> str:
+    """:func:`_cbs_values_from` over the deterministic PQ codebook
+    kit."""
+    from ..operators.similarity import pq_codebooks
+
+    return _cbs_values_from(pq_codebooks(dim=dim, m=m, k=k))
 
 
 #: Shared encode CTEs for q165/q166: per-(vector, subspace) argmin code
@@ -2986,6 +2991,70 @@ FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT {limit}
 
 
 _Q178_SQL = _q178_sql()
+
+
+def _q185_sql(m: int = 8, dim: int = 64) -> str:
+    """Twin of q185 — OPQ vs plain-PQ distortion, side by side: the
+    q167 per-subspace MIN/nano-sum algebra evaluated twice, once on
+    the raw vectors against the anchor's plain-PQ codebooks and once
+    on the ROTATED vectors (list_transform over the committed
+    rotation-matrix literal; each component a list_dot_product —
+    bit-identical to Spark's transform-over-Literal + sequential-fold
+    dot) against the anchor's OPQ codebooks. All literals come from
+    the committed opq_anchor.json, so both engines read the identical
+    doubles at every SF."""
+    from ..operators.similarity import load_opq_anchor
+
+    a = load_opq_anchor()
+    d = dim // m
+    rot = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in r) + "]"
+        for r in a["rotation"]
+    )
+
+    def _dists(src: str, cbs: str) -> str:
+        return f"""
+  SELECT {src}.vec_id, {cbs}.j,
+         ROUND(list_dot_product({src}.v[{cbs}.j * {d} + 1 : {cbs}.j * {d} + {d}],
+                                {src}.v[{cbs}.j * {d} + 1 : {cbs}.j * {d} + {d}])
+               - 2 * list_dot_product({src}.v[{cbs}.j * {d} + 1 : {cbs}.j * {d} + {d}],
+                                      {cbs}.cb)
+               + {cbs}.cb2, 9) AS dist
+  FROM {src} CROSS JOIN {cbs}"""
+
+    return f"""
+WITH pcbs(j, c, cb, cb2) AS (VALUES {_cbs_values_from(a["pq_codebooks"])}),
+ocbs(j, c, cb, cb2) AS (VALUES {_cbs_values_from(a["opq_codebooks"])}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rot(r3) AS (SELECT CAST([{rot}] AS DOUBLE[][])),
+er AS (
+  SELECT e.vec_id,
+         list_transform(rot.r3, rr -> list_dot_product(rr, e.v)) AS v
+  FROM e CROSS JOIN rot),
+pd AS ({_dists("e", "pcbs")}),
+od AS ({_dists("er", "ocbs")}),
+pmd AS (SELECT vec_id, j, MIN(dist) AS dist FROM pd GROUP BY vec_id, j),
+omd AS (SELECT vec_id, j, MIN(dist) AS dist FROM od GROUP BY vec_id, j),
+pagg AS (
+  SELECT j, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM pmd GROUP BY j),
+oagg AS (
+  SELECT j, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(dist * 1e9) AS BIGINT)) AS BIGINT) AS s
+  FROM omd GROUP BY j)
+SELECT CAST(p.j AS BIGINT) AS subspace,
+       CAST(p.n AS BIGINT) AS n_vectors,
+       p.s AS pq_sum_dist_q,
+       o.s AS opq_sum_dist_q,
+       CAST(p.s AS DOUBLE) / p.n / 1e9 AS pq_mean_sq_dist,
+       CAST(o.s AS DOUBLE) / o.n / 1e9 AS opq_mean_sq_dist,
+       CAST(CASE WHEN o.s <= p.s THEN 1 ELSE 0 END AS BIGINT) AS opq_wins
+FROM pagg p JOIN oagg o ON p.j = o.j
+"""
+
+
+_Q185_SQL = _q185_sql()
 
 # q184: the SAME one-shot BM25 over the SQL-landed set, top-15 — the
 # Spark side reads BOTH the global stats (lexicon) AND the per-doc
@@ -4675,5 +4744,6 @@ def oracle_sql() -> dict[str, str]:
         "q182_ivf_pq_residual_rerank_topk": _Q182_SQL,
         "q183_pq_cell_distortion": _Q183_SQL,
         "q184_postings_bm25_probe": _Q184_SQL,
+        "q185_opq_distortion": _Q185_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

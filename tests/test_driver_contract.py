@@ -391,3 +391,31 @@ def test_q181_pair_budget_caps_quadratic_join(spark):
     )
     assert n_pairs == capped
     assert capped < uncapped  # the budget bites at this cell load
+
+
+def test_q185_opq_wins_every_subspace_on_anchor_corpus(spark):
+    """On the ANCHOR corpus (sf0.01 — the sample the committed kit was
+    fitted on, where the Ge 2013 alternation's monotonicity applies),
+    q185's report shows opq_wins = 1 on all 8 subspaces (~16% total
+    improvement at the anchor vintage), and the artifact round-trips
+    orthogonal. On the other SFs' embeddings — different, near-
+    isotropic samples — the rotation is distortion-neutral (ratio
+    ≈ 1.0), exactly as theory predicts for iid dimensions; the
+    structured-data evidence lives in test_recall_quality's
+    clustered-corpus OPQ pin."""
+    import numpy as np
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        load_opq_anchor,
+    )
+
+    a = load_opq_anchor()
+    R = np.array(a["rotation"])
+    assert R.shape == (64, 64)
+    assert abs(R @ R.T - np.eye(64)).max() < 1e-12
+    rows = _q("q185_opq_distortion")(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 8
+    assert all(r["opq_wins"] == 1 for r in rows)
+    tot_pq = sum(r["pq_sum_dist_q"] for r in rows)
+    tot_opq = sum(r["opq_sum_dist_q"] for r in rows)
+    assert tot_opq <= tot_pq * 0.95  # ≥5% real improvement

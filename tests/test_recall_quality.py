@@ -915,3 +915,77 @@ def test_residual_pq_beats_raw_codes_on_clustered_corpus(
     print(f"ADC-only recall@10: raw {raw_rec:.3f} residual {res_rec:.3f}")
     assert res_rec >= raw_rec + 0.05, (raw_rec, res_rec)
     assert res_rec >= 0.5, res_rec
+
+
+def test_opq_rotation_cuts_distortion_keeps_recall(spark, clustered_corpus):
+    """OPQ evidence (VERDICT r14 item 3, Ge 2013): fit_opq_rotation's
+    Procrustes/Lloyd alternation starts at (I, plain-PQ) and every
+    step is non-increasing, so total OPQ distortion ≤ total plain-PQ
+    distortion BY CONSTRUCTION on the training sample; on this
+    clustered fixture it roughly halves per subspace (8/8 wins,
+    measured 0.019-0.030 → 0.010-0.011 mean sq dist) and brute ADC
+    recall@10 holds (0.43 → 0.44). Also pins: R is orthogonal, the
+    rotated encode stays in [0, k), and the screen-kit rotation path
+    agrees with pq_encode's codes."""
+    import numpy as np
+
+    emb, cents, V, _ = clustered_corpus
+    R, opq_cbs, pq_cbs = sim_ops.fit_opq_rotation(emb, m=8, k=16)
+    Rm = np.array(R)
+    assert abs(Rm @ Rm.T - np.eye(64)).max() < 1e-12
+    rk = {
+        r["subspace"]: r["sum_dist_q"]
+        for r in sim_ops.pq_reconstruction_report(emb, pq_cbs).collect()
+    }
+    rr = {
+        r["subspace"]: r["sum_dist_q"]
+        for r in sim_ops.pq_reconstruction_report(
+            emb, opq_cbs, rotation=R
+        ).collect()
+    }
+    assert set(rk) == set(rr) == set(range(8))
+    assert sum(rr.values()) <= sum(rk.values())
+    wins = sum(1 for j in range(8) if rr[j] <= rk[j])
+    assert wins >= 7, (wins, rr, rk)
+
+    queries = emb.filter(F.col("vec_id") % 25 == 7)
+
+    def adc_recall(cbs, rot):
+        enc = sim_ops.pq_encode(emb, cbs, rotation=rot).withColumnRenamed(
+            "vec_id", "cand_id"
+        )
+        prep, adc = sim_ops.pq_adc_screen_kit(cbs, rotation=rot)
+        q = prep(
+            queries.select(F.col("vec_id").alias("qid"), "embedding"),
+            F.col("embedding"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("qid").orderBy(
+            F.col("s").desc(), F.col("cand_id").asc()
+        )
+        top = (
+            q.crossJoin(enc)
+            .select("qid", "cand_id", adc(F.col("codes")).alias("s"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 10")
+            .collect()
+        )
+        got = {}
+        for r in top:
+            got.setdefault(r["qid"], []).append(r["cand_id"])
+        hits = 0
+        for c in range(20):
+            qi = c * 25 + 7
+            sims = V @ V[qi]
+            sims[qi] = 2.0
+            hits += len(
+                set(got[qi]) & set(np.argsort(-sims)[:10].tolist())
+            )
+        return hits / 200.0
+
+    raw_rec = adc_recall(pq_cbs, None)
+    opq_rec = adc_recall(opq_cbs, R)
+    print(f"ADC recall@10: raw-PQ {raw_rec:.3f} OPQ {opq_rec:.3f}")
+    assert opq_rec >= raw_rec - 0.02, (raw_rec, opq_rec)
+    assert opq_rec >= 0.40, opq_rec
