@@ -818,6 +818,92 @@ class PipelineOrchestrator:
         pq["codebooks"] = cbs
         return status
 
+    def maintain_embedding_cells(self, out_dir: str,
+                                 raw_corpus: "DataFrame | str",
+                                 top_n: int = 2,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> dict:
+        """SELECTIVE cell maintenance for a live residual codes-only
+        state (VERDICT r14 item 4 — the loop q183 ranks for): run the
+        per-cell residual distortion report over the LANDED corpus,
+        flag the ``top_n`` worst populated cells, recenter ONLY those
+        cells on their current members
+        (:func:`~.streaming.embeddings.recenter_state_cells` — never
+        reassigns), and rotate the state's residual codes for the
+        affected cells only (``cells=`` on
+        :func:`~.streaming.embeddings.rotate_embedding_state_codebooks`
+        — untouched cells' codes are bit-identical under the moved
+        kit, so the selective repair equals a full recenter+rotate at
+        a fraction of the cost: flagged members re-encode, nothing
+        else is read). On success the config's ``ingest_centroids``
+        is updated in place so continued ingests assign and screen
+        with the repaired kit. Returns {"cells", "status",
+        "centroids"}."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            pq_cell_distortion_report,
+            pq_codebooks,
+        )
+        from .streaming.embeddings import (
+            recenter_state_cells,
+            rotate_embedding_state_codebooks,
+        )
+
+        c = self.config["embeddings"]
+        pq = c.get("pq") or {}
+        if not (pq.get("ingest") and pq.get("residual")):
+            raise ValueError(
+                "maintain_embedding_cells needs embeddings.pq.ingest + "
+                "pq.residual (cell-local codes exist only in the "
+                "residual code space)"
+            )
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        mm, kk = int(pq.get("m", 8)), int(pq.get("k", 16))
+        cbs = pq.get("codebooks") or pq_codebooks(
+            dim=c["ingest_dim"], m=mm, k=kk
+        )
+        raw = (
+            self.spark.read.parquet(raw_corpus)
+            if isinstance(raw_corpus, str)
+            else raw_corpus
+        )
+        landed_ids = self.spark.read.parquet(out_dir.rstrip("/")).select(
+            id_col
+        )
+        landed_raw = raw.join(landed_ids, on=id_col, how="left_semi")
+        report = pq_cell_distortion_report(
+            landed_raw, cents, cbs, id_col=id_col, vec_col=vec_col,
+            round_assign_digits=c.get("ingest_round_assign_digits"),
+        ).filter(F.col("n_vectors") > 0)
+        flagged = [
+            int(r["cell"])
+            for r in report.orderBy(
+                F.col("mean_sq_dist").desc(), F.col("cell").asc()
+            ).limit(int(top_n)).collect()
+        ]
+        if not flagged:
+            return {"cells": [], "status": "no populated cells",
+                    "centroids": cents}
+        new_cents = recenter_state_cells(
+            self.spark, out_dir, raw, cents, flagged,
+            id_col=id_col, vec_col=vec_col,
+        )
+        status = rotate_embedding_state_codebooks(
+            self.spark, out_dir, cbs, raw,
+            old_codebooks=cbs,
+            cell_n_buckets=c.get("ingest_cell_n_buckets"),
+            id_col=id_col, vec_col=vec_col,
+            old_centroids=cents, new_centroids=new_cents,
+            cells=flagged,
+        )
+        c["ingest_centroids"] = new_cents
+        return {"cells": flagged, "status": status,
+                "centroids": new_cents}
+
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,
                 output_path: str | None = None) -> DataFrame:

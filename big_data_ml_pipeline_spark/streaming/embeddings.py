@@ -1157,6 +1157,7 @@ def rotate_embedding_state_codebooks(
     pq_round_digits: int = 9,
     old_centroids: list[list[float]] | None = None,
     new_centroids: list[list[float]] | None = None,
+    cells: list[int] | None = None,
 ) -> str:
     """Re-encode a LIVE codes-only embedding state under retrained
     codebooks (VERDICT r13 item 2 — the lifecycle gap
@@ -1194,6 +1195,19 @@ def rotate_embedding_state_codebooks(
     encode; the bucketed layout (pass the ingest's
     ``cell_n_buckets``) is preserved through the catalog-table
     rewrite, so post-rotation probes stay exchange-free.
+
+    ``cells`` (VERDICT r14 item 4 — SELECTIVE maintenance): re-encode
+    ONLY the rows assigned to the listed coarse cells; every other
+    row keeps its codes verbatim. Legal only for a RESIDUAL state
+    whose kit changed NOWHERE ELSE — the guard requires identical
+    codebooks and identical centroids outside ``cells`` (otherwise
+    untouched rows would silently hold stale codes in the new code
+    space). Because unflagged cells' residuals are untouched by a
+    flagged-cell recenter, the selective result is BIT-IDENTICAL to a
+    full rotation under the same new kit (pytest-pinned) — but the
+    join + encode touch only the flagged cells' members: at 100 TB,
+    repairing 3 drifted cells of 4096 costs 3/4096ths of a full
+    rotation, not all of it.
     """
     from ..operators.similarity import pq_append_codes
     from ..sources.state import (
@@ -1210,6 +1224,31 @@ def rotate_embedding_state_codebooks(
     )
 
     nb = int(cell_n_buckets or 0)
+    if cells is not None:
+        cset = sorted({int(x) for x in cells})
+        if new_centroids is None or old_centroids is None:
+            raise ValueError(
+                "cells-restricted rotation only applies to a RESIDUAL "
+                "state (raw codes don't depend on centroids — there is "
+                "nothing cell-local to re-encode)"
+            )
+        if old_codebooks is None:
+            raise ValueError(
+                "cells-restricted rotation requires old_codebooks — the "
+                "untouched cells' codes must provably live in the same "
+                "code space"
+            )
+        if new_codebooks != old_codebooks:
+            raise ValueError(
+                "cells-restricted rotation cannot change codebooks — "
+                "codes in untouched cells would go stale"
+            )
+        for i, (a, b) in enumerate(zip(old_centroids, new_centroids)):
+            if i not in cset and list(a) != list(b):
+                raise ValueError(
+                    f"centroid {i} changed but is not in cells= — a "
+                    "partial rotation would mix code spaces"
+                )
     new_fp = _pq_fingerprint(new_codebooks, new_centroids)
     raw = raw_corpus.select(
         F.col(id_col), F.col(vec_col).alias("__raw_v")
@@ -1247,19 +1286,40 @@ def rotate_embedding_state_codebooks(
                     "different kit than old_codebooks — refusing to "
                     "rotate a state of unknown provenance"
                 )
-        n_state = df.count()
-        enc = pq_append_codes(
-            df.drop("codes").join(raw, on=id_col),
-            new_codebooks, vec_col="__raw_v",
-            round_digits=pq_round_digits, centroids=new_centroids,
-        ).select(id_col, "codes", "cell", "fp")
-        n_enc = enc.count()
-        if n_enc != n_state:
-            raise ValueError(
-                f"rotation of {path}: raw_corpus covers {n_enc} of "
-                f"{n_state} state rows — every landed/screened id needs "
-                "its cold raw vector to re-encode"
+        if cells is not None:
+            todo = df.filter(F.col("cell").isin(cset))
+            n_todo = todo.count()
+            enc_changed = pq_append_codes(
+                todo.drop("codes").join(raw, on=id_col),
+                new_codebooks, vec_col="__raw_v",
+                round_digits=pq_round_digits, centroids=new_centroids,
+            ).select(id_col, "codes", "cell", "fp")
+            n_enc = enc_changed.count()
+            if n_enc != n_todo:
+                raise ValueError(
+                    f"selective rotation of {path}: raw_corpus covers "
+                    f"{n_enc} of {n_todo} flagged-cell rows — every "
+                    "flagged id needs its cold raw vector to re-encode"
+                )
+            enc = (
+                df.filter(~F.col("cell").isin(cset))
+                .select(id_col, "codes", "cell", "fp")
+                .unionByName(enc_changed)
             )
+        else:
+            n_state = df.count()
+            enc = pq_append_codes(
+                df.drop("codes").join(raw, on=id_col),
+                new_codebooks, vec_col="__raw_v",
+                round_digits=pq_round_digits, centroids=new_centroids,
+            ).select(id_col, "codes", "cell", "fp")
+            n_enc = enc.count()
+            if n_enc != n_state:
+                raise ValueError(
+                    f"rotation of {path}: raw_corpus covers {n_enc} of "
+                    f"{n_state} state rows — every landed/screened id "
+                    "needs its cold raw vector to re-encode"
+                )
         if nb:
             _check_bucket_marker(path, nb, "embedding codebook rotation")
             id_ddl = df.schema[id_col].dataType.simpleString()
@@ -1287,6 +1347,62 @@ def rotate_embedding_state_codebooks(
             atomic_swap_dirs(path)
         statuses.append(f"{path}: rotated")
     return "; ".join(statuses)
+
+
+def recenter_state_cells(
+    spark: SparkSession,
+    out_dir: str,
+    raw_corpus: DataFrame,
+    centroids: list[list[float]],
+    cells: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Recenter ONLY the listed coarse cells of a live embedding state
+    on their CURRENT landed members (VERDICT r14 item 4): each flagged
+    cell's centroid becomes the quantized-integer mean (the
+    ivf_recenter 1e-6 pattern — partition-order independent) of the
+    raw vectors of the rows the state assigns to it; every other
+    centroid is returned verbatim. Never reassigns a row — the state's
+    own ``cell`` column is the membership, exactly the contract the
+    selective rotation (``cells=``) requires. A flagged cell with no
+    members keeps its old centroid.
+
+    Scale shape: one semi-join-shaped id equi-join restricted to the
+    flagged cells' members + ONE (cell, pos) aggregation; the collect
+    is |flagged| × dim rows — KB-scale, like every centroid update."""
+    from ..functions.vector import to_double_array
+
+    cset = sorted({int(x) for x in cells})
+    state = spark.read.parquet(out_dir.rstrip("/"))
+    raw = raw_corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__rv")
+    )
+    members = (
+        state.filter(F.col("cell").isin(cset))
+        .select(id_col, "cell")
+        .join(raw, on=id_col)
+    )
+    rows = (
+        members.select("cell", F.posexplode("__rv").alias("pos0", "x"))
+        .groupBy("cell", "pos0")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("x") * 1_000_000).cast("long")
+                ).cast("bigint")
+                / (F.count("*") * F.lit(1_000_000.0))
+            ).alias("cv")
+        )
+        .collect()
+    )
+    got: dict[int, dict[int, float]] = {}
+    for r in rows:
+        got.setdefault(int(r["cell"]), {})[int(r["pos0"])] = float(r["cv"])
+    new_cents = [[float(x) for x in c] for c in centroids]
+    for cell, d in got.items():
+        new_cents[cell] = [d[i] for i in range(len(new_cents[cell]))]
+    return new_cents
 
 
 def compact_screened_extras(

@@ -1090,3 +1090,70 @@ def test_orchestrator_rotation_fit_path(spark, tmp_path):
     # marker without refusal; a full replay lands nothing new.
     orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == n0
+
+
+def test_orchestrator_maintain_embedding_cells(spark, tmp_path):
+    """maintain_embedding_cells closes the q183 maintenance loop on
+    the config surface: ranks cells by residual distortion over the
+    LANDED corpus, recenters the top_n worst on their current members,
+    selectively rotates only those cells' codes, and updates
+    ingest_centroids in place — with the post-repair state carrying
+    the moved kit's _PQ_SPEC. Refuses without pq.residual."""
+    import os
+
+    import pytest as _pytest
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        pq_codebooks,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+    from big_data_ml_pipeline_spark.streaming.embeddings import (
+        _pq_fingerprint,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    e1 = [1.0, 0.0, 0.0, 0.0, 0.5, 0.5, -0.5, 0.25]
+    e2 = [0.0, 1.0, 0.0, 0.0, -0.5, 0.5, 0.5, -0.25]
+    e3 = [0.25, -1.0, 0.5, 0.0, 0.75, -0.5, 0.5, 1.25]
+    df = spark.createDataFrame(
+        [(1, e1), (2, e1), (3, e2), (4, e3)], ["vec_id", "embedding"]
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    cfg = {"embeddings": {"ingest_threshold": 0.99,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ckpt"))
+
+    raw_only = PipelineOrchestrator(
+        config={"embeddings": {"ingest_dim": 8, "ingest_n_cells": 4,
+                               "pq": {"m": 4, "k": 4, "ingest": True}}},
+        spark=spark,
+    )
+    with _pytest.raises(ValueError, match="residual"):
+        raw_only.maintain_embedding_cells(out, df)
+
+    res = orch.maintain_embedding_cells(out, df, top_n=1)
+    assert len(res["cells"]) == 1
+    assert "rotated" in res["status"] or "no state" in res["status"]
+    cents0 = deterministic_ivf_centroids(dim=8, n_cells=4)
+    kit = pq_codebooks(dim=8, m=4, k=4)
+    moved = res["centroids"]
+    flagged = res["cells"][0]
+    for i in range(4):
+        if i == flagged:
+            assert moved[i] != list(map(float, cents0[i]))
+        else:
+            assert moved[i] == [float(x) for x in cents0[i]]
+    # config updated in place for continued ingests
+    assert orch.config["embeddings"]["ingest_centroids"] == moved
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == _pq_fingerprint(kit, moved)
+    # repair is idempotent at the marker level: a second pass flags by
+    # the NEW kit and rotates again without refusing provenance
+    res2 = orch.maintain_embedding_cells(out, df, top_n=1)
+    assert res2["cells"], res2

@@ -1231,3 +1231,105 @@ def test_residual_ingest_nprobe2_stream_equals_batch(spark, tmp_path):
     eids = {r["vec_id"]
             for r in spark.read.parquet(out + "_screened").collect()}
     assert eids == dropped
+
+
+def test_selective_cell_maintenance_equals_full_rotation(spark, tmp_path):
+    """VERDICT r14 item 4: the selective repair loop — q183-style
+    flagged cells → recenter_state_cells on current members →
+    cells-restricted rotation — produces a state BIT-IDENTICAL to a
+    full rotation under the same moved kit (landed + screened tables
+    and _PQ_SPEC markers), while actually changing codes in the
+    repaired cells. Also pins the three selective-rotation guards:
+    codebook changes, centroid changes outside the flagged set, and
+    raw (non-residual) states all refuse."""
+    import shutil
+
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    kw = dict(centroids=CENTS, threshold=THR_RES,
+              round_assign_digits=6, screen_round_digits=6,
+              codebooks=CBS)
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, ckpt,
+        pq_residual=True, **kw
+    )
+    raw_corpus = spark.createDataFrame(
+        [(i, v) for i, v in ALL_ROWS], ["vec_id", "embedding"]
+    )
+    pre = {r["vec_id"]: (tuple(r["codes"]), r["cell"])
+           for r in spark.read.parquet(out).collect()}
+    cells_present = sorted({c for _, c in pre.values()})
+    flagged = cells_present[:2]
+    new_cents = se.recenter_state_cells(
+        spark, out, raw_corpus, CENTS, flagged
+    )
+    for i, (a, b) in enumerate(zip(CENTS, new_cents)):
+        if i in flagged:
+            assert list(a) != list(b), i  # recentered on real members
+        else:
+            assert list(a) == list(b), i  # untouched verbatim
+
+    # Baseline: FULL rotation of an identical copy under the same kit.
+    full = str(tmp_path / "full")
+    shutil.copytree(out, full)
+    if os.path.isdir(out + "_screened"):
+        shutil.copytree(out + "_screened", full + "_screened")
+    st_sel = se.rotate_embedding_state_codebooks(
+        spark, out, CBS, raw_corpus, old_codebooks=CBS,
+        old_centroids=CENTS, new_centroids=new_cents, cells=flagged,
+    )
+    st_full = se.rotate_embedding_state_codebooks(
+        spark, full, CBS, raw_corpus, old_codebooks=CBS,
+        old_centroids=CENTS, new_centroids=new_cents,
+    )
+    assert "rotated" in st_sel and "rotated" in st_full
+    want_fp = se._pq_fingerprint(CBS, new_cents)
+    for base in (out, full):
+        for suffix in ("", "_screened"):
+            if not os.path.isdir(base + suffix):
+                continue
+            with open(os.path.join(base + suffix, "_PQ_SPEC")) as fh:
+                assert fh.read().strip() == want_fp, (base, suffix)
+    changed = 0
+    for suffix in ("", "_screened"):
+        if not os.path.isdir(out + suffix):
+            continue
+        sel = {(r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+               for r in spark.read.parquet(out + suffix).collect()}
+        ful = {(r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+               for r in spark.read.parquet(full + suffix).collect()}
+        assert sel == ful, suffix
+    for r in spark.read.parquet(out).collect():
+        was_codes, was_cell = pre[r["vec_id"]]
+        assert r["cell"] == was_cell  # never reassigns
+        if was_cell in flagged and tuple(r["codes"]) != was_codes:
+            changed += 1
+    assert changed > 0  # the repair re-encoded something real
+
+    # Guards. (State is already at the new kit; the guards raise at
+    # argument-validation time, before any marker is consulted.)
+    other_cbs = [list(reversed(cb)) for cb in CBS]
+    with pytest.raises(ValueError, match="cannot change codebooks"):
+        se.rotate_embedding_state_codebooks(
+            spark, out, other_cbs, raw_corpus, old_codebooks=CBS,
+            old_centroids=new_cents, new_centroids=new_cents,
+            cells=flagged,
+        )
+    drifted = [list(c) for c in new_cents]
+    unflagged = [c for c in cells_present if c not in flagged]
+    victim = unflagged[0] if unflagged else (
+        len(new_cents) - 1 if (len(new_cents) - 1) not in flagged else 0
+    )
+    drifted[victim] = [x + 1.0 for x in drifted[victim]]
+    with pytest.raises(ValueError, match="not in cells"):
+        se.rotate_embedding_state_codebooks(
+            spark, out, CBS, raw_corpus, old_codebooks=CBS,
+            old_centroids=new_cents, new_centroids=drifted,
+            cells=flagged,
+        )
+    with pytest.raises(ValueError, match="RESIDUAL"):
+        se.rotate_embedding_state_codebooks(
+            spark, out, CBS, raw_corpus, old_codebooks=CBS,
+            cells=flagged,
+        )
