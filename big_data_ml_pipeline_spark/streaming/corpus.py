@@ -596,6 +596,9 @@ def ingest_documents_stream(
     100 TB shape for lexical retrieval. Crash-safety is the lexicon's
     argument verbatim (appended before the corpus; replay partials
     byte-identical, deduped on read by (batch_id, token, doc_id)).
+    The ``compact_every`` cadence folds the postings too
+    (:func:`compact_postings` — one file per bucket, layout
+    preserved), so query-time file counts stay flat at ingest cadence.
 
     With ``lm_floor`` set (requires ``maintain_vocab=True``), each
     batch is ALSO gated by the corpus's own incremental language
@@ -1229,6 +1232,15 @@ def ingest_documents_stream(
                 and os.path.exists(out_dir.rstrip("/") + "_lexicon")
             ):
                 compact_lexicon(spark, out_dir.rstrip("/") + "_lexicon")
+            if (
+                maintain_postings
+                and compact_every
+                and (batch_id + 1) % compact_every == 0
+                and _has_parquet(postings_dir)
+            ):
+                compact_postings(
+                    spark, postings_dir, n_buckets=pg_buckets or None
+                )
         finally:
             cached.unpersist()
 
@@ -1317,6 +1329,42 @@ def compact_vocab(spark: SparkSession, path: str) -> None:
         path.rstrip("/") + TMP_SUFFIX
     )
     atomic_swap_dirs(path)
+
+
+def compact_postings(
+    spark: SparkSession, path: str, n_buckets: int | None = None
+) -> None:
+    """Fold the appended per-batch postings to one row per (token,
+    doc_id): a doc lands exactly once, so cross-batch duplicates can
+    only be byte-identical replay partials — dedup by (batch_id,
+    token, doc_id), restamp batch_id = -1 (committed batches can never
+    replay, so the fold is final; later appends carry real ids), and
+    rewrite. Bucketed mode folds each token bucket's accumulated
+    per-append files back to ONE file per bucket while preserving the
+    pruning/bucket-join layout (the gram-index compaction property);
+    plain mode coalesces through the same crash-safe swap. This is
+    what keeps query-time file counts flat at ingest cadence."""
+    from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
+
+    path = path.rstrip("/")
+    folded = (
+        spark.read.parquet(path)
+        .dropDuplicates(["batch_id", "token", "doc_id"])
+        .select(
+            F.lit(-1).cast("long").alias("batch_id"),
+            "token", "doc_id", "tf", "dl",
+        )
+    )
+    if n_buckets:
+        _rewrite_bucketed_state(
+            spark, path, _state_table_name(path, "postings"), folded,
+            n_buckets, ["token"], sort_cols=["token"],
+        )
+    else:
+        folded.coalesce(1).write.mode("overwrite").parquet(
+            path + TMP_SUFFIX
+        )
+        atomic_swap_dirs(path)
 
 
 def compact_lexicon(spark: SparkSession, path: str) -> None:

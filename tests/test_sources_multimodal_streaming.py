@@ -2910,6 +2910,19 @@ def test_streaming_postings_bm25_zero_corpus_reads(spark, tmp_path):
         postings_n_buckets=4,
     )
     assert corpus_ops.read_postings(spark, out).count() == n_pairs
+    # Compaction folds the per-batch appends to one file per bucket,
+    # preserves the layout, and changes neither counts nor the query.
+    corpus_ops.compact_postings(spark, out + "_postings", n_buckets=4)
+    files = [
+        n for n in os.listdir(out + "_postings") if n.endswith(".parquet")
+    ]
+    assert 1 <= len(files) <= 4  # ≤ one per bucket (empty buckets: none)
+    post2 = corpus_ops.read_postings(spark, out)
+    assert post2.count() == n_pairs
+    inc2 = bm25_topk_from_postings(
+        post2, spark.read.parquet(out + "_lexicon"), terms, k=10
+    ).collect()
+    assert [tuple(r) for r in inc2] == [tuple(r) for r in bat]
     # Bucket-count mismatch on reopen refuses loudly.
     with _pytest.raises(ValueError, match="bucket"):
         corpus_ops.ingest_documents_stream(
