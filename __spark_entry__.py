@@ -4008,6 +4008,33 @@ def q185_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q186_opq_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ IVF-PQ ADC top-k (q166's probe with the fine quantizer in
+    the LEARNED ROTATED space — similarity.ivf_pq_knn_join
+    rotation=): the index codes quantize R·v against the anchor's OPQ
+    codebooks and each query's nano-unit LUTs are built from R·q, so
+    the ADC sum is the exact quantized ‖R·q − recon‖² =
+    ‖q − Rᵀrecon‖² — distances to reconstructions of the raw
+    vectors, at identical probe cost (still m integer lookups per
+    pair; the rotation is ONE extra map-only projection on each
+    side). Coarse cells stay raw. (qid, vec_id, adist_q, rn) top-10,
+    integer-exact against the SQL twin (the rotation literal is
+    shared)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = sim_ops.load_opq_anchor()
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        anchor["opq_codebooks"],
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        rotation=anchor["rotation"],
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4216,6 +4243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_pq_cell_distortion": q183_pq_cell_distortion,
         "q184_postings_bm25_probe": q184_postings_bm25_probe,
         "q185_opq_distortion": q185_opq_distortion,
+        "q186_opq_ivfpq_topk": q186_opq_ivfpq_topk,
     }
 
 

@@ -2265,6 +2265,7 @@ def ivf_pq_index(
     round_assign_digits: int | None = None,
     round_digits: int = 9,
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The composed IVF-PQ index: (id, cell, codes) in ONE map-only
     pass over the corpus — coarse cell from the IVF kit, fine codes
@@ -2278,11 +2279,18 @@ def ivf_pq_index(
     absorbed the cell's mean, so the same m×k code budget spends its
     resolution on the part the cell doesn't explain — the lever that
     lifts pre-rerank ADC recall at identical storage (VERDICT r13
-    item 1). Still one map-only pass."""
+    item 1). Still one map-only pass.
+
+    ``rotation`` (OPQ): codes quantize the ROTATED quantity — R·v, or
+    R·(v − centroid) under ``residual`` — against codebooks trained in
+    that space; coarse cells stay in the raw space (the rotation only
+    re-parameterizes the fine quantizer)."""
     assigned = ivf_index(
         embeddings, centroids, id_col, vec_col, round_assign_digits
     )
-    prep, codes_col, _, _ = _pq_exprs(codebooks, round_digits)
+    prep, codes_col, _, _ = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     vec = (
         _residual_expr(F.col("v"), F.col("cell"), centroids)
         if residual
@@ -2463,6 +2471,7 @@ def ivf_pq_knn_join(
     rerank_from: int | None = None,
     rerank_round_digits: int = 6,
     residual: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ probe with asymmetric distance computation (ADC): for
     every query, rank the candidates in its nprobe cells by
@@ -2501,7 +2510,16 @@ def ivf_pq_knn_join(
     integers, map-only. A pre-built ``index`` must have been encoded
     with the SAME ``residual`` setting (codes carry no provenance —
     the q168 `_PQ_SPEC` marker guards the streaming state, but a
-    batch index table is the caller's contract)."""
+    batch index table is the caller's contract).
+
+    ``rotation`` (OPQ, Ge 2013): both sides of the ADC comparison move
+    to the rotated space — the index codes quantize R·v (or the
+    rotated residual) and the query LUTs are built from the rotated
+    query — while coarse cells and the exact-cosine rerank stay in the
+    raw space. Since R is orthogonal, ‖R·x − recon‖² = ‖x −
+    Rᵀrecon‖², so ADC distances remain distances to reconstructions
+    of the raw vectors; a pre-built ``index`` must use the SAME
+    rotation."""
     m = len(codebooks)
     cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
     enc = (
@@ -2510,9 +2528,12 @@ def ivf_pq_knn_join(
         else ivf_pq_index(
             embeddings, centroids, codebooks, id_col, vec_col,
             round_assign_digits, round_digits, residual=residual,
+            rotation=rotation,
         )
     )
-    prep, _, luts_col, _ = _pq_exprs(codebooks, round_digits)
+    prep, _, luts_col, _ = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     if residual:
         qr = queries.select(
             F.col(query_id_col).alias("qid"),

@@ -3056,6 +3056,111 @@ FROM pagg p JOIN oagg o ON p.j = o.j
 
 _Q185_SQL = _q185_sql()
 
+
+def _q186_sql(
+    k_top: int = 10, nprobe: int = 4, m: int = 8, dim: int = 64
+) -> str:
+    """Twin of q186 — OPQ IVF-PQ ADC top-k: the q166 machinery with
+    the FINE quantizer moved to the rotated space. Coarse cells stay
+    raw (csims over e.v); the encode dists and the query LUTs both
+    read the ROTATED vectors (er = list_transform over the committed
+    rotation literal) against the anchor's OPQ codebooks. Integer ADC
+    sums, same tie rules."""
+    from ..operators.similarity import (
+        deterministic_ivf_centroids,
+        load_opq_anchor,
+    )
+
+    a = load_opq_anchor()
+    d = dim // m
+    rot = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in r) + "]"
+        for r in a["rotation"]
+    )
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cbs(j, c, cb, cb2) AS (VALUES {_cbs_values_from(a["opq_codebooks"])}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+rot(r3) AS (SELECT CAST([{rot}] AS DOUBLE[][])),
+er AS (
+  SELECT e.vec_id,
+         list_transform(rot.r3, rr -> list_dot_product(rr, e.v)) AS v
+  FROM e CROSS JOIN rot),
+dists AS (
+  SELECT er.vec_id, cbs.j, cbs.c,
+         ROUND(list_dot_product(er.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                                er.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+               - 2 * list_dot_product(er.v[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                                      cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM er CROSS JOIN cbs
+),
+enc AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) t WHERE rn = 1
+),
+cents(cell, cv) AS (VALUES {values}),
+csims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         ROUND(list_dot_product(e.v, cents.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cents.cv, cents.cv))), 6) AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims) t WHERE rn = 1
+),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM er WHERE vec_id % 100 = 0),
+lut AS (
+  SELECT q.qid, cbs.j, cbs.c,
+         CAST(ROUND((list_dot_product(q.qv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                                      q.qv[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+                     - 2 * list_dot_product(
+                         q.qv[cbs.j * {d} + 1 : cbs.j * {d} + {d}], cbs.cb)
+                     + cbs.cb2) * 1e9) AS BIGINT) AS term
+  FROM q CROSS JOIN cbs
+),
+cand AS (
+  SELECT qc.qid, a.vec_id
+  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id, SUM(lut.term) AS adist
+  FROM cand
+  JOIN enc ON enc.vec_id = cand.vec_id
+  JOIN lut ON lut.qid = cand.qid AND lut.j = enc.j AND lut.c = enc.code
+  GROUP BY cand.qid, cand.vec_id
+)
+SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist_q, CAST(rn AS BIGINT) AS rn
+FROM (
+  SELECT qid, vec_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rn
+  FROM scored) t
+WHERE rn <= {k_top}
+"""
+
+
+_Q186_SQL = _q186_sql()
+
 # q184: the SAME one-shot BM25 over the SQL-landed set, top-15 — the
 # Spark side reads BOTH the global stats (lexicon) AND the per-doc
 # (tf, dl) side (inverted postings, bucketed on token) from ingest
@@ -4745,5 +4850,6 @@ def oracle_sql() -> dict[str, str]:
         "q183_pq_cell_distortion": _Q183_SQL,
         "q184_postings_bm25_probe": _Q184_SQL,
         "q185_opq_distortion": _Q185_SQL,
+        "q186_opq_ivfpq_topk": _Q186_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
