@@ -2136,6 +2136,45 @@ def bm25_topk_from_postings(
     )
 
 
+def boolean_and_topk_from_postings(
+    postings: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive boolean retrieval from the INVERTED POSTINGS state:
+    documents containing EVERY query term, ranked by total matched
+    term frequency (ties by id), k rows max — the classical AND-query
+    plan: per-term posting-list reads (pushed IN-filter + bucket
+    pruning, like :func:`bm25_topk_from_postings`), one doc-keyed
+    aggregation whose distinct-term count implements the intersection,
+    zero corpus reads. Returns (id_col, n_terms, total_tf, score)
+    with score = total_tf as a double (a stable surface with the BM25
+    variants). Replayed-batch duplicates removed by the (batch_id,
+    token, doc_id) dedup."""
+    tlist = [str(t) for t in query_terms]
+    hits = (
+        postings.filter(F.col("token").isin(*tlist))
+        .dropDuplicates(["batch_id", "token", "doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("token").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(set(tlist)))
+    )
+    return (
+        hits.select(
+            F.col("doc_id").alias(id_col),
+            "n_terms",
+            "total_tf",
+            F.col("total_tf").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 4,

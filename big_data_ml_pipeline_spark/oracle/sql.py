@@ -3161,6 +3161,46 @@ WHERE rn <= {k_top}
 
 _Q186_SQL = _q186_sql()
 
+Q187_BOOL_TERMS: tuple[str, ...] = ("spark", "window", "vector")
+
+
+def _q187_sql(k: int = 12) -> str:
+    """Twin of q187 — conjunctive boolean retrieval over the
+    SQL-landed set (the q178/q184 convention: the Spark side reads
+    inverted postings; postings rows are exact per-(doc, token) facts
+    of the landed corpus, so the SQL can aggregate one-shot): docs
+    containing EVERY query term, ranked by total matched tf, id
+    ties."""
+    terms = ", ".join(f"'{t}'" for t in Q187_BOOL_TERMS)
+    n = len(set(Q187_BOOL_TERMS))
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM corpus),
+tf AS (
+  SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, unnest(list_filter(toks,
+                t -> list_contains([{terms}], t))) AS term
+        FROM base) t
+  GROUP BY id, term),
+hits AS (
+  SELECT id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY id
+  HAVING COUNT(DISTINCT term) = {n})
+SELECT id AS doc_id, n_terms, total_tf,
+       CAST(total_tf AS DOUBLE) AS score
+FROM hits ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_Q187_SQL = _q187_sql()
+
+
 # q184: the SAME one-shot BM25 over the SQL-landed set, top-15 — the
 # Spark side reads BOTH the global stats (lexicon) AND the per-doc
 # (tf, dl) side (inverted postings, bucketed on token) from ingest
@@ -4851,5 +4891,6 @@ def oracle_sql() -> dict[str, str]:
         "q184_postings_bm25_probe": _Q184_SQL,
         "q185_opq_distortion": _Q185_SQL,
         "q186_opq_ivfpq_topk": _Q186_SQL,
+        "q187_postings_boolean_topk": _Q187_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
