@@ -2386,6 +2386,7 @@ def pq_cell_distortion_report(
     vec_col: str = "embedding",
     round_assign_digits: int | None = None,
     round_digits: int = 9,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Per-CELL residual quantization distortion — the maintenance
     signal :func:`pq_reconstruction_report` (per subspace) can't give:
@@ -2401,8 +2402,11 @@ def pq_cell_distortion_report(
     n_cells) onto a static n_cells-row spine, so the row count never
     depends on which cells are populated. mean = sum/n/1e9, one IEEE
     division of exact integers (0.0 for empty cells) — exact against
-    the generated SQL twin (q183)."""
-    prep, _, _, min_dist_col = _pq_exprs(codebooks, round_digits)
+    the generated SQL twin (q183). ``rotation`` measures in the
+    ROTATED residual space (OPQ states) — pass the state's kit."""
+    prep, _, _, min_dist_col = _pq_exprs(
+        codebooks, round_digits, rotation=rotation
+    )
     m = len(codebooks)
     assigned = ivf_index(
         embeddings, centroids, id_col, vec_col, round_assign_digits

@@ -753,6 +753,7 @@ class PipelineOrchestrator:
             codebooks=cbs,
             nprobe=int(c.get("ingest_nprobe", 1)),
             pq_residual=bool(cbs is not None and pq.get("residual")),
+            pq_rotation=pq.get("rotation") if cbs is not None else None,
         )
 
     def rotate_embedding_codebooks(self, out_dir: str,
@@ -814,6 +815,8 @@ class PipelineOrchestrator:
             id_col=id_col, vec_col=vec_col,
             old_centroids=cents if residual else None,
             new_centroids=cents if residual else None,
+            old_rotation=pq.get("rotation"),
+            new_rotation=pq.get("rotation"),
         )
         pq["codebooks"] = cbs
         return status
@@ -878,6 +881,7 @@ class PipelineOrchestrator:
         report = pq_cell_distortion_report(
             landed_raw, cents, cbs, id_col=id_col, vec_col=vec_col,
             round_assign_digits=c.get("ingest_round_assign_digits"),
+            rotation=pq.get("rotation"),
         ).filter(F.col("n_vectors") > 0)
         flagged = [
             int(r["cell"])
@@ -899,6 +903,8 @@ class PipelineOrchestrator:
             id_col=id_col, vec_col=vec_col,
             old_centroids=cents, new_centroids=new_cents,
             cells=flagged,
+            old_rotation=pq.get("rotation"),
+            new_rotation=pq.get("rotation"),
         )
         c["ingest_centroids"] = new_cents
         return {"cells": flagged, "status": status,

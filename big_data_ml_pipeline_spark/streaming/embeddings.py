@@ -60,6 +60,7 @@ def read_embeddings_stream(
 def _pq_fingerprint(
     codebooks: list[list[list[float]]],
     residual_centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> str:
     """Content fingerprint of a codebook kit (md5 over the exact float
     repr literals — the same strings the SQL twins embed). Residual
@@ -68,21 +69,25 @@ def _pq_fingerprint(
     centroids into the fingerprint: reopening residual codes as raw
     codes — or under different coarse centroids — fails the marker
     check instead of silently screening against wrong
-    reconstructions. Raw-mode fingerprints are unchanged (existing
-    states stay valid)."""
+    reconstructions. OPQ codes (quantizing the ROTATED quantity) are
+    likewise a different code space under the same codebooks, so a
+    rotation folds in the same way. Raw-mode fingerprints are
+    unchanged (existing states stay valid)."""
     import hashlib
 
-    payload = (
-        repr(codebooks)
-        if residual_centroids is None
-        else repr(("residual", residual_centroids, codebooks))
-    )
+    if residual_centroids is None:
+        payload = repr(codebooks)
+    else:
+        payload = repr(("residual", residual_centroids, codebooks))
+    if rotation is not None:
+        payload = repr(("opq", rotation)) + payload
     return hashlib.md5(payload.encode()).hexdigest()
 
 
 def _check_pq_marker(
     state_dir: str, codebooks: list[list[list[float]]],
     residual_centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Refuse to screen against codes produced by a DIFFERENT codebook
     kit — the codes themselves carry no provenance, so a mismatched
@@ -93,7 +98,7 @@ def _check_pq_marker(
     if os.path.exists(marker):
         with open(marker) as f:
             prev = f.read().strip()
-        if prev != _pq_fingerprint(codebooks, residual_centroids):
+        if prev != _pq_fingerprint(codebooks, residual_centroids, rotation):
             raise ValueError(
                 f"codes-only embedding state at {state_dir} was encoded "
                 "with a different codebook kit (or the other raw/residual "
@@ -107,6 +112,7 @@ def _write_pq_marker(
     state_dir: str, codebooks: list[list[list[float]]],
     residual_centroids: list[list[float]] | None = None,
     overwrite: bool = False,
+    rotation: list[list[float]] | None = None,
 ) -> None:
     """Idempotent marker write at OPEN time, before any data file can
     land (the ADVICE-r8 ordering: a crash mid-first-batch must never
@@ -118,7 +124,7 @@ def _write_pq_marker(
     marker = os.path.join(state_dir, "_PQ_SPEC")
     if overwrite or not os.path.exists(marker):
         with open(marker, "w") as f:
-            f.write(_pq_fingerprint(codebooks, residual_centroids))
+            f.write(_pq_fingerprint(codebooks, residual_centroids, rotation))
 
 
 def _check_embedding_state_layout(
@@ -168,6 +174,7 @@ def ingest_embeddings_stream(
     pq_round_digits: int = 9,
     nprobe: int = 1,
     pq_residual: bool = False,
+    pq_rotation: list[list[float]] | None = None,
 ):
     """Append only semantically-novel vectors to the landed IVF corpus.
 
@@ -313,6 +320,17 @@ def ingest_embeddings_stream(
     fails loudly. Stream == one-shot batch holds under the same
     conditions as raw-code PQ — only the similarity function changes.
 
+    With ``pq_rotation`` (OPQ, Ge 2013 — requires ``codebooks``), the
+    hot state's codes quantize the ROTATED quantity (R·v, or the
+    rotated residual under ``pq_residual``) against codebooks trained
+    in that space, and every ADC screen rotates the incoming raw
+    vector first (``pq_adc_screen_kit(rotation=...)``). Since R is
+    orthogonal the cosine is mathematically unchanged — the rotation
+    buys reconstruction accuracy at identical state size. OPQ codes
+    are a different code space under the same codebooks, so the
+    ``_PQ_SPEC`` fingerprint folds the rotation in (the residual
+    precedent).
+
     Returns the finished StreamingQuery (Trigger.AvailableNow).
     """
     from ..operators.similarity import _centroid_exprs, cosine_near_dup_pairs
@@ -357,15 +375,24 @@ def ingest_embeddings_stream(
     pq = codebooks is not None
     if pq_residual and not pq:
         raise ValueError("pq_residual requires codebooks")
+    if pq_rotation is not None and not pq:
+        raise ValueError("pq_rotation requires codebooks")
     res_cents = centroids if (pq and pq_residual) else None
     _check_embedding_state_layout(stream.sparkSession, out_dir.rstrip("/"), pq)
     _check_embedding_state_layout(stream.sparkSession, screened_dir, pq)
     if pq:
-        _check_pq_marker(out_dir.rstrip("/"), codebooks, res_cents)
-        _write_pq_marker(out_dir.rstrip("/"), codebooks, res_cents)
+        _check_pq_marker(
+            out_dir.rstrip("/"), codebooks, res_cents, pq_rotation
+        )
+        _write_pq_marker(
+            out_dir.rstrip("/"), codebooks, res_cents,
+            rotation=pq_rotation,
+        )
         if track_components:
-            _check_pq_marker(screened_dir, codebooks, res_cents)
-            _write_pq_marker(screened_dir, codebooks, res_cents)
+            _check_pq_marker(screened_dir, codebooks, res_cents, pq_rotation)
+            _write_pq_marker(
+                screened_dir, codebooks, res_cents, rotation=pq_rotation
+            )
     cb, comp_tbl = _components_setup(
         stream.sparkSession, comp_dir, track_components,
         components_n_buckets,
@@ -445,7 +472,9 @@ def ingest_embeddings_stream(
     if pq:
         from ..operators.similarity import pq_adc_screen_kit, pq_append_codes
 
-        prep_raw, adc_cos = pq_adc_screen_kit(codebooks, centroids=res_cents)
+        prep_raw, adc_cos = pq_adc_screen_kit(
+            codebooks, centroids=res_cents, rotation=pq_rotation
+        )
         # Residual mode carries one extra precomputed probe column —
         # the raw vector's centroid dot table (see pq_adc_screen_kit).
         _adc_cols = ["__adc_luts", "__adc_norm"] + (
@@ -895,6 +924,7 @@ def ingest_embeddings_stream(
             encoded_b = pq_append_codes(
                 assigned_b, codebooks, vec_col="v",
                 round_digits=pq_round_digits, centroids=res_cents,
+                rotation=pq_rotation,
             )
             probe_b = prep_raw(encoded_b, F.col("v"))
             # 2: within-batch ADC pairs — the lower-id side contributes
@@ -1034,6 +1064,7 @@ def migrate_embedding_state_to_pq(
     id_col: str = "vec_id",
     pq_round_digits: int = 9,
     residual_centroids: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> str:
     """Upgrade a legacy raw-vector embedding state dir — landed table
     plus its ``_screened`` sibling if present — to the codes-only PQ
@@ -1093,8 +1124,9 @@ def migrate_embedding_state_to_pq(
             # "with THESE codebooks, in THIS code space" (and heal a
             # marker a crash between swap and marker-write may have
             # lost).
-            _check_pq_marker(path, codebooks, residual_centroids)
-            _write_pq_marker(path, codebooks, residual_centroids)
+            _check_pq_marker(path, codebooks, residual_centroids, rotation)
+            _write_pq_marker(path, codebooks, residual_centroids,
+                             rotation=rotation)
             statuses.append(f"{path}: already migrated")
             continue
         if "v" not in cols:
@@ -1104,7 +1136,7 @@ def migrate_embedding_state_to_pq(
             )
         enc = pq_append_codes(
             df, codebooks, vec_col="v", round_digits=pq_round_digits,
-            centroids=residual_centroids,
+            centroids=residual_centroids, rotation=rotation,
         ).select(id_col, "codes", "cell", "fp")
         if nb:
             _check_bucket_marker(path, nb, "embedding state migration")
@@ -1127,7 +1159,7 @@ def migrate_embedding_state_to_pq(
             # attempt's, and it must match the kit THIS rewrite
             # encodes with.
             _write_pq_marker(path, codebooks, residual_centroids,
-                             overwrite=True)
+                             overwrite=True, rotation=rotation)
             _rewrite_bucketed_state(spark, path, tbl, enc, nb, ["cell"])
         else:
             n_out = max(2, spark.sparkContext.defaultParallelism // 4)
@@ -1139,7 +1171,8 @@ def migrate_embedding_state_to_pq(
             )
             # The marker rides the swap: codes and their fingerprint
             # land atomically together.
-            _write_pq_marker(path + TMP_SUFFIX, codebooks, residual_centroids)
+            _write_pq_marker(path + TMP_SUFFIX, codebooks,
+                             residual_centroids, rotation=rotation)
             atomic_swap_dirs(path)
         statuses.append(f"{path}: migrated")
     return "; ".join(statuses)
@@ -1158,6 +1191,8 @@ def rotate_embedding_state_codebooks(
     old_centroids: list[list[float]] | None = None,
     new_centroids: list[list[float]] | None = None,
     cells: list[int] | None = None,
+    old_rotation: list[list[float]] | None = None,
+    new_rotation: list[list[float]] | None = None,
 ) -> str:
     """Re-encode a LIVE codes-only embedding state under retrained
     codebooks (VERDICT r13 item 2 — the lifecycle gap
@@ -1243,13 +1278,20 @@ def rotate_embedding_state_codebooks(
                 "cells-restricted rotation cannot change codebooks — "
                 "codes in untouched cells would go stale"
             )
+        if new_rotation != old_rotation:
+            raise ValueError(
+                "cells-restricted rotation cannot change the OPQ "
+                "rotation — every cell's codes live in the rotated "
+                "space, so a rotation change invalidates untouched "
+                "cells too"
+            )
         for i, (a, b) in enumerate(zip(old_centroids, new_centroids)):
             if i not in cset and list(a) != list(b):
                 raise ValueError(
                     f"centroid {i} changed but is not in cells= — a "
                     "partial rotation would mix code spaces"
                 )
-    new_fp = _pq_fingerprint(new_codebooks, new_centroids)
+    new_fp = _pq_fingerprint(new_codebooks, new_centroids, new_rotation)
     raw = raw_corpus.select(
         F.col(id_col), F.col(vec_col).alias("__raw_v")
     )
@@ -1279,7 +1321,9 @@ def rotate_embedding_state_codebooks(
                 continue
             if (
                 old_codebooks is not None
-                and prev != _pq_fingerprint(old_codebooks, old_centroids)
+                and prev != _pq_fingerprint(
+                    old_codebooks, old_centroids, old_rotation
+                )
             ):
                 raise ValueError(
                     f"embedding state at {path} was encoded with a "
@@ -1293,6 +1337,7 @@ def rotate_embedding_state_codebooks(
                 todo.drop("codes").join(raw, on=id_col),
                 new_codebooks, vec_col="__raw_v",
                 round_digits=pq_round_digits, centroids=new_centroids,
+                rotation=new_rotation,
             ).select(id_col, "codes", "cell", "fp")
             n_enc = enc_changed.count()
             if n_enc != n_todo:
@@ -1312,6 +1357,7 @@ def rotate_embedding_state_codebooks(
                 df.drop("codes").join(raw, on=id_col),
                 new_codebooks, vec_col="__raw_v",
                 round_digits=pq_round_digits, centroids=new_centroids,
+                rotation=new_rotation,
             ).select(id_col, "codes", "cell", "fp")
             n_enc = enc.count()
             if n_enc != n_state:

@@ -1333,3 +1333,117 @@ def test_selective_cell_maintenance_equals_full_rotation(spark, tmp_path):
             spark, out, CBS, raw_corpus, old_codebooks=CBS,
             cells=flagged,
         )
+
+
+def test_opq_ingest_codes_marker_and_continuation(spark, tmp_path):
+    """pq_rotation (OPQ in the hot path): the codes-only ingest under a
+    rotation lands ROTATED-space codes (== pq_append_codes(rotation=)
+    on the landed survivors, the batch twin), the _PQ_SPEC fingerprint
+    folds the rotation in (raw-PQ reopen and different-rotation reopen
+    both refuse), replay lands nothing new, a continued ingest equals
+    a fresh full ingest byte-for-byte, and the cells-restricted
+    rotation guard refuses rotation changes."""
+    from big_data_ml_pipeline_spark.operators.similarity import ivf_index
+
+    # Reversal permutation — orthogonal, so the kit algebra is
+    # exercised end-to-end with analytically transparent rotated
+    # vectors (R·v = reversed(v)).
+    R = [[1.0 if j == DIM - 1 - i else 0.0 for j in range(DIM)]
+         for i in range(DIM)]
+    in12, in3, in_all = (
+        str(tmp_path / "in12"), str(tmp_path / "in3"),
+        str(tmp_path / "inall"),
+    )
+    write_shards(spark, in12, [SHARD1, SHARD2])
+    write_shards(spark, in3, [SHARD3])
+    write_shards(spark, in_all, [SHARD1, SHARD2, SHARD3])
+    kw = dict(centroids=CENTS, threshold=THR, track_components=True,
+              round_assign_digits=6, screen_round_digits=6,
+              codebooks=CBS, pq_rotation=R)
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in12), out,
+        str(tmp_path / "ck1"), **kw
+    )
+    landed = spark.read.parquet(out)
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == se._pq_fingerprint(
+            CBS, None, rotation=R
+        )
+    # Batch twin: rotated-space codes of the landed survivors.
+    raw12 = spark.createDataFrame(
+        [(i, v) for i, v in SHARD1 + SHARD2], ["vec_id", "embedding"]
+    )
+    got = {r["vec_id"]: list(r["codes"]) for r in landed.collect()}
+    expect = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(
+            ivf_index(raw12, CENTS, round_assign_digits=6),
+            CBS, vec_col="v", rotation=R,
+        ).collect()
+        if r["vec_id"] in got
+    }
+    assert got == expect
+    # And they are NOT the raw-space codes (the rotation is real).
+    raw_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(
+            ivf_index(raw12, CENTS, round_assign_digits=6),
+            CBS, vec_col="v",
+        ).collect()
+    }
+    assert any(got[v] != raw_codes[v] for v in got)
+    # Marker guards: raw-PQ reopen and different-rotation reopen refuse.
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in3), out,
+            str(tmp_path / "ckx"),
+            **{**kw, "pq_rotation": None},
+        )
+    R2 = [[1.0 if j == i else 0.0 for j in range(DIM)]
+          for i in range(DIM)]
+    with pytest.raises(ValueError, match="different codebook kit"):
+        se.ingest_embeddings_stream(
+            se.read_embeddings_stream(spark, in3), out,
+            str(tmp_path / "cky"),
+            **{**kw, "pq_rotation": R2},
+        )
+    # Continuation == fresh full ingest, byte for byte.
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in3), out,
+        str(tmp_path / "ck2"), **kw
+    )
+    fresh = str(tmp_path / "fresh")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_all), fresh,
+        str(tmp_path / "ckf"), **kw
+    )
+    for suffix in ("", "_screened"):
+        got_s = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out + suffix).collect()
+        }
+        want_s = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(fresh + suffix).collect()
+        }
+        assert got_s == want_s, suffix
+    # Replay with a fresh checkpoint: nothing new lands.
+    n = spark.read.parquet(out).count()
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_all), out,
+        str(tmp_path / "ck3"), **kw
+    )
+    assert spark.read.parquet(out).count() == n
+    # Selective rotation cannot change the rotation.
+    raw_all = spark.createDataFrame(
+        [(i, v) for i, v in SHARD1 + SHARD2 + SHARD3],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="cannot change the OPQ"):
+        se.rotate_embedding_state_codebooks(
+            spark, out, CBS, raw_all, old_codebooks=CBS,
+            old_centroids=CENTS, new_centroids=CENTS,
+            cells=[0], old_rotation=R, new_rotation=R2,
+        )
