@@ -1157,3 +1157,59 @@ def test_orchestrator_maintain_embedding_cells(spark, tmp_path):
     # the NEW kit and rotates again without refusing provenance
     res2 = orch.maintain_embedding_cells(out, df, top_n=1)
     assert res2["cells"], res2
+
+
+def test_orchestrator_maintain_cells_under_opq_rotation(spark, tmp_path):
+    """maintain_embedding_cells on an OPQ + residual state: the config's
+    pq.rotation threads through the distortion ranking, the selective
+    rotation, and the post-repair _PQ_SPEC (rotation + moved centroids
+    folded in together)."""
+    import os
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        pq_codebooks,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+    from big_data_ml_pipeline_spark.streaming.embeddings import (
+        _pq_fingerprint,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    e1 = [1.0, 0.0, 0.0, 0.0, 0.5, 0.5, -0.5, 0.25]
+    e2 = [0.0, 1.0, 0.0, 0.0, -0.5, 0.5, 0.5, -0.25]
+    e3 = [0.25, -1.0, 0.5, 0.0, 0.75, -0.5, 0.5, 1.25]
+    df = spark.createDataFrame(
+        [(1, e1), (2, e2), (3, e3)], ["vec_id", "embedding"]
+    )
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    # Reversal permutation — orthogonal, exercised end-to-end.
+    R = [[1.0 if j == 7 - i else 0.0 for j in range(8)] for i in range(8)]
+    cfg = {"embeddings": {"ingest_threshold": 0.99,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True, "rotation": R}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ckpt"))
+    kit = pq_codebooks(dim=8, m=4, k=4)
+    cents0 = deterministic_ivf_centroids(dim=8, n_cells=4)
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == _pq_fingerprint(kit, cents0, R)
+    res = orch.maintain_embedding_cells(out, df, top_n=1)
+    assert len(res["cells"]) == 1 and "rotated" in res["status"]
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == _pq_fingerprint(
+            kit, res["centroids"], R
+        )
+    # Continued ingest under the repaired kit reopens cleanly.
+    df2 = spark.createDataFrame(
+        [(9, [0.1] * 8)], ["vec_id", "embedding"]
+    )
+    in2 = tmp_path / "in2"
+    in2.mkdir()
+    df2.toPandas().to_parquet(str(in2 / "s.parquet"), index=False)
+    orch.ingest_embeddings_stream(str(in2), out, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == 4
