@@ -589,3 +589,50 @@ def test_incremental_components_match_union_find(edges, cut1, cut2):
     got = {r["id"]: r["comp"] for r in state.collect()}
     assert got == want
     assert resolved == want
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=40, max_value=120),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_opq_alternation_monotone_and_orthogonal(seed, n):
+    """fit_opq_rotation_np's structural guarantees on ARBITRARY data
+    (Ge 2013): the returned rotation is orthogonal to machine
+    precision, the OPQ codebook shapes match the plain-PQ ones, and —
+    because the alternation starts at (I, plain-PQ) and every step is
+    non-increasing — the OPQ training-sample distortion never exceeds
+    the plain-PQ distortion. Pure numpy; no Spark session."""
+    import numpy as np
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        fit_opq_rotation_np,
+    )
+
+    dim, m, k = 16, 4, 4
+    rng = np.random.default_rng(seed)
+    # Mix of isotropic noise and a low-rank structured component so
+    # both regimes (rotation helps / rotation neutral) are exercised.
+    basis = rng.normal(size=(3, dim))
+    X = rng.normal(size=(n, 3)) @ basis + 0.3 * rng.normal(size=(n, dim))
+    R, opq_cbs, pq_cbs = fit_opq_rotation_np(
+        X.tolist(), m=m, k=k, seed=7, n_iter=4, kmeans_iter=8
+    )
+    Rm = np.array(R)
+    assert abs(Rm @ Rm.T - np.eye(dim)).max() < 1e-10
+    assert len(opq_cbs) == len(pq_cbs) == m
+    assert all(len(cb) == k and len(cb[0]) == dim // m for cb in opq_cbs)
+
+    def dist(V, cbs):
+        total = 0.0
+        d = dim // m
+        for j in range(m):
+            sub = V[:, j * d:(j + 1) * d]
+            C = np.array(cbs[j])
+            total += ((sub[:, None, :] - C[None]) ** 2).sum(-1).min(1).sum()
+        return total
+
+    d_pq = dist(X, pq_cbs)
+    d_opq = dist(X @ Rm.T, opq_cbs)
+    assert d_opq <= d_pq * (1 + 1e-9), (d_opq, d_pq)
