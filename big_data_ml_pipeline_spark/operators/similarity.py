@@ -1688,6 +1688,7 @@ def fit_pq_codebooks(
     sample_fraction: float | None = None,
     centroids: list[list[float]] | None = None,
     round_assign_digits: int | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Data-trained codebooks: one seeded MLlib KMeans per subspace
     over the sliced subvectors (the PQ paper's training step). m
@@ -1700,6 +1701,14 @@ def fit_pq_codebooks(
     quantizer on residuals for IVFADC) — pass the same assignment
     knobs the index build uses so training sees exactly the vectors
     the codes will quantize.
+
+    With ``rotation`` (OPQ, Ge 2013 — ADVICE r15: codebooks installed
+    into a rotated code space must be TRAINED in that space), training
+    runs over R·v — or R·(v − centroid) under ``centroids``, the same
+    rotate-after-subtract order :func:`pq_append_codes` encodes with —
+    so the fitted entries live where the codes will quantize. One
+    extra map-only projection (a transform over the rotation Literal
+    dotting the materialized vector, the q43 no-re-fold pattern).
 
     ``sample_fraction`` (VERDICT r10 item 2's scale bound): codebook
     training needs a representative SAMPLE, not the corpus — at 100 TB
@@ -1723,6 +1732,15 @@ def fit_pq_codebooks(
         )
         base = base.select(
             _residual_expr(F.col("v"), F.col("cell"), centroids).alias("v")
+        )
+    if rotation is not None:
+        rot_lit = nested_double_lit(
+            [[float(x) for x in r] for r in rotation]
+        )
+        base = base.withColumnRenamed("v", "__v0").select(
+            F.transform(
+                rot_lit, lambda row: dot(row, F.col("__v0"))
+            ).alias("v")
         )
     base = base.persist()
     try:
@@ -1775,8 +1793,12 @@ def _residual_expr(vec_expr, cell_expr, centroids: list[list[float]]):
 def _lloyd_kmeans_np(X, k: int, seed: int, n_iter: int = 25):
     """Deterministic Lloyd k-means over numpy rows (driver-side, for
     OPQ's bounded-sample alternation): seeded distinct-row init, empty
-    clusters reseeded to the farthest point. Pure numpy — the caller
-    guarantees the sample is bounded, so no Spark job is involved."""
+    clusters reseeded to DISTINCT high-distance points (ADVICE r15:
+    two simultaneously-empty clusters must not collapse onto one
+    duplicate centroid — each takes the next-farthest unused point
+    from the iteration's pre-update assignment distances). Pure numpy
+    — the caller guarantees the sample is bounded, so no Spark job is
+    involved."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -1785,10 +1807,17 @@ def _lloyd_kmeans_np(X, k: int, seed: int, n_iter: int = 25):
     for _ in range(n_iter):
         d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
         a = d2.argmin(1)
-        far = d2.min(1).argmax()
+        # Farthest-first order of candidate reseeds (stable: equal
+        # distances keep row order), consumed one per empty cluster.
+        far_order = np.argsort(-d2.min(1), kind="stable")
+        n_used = 0
         for c in range(k):
             msk = a == c
-            C[c] = X[msk].mean(0) if msk.any() else X[far]
+            if msk.any():
+                C[c] = X[msk].mean(0)
+            else:
+                C[c] = X[far_order[n_used % len(X)]]
+                n_used += 1
     return C
 
 
@@ -2387,6 +2416,7 @@ def pq_cell_distortion_report(
     round_assign_digits: int | None = None,
     round_digits: int = 9,
     rotation: list[list[float]] | None = None,
+    cells_from: DataFrame | None = None,
 ) -> DataFrame:
     """Per-CELL residual quantization distortion — the maintenance
     signal :func:`pq_reconstruction_report` (per subspace) can't give:
@@ -2403,14 +2433,35 @@ def pq_cell_distortion_report(
     depends on which cells are populated. mean = sum/n/1e9, one IEEE
     division of exact integers (0.0 for empty cells) — exact against
     the generated SQL twin (q183). ``rotation`` measures in the
-    ROTATED residual space (OPQ states) — pass the state's kit."""
+    ROTATED residual space (OPQ states) — pass the state's kit.
+
+    ``cells_from`` (ADVICE r15: a STATEFUL index's maintenance signal
+    must measure the membership the state actually stores): an
+    (``id_col``, cell) frame — e.g. the codes-only state table — used
+    as the cell assignment instead of re-running the IVF argmax.
+    After a repair moves centroids, a fresh re-assignment can place
+    boundary rows in cells that differ from their stored membership
+    and mis-attribute distortion to the wrong cells; the state's own
+    column is the membership every selective repair
+    (recenter_state_cells / cells-restricted rotation) operates on.
+    One id equi-join replaces the map-only assignment."""
     prep, _, _, min_dist_col = _pq_exprs(
         codebooks, round_digits, rotation=rotation
     )
     m = len(codebooks)
-    assigned = ivf_index(
-        embeddings, centroids, id_col, vec_col, round_assign_digits
-    )
+    if cells_from is not None:
+        assigned = embeddings.select(
+            F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
+        ).join(
+            cells_from.select(
+                F.col(id_col), F.col("cell").cast("int").alias("cell")
+            ),
+            on=id_col,
+        )
+    else:
+        assigned = ivf_index(
+            embeddings, centroids, id_col, vec_col, round_assign_digits
+        )
     prepped = prep(
         assigned, _residual_expr(F.col("v"), F.col("cell"), centroids)
     )

@@ -2136,6 +2136,233 @@ def bm25_topk_from_postings(
     )
 
 
+def _bm25_postings_score(tf: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                         k1: float, b: float):
+    """The quantized per-(doc, term) BM25 scoring pipeline shared by
+    :func:`bm25_topk_from_postings` and :func:`bm25_topk_wand` —
+    reproduced verbatim from :func:`bm25_topk` so every pruned variant
+    is bit-identical to the unpruned one. ``tf`` carries (id, dl,
+    term, tf) posting rows; returns (id, __score_q) rows."""
+    idf_q = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "sum_dl",
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__idf_q"),
+    )
+    return tf.join(F.broadcast(idf_q), "term").select(
+        "id",
+        F.round(
+            (F.col("__idf_q").cast("double") / 1e6)
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1 * (1.0 - b))
+                + F.lit(k1 * b)
+                * (F.col("dl") * F.col("n_docs")).cast("double")
+                / F.col("sum_dl")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("__score_q"),
+    )
+
+
+def bm25_topk_wand(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    common_df_frac: float = 0.10,
+) -> DataFrame:
+    """:func:`bm25_topk_from_postings` with PROVABLY-SAFE impact-ordered
+    pruning (MaxScore, Turtle & Flood 1995; WAND, Broder et al. 2003 —
+    VERDICT r15 item 1): a query containing a high-df ("the"-class)
+    term no longer scores and doc-aggregates that term's corpus-sized
+    posting list for k rows. The result is EXACTLY the unpruned top-k
+    (same schema, same ties) — pinned by the q188 twin being q184's
+    own SQL and the pruned==unpruned pytest.
+
+    The two-pass Spark shape of the classical document-at-a-time
+    pruning:
+
+    1. **Rare pass.** Terms with df ≤ ``common_df_frac``·N are scored
+       fully (their posting lists are small — that IS what rare
+       means); the k-th best PARTIAL sum θ₀ lower-bounds the true k-th
+       best total, because per-term scores are non-negative (the +1
+       idf form) and partial ≤ total.
+    2. **Essential split.** Every term's max impact U_t is computed
+       from the lexicon's (max_tf, min_dl) impact partials under the
+       CURRENT global stats — the BM25 tf-component is increasing in
+       tf and decreasing in dl, so g(max_tf, min_dl) bounds every
+       posting of t without reading its list; U is quantized with a
+       +8 micro-unit slack that dominates both rounding directions.
+       Common terms are moved (df-descending, greedily) into the
+       NON-ESSENTIAL set while ΣU stays strictly below θ₀: a document
+       matching ONLY non-essential terms scores ≤ ΣU < θ₀ ≤ k docs'
+       totals, so it can never enter the top-k — even on ties, the
+       inequality is strict.
+    3. **Exact pass.** Candidates = docs with ≥1 ESSENTIAL posting
+       (bounded by Σ_{t∈E} df_t, known from the lexicon before any
+       scan). Essential postings are scored as usual; non-essential
+       posting lists are read ONCE and semi-joined (broadcast) to the
+       candidate list — the common term's corpus-sized list is
+       filtered map-side and never doc-shuffled. Candidates' scores
+       include every matched term, so values, n_terms and ties are
+       bit-identical to the unpruned plan.
+
+    Whenever pruning is not provably safe (no common term, fewer than
+    k rare-pass docs, or ΣU ≥ θ₀ for every split) the function
+    DELEGATES to :func:`bm25_topk_from_postings` — correctness never
+    depends on the heuristics. Driver-side collects are bounded: one
+    stats row, ≤|terms| lexicon rows, k rare-pass rows.
+
+    Requires a lexicon with the (max_tf, min_dl) impact columns
+    (``ingest_documents_stream(maintain_lexicon=True)`` writes them;
+    older states must re-ingest or fall back to the unpruned query).
+    """
+    import math
+
+    tlist = sorted({str(t) for t in query_terms})
+    lex = lexicon.dropDuplicates(["batch_id", "token"])
+    if "max_tf" not in lexicon.columns:
+        raise ValueError(
+            "bm25_topk_wand needs the lexicon impact partials "
+            "(max_tf, min_dl); this state predates them — re-ingest or "
+            "use bm25_topk_from_postings"
+        )
+    srow = (
+        lex.filter(F.col("token").isNull())
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+    n_docs, sum_dl = srow["n_docs"] or 0, srow["sum_dl"] or 0
+    trows = (
+        lex.filter(F.col("token").isin(*tlist))
+        .groupBy("token")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.max("max_tf").cast("long").alias("max_tf"),
+            F.min("min_dl").cast("long").alias("min_dl"),
+        )
+        .collect()
+    )
+    info = {
+        r["token"]: (int(r["df"]), int(r["max_tf"]), int(r["min_dl"]))
+        for r in trows
+    }
+    # Terms absent from the corpus contribute no postings in either
+    # plan — drop them from the split bookkeeping.
+    present = [t for t in tlist if t in info and info[t][0] > 0]
+    seed = [
+        t for t in present
+        if info[t][0] <= common_df_frac * max(n_docs, 1)
+    ]
+    if present and not seed:
+        seed = [min(present, key=lambda t: (info[t][0], t))]
+    full = lambda: bm25_topk_from_postings(  # noqa: E731
+        postings, lexicon, query_terms, k=k, k1=k1, b=b, id_col=id_col
+    )
+    if not present or set(seed) == set(present) or n_docs == 0:
+        return full()
+
+    def _max_impact_q(t: str) -> int:
+        df_t, max_tf, min_dl = info[t]
+        idf = math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+        g = (max_tf * (k1 + 1.0)) / (
+            max_tf + k1 * (1.0 - b) + k1 * b * (min_dl * n_docs) / sum_dl
+        )
+        return int(math.floor(idf * g * 1e6)) + 8
+
+    stats = lex.filter(F.col("token").isNull()).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
+
+    def _tf(term_set: list[str]) -> DataFrame:
+        return (
+            postings.filter(F.col("token").isin(*term_set))
+            .dropDuplicates(["batch_id", "token", "doc_id"])
+            .select(
+                F.col("doc_id").alias("id"),
+                F.col("dl"),
+                F.col("token").alias("term"),
+                F.col("tf"),
+            )
+        )
+
+    def _dfreq(term_set: list[str]) -> DataFrame:
+        return (
+            lex.filter(F.col("token").isin(*term_set))
+            .groupBy(F.col("token").alias("term"))
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+
+    # Pass 1: rare terms only — the k-th best partial sum is θ₀.
+    rare_topk = (
+        _bm25_postings_score(_tf(seed), _dfreq(seed), stats, k1, b)
+        .groupBy("id")
+        .agg(F.sum("__score_q").cast("long").alias("__sum_q"))
+        .orderBy(F.col("__sum_q").desc(), F.col("id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rare_topk) < k:
+        return full()
+    theta0 = int(rare_topk[-1]["__sum_q"])
+    non_essential: list[str] = []
+    acc = 0
+    for t in sorted(
+        (t for t in present if t not in set(seed)),
+        key=lambda t: (-info[t][0], t),
+    ):
+        u = _max_impact_q(t)
+        if acc + u < theta0:
+            non_essential.append(t)
+            acc += u
+    if not non_essential:
+        return full()
+    essential = [t for t in present if t not in set(non_essential)]
+    # Pass 2: candidates from the essential postings; non-essential
+    # lists are broadcast-semi-join filtered to candidates map-side
+    # (the pushed filter on the common terms' postings), never
+    # doc-shuffled whole.
+    etf = _tf(essential)
+    cand = etf.select("id").distinct()
+    ntf = _tf(non_essential).join(F.broadcast(cand), on="id", how="left_semi")
+    scored = _bm25_postings_score(
+        etf.unionByName(ntf), _dfreq(present), stats, k1, b
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("__score_q").cast("long").alias("__sum_q"),
+    )
+    return (
+        per_doc.select(
+            F.col("id").alias(id_col),
+            "n_terms",
+            (F.col("__sum_q").cast("double") / 1e6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def boolean_and_topk_from_postings(
     postings: DataFrame,
     query_terms: tuple[str, ...],

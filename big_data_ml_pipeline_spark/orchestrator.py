@@ -804,9 +804,16 @@ class PipelineOrchestrator:
             if isinstance(raw_corpus, str)
             else raw_corpus
         )
+        # ADVICE r15 (medium): under an OPQ config the state's codes
+        # live in the ROTATED space, so replacement codebooks must be
+        # trained there too — fit_pq_codebooks(rotation=) rotates the
+        # training vectors (and residuals) before the per-subspace
+        # fits; fitting raw and installing rotated would silently
+        # defeat the OPQ distortion benefit.
         cbs = new_codebooks if new_codebooks is not None else fit_pq_codebooks(
             raw, m=mm, k=kk, vec_col=vec_col,
             centroids=cents if residual else None,
+            rotation=pq.get("rotation"),
         )
         status = rotate_embedding_state_codebooks(
             self.spark, out_dir, cbs, raw,
@@ -874,14 +881,19 @@ class PipelineOrchestrator:
             if isinstance(raw_corpus, str)
             else raw_corpus
         )
-        landed_ids = self.spark.read.parquet(out_dir.rstrip("/")).select(
-            id_col
+        # Rank by the STATE's stored membership, not a fresh IVF
+        # re-assignment (ADVICE r15): after a first repair moves
+        # centroids, re-assignment can measure boundary rows in cells
+        # that differ from the membership recenter_state_cells and the
+        # selective rotation operate on, flagging the wrong cells.
+        landed_cells = self.spark.read.parquet(out_dir.rstrip("/")).select(
+            id_col, "cell"
         )
-        landed_raw = raw.join(landed_ids, on=id_col, how="left_semi")
         report = pq_cell_distortion_report(
-            landed_raw, cents, cbs, id_col=id_col, vec_col=vec_col,
+            raw, cents, cbs, id_col=id_col, vec_col=vec_col,
             round_assign_digits=c.get("ingest_round_assign_digits"),
             rotation=pq.get("rotation"),
+            cells_from=landed_cells,
         ).filter(F.col("n_vectors") > 0)
         flagged = [
             int(r["cell"])

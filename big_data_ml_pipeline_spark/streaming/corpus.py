@@ -1048,14 +1048,24 @@ def ingest_documents_stream(
                         postings.write.mode("append").parquet(
                             postings_dir
                         )
+                # max_tf / min_dl are the per-term IMPACT partials the
+                # WAND/MaxScore pruned BM25 needs (Turtle & Flood 1995;
+                # Broder 2003): the BM25 tf-component is increasing in
+                # tf and decreasing in dl, so g(max_tf, min_dl) under
+                # the CURRENT global stats upper-bounds every posting's
+                # score without reading its list. Same tokenize pass,
+                # vocab-sized; max/min fold exactly across batches.
                 token_rows = per_tok.groupBy("token").agg(
                     F.count("*").cast("long").alias("df"),
                     F.sum("__tf").cast("long").alias("cnt"),
+                    F.max("__tf").cast("long").alias("max_tf"),
+                    F.min("__dl").cast("long").alias("min_dl"),
                 ).select(
                     F.lit(int(batch_id)).cast("long").alias("batch_id"),
                     "token", "df", "cnt",
                     F.lit(0).cast("long").alias("n_docs"),
                     F.lit(0).cast("long").alias("sum_dl"),
+                    "max_tf", "min_dl",
                 )
                 doc_row = toks.agg(
                     F.count("*").cast("long").alias("n_docs"),
@@ -1068,6 +1078,8 @@ def ingest_documents_stream(
                     F.lit(0).cast("long").alias("df"),
                     F.lit(0).cast("long").alias("cnt"),
                     "n_docs", "sum_dl",
+                    F.lit(0).cast("long").alias("max_tf"),
+                    F.lit(0).cast("long").alias("min_dl"),
                 )
                 token_rows.unionByName(doc_row).write.mode(
                     "append"
@@ -1377,14 +1389,28 @@ def compact_lexicon(spark: SparkSession, path: str) -> None:
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
     df = spark.read.parquet(path).dropDuplicates(["batch_id", "token"])
+    has_impacts = "max_tf" in df.columns
     folded = df.groupBy("token").agg(
         F.sum("df").cast("long").alias("df"),
         F.sum("cnt").cast("long").alias("cnt"),
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum("sum_dl").cast("long").alias("sum_dl"),
+        *(
+            [
+                # The impact partials fold exactly: max of per-batch
+                # maxima / min of per-batch minima over the SAME
+                # posting population (token rows only; the null-token
+                # stats row carries 0s and folds to its own row).
+                F.max("max_tf").cast("long").alias("max_tf"),
+                F.min("min_dl").cast("long").alias("min_dl"),
+            ]
+            if has_impacts
+            else []
+        ),
     ).select(
         F.lit(-1).cast("long").alias("batch_id"),
         "token", "df", "cnt", "n_docs", "sum_dl",
+        *(["max_tf", "min_dl"] if has_impacts else []),
     )
     folded.coalesce(1).write.mode("overwrite").parquet(
         path.rstrip("/") + TMP_SUFFIX

@@ -472,8 +472,26 @@ def ingest_embeddings_stream(
     if pq:
         from ..operators.similarity import pq_adc_screen_kit, pq_append_codes
 
+        # Residual + rotation (ADVICE r15 high): the screen kit's
+        # residual algebra lives ENTIRELY in the rotated space — codes
+        # quantize R·(v − c), so a candidate's rotated-space
+        # reconstruction is R·c + Σ_j cb_j[code_j] and the kit needs
+        # R·c, not c. pq_append_codes conversely subtracts the RAW
+        # centroid before rotating (rotate ∘ subtract), and the
+        # _PQ_SPEC fingerprint stays raw-centroid-keyed — one shared
+        # res_cents cannot serve both, so the screen gets its own
+        # rotated copy (driver-side, n_cells × dim floats).
+        screen_cents = res_cents
+        if res_cents is not None and pq_rotation is not None:
+            screen_cents = [
+                [
+                    float(sum(r[i] * c[i] for i in range(len(c))))
+                    for r in pq_rotation
+                ]
+                for c in res_cents
+            ]
         prep_raw, adc_cos = pq_adc_screen_kit(
-            codebooks, centroids=res_cents, rotation=pq_rotation
+            codebooks, centroids=screen_cents, rotation=pq_rotation
         )
         # Residual mode carries one extra precomputed probe column —
         # the raw vector's centroid dot table (see pq_adc_screen_kit).

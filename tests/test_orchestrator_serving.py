@@ -1213,3 +1213,111 @@ def test_orchestrator_maintain_cells_under_opq_rotation(spark, tmp_path):
     df2.toPandas().to_parquet(str(in2 / "s.parquet"), index=False)
     orch.ingest_embeddings_stream(str(in2), out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == 4
+
+
+def test_fit_pq_codebooks_rotation_trains_in_rotated_space(spark):
+    """fit_pq_codebooks(rotation=R) == fitting plain on pre-rotated
+    vectors (same seed, same sliced training set), and the residual
+    composition rotates AFTER the raw-space centroid subtraction —
+    the space pq_append_codes(centroids=, rotation=) encodes in
+    (ADVICE r15 medium: train where the codes will quantize)."""
+    import random
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        fit_pq_codebooks,
+        ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    R = [[1.0 if j == 7 - i else 0.0 for j in range(8)] for i in range(8)]
+    got = fit_pq_codebooks(df, m=4, k=3, rotation=R)
+    pre = spark.createDataFrame(
+        [(i, list(reversed(v))) for i, v in rows], ["vec_id", "embedding"]
+    )
+    want = fit_pq_codebooks(pre, m=4, k=3)
+    assert got == want
+    # Residual + rotation: rotate(v − centroid(cell)) is the training
+    # quantity — mirror it manually and compare.
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+    got_r = fit_pq_codebooks(df, m=4, k=3, centroids=cents, rotation=R)
+    assigned = ivf_index(df, cents, id_col="vec_id", vec_col="embedding")
+    res_rows = assigned.select(
+        "vec_id", "v", "cell"
+    ).collect()
+    manual = [
+        (
+            r["vec_id"],
+            list(reversed([
+                r["v"][i] - cents[r["cell"]][i] for i in range(8)
+            ])),
+        )
+        for r in res_rows
+    ]
+    pre_r = spark.createDataFrame(manual, ["vec_id", "embedding"])
+    want_r = fit_pq_codebooks(pre_r, m=4, k=3)
+    assert got_r == want_r
+    assert got_r != got
+
+
+def test_orchestrator_rotation_fit_path_under_opq(spark, tmp_path):
+    """rotate_embedding_codebooks with new_codebooks=None under an OPQ
+    config (pq.rotation set) trains the replacement kit IN the rotated
+    residual space (ADVICE r15 medium) — the re-encoded state matches
+    pq_append_codes under fit_pq_codebooks(rotation=R), and the state
+    reopens under the updated config."""
+    import random
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+        fit_pq_codebooks,
+        ivf_index,
+        pq_append_codes,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rng = random.Random(13)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    df.toPandas().to_parquet(str(in_dir / "shard0.parquet"), index=False)
+    R = [[1.0 if j == 7 - i else 0.0 for j in range(8)] for i in range(8)]
+    cfg = {"embeddings": {"ingest_threshold": 0.999,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True, "rotation": R}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck"))
+    n0 = spark.read.parquet(out).count()
+    status = orch.rotate_embedding_codebooks(out, df)
+    assert "rotated" in status
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+    fitted = orch.config["embeddings"]["pq"]["codebooks"]
+    assert fitted == fit_pq_codebooks(
+        df, m=4, k=4, centroids=cents, rotation=R
+    )
+    want = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_append_codes(
+            ivf_index(df, cents), fitted, vec_col="v",
+            centroids=cents, rotation=R,
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in spark.read.parquet(out).collect()
+    }
+    for vid, codes in got.items():
+        assert codes == want[vid], vid
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck2"))
+    assert spark.read.parquet(out).count() == n0

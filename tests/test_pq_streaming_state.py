@@ -1447,3 +1447,230 @@ def test_opq_ingest_codes_marker_and_continuation(spark, tmp_path):
             old_centroids=CENTS, new_centroids=CENTS,
             cells=[0], old_rotation=R, new_rotation=R2,
         )
+
+
+# ------------------------------------------------- residual + rotation (OPQ)
+# ADVICE r15 (high): when pq_residual and pq_rotation are COMBINED, the
+# ingest's ADC screen kit must see ROTATED centroids — the kit's
+# residual algebra lives entirely in the rotated space (codes quantize
+# R·(v − c), so a candidate's rotated-space reconstruction is
+# R·c + Σ_j cb_j[code_j]). Feeding it raw centroids mixes spaces and
+# the screen cosine is silently wrong (measured on the reported pair:
+# true −0.1485, mixed-space kit +0.0550). These pins go through BOTH
+# the kit and the real ingest wiring.
+
+R_REV = [[1.0 if j == DIM - 1 - i else 0.0 for j in range(DIM)]
+         for i in range(DIM)]
+
+
+def py_rotate(v, rot=R_REV):
+    return [seq_dot(r, v) for r in rot]
+
+
+ROT_CENTS = [py_rotate(c) for c in CENTS]
+C2_ROT = [float(sum(x * x for x in c)) for c in ROT_CENTS]
+RT_ROT = [
+    [
+        [
+            float(2.0 * sum(c[j * D + i] * cb[i] for i in range(D))
+                  + CB2[j][ci])
+            for ci, cb in enumerate(CBS[j])
+        ]
+        for j in range(M)
+    ]
+    for c in ROT_CENTS
+]
+
+
+def py_res_rot_codes(v, cell, round_digits=9):
+    """pq_append_codes(centroids=, rotation=) reference: rotate AFTER
+    the raw-space centroid subtraction (rotate ∘ subtract)."""
+    r = [v[i] - CENTS[cell][i] for i in range(DIM)]
+    rr = py_rotate(r)
+    codes = []
+    for j in range(M):
+        s = rr[j * D: (j + 1) * D]
+        sn = seq_dot(s, s)
+        dists = [
+            rhu(sn - 2.0 * seq_dot(s, cb) + CB2[j][c], round_digits)
+            for c, cb in enumerate(CBS[j])
+        ]
+        codes.append(dists.index(min(dists)))
+    return codes
+
+
+def py_res_rot_adc_cos(v, cell, codes):
+    """Grouped-fold mirror of the kit under (rotated centroids,
+    rotation): everything — query, centroid dots, cross-term table —
+    in the rotated space."""
+    rv = py_rotate(v)
+    dotsum = seq_dot(rv, ROT_CENTS[cell])
+    r2 = C2_ROT[cell]
+    for j in range(M):
+        dotsum = dotsum + seq_dot(rv[j * D: (j + 1) * D], CBS[j][codes[j]])
+        r2 = r2 + RT_ROT[cell][j][codes[j]]
+    denom = seq_norm(rv) * math.sqrt(r2)
+    return dotsum / denom if denom != 0 else 0.0
+
+
+def one_shot_res_rot(rows, thr):
+    """One-shot pair-rule reduction under the residual+rotation ADC
+    similarity (the exact algebra the fixed ingest screens with)."""
+    first = {}
+    for vid, v in sorted(rows):
+        key = tuple(v)
+        if key not in first:
+            first[key] = vid
+    reps = {vid: v for vid, v in rows if first[tuple(v)] == vid}
+    cells = {vid: py_cell(v) for vid, v in reps.items()}
+    codes = {vid: py_res_rot_codes(v, cells[vid]) for vid, v in reps.items()}
+    dropped = set()
+    for vid in sorted(reps):
+        for lower in sorted(reps):
+            if lower >= vid:
+                break
+            if cells[lower] != cells[vid]:
+                continue
+            sim = py_res_rot_adc_cos(reps[vid], cells[lower], codes[lower])
+            if rhu(sim, 6) >= thr:
+                dropped.add(vid)
+                break
+    return set(reps) - dropped, dropped, reps
+
+
+def test_residual_rotation_adc_cos_bitexact(spark):
+    """The residual+rotation kit (rotated centroids, per its contract)
+    == the grouped-fold Python reference bit-for-bit, and ~= the FLAT
+    exact cosine of the rotated query against the rotated-space
+    reconstruction R·c + Σ cb[code] to 1e-9 — the pin ADVICE r15 asked
+    for (the mixed-space kit was off by ~0.2 in magnitude AND sign)."""
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(10)]
+    vecs += BASE[:3] + [near(BASE[1], 1e-3)]
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from big_data_ml_pipeline_spark.operators.similarity import ivf_index
+
+    assigned = ivf_index(df, CENTS, id_col="vec_id", vec_col="embedding")
+    enc = pq_append_codes(
+        assigned, CBS, vec_col="v", centroids=CENTS, rotation=R_REV
+    )
+    prep_raw, adc_cos = pq_adc_screen_kit(
+        CBS, centroids=ROT_CENTS, rotation=R_REV
+    )
+    a = enc.select(
+        F.col("cell"), F.col("vec_id").alias("id_a"),
+        F.col("codes").alias("__acodes"),
+    )
+    b = prep_raw(df, F.col("embedding")).select(
+        F.col("vec_id").alias("id_b"),
+        "__adc_luts", "__adc_norm", "__adc_cdots",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in b.crossJoin(a)
+        .select("id_a", "id_b", adc_cos(F.col("__acodes")).alias("sim"))
+        .collect()
+    }
+    meta = {r["vec_id"]: (r["cell"], list(r["codes"])) for r in enc.collect()}
+    by_id = dict(rows)
+    for (ia, ib), sim in got.items():
+        cell, codes = meta[ia]
+        assert codes == py_res_rot_codes(by_id[ia], cell), ia
+        expect = py_res_rot_adc_cos(by_id[ib], cell, codes)
+        assert sim == expect, (ia, ib, sim, expect)  # bit-for-bit
+        rec = [
+            ROT_CENTS[cell][j * D + i] + CBS[j][codes[j]][i]
+            for j in range(M) for i in range(D)
+        ]
+        flat = py_raw_cos(py_rotate(by_id[ib]), rec)
+        assert abs(sim - flat) < 1e-9, (ia, ib, sim, flat)
+
+
+def test_residual_rotation_ingest_stream_equals_batch(spark, tmp_path):
+    """pq_residual + pq_rotation THROUGH the real ingest (the wiring
+    ADVICE r15 flagged): the streamed codes-only ingest lands exactly
+    the one-shot pair-rule reduction under the residual+rotation ADC
+    similarity, landed codes == the rotate∘subtract Python argmin, and
+    the _PQ_SPEC marker folds centroids AND rotation in."""
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [SHARD1, SHARD2, SHARD3])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    kw = dict(centroids=CENTS, threshold=THR_RES, track_components=True,
+              round_assign_digits=6, screen_round_digits=6, codebooks=CBS,
+              pq_residual=True, pq_rotation=R_REV)
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out, ckpt, **kw
+    )
+    landed = spark.read.parquet(out)
+    assert set(landed.columns) == {"vec_id", "codes", "cell", "fp"}
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == se._pq_fingerprint(
+            CBS, CENTS, rotation=R_REV
+        )
+    kept, dropped, reps = one_shot_res_rot(ALL_ROWS, THR_RES)
+    # The fixture still exercises every screen in the rotated algebra:
+    # exact dups (13, 32), a cross-batch ADC drop (21), a chain
+    # through a dropped twin (30 vs 21's codes).
+    assert {21, 30} <= dropped
+    got = {r["vec_id"]: r for r in landed.collect()}
+    assert set(got) == kept
+    for vid in kept:
+        assert got[vid]["cell"] == py_cell(reps[vid])
+        assert list(got[vid]["codes"]) == py_res_rot_codes(
+            reps[vid], got[vid]["cell"]
+        )
+    eids = {r["vec_id"]
+            for r in spark.read.parquet(out + "_screened").collect()}
+    assert eids == dropped
+
+
+def test_cell_distortion_report_uses_provided_membership(spark):
+    """pq_cell_distortion_report(cells_from=) measures distortion BY
+    the provided (id, cell) membership — the state table's stored
+    cells — instead of re-running the IVF argmax (ADVICE r15: after a
+    repair moves centroids, re-assignment can mis-attribute boundary
+    rows to cells the selective-maintenance machinery never touches)."""
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        pq_cell_distortion_report,
+    )
+
+    rows = [(i + 1, BASE[i]) for i in range(4)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    natural = {vid: py_cell(v) for vid, v in rows}
+    # Override one row's membership to a cell the argmax would NOT pick.
+    override = {vid: c for vid, c in natural.items()}
+    override[4] = (natural[4] + 1) % NCELLS
+    mapping = spark.createDataFrame(
+        [(vid, c) for vid, c in override.items()], ["vec_id", "cell"]
+    )
+    rep = {
+        r["cell"]: r
+        for r in pq_cell_distortion_report(
+            df, CENTS, CBS, id_col="vec_id", vec_col="embedding",
+            cells_from=mapping,
+        ).collect()
+    }
+
+    def py_res_dist_q(v, cell):
+        r = [v[i] - CENTS[cell][i] for i in range(DIM)]
+        total = 0
+        for j in range(M):
+            s = r[j * D: (j + 1) * D]
+            sn = seq_dot(s, s)
+            dmin = min(
+                rhu(sn - 2.0 * seq_dot(s, cb) + CB2[j][c], 9)
+                for c, cb in enumerate(CBS[j])
+            )
+            total += int(rhu(dmin * 1e9, 0))
+        return total
+
+    by_id = dict(rows)
+    for cell in range(NCELLS):
+        members = [vid for vid, c in override.items() if c == cell]
+        assert rep[cell]["n_vectors"] == len(members), cell
+        assert rep[cell]["sum_dist_q"] == sum(
+            py_res_dist_q(by_id[vid], cell) for vid in members
+        ), cell

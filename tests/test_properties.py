@@ -636,3 +636,31 @@ def test_opq_alternation_monotone_and_orthogonal(seed, n):
     d_pq = dist(X, pq_cbs)
     d_opq = dist(X @ Rm.T, opq_cbs)
     assert d_opq <= d_pq * (1 + 1e-9), (d_opq, d_pq)
+
+
+def test_lloyd_kmeans_empty_cluster_reseeds_distinct():
+    """ADVICE r15: simultaneously-empty clusters must reseed to
+    DISTINCT high-distance points, not all collapse onto one farthest
+    point (duplicate centroids). Fixture: two duplicated points seed
+    four centroids, so two clusters go empty in the first assignment;
+    the two far points must both become centroids."""
+    import numpy as np
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        _lloyd_kmeans_np,
+    )
+
+    X = np.array(
+        [[0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [10.0, 10.0],
+         [0.0, 10.0], [10.0, 0.0]]
+    )
+    seed = next(
+        s for s in range(500)
+        if set(
+            np.random.default_rng(s).choice(len(X), size=4, replace=False)
+        ) == {0, 1, 2, 3}
+    )
+    C = _lloyd_kmeans_np(X, k=4, seed=seed, n_iter=1)
+    cents = {tuple(np.round(c, 9)) for c in C}
+    assert len(cents) == 4
+    assert (0.0, 10.0) in cents and (10.0, 0.0) in cents
