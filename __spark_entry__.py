@@ -4079,6 +4079,40 @@ def q187_postings_boolean_topk(
     return spark.createDataFrame(rows, result.schema)
 
 
+def q188_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxScore/WAND impact-ordered pruned BM25 from the postings state
+    (VERDICT r15 item 1 — text.bm25_topk_wand): the q184 probe for a
+    query mixing the corpus's one RARE term ("dup", df ≈ 5%) with
+    three "the"-class COMMON terms (df ≈ 78%). The rare term's small
+    posting list is scored first; its k-th best partial sum θ₀
+    lower-bounds the true k-th total, the lexicon's (max_tf, min_dl)
+    impact partials bound every common posting's score under the
+    current global stats, and since ΣU(common) < θ₀ the three
+    corpus-sized common lists are broadcast-semi-join filtered to the
+    rare candidates map-side instead of doc-shuffled whole — the
+    classical document-at-a-time pruning (Turtle & Flood 1995; Broder
+    2003) as a two-pass Spark plan. Pruning is PROVABLY safe (strict
+    inequality, non-negative scores), so the result — and the oracle
+    twin — is exactly the unpruned one-shot BM25 over the landed set
+    at top-15; any not-provably-safe case delegates to q184's exact
+    plan (at sf0.001 the rare pass has < k docs, so it does).
+    Ingested state shared with q184/q187 (one ingest per session)."""
+    from big_data_ml_pipeline_spark.oracle.sql import Q188_WAND_TERMS
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_postings_ingest(spark, sf_dir)
+    result = text_ops.bm25_topk_wand(
+        corpus_stream.read_postings(spark, out),
+        spark.read.parquet(out + "_lexicon"),
+        Q188_WAND_TERMS,
+        k=15,
+        k1=Q126_BM25_K1,
+        b=Q126_BM25_B,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4289,6 +4323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_opq_distortion": q185_opq_distortion,
         "q186_opq_ivfpq_topk": q186_opq_ivfpq_topk,
         "q187_postings_boolean_topk": q187_postings_boolean_topk,
+        "q188_wand_bm25_topk": q188_wand_bm25_topk,
     }
 
 

@@ -2089,38 +2089,7 @@ def bm25_topk_from_postings(
             F.col("tf"),
         )
     )
-    idf_q = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        "n_docs",
-        "sum_dl",
-        F.round(
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("__idf_q"),
-    )
-    scored = tf.join(F.broadcast(idf_q), "term").select(
-        "id",
-        F.round(
-            (F.col("__idf_q").cast("double") / 1e6)
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1 * (1.0 - b))
-                + F.lit(k1 * b)
-                * (F.col("dl") * F.col("n_docs")).cast("double")
-                / F.col("sum_dl")
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias("__score_q"),
-    )
+    scored = _bm25_postings_score(tf, dfreq, stats, k1, b)
     per_doc = scored.groupBy("id").agg(
         F.count("*").cast("long").alias("n_terms"),
         F.sum("__score_q").cast("long").alias("__sum_q"),

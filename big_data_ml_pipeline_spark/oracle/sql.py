@@ -2945,8 +2945,10 @@ _Q126_SQL = _q126_sql()
 # exact-dedup convention), top-12. The Spark side reads N/sum_dl/df from
 # the incremental lexicon state; those are integer partial sums of the
 # identical one-shot quantities, so the SQL can aggregate one-shot.
-def _q178_sql(limit: int = 12) -> str:
-    terms = ", ".join(f"'{t}'" for t in Q126_BM25_TERMS)
+def _q178_sql(
+    limit: int = 12, terms_tuple: tuple[str, ...] | None = None
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in (terms_tuple or Q126_BM25_TERMS))
     k1p1 = repr(Q126_BM25_K1 + 1.0)
     k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
     k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
@@ -3207,6 +3209,19 @@ _Q187_SQL = _q187_sql()
 # state, touching the corpus zero times at query time; every partial
 # is an integer sum of the identical one-shot quantity.
 _Q184_SQL = _q178_sql(limit=15)
+
+#: q188 query mix: "dup" is the corpus's one genuinely RARE token
+#: (df ≈ 5% of docs); the other three are "the"-class common (df ≈
+#: 78%) — exactly the natural-language shape where MaxScore pruning
+#: pays: the rare pass bounds the threshold, the three common posting
+#: lists are semi-join filtered instead of doc-shuffled.
+Q188_WAND_TERMS: tuple[str, ...] = ("dup", "spark", "window", "vector")
+
+# q188: the twin is the q184/q178 one-shot BM25 SQL itself (same
+# generator, the q188 term mix) — safe pruning means the pruned top-k
+# must be EXACTLY the unpruned result, so the oracle is the unpruned
+# query.
+_Q188_SQL = _q178_sql(limit=15, terms_tuple=Q188_WAND_TERMS)
 
 
 def _res_adc_sql_parts(
@@ -4892,5 +4907,6 @@ def oracle_sql() -> dict[str, str]:
         "q185_opq_distortion": _Q185_SQL,
         "q186_opq_ivfpq_topk": _Q186_SQL,
         "q187_postings_boolean_topk": _Q187_SQL,
+        "q188_wand_bm25_topk": _Q188_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -262,10 +262,15 @@ def read_postings(spark: SparkSession, out_dir: str) -> DataFrame:
         if not spark.catalog.tableExists(tbl):
             sample = spark.read.parquet(postings_dir)
             id_ddl = sample.schema["doc_id"].dataType.simpleString()
+            pos_ddl = (
+                ", positions ARRAY<INT>"
+                if "positions" in sample.columns
+                else ""
+            )
             _register_bucketed_state(
                 spark, postings_dir, tbl,
                 f"batch_id BIGINT, token STRING, doc_id {id_ddl}, "
-                "tf BIGINT, dl BIGINT",
+                f"tf BIGINT, dl BIGINT{pos_ddl}",
                 ["token"], n_buckets, sort_cols=["token"],
             )
         return spark.table(tbl)
@@ -436,6 +441,7 @@ def ingest_documents_stream(
     maintain_lexicon: bool = False,
     maintain_postings: bool = False,
     postings_n_buckets: int | None = None,
+    postings_positions: bool = False,
     lm_floor: float | None = None,
     span_dedup: dict | None = None,
     near_dup_n_buckets: int | None = None,
@@ -757,6 +763,23 @@ def ingest_documents_stream(
         )
     postings_dir = out_dir.rstrip("/") + "_postings"
     pg_buckets = int(postings_n_buckets or 0) if maintain_postings else 0
+    if maintain_postings and _has_parquet(postings_dir):
+        # Positional and positionless postings are DIFFERENT layouts —
+        # refuse a silent mix (the raw/codes embedding-state lesson):
+        # appended rows would union mismatched schemas and phrase
+        # queries would silently miss older docs.
+        had = "positions" in {
+            f.name
+            for f in stream.sparkSession.read.parquet(postings_dir)
+            .schema.fields
+        }
+        if had != bool(postings_positions):
+            raise ValueError(
+                f"postings state at {postings_dir} was built "
+                f"{'WITH' if had else 'WITHOUT'} positions; reopen with "
+                f"postings_positions={had} or rebuild the state"
+            )
+    pos_ddl = ", positions ARRAY<INT>" if postings_positions else ""
     if pg_buckets:
         _check_bucket_marker(postings_dir, pg_buckets, "postings index")
         id_ddl = stream.schema[id_col].dataType.simpleString()
@@ -764,7 +787,7 @@ def ingest_documents_stream(
             stream.sparkSession, postings_dir,
             _state_table_name(postings_dir, "postings"),
             f"batch_id BIGINT, token STRING, doc_id {id_ddl}, "
-            "tf BIGINT, dl BIGINT",
+            f"tf BIGINT, dl BIGINT{pos_ddl}",
             ["token"], pg_buckets, sort_cols=["token"],
         )
         _write_bucket_marker(postings_dir, pg_buckets)
@@ -1016,16 +1039,41 @@ def ingest_documents_stream(
                     F.col(id_col).alias("__lid"),
                     _tokens(F.lower(F.col(text_col))).alias("__toks"),
                 )
-                per_tok = (
-                    toks.select(
-                        "__lid",
-                        F.size("__toks").cast("long").alias("__dl"),
-                        F.explode_outer("__toks").alias("token"),
+                if postings_positions:
+                    # posexplode carries each token's 0-based offset;
+                    # sort_array makes the collected positions list a
+                    # deterministic exact fact (ascending offsets) —
+                    # the phrase-query primitive. tf == len(positions)
+                    # by construction, so the positionless consumers
+                    # are unchanged.
+                    per_tok = (
+                        toks.select(
+                            "__lid",
+                            F.size("__toks").cast("long").alias("__dl"),
+                            F.posexplode_outer("__toks").alias(
+                                "__pos", "token"
+                            ),
+                        )
+                        .filter(F.col("token").isNotNull())
+                        .groupBy("__lid", "__dl", "token")
+                        .agg(
+                            F.count("*").cast("long").alias("__tf"),
+                            F.sort_array(
+                                F.collect_list(F.col("__pos").cast("int"))
+                            ).alias("__positions"),
+                        )
                     )
-                    .filter(F.col("token").isNotNull())
-                    .groupBy("__lid", "__dl", "token")
-                    .agg(F.count("*").cast("long").alias("__tf"))
-                )
+                else:
+                    per_tok = (
+                        toks.select(
+                            "__lid",
+                            F.size("__toks").cast("long").alias("__dl"),
+                            F.explode_outer("__toks").alias("token"),
+                        )
+                        .filter(F.col("token").isNotNull())
+                        .groupBy("__lid", "__dl", "token")
+                        .agg(F.count("*").cast("long").alias("__tf"))
+                    )
                 if maintain_postings:
                     # Full inverted postings from the SAME per_tok pass
                     # (one row per surviving (doc, token)); dl rides
@@ -1038,6 +1086,11 @@ def ingest_documents_stream(
                         F.col("__lid").alias("doc_id"),
                         F.col("__tf").alias("tf"),
                         F.col("__dl").alias("dl"),
+                        *(
+                            [F.col("__positions").alias("positions")]
+                            if postings_positions
+                            else []
+                        ),
                     )
                     if pg_tbl is not None:
                         _append_bucketed(
@@ -1359,13 +1412,11 @@ def compact_postings(
     from ..sources.state import TMP_SUFFIX, atomic_swap_dirs
 
     path = path.rstrip("/")
-    folded = (
-        spark.read.parquet(path)
-        .dropDuplicates(["batch_id", "token", "doc_id"])
-        .select(
-            F.lit(-1).cast("long").alias("batch_id"),
-            "token", "doc_id", "tf", "dl",
-        )
+    raw = spark.read.parquet(path)
+    folded = raw.dropDuplicates(["batch_id", "token", "doc_id"]).select(
+        F.lit(-1).cast("long").alias("batch_id"),
+        "token", "doc_id", "tf", "dl",
+        *(["positions"] if "positions" in raw.columns else []),
     )
     if n_buckets:
         _rewrite_bucketed_state(

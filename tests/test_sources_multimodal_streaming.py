@@ -2931,3 +2931,110 @@ def test_streaming_postings_bm25_zero_corpus_reads(spark, tmp_path):
             maintain_lexicon=True, maintain_postings=True,
             postings_n_buckets=8,
         )
+
+
+def test_bm25_wand_pruned_equals_unpruned(spark, tmp_path, monkeypatch):
+    """bm25_topk_wand (VERDICT r15 item 1 — MaxScore/WAND impact-ordered
+    pruning): on a corpus with one deliberately COMMON term, the pruned
+    two-pass plan returns EXACTLY the unpruned bm25_topk_from_postings
+    top-k (values, n_terms, ties), the common term's posting list is
+    broadcast-semi-join filtered instead of doc-shuffled (plan pin),
+    the pruning path genuinely activates (delegation is monkeypatch-
+    fenced), the lexicon impact partials survive compaction, and every
+    not-provably-safe case delegates to the exact unpruned query."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators import text as text_mod
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk_from_postings,
+        bm25_topk_wand,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    # 20 docs, every one contains the common term "the"; "zebra" and
+    # "quux" are rare (df 5 and 4) with varied tf/dl so scores spread.
+    docs = []
+    for i in range(20):
+        body = ["the"] * (1 + i % 3) + [f"filler{i}"] * (2 + i % 5)
+        if i % 5 == 0:
+            body += ["zebra"] * (1 + i % 2)
+        if i % 5 == 2 and i < 18:
+            body += ["quux"]
+        docs.append((i, " ".join(body)))
+    shards = [docs[:7], docs[7:14], docs[14:]]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            [(d, t, "en") for d, t in rows], ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4,
+    )
+    postings = corpus_ops.read_postings(spark, out)
+    lexicon = spark.read.parquet(out + "_lexicon")
+    assert {"max_tf", "min_dl"} <= set(lexicon.columns)
+    terms = ("the", "zebra", "quux")
+    k = 4
+    want = bm25_topk_from_postings(
+        postings, lexicon, terms, k=k
+    ).collect()
+    pruned = bm25_topk_wand(
+        postings, lexicon, terms, k=k, common_df_frac=0.3
+    )
+    assert [tuple(r) for r in pruned.collect()] == [tuple(r) for r in want]
+    # Plan pin: the common term's postings are scanned with their own
+    # pushed IN-filter and reduced by a broadcast LEFT-SEMI join to the
+    # rare-term candidate docs — never doc-shuffled whole.
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # A one-term IN collapses to EqualTo in the pushed filter.
+    assert "EqualTo(token,the)" in plan or "In(token, [the])" in plan
+    assert "In(token, [quux,zebra])" in plan
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    # The pruning path genuinely ran: delegation is fenced off.
+    def _boom(*a, **kw):
+        raise AssertionError("bm25_topk_wand delegated unexpectedly")
+
+    monkeypatch.setattr(text_mod, "bm25_topk_from_postings", _boom)
+    again = bm25_topk_wand(
+        postings, lexicon, terms, k=k, common_df_frac=0.3
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in want]
+    monkeypatch.undo()
+    # Not-provably-safe cases DELEGATE to the exact unpruned query:
+    # (a) k exceeds the rare pass's doc count; (b) every term rare.
+    big_k = bm25_topk_wand(
+        postings, lexicon, terms, k=15, common_df_frac=0.3
+    ).collect()
+    want15 = bm25_topk_from_postings(
+        postings, lexicon, terms, k=15
+    ).collect()
+    assert [tuple(r) for r in big_k] == [tuple(r) for r in want15]
+    all_rare = bm25_topk_wand(
+        postings, lexicon, ("zebra", "quux"), k=3, common_df_frac=0.9
+    ).collect()
+    want_rare = bm25_topk_from_postings(
+        postings, lexicon, ("zebra", "quux"), k=3
+    ).collect()
+    assert [tuple(r) for r in all_rare] == [tuple(r) for r in want_rare]
+    # Impact partials fold exactly through lexicon compaction.
+    corpus_ops.compact_lexicon(spark, out + "_lexicon")
+    lex2 = spark.read.parquet(out + "_lexicon")
+    after = bm25_topk_wand(
+        postings, lex2, terms, k=k, common_df_frac=0.3
+    ).collect()
+    assert [tuple(r) for r in after] == [tuple(r) for r in want]
+    # A lexicon without the impact columns refuses loudly.
+    with _pytest.raises(ValueError, match="impact"):
+        bm25_topk_wand(
+            postings, lex2.drop("max_tf", "min_dl"), terms, k=k
+        )
