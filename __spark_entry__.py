@@ -3080,20 +3080,26 @@ _PROBE_COUNTS: dict[str, tuple[int, ...]] = {}
 #: these two probes add, so the second of the pair reuses the landed
 #: state (the _stage_id_shards scaffolding precedent). Session-temp;
 #: read-only after build.
-_POSTINGS_INGEST_CACHE: dict[str, str] = {}
+_POSTINGS_INGEST_CACHE: dict[tuple[str, bool], str] = {}
 
 
-def _staged_postings_ingest(spark: SparkSession, sf_dir: str) -> str:
-    """Run (once per session per input set) the documents ingest with
-    maintain_lexicon + bucketed maintain_postings over the staged id
-    shards; return the output state path."""
+def _staged_postings_ingest(
+    spark: SparkSession, sf_dir: str, positions: bool = False
+) -> str:
+    """Run (once per session per (input set, layout)) the documents
+    ingest with maintain_lexicon + bucketed maintain_postings over the
+    staged id shards; return the output state path. ``positions=True``
+    builds the POSITIONAL layout (a distinct state — q189's phrase
+    probe needs offsets; the BM25/boolean probes share the leaner
+    positionless one)."""
     import tempfile
 
     from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
 
     in_dir = _stage_id_shards(spark, sf_dir, "documents", "doc_id")
-    if in_dir in _POSTINGS_INGEST_CACHE:
-        return _POSTINGS_INGEST_CACHE[in_dir]
+    key = (in_dir, bool(positions))
+    if key in _POSTINGS_INGEST_CACHE:
+        return _POSTINGS_INGEST_CACHE[key]
     base = tempfile.mkdtemp(prefix="postings_ingest_")
     out = os.path.join(base, "out")
     corpus_stream.ingest_documents_stream(
@@ -3104,8 +3110,9 @@ def _staged_postings_ingest(spark: SparkSession, sf_dir: str) -> str:
         maintain_lexicon=True,
         maintain_postings=True,
         postings_n_buckets=8,
+        postings_positions=bool(positions),
     )
-    _POSTINGS_INGEST_CACHE[in_dir] = out
+    _POSTINGS_INGEST_CACHE[key] = out
     return out
 
 
@@ -4113,6 +4120,33 @@ def q188_wand_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def q189_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval from POSITIONAL postings (VERDICT r15
+    item 2 — streaming.corpus postings_positions +
+    text.phrase_topk_from_postings): the staged ingest builds the
+    positional layout — each (token, doc) state row carries its
+    ascending 0-based offsets from the same tokenize pass — and the
+    probe answers "docs containing the consecutive phrase" by
+    intersecting offset-shifted positions arrays: P(t₁) ∩ (P(t₂) − 1),
+    the classical positional-index plan, with the token IN-filter
+    pushed to the pruned bucket scan and ZERO corpus reads. Positions
+    are exact integer facts of the landed set, so the DuckDB twin
+    re-derives the occurrence counts one-shot from the text (a
+    token-window scan) — exact at every SF. Top-10 by occurrence
+    count, id ties."""
+    from big_data_ml_pipeline_spark.oracle.sql import Q189_PHRASE_TERMS
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_postings_ingest(spark, sf_dir, positions=True)
+    result = text_ops.phrase_topk_from_postings(
+        corpus_stream.read_postings(spark, out),
+        Q189_PHRASE_TERMS,
+        k=10,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4324,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_opq_ivfpq_topk": q186_opq_ivfpq_topk,
         "q187_postings_boolean_topk": q187_postings_boolean_topk,
         "q188_wand_bm25_topk": q188_wand_bm25_topk,
+        "q189_phrase_topk": q189_phrase_topk,
     }
 
 

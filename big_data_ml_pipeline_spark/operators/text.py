@@ -2371,6 +2371,85 @@ def boolean_and_topk_from_postings(
     )
 
 
+def phrase_topk_from_postings(
+    postings: DataFrame,
+    phrase_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-PHRASE retrieval from POSITIONAL postings (VERDICT r15
+    item 2 — the second classical retrieval primitive after q184's
+    term queries): documents containing the tokens of ``phrase_terms``
+    at CONSECUTIVE offsets, ranked by occurrence count (ties by id),
+    zero corpus reads. Requires a postings state built with
+    ``ingest_documents_stream(postings_positions=True)`` — each
+    (token, doc) row then carries its ascending 0-based offsets array.
+
+    The classical positional-intersection plan as Catalyst
+    expressions: per candidate doc, the phrase's start offsets are
+    ``P(t₁) ∩ (P(t₂) − 1) ∩ … ∩ (P(tₙ) − (n−1))`` — one
+    ``array_intersect`` chain over the per-term positions arrays
+    (repeated phrase tokens reuse the same array at different
+    shifts), no re-tokenization, no text column anywhere in the plan.
+
+    Scale shape: the token IN-filter reaches the pruned bucket scan
+    exactly as q184's (read cost tracks the phrase terms' posting
+    lists); candidates are docs carrying ALL distinct phrase tokens
+    (one doc-keyed aggregation of the matched postings, the q187
+    countDistinct intersection); the offset intersection is per-row
+    array arithmetic. Positions are exact integer facts of the landed
+    corpus, so the occurrence count is oracle-exact (q189's DuckDB
+    twin re-derives it from the text one-shot). Returns (id_col,
+    n_occurrences, score) with score = n_occurrences as double (the
+    q187 stable-surface convention)."""
+    terms = [str(t) for t in phrase_terms]
+    if len(terms) < 2:
+        raise ValueError("phrase_topk_from_postings needs >= 2 terms")
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "phrase_topk_from_postings needs POSITIONAL postings — "
+            "re-ingest with postings_positions=True"
+        )
+    distinct = sorted(set(terms))
+    cands = (
+        postings.filter(F.col("token").isin(*distinct))
+        .dropDuplicates(["batch_id", "token", "doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "positions"))
+            ).alias("__pm"),
+            F.countDistinct("token").alias("__nt"),
+        )
+        .filter(F.col("__nt") == len(distinct))
+    )
+    def _shifted(term: str, off: int):
+        # factory — a 2-parameter HOF lambda would bind the ARRAY INDEX
+        # as its second argument (pyspark's (element, index) form), so
+        # the shift must be closed over via a helper per offset
+        return F.transform(
+            F.element_at(F.col("__pm"), F.lit(term)), lambda p: p - off
+        )
+
+    starts = F.element_at(F.col("__pm"), F.lit(terms[0]))
+    for i, t in enumerate(terms[1:], start=1):
+        starts = F.array_intersect(starts, _shifted(t, i))
+    return (
+        cands.select(
+            F.col("doc_id").alias(id_col),
+            F.size(starts).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") > 0)
+        .select(
+            id_col,
+            "n_occurrences",
+            F.col("n_occurrences").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 4,

@@ -3223,6 +3223,44 @@ Q188_WAND_TERMS: tuple[str, ...] = ("dup", "spark", "window", "vector")
 # query.
 _Q188_SQL = _q178_sql(limit=15, terms_tuple=Q188_WAND_TERMS)
 
+#: q189 phrase — a real consecutive bigram of the corpus (~50
+#: occurrences at sf0.01), so the top-k is non-degenerate at every SF.
+Q189_PHRASE_TERMS: tuple[str, ...] = ("table", "hash")
+
+
+def _q189_sql(k: int = 10) -> str:
+    """Twin of q189 — exact-phrase retrieval over the SQL-landed set
+    (the q184/q187 convention): the Spark side intersects offset-
+    shifted positions arrays from the POSITIONAL postings state;
+    positions are exact integer facts of the landed corpus, so the
+    oracle re-derives the occurrence count one-shot from the text — a
+    token-window scan counting starts p with toks[p+i] = termᵢ ∀i."""
+    n = len(Q189_PHRASE_TERMS)
+    cond = " AND ".join(
+        f"toks[p+{i}] = '{t}'" for i, t in enumerate(Q189_PHRASE_TERMS)
+    )
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM corpus),
+hits AS (
+  SELECT id,
+         CAST(len(list_filter(range(1, len(toks) - {n} + 2),
+              p -> {cond})) AS BIGINT) AS n_occurrences
+  FROM base)
+SELECT id AS doc_id, n_occurrences,
+       CAST(n_occurrences AS DOUBLE) AS score
+FROM hits WHERE n_occurrences > 0
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_Q189_SQL = _q189_sql()
+
 
 def _res_adc_sql_parts(
     vec_expr: str, codes_expr: str, cell_expr: str, cent_dot: str,
@@ -4908,5 +4946,6 @@ def oracle_sql() -> dict[str, str]:
         "q186_opq_ivfpq_topk": _Q186_SQL,
         "q187_postings_boolean_topk": _Q187_SQL,
         "q188_wand_bm25_topk": _Q188_SQL,
+        "q189_phrase_topk": _Q189_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
