@@ -4147,6 +4147,38 @@ def q189_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def q190_opq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL modern ANN composition as one first-class probe
+    (VERDICT r15 item 3 — the standard Faiss OPQ→IVF→PQ chain):
+    coarse cells in the raw space, codes quantizing the ROTATED
+    RESIDUAL R·(v − centroid(cell)) against codebooks TRAINED in that
+    space (the committed opq_residual_anchor.json — rotated-residual
+    Lloyd fits over the bounded deterministic sample; the training
+    path composes, not just the probe), and per-(query, probed-cell)
+    LUTs built from the query's own rotated residual, so the integer
+    ADC sum is the exact quantized ‖R(q−c) − recon‖² — distances to
+    reconstructions of the raw vectors, comparable across cells.
+    Probe cost is unchanged vs q175/q186: m integer lookups per pair
+    plus ONE extra map-only rotation projection per side. (qid,
+    vec_id, adist_q, rn) top-10, integer-exact against the SQL twin
+    (rotation, centroids and codebooks are shared literals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = sim_ops.load_opq_anchor()
+    res_anchor = sim_ops.load_opq_residual_anchor()
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        res_anchor["codebooks"],
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        residual=True,
+        rotation=anchor["rotation"],
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4359,6 +4391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_postings_boolean_topk": q187_postings_boolean_topk,
         "q188_wand_bm25_topk": q188_wand_bm25_topk,
         "q189_phrase_topk": q189_phrase_topk,
+        "q190_opq_residual_topk": q190_opq_residual_topk,
     }
 
 

@@ -3262,6 +3262,132 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 _Q189_SQL = _q189_sql()
 
 
+def _q190_sql(
+    k_top: int = 10, nprobe: int = 4, m: int = 8, dim: int = 64
+) -> str:
+    """Twin of q190 — the FULL OPQ→IVF→PQ composition (residual +
+    rotation together): coarse cells assigned in the RAW space (q175's
+    rounded-argmax CTEs), residuals v − centroid(cell) rotated through
+    the committed OPQ anchor rotation BEFORE the q165 argmin encode
+    (mirroring pq_append_codes' rotate∘subtract order), and each
+    query's nano-unit LUTs built from ITS rotated residual in every
+    probed cell — Σ_j lut[j][code_j] is then the exact quantized
+    ‖R(q−c) − recon‖² = ‖(q−c) − Rᵀrecon‖², comparable across cells.
+    Codebooks come from the committed opq_residual_anchor.json
+    (trained on rotated residuals), so both engines read identical
+    double literals at every SF."""
+    from ..operators.similarity import (
+        deterministic_ivf_centroids,
+        load_opq_anchor,
+        load_opq_residual_anchor,
+    )
+
+    d = dim // m
+    rot = ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in r) + "]"
+        for r in load_opq_anchor()["rotation"]
+    )
+    cents = deterministic_ivf_centroids(dim=dim, n_cells=16)
+    values = ", ".join(
+        f"({i}, CAST([{', '.join(repr(x) for x in c)}] AS DOUBLE[]))"
+        for i, c in enumerate(cents)
+    )
+    cbs = _cbs_values_from(load_opq_residual_anchor()["codebooks"])
+    return f"""
+WITH cbs(j, c, cb, cb2) AS (VALUES {cbs}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cell, cv) AS (VALUES {values}),
+rot(r3) AS (SELECT CAST([{rot}] AS DOUBLE[][])),
+csims AS (
+  SELECT e.vec_id, e.v, cents.cell,
+         CASE WHEN sqrt(list_dot_product(e.v, e.v)) *
+                   sqrt(list_dot_product(cents.cv, cents.cv)) = 0 THEN 0.0
+              ELSE ROUND(list_dot_product(e.v, cents.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(cents.cv, cents.cv))),
+                         6) END AS csim
+  FROM e CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vec_id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims) t WHERE rn = 1
+),
+r AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, {dim + 1}), i -> a.v[i] - c.cv[i]) AS rv0
+  FROM assigned a JOIN cents c ON c.cell = a.cell
+),
+rr AS (
+  SELECT r.vec_id, r.cell,
+         list_transform(rot.r3, rw -> list_dot_product(rw, r.rv0)) AS rv
+  FROM r CROSS JOIN rot
+),
+rdists AS (
+  SELECT rr.vec_id, rr.cell, cbs.j, cbs.c,
+         ROUND(list_dot_product(rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                                rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+               - 2 * list_dot_product(
+                   rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}], cbs.cb)
+               + cbs.cb2, 9) AS dist
+  FROM rr CROSS JOIN cbs
+),
+renc AS (
+  SELECT vec_id, cell, j, c AS code FROM (
+    SELECT vec_id, cell, j, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist ASC, c ASC) AS rn
+    FROM rdists) t WHERE rn = 1
+),
+qcells AS (
+  SELECT qid, cell FROM (
+    SELECT vec_id AS qid, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY csim DESC, cell ASC) AS rn
+    FROM csims WHERE vec_id % 100 = 0) t WHERE rn <= {nprobe}
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+qres AS (
+  SELECT qc.qid, qc.cell,
+         list_transform(range(1, {dim + 1}), i -> q.qv[i] - c.cv[i]) AS rqv0
+  FROM qcells qc JOIN q ON q.qid = qc.qid JOIN cents c ON c.cell = qc.cell
+),
+qrr AS (
+  SELECT qres.qid, qres.cell,
+         list_transform(rot.r3, rw -> list_dot_product(rw, qres.rqv0)) AS rqv
+  FROM qres CROSS JOIN rot
+),
+lut AS (
+  SELECT qrr.qid, qrr.cell, cbs.j, cbs.c,
+         CAST(ROUND((list_dot_product(
+                         qrr.rqv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                         qrr.rqv[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+                     - 2 * list_dot_product(
+                         qrr.rqv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                         cbs.cb)
+                     + cbs.cb2) * 1e9) AS BIGINT) AS term
+  FROM qrr CROSS JOIN cbs
+),
+cand AS (
+  SELECT qc.qid, a.vec_id, a.cell
+  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+),
+scored AS (
+  SELECT cand.qid, cand.vec_id, SUM(lut.term) AS adist
+  FROM cand
+  JOIN renc ON renc.vec_id = cand.vec_id
+  JOIN lut ON lut.qid = cand.qid AND lut.cell = cand.cell
+          AND lut.j = renc.j AND lut.c = renc.code
+  GROUP BY cand.qid, cand.vec_id
+){_q166_tail(k_top)}
+"""
+
+
+_Q190_SQL = _q190_sql()
+
+
 def _res_adc_sql_parts(
     vec_expr: str, codes_expr: str, cell_expr: str, cent_dot: str,
     m: int = 8, k: int = 16, dim: int = 64, n_cells: int = 16,
@@ -4947,5 +5073,6 @@ def oracle_sql() -> dict[str, str]:
         "q187_postings_boolean_topk": _Q187_SQL,
         "q188_wand_bm25_topk": _Q188_SQL,
         "q189_phrase_topk": _Q189_SQL,
+        "q190_opq_residual_topk": _Q190_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

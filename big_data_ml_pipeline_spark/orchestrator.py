@@ -186,6 +186,12 @@ DEFAULT_CONFIG: dict[str, Any] = {
                    # recenter_iters: N bounded Lloyd steps refining the
                    # centroid kit before build_embedding_index assigns.
                    "recenter_iters": 0,
+                   # maintain_on_drift policy: latest ingest batch's
+                   # cell-histogram JSD above drift_jsd_threshold
+                   # triggers ONE maintain_embedding_cells repair of
+                   # the maintain_top_n worst cells.
+                   "drift_jsd_threshold": None,
+                   "maintain_top_n": 2,
                    # pq: None lands the raw (id, v, cell) IVF index; a
                    # dict (e.g. {"m": 8, "k": 16, "fit": True}) lands
                    # the COMPACT (id, cell, codes) IVF-PQ index instead
@@ -921,6 +927,68 @@ class PipelineOrchestrator:
         c["ingest_centroids"] = new_cents
         return {"cells": flagged, "status": status,
                 "centroids": new_cents}
+
+    def maintain_on_drift(self, out_dir: str,
+                          raw_corpus: "DataFrame | str",
+                          threshold: float | None = None,
+                          top_n: int | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> dict:
+        """Close the drift→repair loop (VERDICT r15 item 4 — the
+        POLICY over the machinery rounds 14/15 built): read the ingest
+        drift table ``{out_dir}_drift`` (``embeddings.
+        ingest_track_drift`` — one cell-histogram JSD row per batch)
+        and, when the LATEST batch's ``jsd_bits`` exceeds the
+        configured threshold, run :meth:`maintain_embedding_cells`
+        exactly once; otherwise do nothing. The threshold comes from
+        ``embeddings.drift_jsd_threshold`` (overridable per call), the
+        repair breadth from ``embeddings.maintain_top_n`` (default 2).
+
+        Batches that landed on an EMPTY corpus are skipped: the drift
+        writer records jsd 1.0 by convention when there is nothing to
+        compare against (n_landed_vecs = 0), and repairing a
+        first-batch state is meaningless. Returns {"triggered",
+        "batch_id", "jsd_bits", "threshold", "result"} with ``result``
+        the repair dict when triggered, else None. Driver cost: one
+        k=1 top-batch read of the batch-count-sized drift table."""
+        from pyspark.sql import functions as F
+
+        c = self.config["embeddings"]
+        thr = threshold if threshold is not None else c.get(
+            "drift_jsd_threshold"
+        )
+        if thr is None:
+            raise ValueError(
+                "maintain_on_drift needs a threshold — set "
+                "embeddings.drift_jsd_threshold or pass threshold="
+            )
+        n = int(top_n if top_n is not None else c.get("maintain_top_n", 2))
+        drift_dir = out_dir.rstrip("/") + "_drift"
+        rows = (
+            self.spark.read.parquet(drift_dir)
+            .filter(F.col("n_landed_vecs") > 0)
+            .orderBy(F.col("batch_id").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return {"triggered": False, "batch_id": None,
+                    "jsd_bits": None, "threshold": float(thr),
+                    "result": None}
+        latest = rows[0]
+        out = {
+            "triggered": bool(latest["jsd_bits"] > float(thr)),
+            "batch_id": int(latest["batch_id"]),
+            "jsd_bits": float(latest["jsd_bits"]),
+            "threshold": float(thr),
+            "result": None,
+        }
+        if out["triggered"]:
+            out["result"] = self.maintain_embedding_cells(
+                out_dir, raw_corpus, top_n=n,
+                id_col=id_col, vec_col=vec_col,
+            )
+        return out
 
     # -- predict ------------------------------------------------------------
     def predict(self, model: PipelineModel | str, df: DataFrame,

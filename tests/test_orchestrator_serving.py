@@ -1321,3 +1321,97 @@ def test_orchestrator_rotation_fit_path_under_opq(spark, tmp_path):
         assert codes == want[vid], vid
     orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck2"))
     assert spark.read.parquet(out).count() == n0
+
+
+def test_maintain_on_drift_policy(spark, tmp_path, monkeypatch):
+    """maintain_on_drift (VERDICT r15 item 4 — the drift→repair loop
+    closed): a drifted ingest (latest batch's cell-histogram JSD above
+    embeddings.drift_jsd_threshold) triggers EXACTLY ONE
+    maintain_embedding_cells repair; a stable ingest triggers none;
+    first-batch rows (empty landed corpus, jsd 1.0 by convention) are
+    skipped; a missing threshold refuses loudly."""
+    import os
+    import time
+
+    import pytest as _pytest
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+
+    def jitter(c, eps, coord):
+        v = [float(x) for x in c]
+        v[coord] += eps
+        return v
+
+    # Batch 0 lands in cell A's neighbourhood; the STABLE batch 1 stays
+    # there, the DRIFTED batch 1 moves wholesale to cell B.
+    cell_a, cell_b = cents[0], cents[2]
+    b0 = [(1, jitter(cell_a, 0.3, 1)), (2, jitter(cell_a, -0.3, 2))]
+    stable_b1 = [(11, jitter(cell_a, 0.3, 3)), (12, jitter(cell_a, -0.3, 4))]
+    drifted_b1 = [(11, jitter(cell_b, 0.3, 3)), (12, jitter(cell_b, -0.3, 4))]
+
+    def run(name, shards, threshold=0.5):
+        in_dir = tmp_path / f"in_{name}"
+        in_dir.mkdir()
+        for i, rows in enumerate(shards):
+            p = str(in_dir / f"s{i}.parquet")
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (time.time() + i, time.time() + i))
+        cfg = {"embeddings": {"ingest_threshold": 0.9999,
+                              "ingest_dim": 8, "ingest_n_cells": 4,
+                              "ingest_screen_round_digits": 6,
+                              "ingest_track_drift": True,
+                              "drift_jsd_threshold": threshold,
+                              "maintain_top_n": 1,
+                              "pq": {"m": 4, "k": 4, "ingest": True,
+                                     "residual": True}}}
+        orch = PipelineOrchestrator(config=cfg, spark=spark)
+        out = str(tmp_path / f"out_{name}")
+        orch.ingest_embeddings_stream(
+            str(in_dir), out, str(tmp_path / f"ck_{name}")
+        )
+        raw = spark.createDataFrame(
+            [r for rows in shards for r in rows],
+            "vec_id long, embedding array<double>",
+        )
+        calls = []
+        real = PipelineOrchestrator.maintain_embedding_cells
+
+        def counting(self, *a, **kw):
+            calls.append(1)
+            return real(self, *a, **kw)
+
+        monkeypatch.setattr(
+            PipelineOrchestrator, "maintain_embedding_cells", counting
+        )
+        res = orch.maintain_on_drift(out, raw)
+        monkeypatch.undo()
+        return res, len(calls)
+
+    res, n_calls = run("stable", [b0, stable_b1])
+    assert res["triggered"] is False and n_calls == 0
+    assert res["batch_id"] == 1 and res["jsd_bits"] <= 0.5
+    assert res["result"] is None
+
+    res, n_calls = run("drift", [b0, drifted_b1])
+    assert res["triggered"] is True and n_calls == 1
+    assert res["batch_id"] == 1 and res["jsd_bits"] > 0.5
+    assert res["result"]["cells"] and "rotated" in res["result"]["status"]
+
+    # Single first batch: its jsd-1.0-by-convention row must NOT fire.
+    res, n_calls = run("first", [b0])
+    assert res["triggered"] is False and n_calls == 0
+    assert res["batch_id"] is None
+
+    # No threshold anywhere refuses loudly.
+    orch = PipelineOrchestrator(
+        config={"embeddings": {"ingest_dim": 8, "ingest_n_cells": 4}},
+        spark=spark,
+    )
+    with _pytest.raises(ValueError, match="drift_jsd_threshold"):
+        orch.maintain_on_drift(str(tmp_path / "out_stable"), None)

@@ -989,3 +989,89 @@ def test_opq_rotation_cuts_distortion_keeps_recall(spark, clustered_corpus):
     print(f"ADC recall@10: raw-PQ {raw_rec:.3f} OPQ {opq_rec:.3f}")
     assert opq_rec >= raw_rec - 0.02, (raw_rec, opq_rec)
     assert opq_rec >= 0.40, opq_rec
+
+
+def test_opq_residual_composition_on_clustered_corpus(
+    spark, clustered_corpus
+):
+    """The full OPQ→IVF→PQ composition (VERDICT r15 item 3): the
+    TRAINING path composes — fit_opq_rotation(centroids=) alternates
+    on residuals, so its OPQ kit must not lose to its same-seed plain
+    residual baseline in total trained distortion (monotone by
+    construction) — and the PROBE path composes: ivf_pq_knn_join
+    (residual=True, rotation=R) ADC-only recall@10 at nprobe=4 must
+    hold the residual-only recall (residuals of this fixture are
+    near-isotropic noise, so the rotation is distortion/recall
+    NEUTRAL, as Ge 2013 predicts for iid dimensions — the pin is "the
+    composition never hurts", with the q185 clustered-raw test
+    covering where OPQ wins). Codes round-trip: the probe's own index
+    equals pq_append_codes under the same kit."""
+    import numpy as np
+
+    emb, cents, V, _ = clustered_corpus
+    R, opqres_cbs, res_cbs = sim_ops.fit_opq_rotation(
+        emb, m=8, k=16, centroids=cents, round_assign_digits=6
+    )
+    Rm = np.array(R)
+    assert abs(Rm @ Rm.T - np.eye(64)).max() < 1e-12
+    base = {
+        r["subspace"]: r["sum_dist_q"]
+        for r in sim_ops.pq_reconstruction_report(
+            emb, res_cbs, centroids=cents, round_assign_digits=6
+        ).collect()
+    }
+    comp = {
+        r["subspace"]: r["sum_dist_q"]
+        for r in sim_ops.pq_reconstruction_report(
+            emb, opqres_cbs, centroids=cents, round_assign_digits=6,
+            rotation=R,
+        ).collect()
+    }
+    assert set(base) == set(comp) == set(range(8))
+    # Monotone alternation: total rotated-residual distortion ≤ the
+    # same-seed plain-residual total (1e-9-quantization slack).
+    assert sum(comp.values()) <= sum(base.values()) + 8
+
+    queries = emb.filter(F.col("vec_id") % 25 == 7)
+
+    def recall(cbs, rot):
+        got = {}
+        for r in sim_ops.ivf_pq_knn_join(
+            emb, queries, cents, cbs, k=10, nprobe=4,
+            round_assign_digits=6, residual=True, rotation=rot,
+        ).collect():
+            got.setdefault(r["qid"], set()).add(r["vec_id"])
+        hits = 0
+        for c in range(20):
+            qi = c * 25 + 7
+            sims = V @ V[qi]
+            sims[qi] = 2.0
+            hits += len(
+                got.get(qi, set()) & set(np.argsort(-sims)[:10].tolist())
+            )
+        return hits / 200.0
+
+    res_rec = recall(res_cbs, None)
+    comp_rec = recall(opqres_cbs, R)
+    print(f"ADC recall@10 residual {res_rec:.3f} OPQ+residual {comp_rec:.3f}")
+    assert comp_rec >= res_rec - 0.02, (res_rec, comp_rec)
+    assert comp_rec >= 0.5, comp_rec
+    # Probe-side index == the encode operator under the same kit.
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        ivf_index,
+        pq_append_codes,
+    )
+
+    idx = sim_ops.ivf_pq_index(
+        emb, cents, opqres_cbs, round_assign_digits=6,
+        residual=True, rotation=R,
+    )
+    direct = pq_append_codes(
+        ivf_index(emb, cents, round_assign_digits=6),
+        opqres_cbs, vec_col="v", centroids=cents, rotation=R,
+    )
+    assert {
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in idx.collect()
+    } == {
+        (r["vec_id"], r["cell"], tuple(r["codes"])) for r in direct.collect()
+    }
