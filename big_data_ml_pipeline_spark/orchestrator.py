@@ -928,6 +928,74 @@ class PipelineOrchestrator:
         return {"cells": flagged, "status": status,
                 "centroids": new_cents}
 
+    def split_embedding_cell(self, out_dir: str,
+                             raw_corpus: "DataFrame | str",
+                             cell: int | None = None,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> dict:
+        """Split an OVERLOADED coarse cell of the codes-only streaming
+        state (VERDICT r15 item 5 — :func:`~.streaming.embeddings.
+        split_state_cell`): 2-means on the flagged cell's current
+        members, one child replacing the old centroid and the other
+        appended, flagged rows reassigned (and, under ``pq.residual``,
+        re-encoded) — every other cell bit-identical. ``cell=None``
+        flags the most LOADED populated cell by the STATE's own stored
+        membership (the q135 load signal, read the ADVICE-r15 way).
+        On success the config's ``ingest_centroids`` widens in place
+        so continued ingests assign over the new kit. Returns
+        {"cell", "n_cells", "centroids"}."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            pq_codebooks,
+        )
+        from .streaming.embeddings import split_state_cell
+
+        c = self.config["embeddings"]
+        pq = c.get("pq") or {}
+        if not pq.get("ingest"):
+            raise ValueError(
+                "split_embedding_cell needs embeddings.pq.ingest (the "
+                "codes-only streaming state)"
+            )
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        cbs = pq.get("codebooks") or pq_codebooks(
+            dim=c["ingest_dim"], m=int(pq.get("m", 8)),
+            k=int(pq.get("k", 16)),
+        )
+        raw = (
+            self.spark.read.parquet(raw_corpus)
+            if isinstance(raw_corpus, str)
+            else raw_corpus
+        )
+        if cell is None:
+            top = (
+                self.spark.read.parquet(out_dir.rstrip("/"))
+                .groupBy("cell")
+                .agg(F.count("*").alias("__n"))
+                .orderBy(F.col("__n").desc(), F.col("cell").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                return {"cell": None, "n_cells": len(cents),
+                        "centroids": cents}
+            cell = int(top[0]["cell"])
+        new_cents = split_state_cell(
+            self.spark, out_dir, raw, cents, cell, cbs,
+            id_col=id_col, vec_col=vec_col,
+            cell_n_buckets=c.get("ingest_cell_n_buckets"),
+            residual=bool(pq.get("residual")),
+            rotation=pq.get("rotation"),
+            round_assign_digits=c.get("ingest_round_assign_digits"),
+        )
+        c["ingest_centroids"] = new_cents
+        return {"cell": cell, "n_cells": len(new_cents),
+                "centroids": new_cents}
+
     def maintain_on_drift(self, out_dir: str,
                           raw_corpus: "DataFrame | str",
                           threshold: float | None = None,

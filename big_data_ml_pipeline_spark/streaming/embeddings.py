@@ -1469,6 +1469,227 @@ def recenter_state_cells(
     return new_cents
 
 
+def split_state_cell(
+    spark: SparkSession,
+    out_dir: str,
+    raw_corpus: DataFrame,
+    centroids: list[list[float]],
+    cell: int,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_n_buckets: int | None = None,
+    pq_round_digits: int = 9,
+    residual: bool = False,
+    rotation: list[list[float]] | None = None,
+    round_assign_digits: int | None = None,
+    n_iter: int = 5,
+) -> list[list[float]]:
+    """Split one OVERLOADED coarse cell of a live codes-only embedding
+    state via 2-means on its CURRENT members (VERDICT r15 item 5 —
+    the maintenance sibling recenter/rotate/maintain don't cover: a
+    hot cell's probe cost grows linearly forever until its population
+    is divided). The flagged cell's centroid is replaced by one
+    2-means child and the other child is APPENDED at index
+    ``len(centroids)``; every other centroid — and every other cell's
+    rows — stays bit-identical. Returns the widened centroid kit.
+
+    2-means (seeded deterministically: child A starts at the current
+    centroid, child B at the member with the LOWEST rounded cosine to
+    it, ties by id): ``n_iter`` rounds of rounded-argmax assignment
+    (ties → A, matching the ivf rule's first-max-wins with A's index
+    below B's) + the quantized-integer mean update
+    (:func:`recenter_state_cells`'s partition-order-independent rule);
+    an empty side keeps its centroid. Each round is ONE distributed
+    (side, pos) aggregation over the flagged members only.
+
+    State rewrite (landed + ``_screened`` sibling): flagged-cell rows
+    joined back to the cold raw corpus, reassigned between A and B by
+    the final rounded rule, and — in the RESIDUAL code space — both
+    halves' codes re-encoded against their new centroid (A moved too);
+    raw codes keep their bytes (they don't depend on the cell).
+    Untouched cells' rows are copied verbatim, the new ``_PQ_SPEC``
+    fingerprint (which folds the widened centroids under
+    ``residual``) rides the same crash-safe swap as the rotation, and
+    the bucketed layout survives through the catalog-table rewrite.
+    On a corpus whose cells are separated (the regime where splitting
+    is meaningful), the post-split state equals a fresh ingest under
+    the widened kit (pytest-pinned).
+
+    Scale shape: the 2-means touches ONLY the flagged cell's members
+    (n_iter bounded aggregations + one 1-row collect for the far
+    seed); the rewrite is the rotation's id equi-join restricted to
+    those members plus a verbatim copy of everything else."""
+    from ..functions.vector import to_double_array
+    from ..operators.similarity import nested_double_lit, pq_append_codes
+    from ..sources.state import (
+        TMP_SUFFIX,
+        atomic_swap_dirs,
+        recover_interrupted_swap,
+    )
+    from .corpus import (
+        _check_bucket_marker,
+        _has_parquet,
+        _register_bucketed_state,
+        _rewrite_bucketed_state,
+        _state_table_name,
+    )
+
+    cell = int(cell)
+    if not 0 <= cell < len(centroids):
+        raise ValueError(f"cell {cell} out of range 0..{len(centroids) - 1}")
+    nb = int(cell_n_buckets or 0)
+    recover_interrupted_swap(out_dir.rstrip("/"))
+    state = spark.read.parquet(out_dir.rstrip("/"))
+    if "codes" not in state.columns:
+        raise ValueError(
+            "split_state_cell operates on the codes-only state layout; "
+            "migrate first (migrate_embedding_state_to_pq)"
+        )
+    res_cents = centroids if residual else None
+    _check_pq_marker(out_dir.rstrip("/"), codebooks, res_cents, rotation)
+    raw = raw_corpus.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__rv")
+    )
+    members = (
+        state.filter(F.col("cell") == cell)
+        .select(id_col)
+        .join(raw, on=id_col)
+    ).persist()
+    try:
+        n_members = members.count()
+        if n_members < 2:
+            return [list(map(float, c)) for c in centroids]
+
+        def _sim(cvec):
+            simc = cosine_similarity(
+                F.col("__rv"), nested_double_lit([float(x) for x in cvec])
+            )
+            if round_assign_digits is not None:
+                simc = F.round(simc, round_assign_digits)
+            return simc
+
+        c_a = [float(x) for x in centroids[cell]]
+        far = (
+            members.select(id_col, "__rv", _sim(c_a).alias("__s"))
+            .orderBy(F.col("__s").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()[0]
+        )
+        c_b = [float(x) for x in far["__rv"]]
+
+        def _means(side_col):
+            rows = (
+                members.select(side_col.alias("__side"),
+                               F.posexplode("__rv").alias("pos0", "x"))
+                .groupBy("__side", "pos0")
+                .agg(
+                    (
+                        F.sum(
+                            F.round(F.col("x") * 1_000_000).cast("long")
+                        ).cast("bigint")
+                        / (F.count("*") * F.lit(1_000_000.0))
+                    ).alias("cv")
+                )
+                .collect()
+            )
+            got: dict[int, dict[int, float]] = {}
+            for r in rows:
+                got.setdefault(int(r["__side"]), {})[int(r["pos0"])] = float(
+                    r["cv"]
+                )
+            return got
+
+        for _ in range(int(n_iter)):
+            side = F.when(_sim(c_a) >= _sim(c_b), F.lit(0)).otherwise(
+                F.lit(1)
+            )
+            got = _means(side)
+            if 0 in got:
+                c_a = [got[0][i] for i in range(len(c_a))]
+            if 1 in got:
+                c_b = [got[1][i] for i in range(len(c_b))]
+        new_cents = [[float(x) for x in c] for c in centroids]
+        new_cents[cell] = c_a
+        new_cents.append(c_b)
+        b_index = len(new_cents) - 1
+        new_res_cents = new_cents if residual else None
+        new_fp = _pq_fingerprint(codebooks, new_res_cents, rotation)
+
+        final_side = F.when(_sim(c_a) >= _sim(c_b), F.lit(cell)).otherwise(
+            F.lit(b_index)
+        )
+        targets = [(out_dir.rstrip("/"), "emb_corpus")]
+        screened = out_dir.rstrip("/") + "_screened"
+        if os.path.isdir(screened):
+            recover_interrupted_swap(screened)
+            targets.append((screened, "emb_screened"))
+        for path, prefix in targets:
+            if not _has_parquet(path):
+                continue
+            df = spark.read.parquet(path)
+            untouched = df.filter(F.col("cell") != cell).select(
+                id_col, "codes", "cell", "fp"
+            )
+            moved = (
+                df.filter(F.col("cell") == cell)
+                .select(id_col, "fp", "codes")
+                .join(raw, on=id_col)
+                .select(
+                    id_col, "fp", "codes",
+                    F.col("__rv").alias("v"),
+                    final_side.cast("int").alias("cell"),
+                )
+            )
+            n_flag = df.filter(F.col("cell") == cell).count()
+            n_moved = moved.count()
+            if n_moved != n_flag:
+                raise ValueError(
+                    f"split of {path}: raw_corpus covers {n_moved} of "
+                    f"{n_flag} flagged-cell rows — every member needs its "
+                    "cold raw vector to reassign"
+                )
+            if residual:
+                enc_moved = pq_append_codes(
+                    moved.drop("codes"), codebooks, vec_col="v",
+                    round_digits=pq_round_digits, centroids=new_cents,
+                    rotation=rotation,
+                ).select(id_col, "codes", "cell", "fp")
+            else:
+                # Raw/OPQ-raw codes don't depend on the cell — only
+                # the assignment moves; the bytes stay verbatim.
+                enc_moved = moved.select(id_col, "codes", "cell", "fp")
+            enc = untouched.unionByName(enc_moved)
+            if nb:
+                _check_bucket_marker(path, nb, "embedding cell split")
+                id_ddl = df.schema[id_col].dataType.simpleString()
+                tbl = _register_bucketed_state(
+                    spark, path, _state_table_name(path, prefix),
+                    f"`{id_col}` {id_ddl}, `codes` array<int>, "
+                    "`cell` int, `fp` bigint",
+                    ["cell"], nb,
+                )
+                _rewrite_bucketed_state(
+                    spark, path, tbl, enc, nb, ["cell"], pq_spec=new_fp
+                )
+            else:
+                n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+                (
+                    enc.repartitionByRange(n_out, F.col("cell"))
+                    .sortWithinPartitions("cell")
+                    .write.mode("overwrite")
+                    .parquet(path + TMP_SUFFIX)
+                )
+                with open(
+                    os.path.join(path + TMP_SUFFIX, "_PQ_SPEC"), "w"
+                ) as f:
+                    f.write(new_fp)
+                atomic_swap_dirs(path)
+        return new_cents
+    finally:
+        members.unpersist()
+
+
 def compact_screened_extras(
     spark: SparkSession,
     screened_dir: str,

@@ -1674,3 +1674,147 @@ def test_cell_distortion_report_uses_provided_membership(spark):
         assert rep[cell]["sum_dist_q"] == sum(
             py_res_dist_q(by_id[vid], cell) for vid in members
         ), cell
+
+
+# ------------------------------------------------------------- cell split
+def test_split_state_cell_equals_fresh_ingest(spark, tmp_path):
+    """split_state_cell (VERDICT r15 item 5): an overloaded cell's
+    2-means split yields a state BIT-IDENTICAL to a fresh codes-only
+    ingest under the widened kit (same ids, cells, residual codes,
+    fps), untouched cells' rows are byte-for-byte unchanged, the
+    _PQ_SPEC folds the widened centroids, and the q135 health report
+    shows the hot cell's load factor drop. Also pins the orchestrator
+    surface (auto-flag by stored-membership load, config widened in
+    place) and the too-few-members no-op."""
+    import numpy as np
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        ivf_cell_stats,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    C = np.array(CENTS, dtype="float64")
+    rng = np.random.RandomState(7)
+    # A direction orthogonal to every kit centroid: the two planted
+    # sub-families both argmax to cell 1 under the original kit but
+    # separate cleanly under 2-means.
+    d = rng.randn(DIM)
+    for c in C:
+        cn = c / np.linalg.norm(c)
+        d -= (d @ cn) * cn
+    d /= np.linalg.norm(d)
+    c1 = C[1] / np.linalg.norm(C[1])
+    rows = []
+    for i in range(5):  # family A: hugs the centroid
+        v = c1 + 0.08 * rng.randn(DIM) * 0.1 + 0.05 * d
+        rows.append((10 + i, [float(x) for x in v]))
+    for i in range(5):  # family B: same cell, rotated toward d
+        v = 0.8 * c1 + 0.6 * d + 0.008 * rng.randn(DIM)
+        rows.append((20 + i, [float(x) for x in v]))
+    rows.append((30, [float(x) for x in C[0] * 1.1]))
+    rows.append((31, [float(x) for x in C[2] * 0.9]))
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [rows])
+    kw = dict(centroids=CENTS, threshold=0.999999, codebooks=CBS,
+              round_assign_digits=6, screen_round_digits=6,
+              pq_residual=True)
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck"), **kw
+    )
+    state0 = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(state0) == len(rows)
+    # Both families really sit in cell 1 pre-split (load factor ~3x).
+    by_cell = {}
+    for vid, _, c, _ in state0:
+        by_cell.setdefault(c, set()).add(vid)
+    assert by_cell[1] == set(range(10, 15)) | set(range(20, 25))
+    raw = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    load0 = {
+        r["cell"]: r["load_factor"]
+        for r in ivf_cell_stats(
+            raw, CENTS, round_assign_digits=6
+        ).collect()
+    }
+    new_cents = se.split_state_cell(
+        spark, out, raw, CENTS, 1, CBS,
+        residual=True, round_assign_digits=6,
+    )
+    assert len(new_cents) == NCELLS + 1
+    for i in range(NCELLS):
+        if i != 1:
+            assert new_cents[i] == [float(x) for x in CENTS[i]]
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == se._pq_fingerprint(CBS, new_cents)
+    # Fresh ingest under the widened kit == the split state, bit for bit.
+    fresh = str(tmp_path / "fresh")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), fresh,
+        str(tmp_path / "ckf"),
+        **{**kw, "centroids": new_cents},
+    )
+    got = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(fresh).collect()
+    }
+    assert got == want
+    # Untouched cells: byte-identical to the pre-split state.
+    assert {t for t in got if t[2] not in (1, NCELLS)} == {
+        t for t in state0 if t[2] != 1
+    }
+    # The two families actually divided between old cell and new cell.
+    a_ids = {t[0] for t in got if t[2] == 1}
+    b_ids = {t[0] for t in got if t[2] == NCELLS}
+    assert {frozenset(a_ids), frozenset(b_ids)} == {
+        frozenset(range(10, 15)), frozenset(range(20, 25))
+    }
+    # q135 health: the hot cell's load factor drops after the split.
+    load1 = {
+        r["cell"]: r["load_factor"]
+        for r in ivf_cell_stats(
+            raw, new_cents, round_assign_digits=6
+        ).collect()
+    }
+    assert max(load1[1], load1[NCELLS]) < load0[1]
+    # Too-few-members: a 1-member cell is a no-op (kit unchanged).
+    same = se.split_state_cell(
+        spark, out, raw, new_cents, 0, CBS,
+        residual=True, round_assign_digits=6,
+    )
+    assert same == [list(map(float, c)) for c in new_cents]
+    # Orchestrator surface: auto-flags the most loaded cell by STORED
+    # membership and widens the config kit in place.
+    cfg = {"embeddings": {"ingest_threshold": 0.999999,
+                          "ingest_dim": DIM, "ingest_n_cells": NCELLS,
+                          "ingest_round_assign_digits": 6,
+                          "ingest_screen_round_digits": 6,
+                          "ingest_centroids": [
+                              [float(x) for x in c] for c in CENTS
+                          ],
+                          "pq": {"m": M, "k": K, "ingest": True,
+                                 "residual": True, "codebooks": CBS}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out2 = str(tmp_path / "out2")
+    orch.ingest_embeddings_stream(str(in_dir), out2, str(tmp_path / "ck2"))
+    res = orch.split_embedding_cell(out2, raw)
+    assert res["cell"] == 1 and res["n_cells"] == NCELLS + 1
+    assert orch.config["embeddings"]["ingest_centroids"] == res["centroids"]
+    assert res["centroids"] == new_cents
+    got2 = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == want
+    # Continued ingest reopens the widened marker cleanly.
+    more = str(tmp_path / "more")
+    write_shards(spark, more, [[(40, [0.5] * DIM)]])
+    orch.ingest_embeddings_stream(str(more), out2, str(tmp_path / "ck3"))
+    assert spark.read.parquet(out2).count() == len(rows) + 1
