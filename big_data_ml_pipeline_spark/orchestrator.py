@@ -143,6 +143,14 @@ DEFAULT_CONFIG: dict[str, Any] = {
                # threshold (default 8 x n_buckets data files).
                "ingest_components_auto_compact_files": None,
                "ingest_track_drift": False, "ingest_maintain_vocab": False,
+               # Incremental retrieval states (lexicon for BM25 global
+               # stats and WAND impact bounds; postings for zero-
+               # corpus-read term/boolean/phrase queries — positions
+               # selects the positional layout phrase retrieval needs).
+               "ingest_maintain_lexicon": False,
+               "ingest_maintain_postings": False,
+               "ingest_postings_n_buckets": None,
+               "ingest_postings_positions": False,
                "ingest_lm_floor": None,
                # ingest_quality_model: a saved fit_quality_classifier
                # model path -> gate each batch on its p_head score
@@ -627,6 +635,12 @@ class PipelineOrchestrator:
             apply_quality=rules is not None,
             track_drift=c.get("ingest_track_drift", False),
             maintain_vocab=c.get("ingest_maintain_vocab", False),
+            maintain_lexicon=c.get("ingest_maintain_lexicon", False),
+            maintain_postings=c.get("ingest_maintain_postings", False),
+            postings_n_buckets=c.get("ingest_postings_n_buckets"),
+            postings_positions=c.get(
+                "ingest_postings_positions", False
+            ),
             lm_floor=c.get("ingest_lm_floor"),
             quality_model=c.get("ingest_quality_model"),
             quality_model_floor=c.get("ingest_quality_model_floor", 0.5),

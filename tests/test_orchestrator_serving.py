@@ -1415,3 +1415,64 @@ def test_maintain_on_drift_policy(spark, tmp_path, monkeypatch):
     )
     with _pytest.raises(ValueError, match="drift_jsd_threshold"):
         orch.maintain_on_drift(str(tmp_path / "out_stable"), None)
+
+
+def test_orchestrator_ingest_corpus_retrieval_states(spark, tmp_path):
+    """The config surface reaches the retrieval states (round-16 gap):
+    corpus.ingest_maintain_lexicon/postings (+ bucket count +
+    positions) thread through ingest_corpus_stream, and the landed
+    states answer the postings BM25, the WAND-pruned BM25 (impact
+    columns present) and the positional phrase query."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk_from_postings,
+        bm25_topk_wand,
+        phrase_topk_from_postings,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+    from big_data_ml_pipeline_spark.streaming.corpus import read_postings
+
+    docs = [
+        (0, "big data big data big"),
+        (1, "data big data"),
+        (2, "the quick brown fox jumps over lazy dogs"),
+        (3, "fox big data fox"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, (d, t) in enumerate(docs):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            [(d, t, "en")], ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    cfg = {"corpus": {"ingest_quality_rules": None,
+                      "ingest_near_dup_threshold": None,
+                      "ingest_maintain_lexicon": True,
+                      "ingest_maintain_postings": True,
+                      "ingest_postings_n_buckets": 4,
+                      "ingest_postings_positions": True}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_corpus_stream(str(in_dir), out, str(tmp_path / "ck"))
+    postings = read_postings(spark, out)
+    lexicon = spark.read.parquet(out + "_lexicon")
+    assert {"max_tf", "min_dl"} <= set(lexicon.columns)
+    assert "positions" in postings.columns
+    got = bm25_topk_from_postings(
+        postings, lexicon, ("big", "data"), k=3
+    ).collect()
+    assert [r["doc_id"] for r in got]
+    wand = bm25_topk_wand(
+        postings, lexicon, ("big", "data"), k=3, common_df_frac=0.9
+    ).collect()
+    assert [tuple(r) for r in wand] == [tuple(r) for r in got]
+    phrase = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_topk_from_postings(
+            postings, ("big", "data"), k=5
+        ).collect()
+    }
+    assert phrase == {0: 2, 1: 1, 3: 1}
