@@ -1010,6 +1010,62 @@ class PipelineOrchestrator:
         return {"cell": cell, "n_cells": len(new_cents),
                 "centroids": new_cents}
 
+    def retire_embedding_cell(self, out_dir: str,
+                              cell: int | None = None,
+                              id_col: str = "vec_id") -> dict:
+        """Retire an EMPTY coarse cell of the codes-only streaming
+        state (:func:`~.streaming.embeddings.retire_state_cell` —
+        split's sibling; an empty cell wastes nprobe budget forever).
+        ``cell=None`` flags the lowest-index cell with ZERO members in
+        the state's own stored membership; returns untriggered if
+        every cell is populated. Shrinks ``ingest_centroids`` in place
+        on success. Returns {"cell", "n_cells", "centroids"}."""
+        from pyspark.sql import functions as F
+
+        from .operators.similarity import (
+            deterministic_ivf_centroids,
+            pq_codebooks,
+        )
+        from .streaming.embeddings import retire_state_cell
+
+        c = self.config["embeddings"]
+        pq = c.get("pq") or {}
+        if not pq.get("ingest"):
+            raise ValueError(
+                "retire_embedding_cell needs embeddings.pq.ingest (the "
+                "codes-only streaming state)"
+            )
+        cents = c["ingest_centroids"] or deterministic_ivf_centroids(
+            dim=c["ingest_dim"], n_cells=c["ingest_n_cells"]
+        )
+        cbs = pq.get("codebooks") or pq_codebooks(
+            dim=c["ingest_dim"], m=int(pq.get("m", 8)),
+            k=int(pq.get("k", 16)),
+        )
+        if cell is None:
+            populated = {
+                int(r["cell"])
+                for r in self.spark.read.parquet(out_dir.rstrip("/"))
+                .select("cell").distinct().collect()
+            }
+            empties = [
+                i for i in range(len(cents)) if i not in populated
+            ]
+            if not empties:
+                return {"cell": None, "n_cells": len(cents),
+                        "centroids": cents}
+            cell = empties[0]
+        new_cents = retire_state_cell(
+            self.spark, out_dir, cents, cell, cbs,
+            id_col=id_col,
+            cell_n_buckets=c.get("ingest_cell_n_buckets"),
+            residual=bool(pq.get("residual")),
+            rotation=pq.get("rotation"),
+        )
+        c["ingest_centroids"] = new_cents
+        return {"cell": cell, "n_cells": len(new_cents),
+                "centroids": new_cents}
+
     def maintain_on_drift(self, out_dir: str,
                           raw_corpus: "DataFrame | str",
                           threshold: float | None = None,

@@ -1690,6 +1690,122 @@ def split_state_cell(
         members.unpersist()
 
 
+def retire_state_cell(
+    spark: SparkSession,
+    out_dir: str,
+    centroids: list[list[float]],
+    cell: int,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    cell_n_buckets: int | None = None,
+    residual: bool = False,
+    rotation: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Retire an EMPTY coarse cell of a live codes-only embedding
+    state — the :func:`split_state_cell` sibling completing the
+    classical index-maintenance family (an empty cell wastes nprobe
+    budget forever, q135's other flag): the LAST centroid moves into
+    the retired slot (swap-with-last, the O(1) compaction), the kit
+    shrinks by one, and ONLY the former last cell's rows re-label to
+    the freed index — their codes stay byte-identical (residual codes
+    depend on centroid VALUES, which don't change; only the index
+    moves), and every other row is untouched. Refuses if the flagged
+    cell has ANY member in the landed or screened table (retiring a
+    populated cell would orphan rows), or if it is the last cell.
+    The shrunken-kit ``_PQ_SPEC`` rides the crash-safe swap.
+
+    Index-move caveat (documented, fixture-safe): relocating the last
+    centroid to a lower index can flip an EXACT assignment tie
+    between it and a centroid whose index sat between the two — a
+    measure-zero event under rounded cosine; continued ingests assign
+    with the compacted kit going forward."""
+    from ..sources.state import (
+        TMP_SUFFIX,
+        atomic_swap_dirs,
+        recover_interrupted_swap,
+    )
+    from .corpus import (
+        _check_bucket_marker,
+        _has_parquet,
+        _register_bucketed_state,
+        _rewrite_bucketed_state,
+        _state_table_name,
+    )
+
+    cell = int(cell)
+    last = len(centroids) - 1
+    if not 0 <= cell <= last:
+        raise ValueError(f"cell {cell} out of range 0..{last}")
+    if len(centroids) < 2:
+        raise ValueError("cannot retire the only cell")
+    nb = int(cell_n_buckets or 0)
+    recover_interrupted_swap(out_dir.rstrip("/"))
+    res_cents = centroids if residual else None
+    _check_pq_marker(out_dir.rstrip("/"), codebooks, res_cents, rotation)
+    targets = [(out_dir.rstrip("/"), "emb_corpus")]
+    screened = out_dir.rstrip("/") + "_screened"
+    if os.path.isdir(screened):
+        recover_interrupted_swap(screened)
+        targets.append((screened, "emb_screened"))
+    frames = []
+    for path, prefix in targets:
+        if not _has_parquet(path):
+            continue
+        df = spark.read.parquet(path)
+        if "codes" not in df.columns:
+            raise ValueError(
+                "retire_state_cell operates on the codes-only state "
+                "layout; migrate first (migrate_embedding_state_to_pq)"
+            )
+        n_members = df.filter(F.col("cell") == cell).count()
+        if n_members:
+            raise ValueError(
+                f"cell {cell} has {n_members} member(s) in {path} — "
+                "only EMPTY cells retire (recenter or split populated "
+                "ones)"
+            )
+        frames.append((path, prefix, df))
+    new_cents = [[float(x) for x in c] for c in centroids]
+    moved = new_cents.pop()
+    if cell != last:
+        new_cents[cell] = moved
+    new_res_cents = new_cents if residual else None
+    new_fp = _pq_fingerprint(codebooks, new_res_cents, rotation)
+    for path, prefix, df in frames:
+        enc = df.select(
+            F.col(id_col), "codes",
+            F.when(F.col("cell") == last, F.lit(cell))
+            .otherwise(F.col("cell"))
+            .cast("int")
+            .alias("cell"),
+            "fp",
+        )
+        if nb:
+            _check_bucket_marker(path, nb, "embedding cell retire")
+            id_ddl = df.schema[id_col].dataType.simpleString()
+            tbl = _register_bucketed_state(
+                spark, path, _state_table_name(path, prefix),
+                f"`{id_col}` {id_ddl}, `codes` array<int>, "
+                "`cell` int, `fp` bigint",
+                ["cell"], nb,
+            )
+            _rewrite_bucketed_state(
+                spark, path, tbl, enc, nb, ["cell"], pq_spec=new_fp
+            )
+        else:
+            n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+            (
+                enc.repartitionByRange(n_out, F.col("cell"))
+                .sortWithinPartitions("cell")
+                .write.mode("overwrite")
+                .parquet(path + TMP_SUFFIX)
+            )
+            with open(os.path.join(path + TMP_SUFFIX, "_PQ_SPEC"), "w") as f:
+                f.write(new_fp)
+            atomic_swap_dirs(path)
+    return new_cents
+
+
 def compact_screened_extras(
     spark: SparkSession,
     screened_dir: str,

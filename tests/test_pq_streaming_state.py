@@ -1818,3 +1818,97 @@ def test_split_state_cell_equals_fresh_ingest(spark, tmp_path):
     write_shards(spark, more, [[(40, [0.5] * DIM)]])
     orch.ingest_embeddings_stream(str(more), out2, str(tmp_path / "ck3"))
     assert spark.read.parquet(out2).count() == len(rows) + 1
+
+
+def test_retire_state_cell_empty_cell(spark, tmp_path):
+    """retire_state_cell (split's sibling): an EMPTY cell retires by
+    swap-with-last — the kit shrinks by one, only the former last
+    cell's rows re-label (codes byte-identical — centroid VALUES are
+    unchanged), the result equals a fresh ingest under the compacted
+    kit, a populated cell refuses, and the orchestrator surface
+    auto-flags by stored membership and shrinks the config kit."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    cells = {i: py_cell(v) for i, v in enumerate(BASE)}
+    used = sorted(set(cells.values()))
+    # The BASE fixture must cover >= 2 cells and leave >= 1 empty for
+    # this test's shape; pick rows covering every used cell.
+    assert len(used) >= 2 and len(used) < NCELLS, cells
+    rows = [(10 + i, v) for i, v in enumerate(BASE)]
+    empty = next(i for i in range(NCELLS) if i not in used)
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [rows])
+    kw = dict(centroids=CENTS, threshold=0.999999, codebooks=CBS,
+              round_assign_digits=6, screen_round_digits=6,
+              pq_residual=True)
+    out = str(tmp_path / "out")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), out,
+        str(tmp_path / "ck"), **kw
+    )
+    state0 = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # Populated cell refuses.
+    with pytest.raises(ValueError, match="member"):
+        se.retire_state_cell(
+            spark, out, CENTS, used[0], CBS, residual=True
+        )
+    new_cents = se.retire_state_cell(
+        spark, out, CENTS, empty, CBS, residual=True
+    )
+    assert len(new_cents) == NCELLS - 1
+    last = NCELLS - 1
+    if empty != last:
+        assert new_cents[empty] == [float(x) for x in CENTS[last]]
+    with open(os.path.join(out, "_PQ_SPEC")) as fh:
+        assert fh.read().strip() == se._pq_fingerprint(CBS, new_cents)
+    got = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # Codes and fps byte-identical; only former-last rows re-labeled.
+    relabel = {
+        (vid, codes, empty if c == last else c, fp)
+        for vid, codes, c, fp in state0
+    }
+    assert got == relabel
+    # Fresh ingest under the compacted kit lands the identical state.
+    fresh = str(tmp_path / "fresh")
+    se.ingest_embeddings_stream(
+        se.read_embeddings_stream(spark, in_dir), fresh,
+        str(tmp_path / "ckf"), **{**kw, "centroids": new_cents}
+    )
+    want = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+        for r in spark.read.parquet(fresh).collect()
+    }
+    assert got == want
+    # Orchestrator surface: auto-flags the empty cell, shrinks config.
+    cfg = {"embeddings": {"ingest_threshold": 0.999999,
+                          "ingest_dim": DIM, "ingest_n_cells": NCELLS,
+                          "ingest_round_assign_digits": 6,
+                          "ingest_screen_round_digits": 6,
+                          "ingest_centroids": [
+                              [float(x) for x in c] for c in CENTS
+                          ],
+                          "pq": {"m": M, "k": K, "ingest": True,
+                                 "residual": True, "codebooks": CBS}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out2 = str(tmp_path / "out2")
+    orch.ingest_embeddings_stream(str(in_dir), out2, str(tmp_path / "ck2"))
+    res = orch.retire_embedding_cell(out2)
+    assert res["cell"] == empty and res["n_cells"] == NCELLS - 1
+    assert orch.config["embeddings"]["ingest_centroids"] == new_cents
+    # A fully-populated kit reports untriggered.
+    res2 = orch.retire_embedding_cell(out2)
+    if res2["cell"] is not None:
+        # another empty existed in the fixture — retire it too, then
+        # the next call must be untriggered or keep shrinking until
+        # every cell is populated
+        assert res2["n_cells"] < NCELLS
+    # Continued ingest under the shrunken kit reopens cleanly.
+    more = str(tmp_path / "more")
+    write_shards(spark, more, [[(40, near(BASE[0], 5e-2))]])
+    orch.ingest_embeddings_stream(str(more), out2, str(tmp_path / "ck3"))
