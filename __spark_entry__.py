@@ -4179,6 +4179,36 @@ def q190_opq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q191_opq_residual_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q190's OPQ→IVF→PQ composition with the IVFADC+R recall lever
+    (Jégou 2011 §III-C) on top: ADC top-40 shortlist from the rotated
+    residual codes, then exact RAW-space cosine rerank to top-10 —
+    the full modern ANN stack (coarse cells + learned rotation +
+    residual fine codes + bounded raw re-read) in one plan. The
+    rotation never touches the rerank: per query the raw corpus is
+    read at exactly 40 ids through a broadcast equi-join. (qid,
+    vec_id, sim, rn), exact against the SQL twin (q190's CTEs + the
+    q171 rerank tail)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchor = sim_ops.load_opq_anchor()
+    res_anchor = sim_ops.load_opq_residual_anchor()
+    cents = sim_ops.deterministic_ivf_centroids(dim=64, n_cells=16)
+    return sim_ops.ivf_pq_knn_join(
+        emb,
+        emb.filter(F.col("vec_id") % 100 == 0),
+        cents,
+        res_anchor["codebooks"],
+        k=10,
+        nprobe=4,
+        round_assign_digits=6,
+        residual=True,
+        rotation=anchor["rotation"],
+        rerank_from=40,
+    )
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4392,6 +4422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q188_wand_bm25_topk": q188_wand_bm25_topk,
         "q189_phrase_topk": q189_phrase_topk,
         "q190_opq_residual_topk": q190_opq_residual_topk,
+        "q191_opq_residual_rerank_topk": q191_opq_residual_rerank_topk,
     }
 
 

@@ -2450,6 +2450,112 @@ def phrase_topk_from_postings(
     )
 
 
+def proximity_topk_from_postings(
+    postings: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    max_span: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UNORDERED PROXIMITY retrieval from POSITIONAL postings — the
+    third classical positional primitive after exact terms (q184) and
+    exact phrase (q189): documents containing ALL the distinct query
+    terms, ranked by their MINIMAL SPAN (the tightest window, in token
+    offsets from first to last, covering one occurrence of every
+    term; Indri's unordered-window operator). Tighter span ranks
+    first, ties by id; ``max_span`` filters to docs whose best window
+    is at most that many offsets wide. Zero corpus reads.
+
+    Minimal span is the classical two-pointer quantity computed as
+    Catalyst array algebra: flatten each term's positions into a
+    (pos, term_index) struct array, sort by position, and for every
+    start index take the NEAREST end index whose slice covers all n
+    distinct terms — min over starts of (end.pos − start.pos). Per-doc
+    cost is O(L²·n) array ops with L = the doc's matched-occurrence
+    count (tiny: only query-term postings contribute). The token
+    IN-filter reaches the pruned bucket scan exactly as q184's.
+    Positions are exact integer facts, so the span is oracle-exact
+    (q192's twin re-derives it one-shot from the text). Returns
+    (id_col, min_span, n_matched) ordered by span asc, id asc."""
+    terms = [str(t) for t in query_terms]
+    distinct = sorted(set(terms))
+    n = len(distinct)
+    if n < 2:
+        raise ValueError("proximity_topk_from_postings needs >= 2 "
+                         "distinct terms")
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "proximity_topk_from_postings needs POSITIONAL postings — "
+            "re-ingest with postings_positions=True"
+        )
+    cands = (
+        postings.filter(F.col("token").isin(*distinct))
+        .dropDuplicates(["batch_id", "token", "doc_id"])
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "positions"))
+            ).alias("__pm"),
+            F.countDistinct("token").alias("__nt"),
+            F.sum(F.size("positions")).cast("long").alias("__nm"),
+        )
+        .filter(F.col("__nt") == n)
+    )
+
+    def _tag(term: str, idx: int):
+        # factory — the HOF arity trap (a defaulted second lambda arg
+        # binds the array index, not the closure)
+        return F.transform(
+            F.element_at(F.col("__pm"), F.lit(term)),
+            lambda p: F.struct(
+                p.alias("pos"), F.lit(idx).alias("t")
+            ),
+        )
+
+    tagged = F.array_sort(
+        F.flatten(F.array(*[_tag(t, i) for i, t in enumerate(distinct)]))
+    )
+    with_tagged = cands.select(
+        "doc_id", "__nm", tagged.alias("__tg"), F.size(tagged).alias("__L")
+    )
+    # For each start i: the first j >= i whose slice covers all n term
+    # indices; span = pos(j) − pos(i). Nulls (no cover from i) drop out
+    # of array_min. Positions are unique per doc, so array_sort's order
+    # is position order regardless of the struct tiebreak.
+    spans = F.transform(
+        F.sequence(F.lit(1), F.col("__L")),
+        lambda i: F.element_at(
+            F.col("__tg"),
+            F.element_at(
+                F.filter(
+                    F.sequence(i, F.col("__L")),
+                    lambda j: F.size(
+                        F.array_distinct(
+                            F.transform(
+                                F.slice(F.col("__tg"), i, j - i + 1),
+                                lambda x: x["t"],
+                            )
+                        )
+                    )
+                    == n,
+                ),
+                1,
+            ),
+        )["pos"]
+        - F.element_at(F.col("__tg"), i)["pos"],
+    )
+    out = with_tagged.select(
+        F.col("doc_id").alias(id_col),
+        F.array_min(spans).cast("long").alias("min_span"),
+        F.col("__nm").alias("n_matched"),
+    )
+    if max_span is not None:
+        out = out.filter(F.col("min_span") <= int(max_span))
+    return out.orderBy(
+        F.col("min_span").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     k: int = 4,

@@ -3263,7 +3263,8 @@ _Q189_SQL = _q189_sql()
 
 
 def _q190_sql(
-    k_top: int = 10, nprobe: int = 4, m: int = 8, dim: int = 64
+    k_top: int = 10, nprobe: int = 4, m: int = 8, dim: int = 64,
+    rerank_from: int | None = None, rerank_round_digits: int = 6,
 ) -> str:
     """Twin of q190 — the FULL OPQ→IVF→PQ composition (residual +
     rotation together): coarse cells assigned in the RAW space (q175's
@@ -3275,7 +3276,13 @@ def _q190_sql(
     ‖R(q−c) − recon‖² = ‖(q−c) − Rᵀrecon‖², comparable across cells.
     Codebooks come from the committed opq_residual_anchor.json
     (trained on rotated residuals), so both engines read identical
-    double literals at every SF."""
+    double literals at every SF.
+
+    With ``rerank_from`` this is q191 (OPQ-residual IVFADC+R): the
+    q171 rerank tail — ADC top-R shortlist, exact RAW-space cosine
+    rerank to top-k (the rotation never touches the rerank; q's qv
+    CTE is the raw vector) — so the composition's recall lever is
+    twin-exact too."""
     from ..operators.similarity import (
         deterministic_ivf_centroids,
         load_opq_anchor,
@@ -3320,19 +3327,20 @@ r AS (
          list_transform(range(1, {dim + 1}), i -> a.v[i] - c.cv[i]) AS rv0
   FROM assigned a JOIN cents c ON c.cell = a.cell
 ),
-rr AS (
+rotres AS (
   SELECT r.vec_id, r.cell,
          list_transform(rot.r3, rw -> list_dot_product(rw, r.rv0)) AS rv
   FROM r CROSS JOIN rot
 ),
 rdists AS (
-  SELECT rr.vec_id, rr.cell, cbs.j, cbs.c,
-         ROUND(list_dot_product(rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
-                                rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
+  SELECT rotres.vec_id, rotres.cell, cbs.j, cbs.c,
+         ROUND(list_dot_product(
+                 rotres.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}],
+                 rotres.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}])
                - 2 * list_dot_product(
-                   rr.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}], cbs.cb)
+                   rotres.rv[cbs.j * {d} + 1 : cbs.j * {d} + {d}], cbs.cb)
                + cbs.cb2, 9) AS dist
-  FROM rr CROSS JOIN cbs
+  FROM rotres CROSS JOIN cbs
 ),
 renc AS (
   SELECT vec_id, cell, j, c AS code FROM (
@@ -3381,11 +3389,13 @@ scored AS (
   JOIN lut ON lut.qid = cand.qid AND lut.cell = cand.cell
           AND lut.j = renc.j AND lut.c = renc.code
   GROUP BY cand.qid, cand.vec_id
-){_q166_tail(k_top)}
+){_q166_tail(k_top) if rerank_from is None
+  else _q171_tail(k_top, rerank_from, rerank_round_digits)}
 """
 
 
 _Q190_SQL = _q190_sql()
+_Q191_SQL = _q190_sql(rerank_from=40)
 
 
 def _res_adc_sql_parts(
@@ -5074,5 +5084,6 @@ def oracle_sql() -> dict[str, str]:
         "q188_wand_bm25_topk": _Q188_SQL,
         "q189_phrase_topk": _Q189_SQL,
         "q190_opq_residual_topk": _Q190_SQL,
+        "q191_opq_residual_rerank_topk": _Q191_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

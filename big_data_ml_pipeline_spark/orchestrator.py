@@ -1070,25 +1070,34 @@ class PipelineOrchestrator:
                           raw_corpus: "DataFrame | str",
                           threshold: float | None = None,
                           top_n: int | None = None,
+                          window: int | None = None,
                           id_col: str = "vec_id",
                           vec_col: str = "embedding") -> dict:
         """Close the drift→repair loop (VERDICT r15 item 4 — the
         POLICY over the machinery rounds 14/15 built): read the ingest
         drift table ``{out_dir}_drift`` (``embeddings.
         ingest_track_drift`` — one cell-histogram JSD row per batch)
-        and, when the LATEST batch's ``jsd_bits`` exceeds the
-        configured threshold, run :meth:`maintain_embedding_cells`
-        exactly once; otherwise do nothing. The threshold comes from
+        and, when the signal exceeds the configured threshold, run
+        :meth:`maintain_embedding_cells` exactly once; otherwise do
+        nothing. The threshold comes from
         ``embeddings.drift_jsd_threshold`` (overridable per call), the
         repair breadth from ``embeddings.maintain_top_n`` (default 2).
 
-        Batches that landed on an EMPTY corpus are skipped: the drift
-        writer records jsd 1.0 by convention when there is nothing to
-        compare against (n_landed_vecs = 0), and repairing a
-        first-batch state is meaningless. Returns {"triggered",
-        "batch_id", "jsd_bits", "threshold", "result"} with ``result``
-        the repair dict when triggered, else None. Driver cost: one
-        k=1 top-batch read of the batch-count-sized drift table."""
+        The signal is the MEDIAN ``jsd_bits`` over the newest
+        ``window`` batches (``embeddings.drift_window``, default 1 =
+        latest batch only) — a windowed policy is robust to a single
+        anomalous batch tripping a repair; the reported ``batch_id``
+        is the newest in the window. Batches that landed on an EMPTY
+        corpus are skipped: the drift writer records jsd 1.0 by
+        convention when there is nothing to compare against
+        (n_landed_vecs = 0), and repairing a first-batch state is
+        meaningless. Returns {"triggered", "batch_id", "jsd_bits",
+        "threshold", "result"} with ``jsd_bits`` the windowed signal
+        and ``result`` the repair dict when triggered, else None.
+        Driver cost: one top-``window`` read of the
+        batch-count-sized drift table."""
+        import statistics
+
         from pyspark.sql import functions as F
 
         c = self.config["embeddings"]
@@ -1101,23 +1110,26 @@ class PipelineOrchestrator:
                 "embeddings.drift_jsd_threshold or pass threshold="
             )
         n = int(top_n if top_n is not None else c.get("maintain_top_n", 2))
+        w = int(window if window is not None else c.get("drift_window", 1))
+        if w < 1:
+            raise ValueError(f"drift window must be >= 1, got {w}")
         drift_dir = out_dir.rstrip("/") + "_drift"
         rows = (
             self.spark.read.parquet(drift_dir)
             .filter(F.col("n_landed_vecs") > 0)
             .orderBy(F.col("batch_id").desc())
-            .limit(1)
+            .limit(w)
             .collect()
         )
         if not rows:
             return {"triggered": False, "batch_id": None,
                     "jsd_bits": None, "threshold": float(thr),
                     "result": None}
-        latest = rows[0]
+        signal = float(statistics.median(r["jsd_bits"] for r in rows))
         out = {
-            "triggered": bool(latest["jsd_bits"] > float(thr)),
-            "batch_id": int(latest["batch_id"]),
-            "jsd_bits": float(latest["jsd_bits"]),
+            "triggered": bool(signal > float(thr)),
+            "batch_id": int(rows[0]["batch_id"]),
+            "jsd_bits": signal,
             "threshold": float(thr),
             "result": None,
         }
