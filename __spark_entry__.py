@@ -4209,6 +4209,34 @@ def q191_opq_residual_rerank_topk(
     )
 
 
+def q192_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered PROXIMITY retrieval from positional postings
+    (text.proximity_topk_from_postings — the third classical
+    positional primitive after q184's terms and q189's exact phrase):
+    docs containing BOTH query terms ranked by the minimal token span
+    covering one occurrence of each (Indri's unordered window),
+    filtered to spans ≤ 4, top-10 with id ties. Zero corpus reads —
+    the per-doc span is pure array algebra over the offsets the
+    positional state already stores; the DuckDB twin re-derives the
+    same minimal span one-shot from the text. Shares q189's staged
+    positional ingest (one per session)."""
+    from big_data_ml_pipeline_spark.oracle.sql import (
+        Q192_MAX_SPAN,
+        Q192_PROX_TERMS,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_postings_ingest(spark, sf_dir, positions=True)
+    result = text_ops.proximity_topk_from_postings(
+        corpus_stream.read_postings(spark, out),
+        Q192_PROX_TERMS,
+        k=10,
+        max_span=Q192_MAX_SPAN,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4423,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_phrase_topk": q189_phrase_topk,
         "q190_opq_residual_topk": q190_opq_residual_topk,
         "q191_opq_residual_rerank_topk": q191_opq_residual_rerank_topk,
+        "q192_proximity_topk": q192_proximity_topk,
     }
 
 

@@ -3397,6 +3397,60 @@ scored AS (
 _Q190_SQL = _q190_sql()
 _Q191_SQL = _q190_sql(rerank_from=40)
 
+#: q192 proximity query: two common tokens — minimal-span ranking is
+#: only interesting when many docs contain both.
+Q192_PROX_TERMS: tuple[str, ...] = ("spark", "vector")
+Q192_MAX_SPAN = 4
+
+
+def _q192_sql(k: int = 10) -> str:
+    """Twin of q192 — unordered minimal-span proximity over the
+    SQL-landed set: tag every matched token occurrence with (pos,
+    term_index), sort by position, and for each start take the nearest
+    end whose slice covers all n distinct terms — min over starts of
+    the offset difference, the exact algebra of
+    text.proximity_topk_from_postings re-derived one-shot from the
+    text (positions are exact integer facts; DuckDB's 1-based offsets
+    cancel in the difference)."""
+    n = len(set(Q192_PROX_TERMS))
+    terms = ", ".join(f"'{t}'" for t in sorted(set(Q192_PROX_TERMS)))
+    return f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM corpus),
+tg AS (
+  SELECT id,
+         list_sort(list_transform(
+           list_filter(range(1, len(toks) + 1),
+                       p -> list_contains([{terms}], toks[p])),
+           p -> {{'pos': p, 't': list_position([{terms}], toks[p])}}))
+           AS tagged
+  FROM base),
+cands AS (
+  SELECT id, tagged, len(tagged) AS L
+  FROM tg
+  WHERE len(list_distinct(list_transform(tagged, x -> x.t))) = {n}),
+spans AS (
+  SELECT id,
+         CAST(list_min(list_transform(range(1, L + 1), i ->
+           tagged[list_filter(range(i, L + 1), j ->
+               len(list_distinct(list_transform(tagged[i:j],
+                                                x2 -> x2.t))) = {n})[1]].pos
+           - tagged[i].pos)) AS BIGINT) AS min_span,
+         CAST(L AS BIGINT) AS n_matched
+  FROM cands)
+SELECT id AS doc_id, min_span, n_matched
+FROM spans WHERE min_span <= {Q192_MAX_SPAN}
+ORDER BY min_span ASC, doc_id ASC LIMIT {k}
+"""
+
+
+_Q192_SQL = _q192_sql()
+
 
 def _res_adc_sql_parts(
     vec_expr: str, codes_expr: str, cell_expr: str, cent_dot: str,
@@ -5085,5 +5139,6 @@ def oracle_sql() -> dict[str, str]:
         "q189_phrase_topk": _Q189_SQL,
         "q190_opq_residual_topk": _Q190_SQL,
         "q191_opq_residual_rerank_topk": _Q191_SQL,
+        "q192_proximity_topk": _Q192_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -1476,3 +1476,71 @@ def test_orchestrator_ingest_corpus_retrieval_states(spark, tmp_path):
         ).collect()
     }
     assert phrase == {0: 2, 1: 1, 3: 1}
+
+
+def test_maintain_on_drift_windowed_signal(spark, tmp_path, monkeypatch):
+    """maintain_on_drift(window=N): the trigger signal is the MEDIAN
+    jsd over the newest N eligible batches — one anomalous batch trips
+    the latest-batch policy (window=1) but not the windowed one."""
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators.similarity import (
+        deterministic_ivf_centroids,
+    )
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    cents = deterministic_ivf_centroids(dim=8, n_cells=4)
+
+    def jitter(c, eps, coord):
+        v = [float(x) for x in c]
+        v[coord] += eps
+        return v
+
+    shards = [
+        [(1, jitter(cents[0], 0.3, 1)), (2, jitter(cents[0], -0.3, 2))],
+        [(11, jitter(cents[0], 0.3, 3)), (12, jitter(cents[0], -0.3, 4))],
+        [(21, jitter(cents[2], 0.3, 5)), (22, jitter(cents[2], -0.3, 6))],
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, rows in enumerate(shards):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    cfg = {"embeddings": {"ingest_threshold": 0.9999,
+                          "ingest_dim": 8, "ingest_n_cells": 4,
+                          "ingest_screen_round_digits": 6,
+                          "ingest_track_drift": True,
+                          "drift_jsd_threshold": 0.6,
+                          "maintain_top_n": 1,
+                          "pq": {"m": 4, "k": 4, "ingest": True,
+                                 "residual": True}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck"))
+    raw = spark.createDataFrame(
+        [r for rows in shards for r in rows],
+        "vec_id long, embedding array<double>",
+    )
+    calls = []
+    real = PipelineOrchestrator.maintain_embedding_cells
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(
+        PipelineOrchestrator, "maintain_embedding_cells", counting
+    )
+    # Median over the two eligible batches (jsd ~0 stable + 1.0 drifted)
+    # stays at 0.5 <= 0.6: windowed policy does NOT fire.
+    res = orch.maintain_on_drift(out, raw, window=2)
+    assert res["triggered"] is False and not calls
+    assert abs(res["jsd_bits"] - 0.5) < 0.25
+    # The latest-batch policy (default window 1) DOES fire on the blip.
+    res1 = orch.maintain_on_drift(out, raw)
+    assert res1["triggered"] is True and len(calls) == 1
+    assert res1["jsd_bits"] > 0.6

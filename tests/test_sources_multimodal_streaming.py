@@ -3179,3 +3179,87 @@ def test_positional_postings_phrase_retrieval(spark, tmp_path):
         phrase_topk_from_postings(
             corpus_ops.read_postings(spark, out2), ("big", "data")
         )
+
+
+def test_proximity_minimal_span_vs_bruteforce(spark, tmp_path):
+    """proximity_topk_from_postings == a brute-force all-windows
+    python reference on every doc (minimal span covering one
+    occurrence of each distinct term), including repeated query
+    tokens, multi-occurrence docs, the max_span filter, asc-span/
+    asc-id ordering, and the positionless/1-term refusals."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        proximity_topk_from_postings,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    docs = [
+        (0, "alpha x x beta"),
+        (1, "beta alpha"),
+        (2, "alpha x beta x x alpha beta"),
+        (3, "alpha alpha x x x beta"),
+        (4, "alpha only here"),
+        (5, "x beta x"),
+        (6, "gamma alpha beta gamma"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i, (d, t) in enumerate(docs):
+        p = str(in_dir / f"s{i}.parquet")
+        spark.createDataFrame(
+            [(d, t, "en")], ["doc_id", "text", "lang"]
+        ).toPandas().to_parquet(p, index=False)
+        os.utime(p, (time.time() + i, time.time() + i))
+    out = str(tmp_path / "out")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4, postings_positions=True,
+    )
+    postings = corpus_ops.read_postings(spark, out)
+
+    def brute(terms):
+        dset = sorted(set(terms))
+        want = {}
+        for d, t in docs:
+            toks = t.split()
+            best = None
+            for s in range(len(toks)):
+                for e2 in range(s, len(toks)):
+                    win = set(toks[s:e2 + 1])
+                    if all(x in win for x in dset):
+                        span = e2 - s
+                        best = span if best is None else min(best, span)
+                        break
+            if best is not None:
+                want[d] = best
+        return want
+
+    for terms in (("alpha", "beta"), ("alpha", "beta", "gamma"),
+                  ("beta", "alpha", "beta")):
+        got = {
+            r["doc_id"]: r["min_span"]
+            for r in proximity_topk_from_postings(
+                postings, terms, k=10
+            ).collect()
+        }
+        assert got == brute(terms), terms
+    # Ordering + max_span: spans asc, ids asc; filter drops wide wins.
+    top = proximity_topk_from_postings(
+        postings, ("alpha", "beta"), k=10, max_span=2
+    ).collect()
+    want = sorted(
+        ((s, d) for d, s in brute(("alpha", "beta")).items() if s <= 2)
+    )
+    assert [(r["min_span"], r["doc_id"]) for r in top] == want
+    with _pytest.raises(ValueError, match=">= 2"):
+        proximity_topk_from_postings(postings, ("alpha", "alpha"))
+    with _pytest.raises(ValueError, match="POSITIONAL"):
+        proximity_topk_from_postings(
+            postings.drop("positions"), ("alpha", "beta")
+        )
