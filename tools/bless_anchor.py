@@ -54,11 +54,22 @@ def main() -> None:
     if len(sfs) != 1:
         sys.exit(f"mismatched scale factors across runs: {sfs}")
     keysets = [set(r["queries"]) for r in runs]
-    if any(k != keysets[0] for k in keysets):
-        diff = set.union(*keysets) - set.intersection(*keysets)
-        sys.exit(f"mismatched query sets across runs: {sorted(diff)}")
+    union = set.union(*keysets)
+    inter = set.intersection(*keysets)
+    if union != inter:
+        # Mid-round query additions: earlier intact runs lack the new
+        # queries. The per-query min is taken over the runs that
+        # CONTAIN each query (still machine-written values, provenance
+        # recorded for every input) — but only when every run covers
+        # the common core; disjoint sets still refuse.
+        if not inter:
+            sys.exit("runs share no queries — wrong inputs?")
+        extra = sorted(union - inter)
+        print(f"note: {len(extra)} query(ies) present in only some "
+              f"runs (mid-round additions): {extra}")
     anchor = {
-        q: min(r["queries"][q] for r in runs) for q in sorted(keysets[0])
+        q: min(r["queries"][q] for r in runs if q in r["queries"])
+        for q in sorted(union)
     }
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
