@@ -86,6 +86,19 @@ class ServingService:
     def list_models(self) -> list[str]:
         return sorted(self.models)
 
+    def delete_model(self, name: str) -> dict[str, Any]:
+        """Remove a model from the in-process registry (reference
+        api/api.py:281-292 ``DELETE /models/{model_path}`` — the
+        reference's handler is a stub that answers "deleted" without
+        touching anything; this registry is real, so unknown names
+        raise KeyError → 404, consistent with /predict's lookup).
+        Returns the reference's response shape."""
+        with self._lock:
+            if name not in self.models:
+                raise KeyError(f"unknown model {name!r}")
+            del self.models[name]
+        return {"status": "deleted", "model_path": name}
+
     def list_models_with_registry(self) -> dict[str, Any]:
         """In-process model names plus, when mlflow is importable, the
         tracked runs from the MLflow registry (the reference's /models
@@ -207,6 +220,13 @@ def build_app(service: ServingService | None = None):
     @app.get("/metrics")
     def metrics():
         return service.metrics()
+
+    @app.delete("/models/{model_path}")
+    def delete_model(model_path: str):
+        try:
+            return service.delete_model(model_path)
+        except KeyError:
+            raise HTTPException(404, f"unknown model: {model_path!r}")
 
     def _require(body: dict, *keys: str) -> list:
         """Missing request-body keys are a 422 (malformed request), not

@@ -228,6 +228,11 @@ def test_fastapi_routes(monkeypatch):
         def predict_batch(self, model, input_path, output_path):
             raise KeyError(model)
 
+        def delete_model(self, name):
+            if name != "known":
+                raise KeyError(name)
+            return {"status": "deleted", "model_path": name}
+
     client = TestClient(serving.build_app(StubService()))
     assert client.get("/health").json() == {"status": "ok"}
     assert client.get("/jobs").json() == []
@@ -248,6 +253,12 @@ def test_fastapi_routes(monkeypatch):
     assert client.post("/train", json={"data_path": "/tmp/x.parquet"}).json()[
         "status"
     ] == "queued"
+    # DELETE /models/{model_path} (reference api/api.py:281): known
+    # name → reference response shape, unknown → 404
+    r = client.delete("/models/known")
+    assert r.status_code == 200
+    assert r.json() == {"status": "deleted", "model_path": "known"}
+    assert client.delete("/models/nope").status_code == 404
 
 
 def test_kafka_payload_shape_and_gated_sink(spark, tmp_path):
