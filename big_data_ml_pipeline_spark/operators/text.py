@@ -2155,6 +2155,8 @@ def bm25_topk_wand(
     b: float = 0.75,
     id_col: str = "doc_id",
     common_df_frac: float = 0.10,
+    max_candidate_df: int = 5_000_000,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """:func:`bm25_topk_from_postings` with PROVABLY-SAFE impact-ordered
     pruning (MaxScore, Turtle & Flood 1995; WAND, Broder et al. 2003 —
@@ -2177,7 +2179,11 @@ def bm25_topk_wand(
        CURRENT global stats — the BM25 tf-component is increasing in
        tf and decreasing in dl, so g(max_tf, min_dl) bounds every
        posting of t without reading its list; U is quantized with a
-       +8 micro-unit slack that dominates both rounding directions.
+       k1-derived micro-unit slack (⌈0.5·(k1+1)⌉+3 — the worst-case
+       idf-rounding error 0.5·g < 0.5·(k1+1) plus the score-rounding
+       half-unit plus the floor unit, ADVICE r16: a constant +8 only
+       dominated for k1 ≲ 12) that dominates both rounding directions
+       for every legal k1.
        Common terms are moved (df-descending, greedily) into the
        NON-ESSENTIAL set while ΣU stays strictly below θ₀: a document
        matching ONLY non-essential terms scores ≤ ΣU < θ₀ ≤ k docs'
@@ -2185,22 +2191,41 @@ def bm25_topk_wand(
        inequality is strict.
     3. **Exact pass.** Candidates = docs with ≥1 ESSENTIAL posting
        (bounded by Σ_{t∈E} df_t, known from the lexicon before any
-       scan). Essential postings are scored as usual; non-essential
-       posting lists are read ONCE and semi-joined (broadcast) to the
-       candidate list — the common term's corpus-sized list is
-       filtered map-side and never doc-shuffled. Candidates' scores
-       include every matched term, so values, n_terms and ties are
-       bit-identical to the unpruned plan.
+       scan). Essential postings are scored and per-doc partials
+       aggregated; then the classical SECOND MaxScore bound (Turtle &
+       Flood's document test — VERDICT r16 item 2) drops every
+       candidate whose essential partial + ΣU over the non-essential
+       set is still < θ₀ BEFORE the common-term lists are touched:
+       such a doc's total ≤ partial + ΣU < θ₀ ≤ the true k-th best
+       total, strictly, so it can never enter the top-k even on ties.
+       Non-essential posting lists are read ONCE and semi-joined
+       (broadcast) to the SURVIVING candidate list — the common
+       term's corpus-sized list is filtered map-side and never
+       doc-shuffled. Survivors' scores include every matched term, so
+       values, n_terms and ties are bit-identical to the unpruned
+       plan.
 
     Whenever pruning is not provably safe (no common term, fewer than
-    k rare-pass docs, or ΣU ≥ θ₀ for every split) the function
-    DELEGATES to :func:`bm25_topk_from_postings` — correctness never
-    depends on the heuristics. Driver-side collects are bounded: one
-    stats row, ≤|terms| lexicon rows, k rare-pass rows.
+    k rare-pass docs, ΣU ≥ θ₀ for every split, or a NULL impact
+    partial from a mixed-schema lexicon) the function DELEGATES to
+    :func:`bm25_topk_from_postings` — correctness never depends on
+    the heuristics. Driver-side collects are bounded: one stats row,
+    ≤|terms| lexicon rows, k rare-pass rows. The pass-2 candidate
+    list is broadcast only while Σ_{t∈E} df_t ≤ ``max_candidate_df``
+    (known from the lexicon BEFORE any postings scan); above that the
+    candidate set is no longer small by construction — an
+    all-medium-frequency query on a huge corpus — and the function
+    delegates rather than risk a corpus-scale broadcast (ADVICE r16).
 
     Requires a lexicon with the (max_tf, min_dl) impact columns
     (``ingest_documents_stream(maintain_lexicon=True)`` writes them;
     older states must re-ingest or fall back to the unpruned query).
+
+    ``prune_stats``: test/diagnostic hook — when a dict is passed it
+    is filled in place with {"delegated", "essential",
+    "non_essential", "n_essential_docs", "n_candidates"}; counting
+    the two small frames costs two extra jobs, so leave it None in
+    production paths.
     """
     import math
 
@@ -2231,6 +2256,21 @@ def bm25_topk_wand(
         )
         .collect()
     )
+    def full() -> DataFrame:
+        if prune_stats is not None:
+            prune_stats["delegated"] = True
+        return bm25_topk_from_postings(
+            postings, lexicon, query_terms, k=k, k1=k1, b=b, id_col=id_col
+        )
+
+    # A NULL impact partial means the state mixes pre-impact batches
+    # (built before max_tf/min_dl existed) — F.max over null-padded
+    # batches would UNDERESTIMATE the true bound and prune wrongly;
+    # the ingest guard refuses to create such a mix, but a hand-
+    # assembled dir can still present one. Delegate: the unpruned
+    # query needs no impact columns (ADVICE r16 medium).
+    if any(r["max_tf"] is None or r["min_dl"] is None for r in trows):
+        return full()
     info = {
         r["token"]: (int(r["df"]), int(r["max_tf"]), int(r["min_dl"]))
         for r in trows
@@ -2244,11 +2284,13 @@ def bm25_topk_wand(
     ]
     if present and not seed:
         seed = [min(present, key=lambda t: (info[t][0], t))]
-    full = lambda: bm25_topk_from_postings(  # noqa: E731
-        postings, lexicon, query_terms, k=k, k1=k1, b=b, id_col=id_col
-    )
     if not present or set(seed) == set(present) or n_docs == 0:
         return full()
+    # Slack must dominate the two rounding steps for ANY caller k1:
+    # idf_q rounding contributes ≤0.5·g < 0.5·(k1+1) micro-units,
+    # score_q rounding ≤0.5, the floor ≤1 (ADVICE r16 low — the old
+    # constant 8 was only safe for k1 ≲ 12).
+    slack = int(math.ceil(0.5 * (k1 + 1.0))) + 3
 
     def _max_impact_q(t: str) -> int:
         df_t, max_tf, min_dl = info[t]
@@ -2256,7 +2298,7 @@ def bm25_topk_wand(
         g = (max_tf * (k1 + 1.0)) / (
             max_tf + k1 * (1.0 - b) + k1 * b * (min_dl * n_docs) / sum_dl
         )
-        return int(math.floor(idf * g * 1e6)) + 8
+        return int(math.floor(idf * g * 1e6)) + slack
 
     stats = lex.filter(F.col("token").isNull()).agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
@@ -2307,19 +2349,56 @@ def bm25_topk_wand(
     if not non_essential:
         return full()
     essential = [t for t in present if t not in set(non_essential)]
-    # Pass 2: candidates from the essential postings; non-essential
-    # lists are broadcast-semi-join filtered to candidates map-side
-    # (the pushed filter on the common terms' postings), never
+    # The pass-2 candidate list is bounded by Σ_{t∈E} df_t — known
+    # from the lexicon BEFORE any postings scan. If the essential set
+    # is itself corpus-scale (an all-medium-frequency query), the
+    # broadcast below would be the OOM risk the pruning exists to
+    # avoid — delegate instead (ADVICE r16 low).
+    if sum(info[t][0] for t in essential) > int(max_candidate_df):
+        return full()
+    # Pass 2: score the essential postings, aggregate per-doc
+    # partials, and apply the per-candidate MaxScore document test —
+    # partial + ΣU(non-essential) < θ₀ ⇒ skip (provably outside the
+    # top-k; see docstring step 3). Only SURVIVORS' ids reach the
+    # non-essential lists, broadcast-semi-join filtered map-side (the
+    # pushed filter on the common terms' postings), never
     # doc-shuffled whole.
-    etf = _tf(essential)
-    cand = etf.select("id").distinct()
-    ntf = _tf(non_essential).join(F.broadcast(cand), on="id", how="left_semi")
-    scored = _bm25_postings_score(
-        etf.unionByName(ntf), _dfreq(present), stats, k1, b
+    ess_part = (
+        _bm25_postings_score(_tf(essential), _dfreq(essential), stats, k1, b)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("__ess_n"),
+            F.sum("__score_q").cast("long").alias("__ess_q"),
+        )
     )
-    per_doc = scored.groupBy("id").agg(
-        F.count("*").cast("long").alias("n_terms"),
-        F.sum("__score_q").cast("long").alias("__sum_q"),
+    cand = ess_part.filter(F.col("__ess_q") + F.lit(int(acc)) >= theta0)
+    if prune_stats is not None:
+        prune_stats.update(
+            delegated=False,
+            essential=list(essential),
+            non_essential=list(non_essential),
+            n_essential_docs=ess_part.count(),
+            n_candidates=cand.count(),
+        )
+    ntf = _tf(non_essential).join(
+        F.broadcast(cand.select("id")), on="id", how="left_semi"
+    )
+    ne_part = (
+        _bm25_postings_score(ntf, _dfreq(non_essential), stats, k1, b)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("__ne_n"),
+            F.sum("__score_q").cast("long").alias("__ne_q"),
+        )
+    )
+    per_doc = cand.join(ne_part, on="id", how="left").select(
+        "id",
+        (
+            F.col("__ess_n") + F.coalesce(F.col("__ne_n"), F.lit(0))
+        ).cast("long").alias("n_terms"),
+        (
+            F.col("__ess_q") + F.coalesce(F.col("__ne_q"), F.lit(0))
+        ).cast("long").alias("__sum_q"),
     )
     return (
         per_doc.select(

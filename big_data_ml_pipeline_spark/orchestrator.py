@@ -1048,6 +1048,20 @@ class PipelineOrchestrator:
                 for r in self.spark.read.parquet(out_dir.rstrip("/"))
                 .select("cell").distinct().collect()
             }
+            # retire_state_cell refuses cells with members in EITHER
+            # the landed table or the _screened extras sibling — so
+            # the auto-flag must treat screened-only cells as
+            # populated too, or it would pick a cell the retire then
+            # errors on (ADVICE r16).
+            from .streaming.corpus import _has_parquet
+
+            screened_dir = out_dir.rstrip("/") + "_screened"
+            if _has_parquet(screened_dir):
+                populated |= {
+                    int(r["cell"])
+                    for r in self.spark.read.parquet(screened_dir)
+                    .select("cell").distinct().collect()
+                }
             empties = [
                 i for i in range(len(cents)) if i not in populated
             ]
@@ -1091,9 +1105,13 @@ class PipelineOrchestrator:
         corpus are skipped: the drift writer records jsd 1.0 by
         convention when there is nothing to compare against
         (n_landed_vecs = 0), and repairing a first-batch state is
-        meaningless. Returns {"triggered", "batch_id", "jsd_bits",
-        "threshold", "result"} with ``jsd_bits`` the windowed signal
-        and ``result`` the repair dict when triggered, else None.
+        meaningless. When FEWER eligible batches exist than the window
+        asks for, the policy never fires (``window_filled`` False) —
+        a short history would make a single blip the median, defeating
+        the windowed robustness (ADVICE r16). Returns {"triggered",
+        "batch_id", "jsd_bits", "threshold", "window_filled",
+        "result"} with ``jsd_bits`` the windowed signal and
+        ``result`` the repair dict when triggered, else None.
         Driver cost: one top-``window`` read of the
         batch-count-sized drift table."""
         import statistics
@@ -1124,13 +1142,23 @@ class PipelineOrchestrator:
         if not rows:
             return {"triggered": False, "batch_id": None,
                     "jsd_bits": None, "threshold": float(thr),
-                    "result": None}
+                    "window_filled": False, "result": None}
         signal = float(statistics.median(r["jsd_bits"] for r in rows))
+        if len(rows) < w:
+            # Short history (ADVICE r16): with fewer eligible batches
+            # than the window asks for, a single anomalous batch would
+            # BE the median — exactly the blip the windowed policy
+            # exists to ignore. Report the partial signal, never fire.
+            return {"triggered": False,
+                    "batch_id": int(rows[0]["batch_id"]),
+                    "jsd_bits": signal, "threshold": float(thr),
+                    "window_filled": False, "result": None}
         out = {
             "triggered": bool(signal > float(thr)),
             "batch_id": int(rows[0]["batch_id"]),
             "jsd_bits": signal,
             "threshold": float(thr),
+            "window_filled": True,
             "result": None,
         }
         if out["triggered"]:

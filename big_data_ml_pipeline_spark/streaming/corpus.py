@@ -761,6 +761,27 @@ def ingest_documents_stream(
             "maintain_postings requires maintain_lexicon (global BM25 "
             "stats come from the lexicon state)"
         )
+    lexicon_dir = out_dir.rstrip("/") + "_lexicon"
+    if maintain_lexicon and _has_parquet(lexicon_dir):
+        # Same refuse-a-silent-mix rule as the positional postings
+        # guard below (ADVICE r16 medium): a lexicon built before the
+        # (max_tf, min_dl) impact columns existed would union into a
+        # mixed-schema dir whose old batches read as NULL partials —
+        # bm25_topk_wand's F.max over null-padded batches then
+        # UNDERESTIMATES the true global max_tf (an unsafe,
+        # wrong-top-k pruning bound). Appends must keep one schema.
+        lex_cols = {
+            f.name
+            for f in stream.sparkSession.read.parquet(lexicon_dir)
+            .schema.fields
+        }
+        if not {"max_tf", "min_dl"} <= lex_cols:
+            raise ValueError(
+                f"lexicon state at {lexicon_dir} predates the "
+                "(max_tf, min_dl) impact partials; appending would mix "
+                "schemas and make WAND pruning unsafe — rebuild the "
+                "state (re-ingest) before appending"
+            )
     postings_dir = out_dir.rstrip("/") + "_postings"
     pg_buckets = int(postings_n_buckets or 0) if maintain_postings else 0
     if maintain_postings and _has_parquet(postings_dir):

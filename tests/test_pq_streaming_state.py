@@ -1912,3 +1912,47 @@ def test_retire_state_cell_empty_cell(spark, tmp_path):
     more = str(tmp_path / "more")
     write_shards(spark, more, [[(40, near(BASE[0], 5e-2))]])
     orch.ingest_embeddings_stream(str(more), out2, str(tmp_path / "ck3"))
+
+
+def test_retire_auto_flag_counts_screened_cells(spark, tmp_path):
+    """retire_embedding_cell(cell=None) treats a cell populated ONLY in
+    the ``_screened`` extras sibling as populated (ADVICE r16):
+    retire_state_cell refuses cells with members in EITHER table, so
+    the auto-flag must skip screened-only cells instead of picking one
+    the retire then errors on."""
+    from pyspark.sql import functions as F
+
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    rows = [(10, BASE[0])]
+    c0 = py_cell(BASE[0])
+    in_dir = str(tmp_path / "in")
+    write_shards(spark, in_dir, [rows])
+    cfg = {"embeddings": {"ingest_threshold": 0.999999,
+                          "ingest_dim": DIM, "ingest_n_cells": NCELLS,
+                          "ingest_round_assign_digits": 6,
+                          "ingest_screen_round_digits": 6,
+                          "ingest_centroids": [
+                              [float(x) for x in c] for c in CENTS
+                          ],
+                          "pq": {"m": M, "k": K, "ingest": True,
+                                 "residual": True, "codebooks": CBS}}}
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    out = str(tmp_path / "out")
+    orch.ingest_embeddings_stream(str(in_dir), out, str(tmp_path / "ck"))
+    empties = [i for i in range(NCELLS) if i != c0]
+    assert len(empties) >= 2  # one gets the screened row, one stays empty
+    # Seed a screened-extras row in the FIRST empty cell — the landed
+    # table knows nothing about it (the shape a recenter that moves
+    # landed rows but strands an extras row produces).
+    landed = spark.read.parquet(out)
+    landed.limit(1).withColumn(
+        "cell", F.lit(empties[0]).cast(landed.schema["cell"].dataType)
+    ).withColumn(
+        "vec_id", F.lit(999).cast(landed.schema["vec_id"].dataType)
+    ).write.mode("overwrite").parquet(out + "_screened")
+    res = orch.retire_embedding_cell(out)
+    # The screened-only cell was skipped; the next genuinely empty
+    # cell retired without erroring.
+    assert res["cell"] == empties[1]
+    assert res["n_cells"] == NCELLS - 1

@@ -3040,6 +3040,154 @@ def test_bm25_wand_pruned_equals_unpruned(spark, tmp_path, monkeypatch):
         )
 
 
+def test_bm25_wand_pass2_candidate_bound(spark, tmp_path):
+    """The second MaxScore bound (VERDICT r16 item 2 — Turtle & Flood's
+    per-candidate document test): essential candidates whose essential
+    partial + ΣU(non-essential) < θ₀ are dropped BEFORE the common
+    terms' posting lists are touched, results stay bit-identical to
+    the unpruned query, and the skip provably FIRES on this fixture
+    (candidate count strictly below essential-doc count). Also pins
+    the r16 ADVICE guards: NULL impact partials (mixed-schema state)
+    and an over-budget essential set both DELEGATE exactly, and a
+    caller k1 far above the old constant-slack safe range (~12) stays
+    exact under the k1-derived slack."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk_from_postings,
+        bm25_topk_wand,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    # 30 docs, all containing the common term "the"; 10 contain the
+    # rare term "zebra" with tf 1..10 and dl stretched the other way —
+    # a wide essential-score spread, so low-tf/long-dl candidates sit
+    # far below θ₀ while U("the") is tiny (df = N ⇒ idf ≈ 0.016).
+    docs = []
+    for i in range(30):
+        body = ["the"]
+        if i < 10:
+            body += ["zebra"] * (10 - i)
+            body += [f"pad{i}"] * (3 * i)
+        else:
+            body += [f"filler{i}"] * (2 + i % 4)
+        docs.append((i, " ".join(body)))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    p = str(in_dir / "s0.parquet")
+    spark.createDataFrame(
+        [(d, t, "en") for d, t in docs], ["doc_id", "text", "lang"]
+    ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time(), time.time()))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, ckpt, apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4,
+    )
+    postings = corpus_ops.read_postings(spark, out)
+    lexicon = spark.read.parquet(out + "_lexicon")
+    terms, k = ("the", "zebra"), 2
+    want = [
+        tuple(r)
+        for r in bm25_topk_from_postings(
+            postings, lexicon, terms, k=k
+        ).collect()
+    ]
+    stats: dict = {}
+    got = bm25_topk_wand(
+        postings, lexicon, terms, k=k, common_df_frac=0.34,
+        prune_stats=stats,
+    ).collect()
+    assert [tuple(r) for r in got] == want
+    assert stats["delegated"] is False
+    assert stats["essential"] == ["zebra"]
+    assert stats["non_essential"] == ["the"]
+    # The document test fired: fewer candidates reach the common-term
+    # semi-join than docs carrying an essential posting.
+    assert stats["n_essential_docs"] == 10
+    assert 0 < stats["n_candidates"] < stats["n_essential_docs"]
+    # k1 above the old +8-slack safe range: still exactly the unpruned
+    # result (slack is now derived from k1 — ADVICE r16).
+    want_k1 = [
+        tuple(r)
+        for r in bm25_topk_from_postings(
+            postings, lexicon, terms, k=k, k1=20.0
+        ).collect()
+    ]
+    s2: dict = {}
+    got_k1 = bm25_topk_wand(
+        postings, lexicon, terms, k=k, k1=20.0, common_df_frac=0.34,
+        prune_stats=s2,
+    ).collect()
+    assert [tuple(r) for r in got_k1] == want_k1
+    assert s2["delegated"] is False
+    # NULL impact partials (a hand-mixed pre-impact state) DELEGATE to
+    # the exact unpruned query instead of pruning on an underestimated
+    # bound (ADVICE r16 medium).
+    lex_null = lexicon.withColumn(
+        "max_tf",
+        F.when(F.col("token") == "zebra", F.lit(None).cast("long"))
+        .otherwise(F.col("max_tf")),
+    )
+    s3: dict = {}
+    got_null = bm25_topk_wand(
+        postings, lex_null, terms, k=k, common_df_frac=0.34,
+        prune_stats=s3,
+    ).collect()
+    assert s3["delegated"] is True
+    assert [tuple(r) for r in got_null] == want
+    # Essential-df budget: an over-budget essential set would make the
+    # pass-2 broadcast corpus-scale — delegate instead (ADVICE r16).
+    s4: dict = {}
+    got_budget = bm25_topk_wand(
+        postings, lexicon, terms, k=k, common_df_frac=0.34,
+        max_candidate_df=0, prune_stats=s4,
+    ).collect()
+    assert s4["delegated"] is True
+    assert [tuple(r) for r in got_budget] == want
+
+
+def test_lexicon_impact_schema_append_guard(spark, tmp_path):
+    """Appending to a lexicon state that predates the (max_tf, min_dl)
+    impact columns REFUSES instead of silently creating a mixed-schema
+    dir whose old batches read as NULL partials (ADVICE r16 medium —
+    the postings positional-layout guard, mirrored)."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    p = str(in_dir / "s0.parquet")
+    spark.createDataFrame(
+        [(0, "alpha beta", "en")], ["doc_id", "text", "lang"]
+    ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time(), time.time()))
+    out = str(tmp_path / "out")
+    # A pre-impact-era lexicon: the old six-column schema.
+    spark.createDataFrame(
+        [(0, "alpha", 1, 1, 0, 0), (0, None, 0, 0, 1, 2)],
+        "batch_id long, token string, df long, cnt long, "
+        "n_docs long, sum_dl long",
+    ).write.parquet(out + "_lexicon")
+    with _pytest.raises(ValueError, match="impact partials"):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, str(in_dir)),
+            out, str(tmp_path / "ckpt"), apply_quality=False,
+            maintain_lexicon=True,
+        )
+    # The refused ingest must not have landed anything.
+    assert not os.path.exists(out)
+
+
 def test_positional_postings_phrase_retrieval(spark, tmp_path):
     """postings_positions + phrase_topk_from_postings (VERDICT r15
     item 2): the streamed positional postings carry each (token, doc)'s
