@@ -51,9 +51,12 @@ def load_anchor(repo_dir: str, sf: float) -> tuple[str, dict[str, float]]:
     or the anchor was measured at a different scale factor (cross-SF
     ratios compare fixed job overhead, not engine throughput — a
     sf0.001 debug run against sf0.1 anchors reads as a 3× "regression").
-    The anchor is the per-query MIN over the prior round's clean runs —
-    comparing the current min against it separates regression from the
-    environment's documented ±30-100% contention noise (VERDICT r9 #1).
+    The anchor is the per-query MEDIAN over the prior round's clean
+    runs (VERDICT r16 item 1 — a min-of-N envelope is a floor no
+    single run can match and manufactured false regression flags; the
+    min now rides along as the separate ``queries_min`` diagnostic) —
+    comparing the current run against the median separates regression
+    from the environment's documented ±30-100% contention noise.
     """
     best_n, best_path = -1, None
     for p in glob.glob(os.path.join(repo_dir, "BENCH_ANCHOR_r*.json")):

@@ -5,9 +5,18 @@ VERDICT r14 item 6: an anchor must never contain hand-merged values —
 every number must trace to a committed bench output. This tool takes
 N bench-output JSON files (each the one-line output of `python
 bench.py`, saved verbatim) and writes BENCH_ANCHOR_r{N}.json with the
-per-query MIN across the runs, plus a provenance block recording the
-input files' sha256 — so a future judge can verify each anchor value
-appears in one of the inputs.
+per-query MEDIAN across the runs as the comparison anchor
+(``queries``) plus the per-query MIN as a separate floor diagnostic
+(``queries_min``), and a provenance block recording the input files'
+sha256 — so a future judge can verify each anchor value appears in
+one of the inputs.
+
+Median, not min (VERDICT r16 item 1): the min over N runs is a lower
+ENVELOPE no single future run can match — it manufactured a 12-query
+false-regression list in round 16 (contiguous contention blips each
+compared against the luckiest of five runs). The median is what a
+typical clean run actually achieves, so bench.py's over15 list is
+empty on unchanged code and a non-empty list means something.
 
 Usage:
   python bench.py > /tmp/bench_a.json   # run 1
@@ -19,6 +28,7 @@ Refuses runs with mismatched query sets or scale factors.
 import hashlib
 import json
 import os
+import statistics
 import sys
 
 
@@ -68,6 +78,12 @@ def main() -> None:
         print(f"note: {len(extra)} query(ies) present in only some "
               f"runs (mid-round additions): {extra}")
     anchor = {
+        q: statistics.median(
+            r["queries"][q] for r in runs if q in r["queries"]
+        )
+        for q in sorted(union)
+    }
+    floor = {
         q: min(r["queries"][q] for r in runs if q in r["queries"])
         for q in sorted(union)
     }
@@ -78,13 +94,16 @@ def main() -> None:
     payload = {
         "sf": sfs.pop(),
         "n_runs": len(runs),
+        "policy": "median",
         "provenance": digests,
         "queries": anchor,
+        "queries_min": floor,
     }
     with open(out, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(f"wrote {out}: {len(anchor)} queries, min over {len(runs)} runs, "
-          f"sum {sum(anchor.values()):.2f}s")
+    print(f"wrote {out}: {len(anchor)} queries, median over {len(runs)} "
+          f"runs, sum {sum(anchor.values()):.2f}s "
+          f"(min-floor sum {sum(floor.values()):.2f}s)")
 
 
 if __name__ == "__main__":
