@@ -3353,6 +3353,11 @@ def test_proximity_minimal_span_vs_bruteforce(spark, tmp_path):
         (4, "alpha only here"),
         (5, "x beta x"),
         (6, "gamma alpha beta gamma"),
+        # High-occurrence docs (VERDICT r16 item 7): the O(L·n)
+        # single-pass fold must stay exact when a query term repeats
+        # many times — L here is 40+ matched occurrences.
+        (7, " ".join(["alpha", "x", "beta"] * 20 + ["alpha"])),
+        (8, " ".join(["beta"] * 30 + ["x", "alpha"] + ["beta"] * 10)),
     ]
     in_dir = tmp_path / "in"
     in_dir.mkdir()
