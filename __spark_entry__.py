@@ -4237,6 +4237,56 @@ def q192_proximity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, result.schema)
 
 
+def q193_phrase_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-WEIGHTED exact-phrase ranking (VERDICT r16 item 3 —
+    text.phrase_bm25_topk_from_postings): q189's positional phrase
+    match gates candidacy, but the RANKING is production-shaped —
+    the phrase terms' BM25 sum plus the BM25 of the phrase as a
+    pseudo-term (tf = occurrence count, df = matching docs; the
+    Metzler & Croft weighted-#od composition) — all in the
+    established quantized-integer pipeline, zero corpus reads (terms
+    from the lexicon, occurrences from positional postings, phrase df
+    as an in-plan one-row broadcast). The DuckDB twin re-derives
+    occurrences AND scores one-shot from the text. Shares q189's
+    staged positional ingest (one per session). Top-10, id ties."""
+    from big_data_ml_pipeline_spark.oracle.sql import Q189_PHRASE_TERMS
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_postings_ingest(spark, sf_dir, positions=True)
+    result = text_ops.phrase_bm25_topk_from_postings(
+        corpus_stream.read_postings(spark, out),
+        spark.read.parquet(out + "_lexicon"),
+        Q189_PHRASE_TERMS,
+        k=10,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
+def q194_proximity_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-WEIGHTED proximity ranking (VERDICT r16 item 3 —
+    text.proximity_bm25_topk_from_postings, q193's unordered
+    sibling): docs containing both query terms ranked by the terms'
+    BM25 sum plus the integer inverse-span boost 1000000 DIV
+    (min_span + 1) — the classical proximity reward (Rasolofo &
+    Savoy) on top of q192's single-pass minimal-span kit, quantized
+    so both engines agree bit-for-bit. No max_span gate: the boost
+    itself expresses tightness. Zero corpus reads; shares the staged
+    positional ingest. Top-10, id ties."""
+    from big_data_ml_pipeline_spark.oracle.sql import Q192_PROX_TERMS
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_postings_ingest(spark, sf_dir, positions=True)
+    result = text_ops.proximity_bm25_topk_from_postings(
+        corpus_stream.read_postings(spark, out),
+        spark.read.parquet(out + "_lexicon"),
+        Q192_PROX_TERMS,
+        k=10,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q146_repeat_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITHIN-document repetition excision (text.excise_duplicate_spans
     scope='within_doc', 2-grams, min span 4): each document keeps the
@@ -4452,6 +4502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_opq_residual_topk": q190_opq_residual_topk,
         "q191_opq_residual_rerank_topk": q191_opq_residual_rerank_topk,
         "q192_proximity_topk": q192_proximity_topk,
+        "q193_phrase_bm25_topk": q193_phrase_bm25_topk,
+        "q194_proximity_bm25_topk": q194_proximity_bm25_topk,
     }
 
 

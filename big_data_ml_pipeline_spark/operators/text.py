@@ -930,7 +930,8 @@ _BPE_SEP = "\x1f"
 
 
 def bpe_learn_merges(
-    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+    df: DataFrame, n_merges: int = 8, text_col: str = "text",
+    batch_size: int = 1, batch_stats: dict | None = None,
 ) -> DataFrame:
     """Iterative BPE merge LEARNING (Sennrich et al. 2016's trainer —
     VERDICT r9 item 4): :func:`bpe_pair_counts` is one candidate
@@ -964,9 +965,38 @@ def bpe_learn_merges(
     q83/q158.
 
     Stops early (fewer than ``n_merges`` rows) only when no adjacent
-    pair remains anywhere — a degenerate fully-merged corpus."""
+    pair remains anywhere — a degenerate fully-merged corpus.
+
+    ``batch_size`` (VERDICT r16 item 4 — the driver-paced-per-merge
+    fix): apply up to M merges per Spark round, PROVABLY equal to the
+    sequential trainer. Per round the top ``batch_size + 1`` pairs are
+    collected (k-bounded) and a batch is accepted as the longest
+    PREFIX of the sorted order such that (a) no two accepted pairs
+    share a unit symbol, (b) no accepted pair's CONCATENATION equals
+    an already-existing unit symbol or another accepted concat —
+    initial units are single characters, so the existing multi-char
+    symbols are exactly the concats of previously learned merges, a
+    set this trainer already holds — and (c) every accepted pair
+    after the first counts STRICTLY above the first non-accepted
+    pair. Why that equals sequential: merging a pair never increases
+    any other existing pair's count, symbol-disjoint pairs' counts
+    are untouched, a merge-created pair (x, ab)/(ab, y) inherits
+    count ≤ its destroyed neighbour (x, a)/(b, y) — a NON-prefix pair
+    (a is taken), so ≤ the cut count < every later accepted pair's
+    count — and the concat-collision guard (b) is what makes those
+    created pairs NEW keys rather than silent boosts to existing
+    ones; strictness (c) also settles the tie-break (a created
+    symbol's string could otherwise win the lexicographic tie). So
+    at each sequential step the next accepted pair is still the
+    global argmax with its recorded count. ``batch_size=1`` is
+    byte-identical to the sequential loop (q162's oracle anchor); a
+    32k-merge production vocabulary drops from 32k driver-paced
+    rounds toward 32k/M. ``batch_stats`` (diagnostic): when a dict is
+    passed it is filled with {"rounds", "batch_sizes"}."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     s = _BPE_SEP
     tok = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("token"))
     # A token CONTAINING the separator would make its own chars
@@ -987,8 +1017,10 @@ def bpe_learn_merges(
         F.concat(F.lit(s), F.array_join(chars, s + s), F.lit(s)).alias("seg"),
     ).localCheckpoint(eager=True)
 
-    merge_rows = []
-    for rank in range(int(n_merges)):
+    learned: list[tuple[int, str, str, int]] = []
+    created_syms: set[str] = set()
+    round_sizes: list[int] = []
+    while len(learned) < int(n_merges):
         units = F.split(
             F.expr("substring(seg, 2, length(seg) - 2)"), s + s
         )
@@ -1002,41 +1034,77 @@ def bpe_learn_merges(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        best = (
+        want = min(int(batch_size), int(n_merges) - len(learned))
+        top = (
             state.select("cnt", F.explode(pair_arr).alias("pr"))
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("cnt").cast("long").alias("pair_count"))
             .orderBy(
                 F.col("pair_count").desc(), F.col("a").asc(), F.col("b").asc()
             )
-            .limit(1)
-            .select(
-                F.lit(rank).cast("long").alias("merge_rank"),
-                "a",
-                "b",
-                "pair_count",
-            )
-            .localCheckpoint(eager=True)
+            .limit(want + 1)
+            .collect()
         )
-        if not best.head(1):
+        if not top:
             break
-        merge_rows.append(best)
-        pat = F.concat(F.lit(s), F.col("a"), F.lit(s + s), F.col("b"), F.lit(s))
-        rep = F.concat(F.lit(s), F.col("a"), F.col("b"), F.lit(s))
+        # Longest symbol-disjoint collision-free PREFIX, capped at the
+        # batch budget; the first row NOT accepted (budget, overlap,
+        # concat collision, or list end) sets the cut count for the
+        # strictness shrink below. The first pair is ALWAYS accepted
+        # (it is the sequential argmax by definition) — but if its
+        # concat collides, the batch ends right after it (a size-1
+        # round IS the sequential step).
+        accepted: list = []
+        seen_syms: set[str] = set()
+        batch_concats: set[str] = set()
+        cut = None
+        for r in top:
+            a, b, cat = r["a"], r["b"], r["a"] + r["b"]
+            if accepted and (
+                len(accepted) >= want
+                or a in seen_syms or b in seen_syms
+                or a in batch_concats or b in batch_concats
+                or cat in created_syms or cat in batch_concats
+                or batch_concats & created_syms
+            ):
+                cut = int(r["pair_count"])
+                break
+            accepted.append(r)
+            seen_syms.update((a, b))
+            batch_concats.add(cat)
+        if cut is not None:
+            # Pairs after the first must count STRICTLY above the cut
+            # — ties could otherwise be stolen by a merge-created
+            # symbol under the lexicographic tie-break (docstring).
+            while len(accepted) > 1 \
+                    and int(accepted[-1]["pair_count"]) <= cut:
+                accepted.pop()
+        round_sizes.append(len(accepted))
+        for r in accepted:
+            learned.append(
+                (len(learned), r["a"], r["b"], int(r["pair_count"]))
+            )
+            created_syms.add(r["a"] + r["b"])
+        seg_col = F.col("seg")
+        for r in accepted:
+            seg_col = F.replace(
+                seg_col,
+                F.lit(s + r["a"] + s + s + r["b"] + s),
+                F.lit(s + r["a"] + r["b"] + s),
+            )
         state = (
-            state.crossJoin(F.broadcast(best.select("a", "b")))
-            .withColumn("seg", F.replace(F.col("seg"), pat, rep))
-            .select("cnt", "seg")
+            state.select("cnt", seg_col.alias("seg"))
             .localCheckpoint(eager=True)
         )
-    if not merge_rows:
-        return df.sparkSession.createDataFrame(
-            [], "merge_rank long, a string, b string, pair_count long"
-        )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+        if cut is None and len(accepted) < want:
+            # The pair list itself ran dry mid-batch — nothing left.
+            break
+    if batch_stats is not None:
+        batch_stats["rounds"] = len(round_sizes)
+        batch_stats["batch_sizes"] = round_sizes
+    return df.sparkSession.createDataFrame(
+        learned, "merge_rank long, a string, b string, pair_count long"
+    )
 
 
 def bpe_encode(
@@ -2481,12 +2549,35 @@ def phrase_topk_from_postings(
     twin re-derives it from the text one-shot). Returns (id_col,
     n_occurrences, score) with score = n_occurrences as double (the
     q187 stable-surface convention)."""
+    ph = _phrase_occurrences(postings, phrase_terms, "phrase_topk")
+    return (
+        ph.select(
+            F.col("doc_id").alias(id_col),
+            "n_occurrences",
+            F.col("n_occurrences").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _phrase_occurrences(
+    postings: DataFrame, phrase_terms: tuple[str, ...], caller: str
+) -> DataFrame:
+    """The positional phrase-intersection kit shared by
+    :func:`phrase_topk_from_postings` and
+    :func:`phrase_bm25_topk_from_postings`: (doc_id, dl,
+    n_occurrences) rows for every doc containing the CONSECUTIVE
+    phrase at least once — the ``array_intersect`` chain over
+    offset-shifted per-term positions arrays described on the former.
+    ``dl`` rides along from the matched postings (every row of a doc
+    carries the same dl) so the BM25 composition never rejoins."""
     terms = [str(t) for t in phrase_terms]
     if len(terms) < 2:
-        raise ValueError("phrase_topk_from_postings needs >= 2 terms")
+        raise ValueError(f"{caller}_from_postings needs >= 2 terms")
     if "positions" not in postings.columns:
         raise ValueError(
-            "phrase_topk_from_postings needs POSITIONAL postings — "
+            f"{caller}_from_postings needs POSITIONAL postings — "
             "re-ingest with postings_positions=True"
         )
     distinct = sorted(set(terms))
@@ -2499,9 +2590,11 @@ def phrase_topk_from_postings(
                 F.collect_list(F.struct("token", "positions"))
             ).alias("__pm"),
             F.countDistinct("token").alias("__nt"),
+            F.max("dl").cast("long").alias("dl"),
         )
         .filter(F.col("__nt") == len(distinct))
     )
+
     def _shifted(term: str, off: int):
         # factory — a 2-parameter HOF lambda would bind the ARRAY INDEX
         # as its second argument (pyspark's (element, index) form), so
@@ -2513,20 +2606,11 @@ def phrase_topk_from_postings(
     starts = F.element_at(F.col("__pm"), F.lit(terms[0]))
     for i, t in enumerate(terms[1:], start=1):
         starts = F.array_intersect(starts, _shifted(t, i))
-    return (
-        cands.select(
-            F.col("doc_id").alias(id_col),
-            F.size(starts).cast("long").alias("n_occurrences"),
-        )
-        .filter(F.col("n_occurrences") > 0)
-        .select(
-            id_col,
-            "n_occurrences",
-            F.col("n_occurrences").cast("double").alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
-    )
+    return cands.select(
+        "doc_id",
+        "dl",
+        F.size(starts).cast("long").alias("n_occurrences"),
+    ).filter(F.col("n_occurrences") > 0)
 
 
 def proximity_topk_from_postings(
@@ -2559,15 +2643,34 @@ def proximity_topk_from_postings(
     Positions are exact integer facts, so the span is oracle-exact
     (q192's twin re-derives it one-shot from the text). Returns
     (id_col, min_span, n_matched) ordered by span asc, id asc."""
+    out = _proximity_spans(postings, query_terms, "proximity_topk")
+    out = out.select(
+        F.col("doc_id").alias(id_col), "min_span", "n_matched"
+    )
+    if max_span is not None:
+        out = out.filter(F.col("min_span") <= int(max_span))
+    return out.orderBy(
+        F.col("min_span").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def _proximity_spans(
+    postings: DataFrame, query_terms: tuple[str, ...], caller: str
+) -> DataFrame:
+    """The positional minimal-covering-span kit shared by
+    :func:`proximity_topk_from_postings` and
+    :func:`proximity_bm25_topk_from_postings`: (doc_id, dl, min_span,
+    n_matched) rows for every doc containing ALL the distinct query
+    terms — the single-pass O(L·n) fold described on the former."""
     terms = [str(t) for t in query_terms]
     distinct = sorted(set(terms))
     n = len(distinct)
     if n < 2:
-        raise ValueError("proximity_topk_from_postings needs >= 2 "
+        raise ValueError(f"{caller}_from_postings needs >= 2 "
                          "distinct terms")
     if "positions" not in postings.columns:
         raise ValueError(
-            "proximity_topk_from_postings needs POSITIONAL postings — "
+            f"{caller}_from_postings needs POSITIONAL postings — "
             "re-ingest with postings_positions=True"
         )
     cands = (
@@ -2580,6 +2683,7 @@ def proximity_topk_from_postings(
             ).alias("__pm"),
             F.countDistinct("token").alias("__nt"),
             F.sum(F.size("positions")).cast("long").alias("__nm"),
+            F.max("dl").cast("long").alias("dl"),
         )
         .filter(F.col("__nt") == n)
     )
@@ -2598,7 +2702,7 @@ def proximity_topk_from_postings(
         F.flatten(F.array(*[_tag(t, i) for i, t in enumerate(distinct)]))
     )
     with_tagged = cands.select(
-        "doc_id", "__nm", tagged.alias("__tg")
+        "doc_id", "dl", "__nm", tagged.alias("__tg")
     )
     # Classical O(L·n) single-pass minimal cover (VERDICT r16 item 7 —
     # replaces the per-start O(L²·n) scan): walk the position-sorted
@@ -2630,17 +2734,199 @@ def proximity_topk_from_postings(
         F.array_repeat(F.lit(None).cast("long"), n).alias("last"),
         F.lit(None).cast("long").alias("best"),
     )
-    out = with_tagged.select(
-        F.col("doc_id").alias(id_col),
+    return with_tagged.select(
+        "doc_id",
+        "dl",
         F.aggregate(F.col("__tg"), init, _step)["best"]
         .cast("long").alias("min_span"),
         F.col("__nm").alias("n_matched"),
     )
+
+
+def phrase_bm25_topk_from_postings(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    phrase_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    phrase_weight: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-WEIGHTED exact-phrase ranking (VERDICT r16 item 3 —
+    production positional retrieval ranks matches by BM25, not by raw
+    occurrence count): documents containing the CONSECUTIVE phrase
+    (the :func:`phrase_topk_from_postings` positional-intersection
+    kit), ranked by the phrase terms' BM25 sum PLUS ``phrase_weight``×
+    the BM25 of the PHRASE AS A PSEUDO-TERM — tf = the doc's phrase
+    occurrence count, df = the number of phrase-matching docs, the
+    same dl/global stats, the same saturation curve (the
+    Indri/Galago-style weighted-#od composition, Metzler & Croft
+    2005). Everything is the established quantized-integer pipeline
+    (idf rounded to micro-units, per-score rounding identical to
+    :func:`_bm25_postings_score`), so the result is EXACT against a
+    DuckDB twin that re-derives occurrences and scores one-shot from
+    the text. Zero corpus reads: occurrences from positional
+    postings, term stats from the lexicon, phrase df as a one-row
+    in-plan aggregate (broadcast, never collected). Query cost tracks
+    the phrase terms' posting lists. Returns (id_col, n_occurrences,
+    score) by score desc, id asc, k rows."""
+    ph = _phrase_occurrences(postings, phrase_terms, "phrase_bm25_topk")
+    distinct = sorted({str(t) for t in phrase_terms})
+    stats = (
+        lexicon.dropDuplicates(["batch_id", "token"])
+        .filter(F.col("token").isNull())
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    dfp = ph.agg(F.count("*").cast("long").alias("df_p"))
+    idf_p_q = (
+        F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_p") + F.lit(0.5))
+                / (F.col("df_p") + F.lit(0.5))
+            )
+            * 1e6
+        )
+        .cast("long")
+    )
+    phs = (
+        ph.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dfp))
+        .select(
+            "doc_id",
+            "n_occurrences",
+            F.round(
+                (idf_p_q.cast("double") / 1e6)
+                * (F.col("n_occurrences") * F.lit(k1 + 1.0))
+                / (
+                    F.col("n_occurrences")
+                    + F.lit(k1 * (1.0 - b))
+                    + F.lit(k1 * b)
+                    * (F.col("dl") * F.col("n_docs")).cast("double")
+                    / F.col("sum_dl")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("__phrase_q"),
+        )
+    )
+    per_doc = _bm25_terms_per_doc(postings, lexicon, distinct, k1, b)
+    return (
+        phs.join(per_doc, phs["doc_id"] == per_doc["id"])
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_occurrences",
+            (
+                (
+                    F.col("__sum_q")
+                    + F.lit(int(phrase_weight)) * F.col("__phrase_q")
+                ).cast("double")
+                / 1e6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def proximity_bm25_topk_from_postings(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    prox_weight: int = 1,
+    max_span: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-WEIGHTED unordered-proximity ranking (VERDICT r16 item 3,
+    :func:`phrase_bm25_topk_from_postings`'s sibling): documents
+    containing ALL distinct query terms (the
+    :func:`proximity_topk_from_postings` minimal-covering-span kit),
+    ranked by the terms' BM25 sum PLUS ``prox_weight``× an integer
+    span boost ``1000000 DIV (min_span + 1)`` — the classical
+    inverse-span proximity reward (Rasolofo & Savoy 2003; Büttcher
+    2006) quantized to the pipeline's micro-units, so a tighter
+    window adds up to one full score unit and the whole ranking stays
+    EXACT against the one-shot DuckDB twin (integer division in both
+    engines). ``max_span`` optionally gates candidacy. Zero corpus
+    reads; cost tracks the query terms' posting lists. Returns
+    (id_col, min_span, n_matched, score) by score desc, id asc."""
+    spans = _proximity_spans(postings, query_terms, "proximity_bm25_topk")
     if max_span is not None:
-        out = out.filter(F.col("min_span") <= int(max_span))
-    return out.orderBy(
-        F.col("min_span").asc(), F.col(id_col).asc()
-    ).limit(k)
+        spans = spans.filter(F.col("min_span") <= int(max_span))
+    distinct = sorted({str(t) for t in query_terms})
+    per_doc = _bm25_terms_per_doc(postings, lexicon, distinct, k1, b)
+    boost_q = F.expr(
+        "CAST(1000000 AS BIGINT) DIV (CAST(min_span AS BIGINT) + 1)"
+    )
+    return (
+        spans.join(per_doc, spans["doc_id"] == per_doc["id"])
+        .select(
+            F.col("doc_id").alias(id_col),
+            "min_span",
+            "n_matched",
+            (
+                (
+                    F.col("__sum_q") + F.lit(int(prox_weight)) * boost_q
+                ).cast("double")
+                / 1e6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _bm25_terms_per_doc(
+    postings: DataFrame,
+    lexicon: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Per-doc quantized BM25 partials (id, n_terms, __sum_q) over the
+    given terms, from postings + lexicon state — the
+    :func:`bm25_topk_from_postings` aggregation without the top-k
+    tail, shared by the phrase/proximity BM25 compositions."""
+    stats = (
+        lexicon.dropDuplicates(["batch_id", "token"])
+        .filter(F.col("token").isNull())
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
+        )
+    )
+    dfreq = (
+        lexicon.filter(F.col("token").isin(*terms))
+        .dropDuplicates(["batch_id", "token"])
+        .groupBy(F.col("token").alias("term"))
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    tf = (
+        postings.filter(F.col("token").isin(*terms))
+        .dropDuplicates(["batch_id", "token", "doc_id"])
+        .select(
+            F.col("doc_id").alias("id"),
+            F.col("dl"),
+            F.col("token").alias("term"),
+            F.col("tf"),
+        )
+    )
+    return (
+        _bm25_postings_score(tf, dfreq, stats, k1, b)
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("__score_q").cast("long").alias("__sum_q"),
+        )
+    )
 
 
 def winnowing_fingerprints(

@@ -3452,6 +3452,138 @@ ORDER BY min_span ASC, doc_id ASC LIMIT {k}
 _Q192_SQL = _q192_sql()
 
 
+#: The shared BM25 CTE block (reps → per_doc) over a restricted term
+#: set — q178's generator body, reused verbatim by the q193/q194
+#: positional-BM25 compositions so their term-score side is
+#: definitionally the established one-shot quantization.
+def _bm25_ctes(terms_sql: str) -> str:
+    k1p1 = repr(Q126_BM25_K1 + 1.0)
+    k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
+    k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
+    return f"""reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY md5({_DUCK_NORM})),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+base AS (
+  SELECT doc_id AS id, {_DUCK_LTOKS} AS toks FROM corpus),
+b2 AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl,
+         list_filter(toks, t -> list_contains([{terms_sql}], t)) AS hits
+  FROM base),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl FROM b2),
+tf AS (
+  SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT id, dl, unnest(hits) AS term FROM b2) t
+  GROUP BY id, dl, term),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term, n_docs, sum_dl,
+         CAST(ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000000.0)
+              AS BIGINT) AS idf_q
+  FROM dfreq CROSS JOIN stats),
+scored AS (
+  SELECT id,
+         CAST(ROUND((CAST(idf_q AS DOUBLE) / 1000000.0) * (tf * {k1p1})
+              / (tf + {k1_1mb} + {k1b} * CAST(dl * n_docs AS DOUBLE) / sum_dl)
+              * 1000000.0) AS BIGINT) AS score_q
+  FROM tf JOIN idf USING (term)),
+per_doc AS (
+  SELECT id, CAST(SUM(score_q) AS BIGINT) AS sum_q
+  FROM scored GROUP BY id)"""
+
+
+def _q193_sql(k: int = 10, w: int = 1) -> str:
+    """Twin of q193 — BM25-weighted exact-phrase ranking: the q178
+    BM25 CTEs over the phrase's distinct terms (quantized per-doc
+    sum_q) + the q189 token-window occurrence count, composed with
+    the phrase-as-pseudo-term score (tf = occurrences, df = matching
+    docs, the same rounded-micro-unit curve) — integer facts and the
+    shared rounding convention end to end, so cell-exact at every
+    SF."""
+    n = len(Q189_PHRASE_TERMS)
+    cond = " AND ".join(
+        f"toks[p+{i}] = '{t}'" for i, t in enumerate(Q189_PHRASE_TERMS)
+    )
+    terms = ", ".join(f"'{t}'" for t in sorted(set(Q189_PHRASE_TERMS)))
+    k1p1 = repr(Q126_BM25_K1 + 1.0)
+    k1_1mb = repr(Q126_BM25_K1 * (1.0 - Q126_BM25_B))
+    k1b = repr(Q126_BM25_K1 * Q126_BM25_B)
+    return f"""
+WITH {_bm25_ctes(terms)},
+ph AS (
+  SELECT id, CAST(len(toks) AS BIGINT) AS dl,
+         CAST(len(list_filter(range(1, len(toks) - {n} + 2),
+              p -> {cond})) AS BIGINT) AS n_occurrences
+  FROM base),
+ph2 AS (SELECT * FROM ph WHERE n_occurrences > 0),
+dfp AS (SELECT CAST(COUNT(*) AS BIGINT) AS df_p FROM ph2),
+phs AS (
+  SELECT id, n_occurrences,
+         CAST(ROUND((CAST(CAST(ROUND(ln(1.0 + (n_docs - df_p + 0.5)
+                / (df_p + 0.5)) * 1000000.0) AS BIGINT) AS DOUBLE)
+                / 1000000.0)
+              * (n_occurrences * {k1p1})
+              / (n_occurrences + {k1_1mb}
+                 + {k1b} * CAST(dl * n_docs AS DOUBLE) / sum_dl)
+              * 1000000.0) AS BIGINT) AS phrase_q
+  FROM ph2 CROSS JOIN stats CROSS JOIN dfp)
+SELECT phs.id AS doc_id, phs.n_occurrences,
+       CAST(per_doc.sum_q + {w} * phs.phrase_q AS DOUBLE) / 1000000.0
+         AS score
+FROM phs JOIN per_doc ON phs.id = per_doc.id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_Q193_SQL = _q193_sql()
+
+
+def _q194_sql(k: int = 10, w: int = 1) -> str:
+    """Twin of q194 — BM25-weighted proximity ranking: the q178 BM25
+    CTEs over the query terms + the q192 minimal-span derivation,
+    composed with the integer inverse-span boost
+    ``1000000 // (min_span + 1)`` (integer division in both engines),
+    so the ranking is cell-exact at every SF."""
+    n = len(set(Q192_PROX_TERMS))
+    terms = ", ".join(f"'{t}'" for t in sorted(set(Q192_PROX_TERMS)))
+    return f"""
+WITH {_bm25_ctes(terms)},
+tg AS (
+  SELECT id,
+         list_sort(list_transform(
+           list_filter(range(1, len(toks) + 1),
+                       p -> list_contains([{terms}], toks[p])),
+           p -> {{'pos': p, 't': list_position([{terms}], toks[p])}}))
+           AS tagged
+  FROM base),
+cands AS (
+  SELECT id, tagged, len(tagged) AS L
+  FROM tg
+  WHERE len(list_distinct(list_transform(tagged, x -> x.t))) = {n}),
+spans AS (
+  SELECT id,
+         CAST(list_min(list_transform(range(1, L + 1), i ->
+           tagged[list_filter(range(i, L + 1), j ->
+               len(list_distinct(list_transform(tagged[i:j],
+                                                x2 -> x2.t))) = {n})[1]].pos
+           - tagged[i].pos)) AS BIGINT) AS min_span,
+         CAST(L AS BIGINT) AS n_matched
+  FROM cands)
+SELECT spans.id AS doc_id, spans.min_span, spans.n_matched,
+       CAST(per_doc.sum_q
+            + {w} * (1000000 // (spans.min_span + 1))
+            AS DOUBLE) / 1000000.0 AS score
+FROM spans JOIN per_doc ON spans.id = per_doc.id
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+_Q194_SQL = _q194_sql()
+
+
 def _res_adc_sql_parts(
     vec_expr: str, codes_expr: str, cell_expr: str, cent_dot: str,
     m: int = 8, k: int = 16, dim: int = 64, n_cells: int = 16,
@@ -5140,5 +5272,7 @@ def oracle_sql() -> dict[str, str]:
         "q190_opq_residual_topk": _Q190_SQL,
         "q191_opq_residual_rerank_topk": _Q191_SQL,
         "q192_proximity_topk": _Q192_SQL,
+        "q193_phrase_bm25_topk": _Q193_SQL,
+        "q194_proximity_bm25_topk": _Q194_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }

@@ -1915,6 +1915,57 @@ def test_bpe_learn_merges_matches_literal_python(spark):
         assert enc[i] == expect_units, i
 
 
+def test_bpe_learn_merges_batched_equals_sequential(spark):
+    """bpe_learn_merges(batch_size=M) == the sequential trainer
+    (VERDICT r16 item 4): the provably-safe batch rule (symbol-
+    disjoint prefix, concat-collision guard, strict-above-cut) must
+    yield the IDENTICAL merge table — ranks, pairs, and counts — on
+    the adversarial fixture (overlaps, re-pairing merged symbols,
+    ties) and on a wide corpus where batches genuinely fire, at
+    several batch sizes; batch_size=1 stays byte-identical to the
+    sequential anchor (q162's oracle) and rounds genuinely shrink."""
+    from big_data_ml_pipeline_spark.operators.text import bpe_learn_merges
+
+    adversarial = [
+        "aaaa aaaa aa hello hello hell help",
+        "xall xall ll ll banana band bands",
+        "a b ab ab abab",
+    ]
+    # Wide fixture: many frequent DISJOINT pairs with distinct counts
+    # — the shape where batching pays (real corpora are Zipfian but
+    # wide at the character-pair level).
+    wide = [
+        " ".join(
+            ["qu"] * 40 + ["er"] * 36 + ["ty"] * 32 + ["io"] * 28
+            + ["pl"] * 24 + ["km"] * 20 + ["vb"] * 16 + ["xz"] * 12
+        ),
+        "quer tyio plkm vbxz quer tyio",
+    ]
+    for texts in (adversarial, wide):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        want = [
+            tuple(r)
+            for r in bpe_learn_merges(df, n_merges=10)
+            .orderBy("merge_rank").collect()
+        ]
+        for m in (2, 4, 10):
+            stats: dict = {}
+            got = [
+                tuple(r)
+                for r in bpe_learn_merges(
+                    df, n_merges=10, batch_size=m, batch_stats=stats
+                ).orderBy("merge_rank").collect()
+            ]
+            assert got == want, (texts is wide, m)
+            assert stats["rounds"] <= 10
+            if texts is wide:
+                # Batching genuinely fires on the wide corpus.
+                assert stats["rounds"] < 10, (m, stats)
+                assert max(stats["batch_sizes"]) > 1, (m, stats)
+
+
 def test_bpe_learn_merges_stops_when_exhausted(spark):
     """A corpus whose every token is a single character has no pair to
     merge anywhere after... immediately: the learner emits zero rows
