@@ -1488,3 +1488,187 @@ def compact_lexicon(spark: SparkSession, path: str) -> None:
         path.rstrip("/") + TMP_SUFFIX
     )
     atomic_swap_dirs(path)
+
+
+def merge_ingest_states(
+    spark: SparkSession,
+    src_a: str,
+    src_b: str,
+    dest: str,
+    postings_n_buckets: int | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """MERGE two independently-built document ingest states into one
+    queryable state (VERDICT r16 item 5 — the multi-source corpus
+    operation): the landed corpora, inverted postings, lexicon, and
+    (when both sides maintain one) vocabulary of ``src_a`` and
+    ``src_b`` land under ``dest`` such that every retrieval probe
+    (q184 BM25, q188 WAND, q189 phrase, q192 proximity) answers
+    BIT-IDENTICALLY to a fresh single ingest over the concatenated
+    corpus (A's shards first) — pinned by pytest.
+
+    Semantics, derived from the ingest's own rules:
+
+    - **First-landed wins across sources.** A fresh concatenated
+      ingest drops any B doc whose exact fingerprint already landed
+      from A; the merge applies the same fp anti-join (within-source
+      dups were already settled by each source's own ingest).
+    - **doc_ids must be disjoint** (a multi-source corpus has global
+      ids by construction); colliding ids would silently fold under
+      the (batch_id, token, doc_id) replay-dedup rule, so the merge
+      REFUSES loudly instead.
+    - **Postings union exactly** (they are per-(doc, token) integer
+      facts): fold each side by the replay-dedup key, drop the B docs
+      the fp rule excluded, restamp ``batch_id = -1`` — the
+      compaction convention: committed batches can never replay, so
+      the fold is final and continued ingests append real ids on top.
+    - **Lexicon and vocab are RE-DERIVED from the merged postings**
+      rather than summed: B's per-batch partials include its dropped
+      docs, and max/min impact partials cannot be subtracted. Every
+      lexicon quantity is an exact function of the surviving postings
+      (df = distinct docs, cnt = Σtf, max_tf = max tf, min_dl =
+      min dl; the null-token stats row's n_docs from the merged
+      corpus — zero-token docs have no postings rows — and sum_dl =
+      Σ per-doc dl), so the derived state folds to the same query-time
+      aggregates as the fresh ingest's per-batch rows.
+
+    Both sources must therefore carry postings + lexicon (the
+    retrieval states this merge serves); positional and positionless
+    layouts must match (the ingest's own refuse-a-mix rule). Dedup
+    index siblings (MinHash / gram / components) are out of scope —
+    they rebuild exactly from the merged corpus via their
+    ``compact_*(corpus_dir=...)`` paths. ``dest`` must not exist.
+
+    Scale shape: one fp equi-join (A fps broadcast-or-shuffled on the
+    hash key), one id anti-join on the postings, token-keyed
+    aggregations for the derived lexicon — every shuffle key is a
+    hash/token, no driver-side data beyond two scalar stats. With
+    ``postings_n_buckets`` the merged postings land as the bucketed
+    table (marker written first), preserving q184's pruned-scan
+    query shape.
+
+    Returns {"n_docs", "n_dropped_b", "sum_dl"}."""
+    pa, pb = src_a.rstrip("/") + "_postings", src_b.rstrip("/") + "_postings"
+    la, lb = src_a.rstrip("/") + "_lexicon", src_b.rstrip("/") + "_lexicon"
+    dest = dest.rstrip("/")
+    for d in (dest, dest + "_postings", dest + "_lexicon", dest + "_vocab"):
+        if os.path.exists(d):
+            raise ValueError(f"merge destination already exists: {d}")
+    for d in (pa, pb, la, lb):
+        if not _has_parquet(d):
+            raise ValueError(
+                f"merge_ingest_states needs postings + lexicon on both "
+                f"sides; missing: {d}"
+            )
+    corp_a = spark.read.parquet(src_a.rstrip("/"))
+    corp_b = spark.read.parquet(src_b.rstrip("/"))
+    post_a = spark.read.parquet(pa)
+    post_b = spark.read.parquet(pb)
+    pos_a = "positions" in post_a.columns
+    pos_b = "positions" in post_b.columns
+    if pos_a != pos_b:
+        raise ValueError(
+            f"postings layout mismatch: {pa} was built "
+            f"{'WITH' if pos_a else 'WITHOUT'} positions, {pb} "
+            f"{'WITH' if pos_b else 'WITHOUT'} — rebuild one side"
+        )
+    n_shared = (
+        corp_a.select(id_col).distinct()
+        .join(corp_b.select(id_col).distinct(), on=id_col, how="inner")
+        .count()
+    )
+    if n_shared:
+        raise ValueError(
+            f"{n_shared} doc ids appear in BOTH sources — multi-source "
+            "ids must be globally unique for an exact merge"
+        )
+    # First-landed-wins across sources: B docs whose fp landed from A
+    # are exactly the docs a fresh concatenated ingest would drop.
+    dropped_b = corp_b.join(
+        corp_a.select("fp").distinct(), on="fp", how="left_semi"
+    ).select(id_col)
+    surv_b = corp_b.join(
+        corp_a.select("fp").distinct(), on="fp", how="left_anti"
+    )
+    merged = corp_a.unionByName(surv_b)
+    merged.write.parquet(dest)
+    merged = spark.read.parquet(dest)  # pin lineage to the landed files
+
+    pos_cols = ["positions"] if pos_a else []
+    folded_a = post_a.dropDuplicates(
+        ["batch_id", "token", "doc_id"]
+    ).select("token", "doc_id", "tf", "dl", *pos_cols)
+    folded_b = (
+        post_b.dropDuplicates(["batch_id", "token", "doc_id"])
+        .join(
+            dropped_b.withColumnRenamed(id_col, "doc_id"),
+            on="doc_id", how="left_anti",
+        )
+        .select("token", "doc_id", "tf", "dl", *pos_cols)
+    )
+    merged_post = folded_a.unionByName(folded_b).select(
+        F.lit(-1).cast("long").alias("batch_id"),
+        "token", "doc_id", "tf", "dl", *pos_cols,
+    )
+    pdir = dest + "_postings"
+    if postings_n_buckets:
+        nb = int(postings_n_buckets)
+        id_ddl = merged.schema[id_col].dataType.simpleString()
+        pos_ddl = ", positions ARRAY<INT>" if pos_a else ""
+        tbl = _register_bucketed_state(
+            spark, pdir, _state_table_name(pdir, "postings"),
+            f"batch_id BIGINT, token STRING, doc_id {id_ddl}, "
+            f"tf BIGINT, dl BIGINT{pos_ddl}",
+            ["token"], nb, sort_cols=["token"],
+        )
+        _write_bucket_marker(pdir, nb)
+        _append_bucketed(
+            merged_post, tbl, nb, ["token"], sort_cols=["token"]
+        )
+    else:
+        merged_post.write.parquet(pdir)
+    merged_post = spark.read.parquet(pdir)
+
+    # Derived lexicon: exact functions of the surviving postings plus
+    # the corpus-level doc count (zero-token docs land no postings).
+    n_docs = merged.count()
+    per_doc_dl = merged_post.groupBy("doc_id").agg(
+        F.max("dl").cast("long").alias("dl")
+    )
+    sum_dl_row = per_doc_dl.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s")
+    ).collect()[0]
+    sum_dl = int(sum_dl_row["s"])
+    token_rows = merged_post.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cnt"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.min("dl").cast("long").alias("min_dl"),
+    ).select(
+        F.lit(-1).cast("long").alias("batch_id"),
+        "token", "df", "cnt",
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("sum_dl"),
+        "max_tf", "min_dl",
+    )
+    doc_row = spark.createDataFrame(
+        [(-1, None, 0, 0, n_docs, sum_dl, 0, 0)],
+        "batch_id long, token string, df long, cnt long, "
+        "n_docs long, sum_dl long, max_tf long, min_dl long",
+    )
+    token_rows.unionByName(doc_row).coalesce(1).write.parquet(
+        dest + "_lexicon"
+    )
+
+    if _has_parquet(src_a.rstrip("/") + "_vocab") and _has_parquet(
+        src_b.rstrip("/") + "_vocab"
+    ):
+        # vocab cnt == Σtf over the surviving docs (same tokenizer) —
+        # derived, for the same cannot-subtract reason as the lexicon.
+        merged_post.groupBy("token").agg(
+            F.sum("tf").cast("long").alias("cnt")
+        ).coalesce(1).write.parquet(dest + "_vocab")
+
+    n_dropped = dropped_b.count()
+    return {"n_docs": int(n_docs), "n_dropped_b": int(n_dropped),
+            "sum_dl": sum_dl}

@@ -3329,6 +3329,177 @@ def test_positional_postings_phrase_retrieval(spark, tmp_path):
         )
 
 
+def test_phrase_and_proximity_bm25_ranking(spark, tmp_path):
+    """phrase/proximity BM25 compositions (VERDICT r16 item 3 —
+    text.phrase_bm25_topk_from_postings /
+    proximity_bm25_topk_from_postings) == an independent python
+    reference of the whole quantized pipeline on a small corpus:
+    candidacy matches the unweighted positional kits, every score
+    equals term-BM25 + pseudo-term / inverse-span boost computed from
+    first principles (half-up rounding, micro-unit quantization), and
+    the ordering follows the COMPOSED score — including a doc whose
+    raw occurrence count would rank it differently."""
+    import math
+    import os
+    import time
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        phrase_bm25_topk_from_postings,
+        phrase_topk_from_postings,
+        proximity_bm25_topk_from_postings,
+        proximity_topk_from_postings,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    K1, B = 1.2, 0.75
+    docs = [
+        # doc 0: one phrase hit, short doc (high tf-normalized scores)
+        (0, "alpha beta x"),
+        # doc 1: two phrase hits but LONG doc — more occurrences yet a
+        # weaker per-term BM25; the composed ranking must weigh both
+        (1, "alpha beta y alpha beta " + " ".join(f"p{i}" for i in range(30))),
+        # doc 2: both terms, never consecutive (proximity-only doc)
+        (2, "alpha x x x beta z z"),
+        # doc 3: only one of the terms — no candidacy anywhere
+        (3, "alpha q q"),
+        # doc 4: tight phrase + repeated rare term
+        (4, "beta alpha beta w"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    p = str(in_dir / "s0.parquet")
+    spark.createDataFrame(
+        [(d, t, "en") for d, t in docs], ["doc_id", "text", "lang"]
+    ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time(), time.time()))
+    out = str(tmp_path / "out")
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(in_dir)),
+        out, str(tmp_path / "ck"), apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        postings_n_buckets=4, postings_positions=True,
+    )
+    postings = corpus_ops.read_postings(spark, out)
+    lexicon = spark.read.parquet(out + "_lexicon")
+
+    # -- python reference of the quantized pipeline -------------------
+    def rhu(x):  # Spark F.round is HALF-UP; python round() is banker's
+        return int(math.floor(x + 0.5))
+
+    toked = {d: t.split() for d, t in docs}
+    n_docs = len(docs)
+    sum_dl = sum(len(v) for v in toked.values())
+    terms = ["alpha", "beta"]
+
+    def term_sum_q(doc_ids):
+        df = {t: sum(1 for v in toked.values() if t in v) for t in terms}
+        out_q = {}
+        for d in doc_ids:
+            v, dl, s = toked[d], len(toked[d]), 0
+            for t in terms:
+                tf = v.count(t)
+                if not tf:
+                    continue
+                idf_q = rhu(
+                    math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                    * 1e6
+                )
+                s += rhu(
+                    (idf_q / 1e6) * (tf * (K1 + 1.0))
+                    / (tf + K1 * (1 - B) + K1 * B * dl * n_docs / sum_dl)
+                    * 1e6
+                )
+            out_q[d] = s
+        return out_q
+
+    # phrase: occurrences + pseudo-term score
+    occ = {
+        d: sum(
+            1 for i in range(len(v) - 1)
+            if v[i] == "alpha" and v[i + 1] == "beta"
+        )
+        for d, v in toked.items()
+    }
+    ph_docs = [d for d, c in occ.items() if c > 0]
+    df_p = len(ph_docs)
+    idf_p_q = rhu(
+        math.log(1.0 + (n_docs - df_p + 0.5) / (df_p + 0.5)) * 1e6
+    )
+    tq = term_sum_q(ph_docs)
+    want_phrase = sorted(
+        (
+            (
+                d,
+                occ[d],
+                (
+                    tq[d]
+                    + rhu(
+                        (idf_p_q / 1e6) * (occ[d] * (K1 + 1.0))
+                        / (
+                            occ[d] + K1 * (1 - B)
+                            + K1 * B * len(toked[d]) * n_docs / sum_dl
+                        )
+                        * 1e6
+                    )
+                ) / 1e6,
+            )
+            for d in ph_docs
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    got = phrase_bm25_topk_from_postings(
+        postings, lexicon, ("alpha", "beta"), k=10
+    ).collect()
+    assert [(r["doc_id"], r["n_occurrences"], r["score"]) for r in got] \
+        == want_phrase
+    # Candidacy matches the unweighted phrase kit.
+    assert {r["doc_id"] for r in got} == {
+        r["doc_id"]
+        for r in phrase_topk_from_postings(
+            postings, ("alpha", "beta"), k=10
+        ).collect()
+    }
+
+    # proximity: min spans + inverse-span boost
+    def min_span(v):
+        best = None
+        la = lb = None
+        for i, t in enumerate(v):
+            if t == "alpha":
+                la = i
+            elif t == "beta":
+                lb = i
+            if la is not None and lb is not None:
+                s = abs(la - lb)
+                best = s if best is None else min(best, s)
+        return best
+    spans = {d: min_span(v) for d, v in toked.items()}
+    px_docs = [d for d, s in spans.items() if s is not None]
+    tq2 = term_sum_q(px_docs)
+    want_prox = sorted(
+        (
+            (d, spans[d], (tq2[d] + 1000000 // (spans[d] + 1)) / 1e6)
+            for d in px_docs
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    got2 = proximity_bm25_topk_from_postings(
+        postings, lexicon, ("alpha", "beta"), k=10
+    ).collect()
+    assert [(r["doc_id"], r["min_span"], r["score"]) for r in got2] \
+        == want_prox
+    assert {r["doc_id"] for r in got2} == {
+        r["doc_id"]
+        for r in proximity_topk_from_postings(
+            postings, ("alpha", "beta"), k=10
+        ).collect()
+    }
+    # The composed ranking genuinely reordered: doc 1 has MORE phrase
+    # occurrences than doc 0 yet must not outrank it (length penalty).
+    order = [r["doc_id"] for r in got]
+    assert occ[1] > occ[0] and order.index(0) < order.index(1)
+
+
 def test_proximity_minimal_span_vs_bruteforce(spark, tmp_path):
     """proximity_topk_from_postings == a brute-force all-windows
     python reference on every doc (minimal span covering one
@@ -3415,4 +3586,154 @@ def test_proximity_minimal_span_vs_bruteforce(spark, tmp_path):
     with _pytest.raises(ValueError, match="POSITIONAL"):
         proximity_topk_from_postings(
             postings.drop("positions"), ("alpha", "beta")
+        )
+
+
+def test_merge_ingest_states_equals_fresh_ingest(spark, tmp_path):
+    """merge_ingest_states (VERDICT r16 item 5): two independently
+    ingested sources merge into one queryable state whose corpus,
+    postings, derived lexicon/vocab, and EVERY retrieval probe (BM25,
+    WAND, phrase, proximity) are bit-identical to a fresh single
+    ingest over the concatenated shard set — including a planted
+    cross-source exact duplicate (first-landed wins) — and the merged
+    state reopens for continued ingest. Refusals: colliding doc ids,
+    existing destination, missing postings side."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from big_data_ml_pipeline_spark.operators.text import (
+        bm25_topk_from_postings,
+        bm25_topk_wand,
+        phrase_topk_from_postings,
+        proximity_topk_from_postings,
+    )
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_ops
+
+    docs_a = [
+        (0, "the quick brown fox jumps the fence"),
+        (1, "the lazy dog sleeps by the big fence"),
+        (2, "quick quick fox fox den"),
+        (3, "a solitary zebra grazes the plain"),
+    ]
+    docs_b = [
+        (10, "the quick brown fox jumps the fence"),  # exact dup of 0
+        (11, "brown bears roam the quick river quick"),
+        (12, "zebra and fox share the plain den"),
+        (13, "the the the filler words here"),
+    ]
+
+    def write_src(name, shard_lists, t0):
+        d = tmp_path / name
+        d.mkdir()
+        for i, rows in enumerate(shard_lists):
+            p = str(d / f"{name}_s{i}.parquet")
+            spark.createDataFrame(
+                [(i2, t, "en") for i2, t in rows],
+                ["doc_id", "text", "lang"],
+            ).toPandas().to_parquet(p, index=False)
+            os.utime(p, (t0 + i, t0 + i))
+        return str(d)
+
+    t0 = time.time()
+    in_a = write_src("a", [docs_a[:2], docs_a[2:]], t0)
+    in_b = write_src("b", [docs_b[:2], docs_b[2:]], t0 + 10)
+    # Concatenated input: A's shards then B's (same files, same order).
+    in_all = tmp_path / "all"
+    in_all.mkdir()
+    import shutil
+    for src in (in_a, in_b):
+        for f in sorted(os.listdir(src)):
+            shutil.copy2(os.path.join(src, f), str(in_all / f))
+
+    def ingest(in_dir, out):
+        corpus_ops.ingest_documents_stream(
+            corpus_ops.read_documents_stream(spark, in_dir),
+            out, out + "_ck", apply_quality=False,
+            maintain_lexicon=True, maintain_postings=True,
+            maintain_vocab=True,
+            postings_n_buckets=4, postings_positions=True,
+        )
+        return out
+
+    out_a = ingest(in_a, str(tmp_path / "out_a"))
+    out_b = ingest(in_b, str(tmp_path / "out_b"))
+    fresh = ingest(str(in_all), str(tmp_path / "fresh"))
+
+    dest = str(tmp_path / "merged")
+    res = corpus_ops.merge_ingest_states(
+        spark, out_a, out_b, dest, postings_n_buckets=4
+    )
+    assert res["n_dropped_b"] == 1 and res["n_docs"] == 7
+
+    # Corpus: same landed (id, text) set as the fresh ingest.
+    want_corpus = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(fresh).collect()
+    }
+    got_corpus = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert got_corpus == want_corpus
+
+    # Every retrieval probe answers identically from either state.
+    def probes(out):
+        po = corpus_ops.read_postings(spark, out)
+        lex = spark.read.parquet(out + "_lexicon")
+        return [
+            [tuple(r) for r in bm25_topk_from_postings(
+                po, lex, ("quick", "zebra", "the"), k=5).collect()],
+            [tuple(r) for r in bm25_topk_wand(
+                po, lex, ("zebra", "the", "quick"), k=2,
+                common_df_frac=0.5).collect()],
+            [tuple(r) for r in phrase_topk_from_postings(
+                po, ("quick", "brown"), k=5).collect()],
+            [tuple(r) for r in proximity_topk_from_postings(
+                po, ("fox", "den"), k=5).collect()],
+        ]
+
+    assert probes(dest) == probes(fresh)
+
+    # Derived vocab == fresh vocab (query-time fold: sum per token).
+    def vocab_fold(out):
+        return {
+            r["token"]: r["cnt"]
+            for r in spark.read.parquet(out + "_vocab")
+            .groupBy("token").agg(F.sum("cnt").alias("cnt")).collect()
+        }
+    assert vocab_fold(dest) == vocab_fold(fresh)
+
+    # The merged state reopens for continued ingest; the new doc is
+    # retrievable and the pre-merge answers stand.
+    more = tmp_path / "more"
+    more.mkdir()
+    p = str(more / "m0.parquet")
+    spark.createDataFrame(
+        [(20, "entirely novel aardvark text", "en")],
+        ["doc_id", "text", "lang"],
+    ).toPandas().to_parquet(p, index=False)
+    os.utime(p, (time.time() + 60, time.time() + 60))
+    corpus_ops.ingest_documents_stream(
+        corpus_ops.read_documents_stream(spark, str(more)),
+        dest, dest + "_ck2", apply_quality=False,
+        maintain_lexicon=True, maintain_postings=True,
+        maintain_vocab=True,
+        postings_n_buckets=4, postings_positions=True,
+    )
+    po2 = corpus_ops.read_postings(spark, dest)
+    assert po2.filter(F.col("token") == "aardvark").count() == 1
+    assert spark.read.parquet(dest).count() == 8
+
+    # Refusals.
+    with _pytest.raises(ValueError, match="already exists"):
+        corpus_ops.merge_ingest_states(spark, out_a, out_b, dest)
+    with _pytest.raises(ValueError, match="BOTH sources"):
+        corpus_ops.merge_ingest_states(
+            spark, out_a, out_a, str(tmp_path / "m2")
+        )
+    with _pytest.raises(ValueError, match="missing"):
+        corpus_ops.merge_ingest_states(
+            spark, out_a, str(tmp_path / "nope"), str(tmp_path / "m3")
         )
