@@ -649,6 +649,26 @@ class PipelineOrchestrator:
             **(rules or {}),
         )
 
+    def merge_corpus_states(self, src_a: str, src_b: str, dest: str,
+                            id_col: str = "doc_id") -> dict:
+        """Merge two independently built document ingest states into
+        one queryable state (:func:`~.streaming.corpus.
+        merge_ingest_states` — VERDICT r16 item 5): first-landed-wins
+        across sources, postings folded under the compaction
+        convention, lexicon/vocab re-derived from surviving postings.
+        The merged postings bucket count comes from
+        ``corpus.ingest_postings_n_buckets`` (the same knob the
+        ingests used). Returns {"n_docs", "n_dropped_b", "sum_dl"}."""
+        from .streaming.corpus import merge_ingest_states
+
+        return merge_ingest_states(
+            self.spark, src_a, src_b, dest,
+            postings_n_buckets=self.config["corpus"].get(
+                "ingest_postings_n_buckets"
+            ),
+            id_col=id_col,
+        )
+
     def build_embedding_index(self, df: DataFrame, out_dir: str,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding") -> DataFrame:
