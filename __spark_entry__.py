@@ -3116,6 +3116,89 @@ def _staged_postings_ingest(
     return out
 
 
+#: q195: the MERGED two-source state, one per session per input set —
+#: same scaffolding status as the staged postings ingest above.
+_MERGED_INGEST_CACHE: dict[str, str] = {}
+
+
+def _staged_merged_ingest(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session per input set) the MULTI-SOURCE merged
+    retrieval state: the staged id shards split into source A (first
+    two shards = lower id range) and source B (last two), each
+    ingested independently with lexicon + bucketed postings, then
+    merged by :func:`~.streaming.corpus.merge_ingest_states`. Because
+    shards are contiguous id ranges, the cross-source
+    first-landed-wins rule coincides with the oracle's min-id-per-
+    fingerprint rep — so the merged state must answer the q184 BM25
+    probe EXACTLY like the one-shot SQL over the full table."""
+    import shutil
+    import tempfile
+
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    in_dir = _stage_id_shards(spark, sf_dir, "documents", "doc_id")
+    if in_dir in _MERGED_INGEST_CACHE:
+        return _MERGED_INGEST_CACHE[in_dir]
+    base = tempfile.mkdtemp(prefix="merged_ingest_")
+    shards = sorted(
+        f for f in os.listdir(in_dir) if f.endswith(".parquet")
+    )
+    half = len(shards) // 2
+    srcs = {}
+    for name, part in (("a", shards[:half]), ("b", shards[half:])):
+        d = os.path.join(base, f"in_{name}")
+        os.makedirs(d)
+        for f in part:
+            shutil.copy2(os.path.join(in_dir, f), os.path.join(d, f))
+        out = os.path.join(base, f"out_{name}")
+        corpus_stream.ingest_documents_stream(
+            corpus_stream.read_documents_stream(spark, d),
+            out,
+            os.path.join(base, f"ck_{name}"),
+            apply_quality=False,
+            maintain_lexicon=True,
+            maintain_postings=True,
+            postings_n_buckets=8,
+        )
+        srcs[name] = out
+    merged = os.path.join(base, "merged")
+    corpus_stream.merge_ingest_states(
+        spark, srcs["a"], srcs["b"], merged, postings_n_buckets=8
+    )
+    _MERGED_INGEST_CACHE[in_dir] = merged
+    return merged
+
+
+def q195_merged_state_bm25_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-SOURCE state merge, driver-visible (VERDICT r16 item 5 —
+    streaming.corpus.merge_ingest_states): the documents table is
+    ingested as TWO independent sources (lower / upper id-range
+    shards, each its own ingest with lexicon + bucketed postings),
+    merged under first-landed-wins exact-dup semantics with the
+    lexicon re-derived from the surviving postings — and the merged
+    state answers the q184 BM25 query (top-15, zero corpus reads)
+    against q184's OWN oracle: contiguous id ranges make cross-source
+    first-wins == the SQL's min-id-per-fingerprint rep, so the merged
+    probe must be bit-identical to the one-shot SQL over the full
+    table. Ingests + merge are session-cached scaffolding (the q163
+    convention); the probe measures the merged-state query."""
+    from big_data_ml_pipeline_spark.streaming import corpus as corpus_stream
+
+    out = _staged_merged_ingest(spark, sf_dir)
+    result = text_ops.bm25_topk_from_postings(
+        corpus_stream.read_postings(spark, out),
+        spark.read.parquet(out + "_lexicon"),
+        Q126_BM25_TERMS,
+        k=15,
+        k1=Q126_BM25_K1,
+        b=Q126_BM25_B,
+    )
+    rows = result.collect()  # k-bounded (the q184 convention)
+    return spark.createDataFrame(rows, result.schema)
+
+
 def q163_streaming_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible streaming-ingest probe (VERDICT r9 item 5 — the
     document ingest was pytest-only, so no BENCH number tracked its
@@ -4504,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_proximity_topk": q192_proximity_topk,
         "q193_phrase_bm25_topk": q193_phrase_bm25_topk,
         "q194_proximity_bm25_topk": q194_proximity_bm25_topk,
+        "q195_merged_state_bm25_probe": q195_merged_state_bm25_probe,
     }
 
 

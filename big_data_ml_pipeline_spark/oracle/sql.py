@@ -5274,5 +5274,10 @@ def oracle_sql() -> dict[str, str]:
         "q192_proximity_topk": _Q192_SQL,
         "q193_phrase_bm25_topk": _Q193_SQL,
         "q194_proximity_bm25_topk": _Q194_SQL,
+        # q195: the merged two-source state must answer q184's probe
+        # bit-identically to the one-shot SQL (contiguous id shards
+        # make cross-source first-wins == min-id-per-fp) — the oracle
+        # IS q184's.
+        "q195_merged_state_bm25_probe": _Q184_SQL,
         "q49_feature_pipeline": _Q49_SQL,
     }
