@@ -1100,6 +1100,101 @@ class PipelineOrchestrator:
         return {"cell": cell, "n_cells": len(new_cents),
                 "centroids": new_cents}
 
+    def merge_embedding_states(self, src_a: str, src_b: str, dest: str,
+                               raw_b: "DataFrame | str | None" = None,
+                               checkpoint_dir: str | None = None,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding") -> dict:
+        """Merge two independently built embedding ingest states into
+        one (the :meth:`merge_corpus_states` sibling, completing the
+        multi-source family): **merge = copy A's state, then replay
+        B's member vectors through the REAL ingest path** — the
+        cross-source screens (exact fp + ADC/cosine, chained through
+        the extras) ARE the merge semantics, so first-landed-wins
+        across sources falls out of the machinery that already
+        guarantees stream == one-shot, and the result equals a fresh
+        ingest of A's shards followed by B's (pytest-pinned, landed +
+        screened set-equal).
+
+        ``raw_b`` supplies B's raw vectors (the cold corpus — same
+        requirement as :meth:`maintain_embedding_cells`) for
+        codes-only states, filtered here to B's members (landed ∪
+        screened; dropped members still chain future screens). A
+        raw-layout state replays from its own stored vectors and
+        needs no ``raw_b``. Both states must share the kit — the
+        ``_PQ_SPEC`` fingerprints must agree (raw↔codes mixes and
+        different codebooks/centroids/rotations refuse), and member
+        ids must be disjoint. ``dest`` may equal ``src_a`` for the
+        zero-copy in-place merge (append-only, the 100 TB path);
+        otherwise A is file-copied first.
+
+        Returns {"n_a", "n_b_members", "n_landed"}."""
+        import os
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from .streaming.embeddings import (
+            copy_embedding_state,
+            read_state_pq_spec,
+            state_member_ids,
+        )
+
+        src_a, src_b = src_a.rstrip("/"), src_b.rstrip("/")
+        dest = dest.rstrip("/")
+        spec_a, spec_b = read_state_pq_spec(src_a), read_state_pq_spec(src_b)
+        if spec_a != spec_b:
+            raise ValueError(
+                "embedding states carry different kits (_PQ_SPEC "
+                "mismatch — raw vs codes, or different centroids/"
+                "codebooks/rotation); rebuild one side before merging"
+            )
+        ids_a = state_member_ids(self.spark, src_a, id_col)
+        ids_b = state_member_ids(self.spark, src_b, id_col)
+        n_shared = ids_a.join(ids_b, on=id_col, how="inner").count()
+        if n_shared:
+            raise ValueError(
+                f"{n_shared} vector ids appear in BOTH states — "
+                "multi-source ids must be globally unique"
+            )
+        b_state = self.spark.read.parquet(src_b)
+        if "v" in b_state.columns:  # raw layout: vectors ride the state
+            members = state_member_ids(self.spark, src_b, id_col)
+            b_rows = b_state.select(id_col, F.col("v").alias(vec_col))
+            screened = src_b + "_screened"
+            if os.path.isdir(screened) and any(
+                n.endswith(".parquet") for n in os.listdir(screened)
+            ):
+                b_rows = b_rows.unionByName(
+                    self.spark.read.parquet(screened)
+                    .select(id_col, F.col("v").alias(vec_col))
+                )
+            b_rows = b_rows.join(members, on=id_col, how="left_semi")
+        else:
+            if raw_b is None:
+                raise ValueError(
+                    "codes-only states store no raw vectors — pass "
+                    "raw_b (the cold corpus) to merge them"
+                )
+            raw = self.load(raw_b) if isinstance(raw_b, str) else raw_b
+            b_rows = raw.select(id_col, vec_col).join(
+                state_member_ids(self.spark, src_b, id_col),
+                on=id_col, how="left_semi",
+            )
+        n_b = b_rows.count()
+        if dest != src_a:
+            copy_embedding_state(src_a, dest)
+        n_a = self.spark.read.parquet(dest).count()
+        base = tempfile.mkdtemp(prefix="emb_merge_")
+        stage = os.path.join(base, "b_members")
+        b_rows.write.parquet(stage)
+        ck = checkpoint_dir or os.path.join(base, "ck")
+        self.ingest_embeddings_stream(stage, dest, ck,
+                                      id_col=id_col, vec_col=vec_col)
+        n_landed = self.spark.read.parquet(dest).count()
+        return {"n_a": int(n_a), "n_b_members": int(n_b),
+                "n_landed": int(n_landed)}
+
     def maintain_on_drift(self, out_dir: str,
                           raw_corpus: "DataFrame | str",
                           threshold: float | None = None,

@@ -1884,3 +1884,54 @@ def _carry_pq_spec(src_dir: str, dst_dir: str) -> None:
     spec = os.path.join(src_dir.rstrip("/"), "_PQ_SPEC")
     if os.path.exists(spec):
         shutil.copy(spec, os.path.join(dst_dir, "_PQ_SPEC"))
+
+
+def copy_embedding_state(src: str, dest: str) -> None:
+    """File-level copy of a landed embedding state and its siblings
+    (``_screened``, ``_components``, ``_drift``) INCLUDING the
+    ``_PQ_SPEC`` / ``_BUCKET_SPEC`` markers — the non-destructive base
+    of :meth:`~..orchestrator.PipelineOrchestrator.
+    merge_embedding_states` (merge = copy A, replay B's members
+    through the real ingest). Refuses an existing destination; the
+    checkpoint is NOT copied (the replay runs under its own)."""
+    import shutil
+
+    src, dest = src.rstrip("/"), dest.rstrip("/")
+    if not os.path.isdir(src):
+        raise ValueError(f"no embedding state at {src}")
+    for suffix in ("", "_screened", "_components", "_drift"):
+        if os.path.exists(dest + suffix):
+            raise ValueError(
+                f"merge destination already exists: {dest + suffix}"
+            )
+    for suffix in ("", "_screened", "_components", "_drift"):
+        if os.path.isdir(src + suffix):
+            shutil.copytree(src + suffix, dest + suffix)
+
+
+def state_member_ids(
+    spark: SparkSession, src: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Distinct ids carried by a state — landed plus the ``_screened``
+    extras sibling when present (dropped members still matter: their
+    codes chain future screens, so a merge must replay them too)."""
+    src = src.rstrip("/")
+    ids = spark.read.parquet(src).select(id_col)
+    screened = src + "_screened"
+    if os.path.isdir(screened) and any(
+        n.endswith(".parquet") for n in os.listdir(screened)
+    ):
+        ids = ids.unionByName(
+            spark.read.parquet(screened).select(id_col)
+        )
+    return ids.distinct()
+
+
+def read_state_pq_spec(src: str) -> str | None:
+    """The state's ``_PQ_SPEC`` fingerprint, or None for a raw-layout
+    state — merge refuses to combine states with different kits."""
+    marker = os.path.join(src.rstrip("/"), "_PQ_SPEC")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as fh:
+        return fh.read().strip()

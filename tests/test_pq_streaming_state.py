@@ -1956,3 +1956,100 @@ def test_retire_auto_flag_counts_screened_cells(spark, tmp_path):
     # cell retired without erroring.
     assert res["cell"] == empties[1]
     assert res["n_cells"] == NCELLS - 1
+
+
+def test_merge_embedding_states_equals_fresh_ingest(spark, tmp_path):
+    """merge_embedding_states (merge_corpus_states' embedding sibling):
+    copy-A + replay-B-members-through-the-real-ingest must land the
+    IDENTICAL state (landed AND screened extras, codes byte-equal) as
+    a fresh ingest over A's shards followed by B's — the cross-source
+    screens chain through extras exactly as the streamed path does.
+    Also pins the in-place (dest == src_a) zero-copy variant, the
+    _PQ_SPEC kit guard, the shared-id refusal, and the codes-only
+    raw_b requirement."""
+    from big_data_ml_pipeline_spark.orchestrator import PipelineOrchestrator
+
+    cfg = {"embeddings": {"ingest_threshold": THR,
+                          "ingest_dim": DIM, "ingest_n_cells": NCELLS,
+                          "ingest_round_assign_digits": 6,
+                          "ingest_screen_round_digits": 6,
+                          "ingest_track_components": True,
+                          "ingest_centroids": [
+                              [float(x) for x in c] for c in CENTS
+                          ],
+                          "pq": {"m": M, "k": K, "ingest": True,
+                                 "residual": True, "codebooks": CBS}}}
+
+    def ingest(name, shards):
+        orch = PipelineOrchestrator(config=cfg, spark=spark)
+        in_dir = str(tmp_path / f"in_{name}")
+        write_shards(spark, in_dir, shards)
+        out = str(tmp_path / f"out_{name}")
+        orch.ingest_embeddings_stream(
+            in_dir, out, str(tmp_path / f"ck_{name}")
+        )
+        return orch, out
+
+    _, out_a = ingest("a", [SHARD1, SHARD2])
+    _, out_b = ingest("b", [SHARD3])
+    _, fresh = ingest("fresh", [SHARD1, SHARD2, SHARD3])
+
+    raw_all = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in ALL_ROWS],
+        "vec_id long, embedding array<double>",
+    )
+
+    def state_set(out):
+        landed = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out).collect()
+        }
+        scr = {
+            (r["vec_id"], tuple(r["codes"]), r["cell"], r["fp"])
+            for r in spark.read.parquet(out + "_screened").collect()
+        }
+        return landed, scr
+
+    orch = PipelineOrchestrator(config=cfg, spark=spark)
+    dest = str(tmp_path / "merged")
+    res = orch.merge_embedding_states(out_a, out_b, dest, raw_b=raw_all)
+    assert res["n_a"] + res["n_b_members"] >= res["n_landed"]
+    assert state_set(dest) == state_set(fresh)
+
+    # In-place zero-copy variant: identical outcome, no copy step.
+    res2 = orch.merge_embedding_states(out_a, out_b, out_a,
+                                       raw_b=raw_all)
+    assert res2["n_landed"] == res["n_landed"]
+    assert state_set(out_a) == state_set(fresh)
+
+    # Kit guard: a raw-layout state refuses to merge with a PQ one.
+    cfg_raw = {"embeddings": {"ingest_threshold": THR,
+                              "ingest_dim": DIM,
+                              "ingest_n_cells": NCELLS,
+                              "ingest_round_assign_digits": 6,
+                              "ingest_screen_round_digits": 6,
+                              "ingest_centroids": [
+                                  [float(x) for x in c] for c in CENTS
+                              ]}}
+    orch_raw = PipelineOrchestrator(config=cfg_raw, spark=spark)
+    in_raw = str(tmp_path / "in_raw")
+    write_shards(spark, in_raw, [SHARD3])
+    out_raw = str(tmp_path / "out_raw")
+    orch_raw.ingest_embeddings_stream(
+        in_raw, out_raw, str(tmp_path / "ck_raw")
+    )
+    with pytest.raises(ValueError, match="_PQ_SPEC"):
+        orch.merge_embedding_states(
+            out_b, out_raw, str(tmp_path / "m2"), raw_b=raw_all
+        )
+    # Shared ids refuse (B merged into the merged state again).
+    with pytest.raises(ValueError, match="BOTH states"):
+        orch.merge_embedding_states(dest, out_b,
+                                    str(tmp_path / "m3"),
+                                    raw_b=raw_all)
+    # Codes-only states need the cold raw corpus.
+    _, out_solo = ingest("solo", [SHARD1])
+    with pytest.raises(ValueError, match="raw_b"):
+        orch.merge_embedding_states(
+            out_b, out_solo, str(tmp_path / "m4")
+        )
