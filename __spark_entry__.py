@@ -3961,8 +3961,8 @@ def q181_pq_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         b_side.join(a_side, on="cell")
         .filter(F.col("__ida") < F.col("__idb"))
         .select(
-            F.round(adc_raw(F.col("__craw")), 6).alias("__sraw"),
-            F.round(adc_res(F.col("__cres")), 6).alias("__sres"),
+            F.round(adc_raw("__craw"), 6).alias("__sraw"),
+            F.round(adc_res("__cres"), 6).alias("__sres"),
         )
     )
     thresholds = [0.30, 0.35, 0.40, 0.45]

@@ -28,9 +28,13 @@ from pyspark.sql import functions as F
 from ..functions.vector import (
     cosine_similarity,
     dot,
+    dot_sql,
+    double_sql,
     l2_norm,
+    l2_norm_sql,
     nested_double_lit,
     to_double_array,
+    to_double_array_sql,
 )
 
 if TYPE_CHECKING:  # imported lazily inside tasks
@@ -57,13 +61,13 @@ def brute_force_topk(
     q = F.broadcast(
         query_df.select(
             to_double_array(F.col(query_vec_col)).alias("__q")
-        ).withColumn("__qn", l2_norm(F.col("__q")))
+        ).withColumn("__qn", l2_norm("__q"))
     )
     # Norms aliased once per side (cosine_similarity inline would
     # re-fold each norm per consumer — the CSE trap, see NOTES); same
     # fold order as the naive form, so results are bit-identical.
     denom = F.col("__n") * F.col("__qn")
-    sim = F.when(denom != 0, dot(F.col("__v"), F.col("__q")) / denom).otherwise(
+    sim = F.when(denom != 0, dot("__v", "__q") / denom).otherwise(
         F.lit(0.0)
     )
     if round_digits is not None:
@@ -72,7 +76,7 @@ def brute_force_topk(
         embeddings.select(
             F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
         )
-        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__n", l2_norm("__v"))
         .crossJoin(q)
         .select(F.col(id_col), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
@@ -105,13 +109,13 @@ def knn_join(
         queries.select(
             F.col(query_id_col).alias("qid"),
             to_double_array(F.col(query_vec_col)).alias("__q"),
-        ).withColumn("__qn", l2_norm(F.col("__q")))
+        ).withColumn("__qn", l2_norm("__q"))
     )
     # Norms once per side (see brute_force_topk); bit-identical to the
     # inline cosine, just not re-folded per consumer.
     denom = F.col("__n") * F.col("__qn")
     sim = F.round(
-        F.when(denom != 0, dot(F.col("__v"), F.col("__q")) / denom).otherwise(
+        F.when(denom != 0, dot("__v", "__q") / denom).otherwise(
             F.lit(0.0)
         ),
         round_digits,
@@ -120,7 +124,7 @@ def knn_join(
         embeddings.select(
             F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
         )
-        .withColumn("__n", l2_norm(F.col("__v")))
+        .withColumn("__n", l2_norm("__v"))
         .crossJoin(q)
         .select(F.col("qid"), F.col(id_col), sim.alias("sim"))
     )
@@ -159,11 +163,11 @@ def cosine_near_dup_pairs(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         to_double_array(F.col(vec_col)).alias("__v"),
-    ).withColumn("__n", l2_norm(F.col("__v")))
+    ).withColumn("__n", l2_norm("__v"))
     cand = _bucket_pairs(base, list(block_cols), ["__v", "__n"], max_block_size)
     denom = F.col("__n_a") * F.col("__n_b")
     sim = F.round(
-        F.when(denom != 0, dot(F.col("__v_a"), F.col("__v_b")) / denom).otherwise(0.0),
+        F.when(denom != 0, dot("__v_a", "__v_b") / denom).otherwise(0.0),
         round_digits,
     )
     return (
@@ -399,13 +403,37 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
     """Shared centroid-literal machinery for assignment and probing:
     returns (cell_sims, top_cells) closures over the broadcast centroid
     and centroid-norm literal arrays (see ivf_topk for the bit-stability
-    reasoning)."""
-    cent_lit = nested_double_lit([[float(x) for x in c] for c in cents])
-    cnorm_lit = nested_double_lit(
+    reasoning).
+
+    Both closures accept column NAMES (strings) or Columns. The string
+    path renders the identical expression as ONE SQL string parsed
+    server-side (r17: the pyspark HOF builders cost ~15-30 py4j round
+    trips each, and driver-side construction dominated the IVF/PQ
+    query family's wall clock); the trees and values are bit-identical
+    either way. ``top_cells`` composes with ``cell_sims`` — passing
+    the string output of one into the other keeps the whole fan-out a
+    single parse."""
+    cent_sql = double_sql([[float(x) for x in c] for c in cents])
+    cnorm_sql = double_sql(
         [math.sqrt(sum(x * x for x in c)) for c in cents]
     )
+    cent_lit = F.expr(cent_sql)
+    cnorm_lit = F.expr(cnorm_sql)
+
+    def cell_sims_sql(vec: str, vnorm: str) -> str:
+        den = f"({vnorm} * nc)"
+        s = (
+            f"zip_with({cent_sql}, {cnorm_sql}, (c, nc) -> "
+            f"CASE WHEN ({den} != 0) THEN ({dot_sql(vec, 'c')} / {den}) "
+            "ELSE 0.0D END)"
+        )
+        if round_assign_digits is not None:
+            s = f"transform({s}, s -> round(s, {int(round_assign_digits)}))"
+        return s
 
     def cell_sims(vec, vnorm):
+        if isinstance(vec, str) and isinstance(vnorm, str):
+            return F.expr(cell_sims_sql(vec, vnorm))
         sims = F.zip_with(
             cent_lit,
             cnorm_lit,
@@ -418,6 +446,13 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
         return sims
 
     def top_cells(sims, n: int):
+        if isinstance(sims, str):
+            return F.expr(
+                f"transform(slice(reverse(array_sort(zip_with({sims}, "
+                f"sequence(0, {len(cents) - 1}), "
+                "(s, i) -> struct(s AS s, (-i) AS ni)))), "
+                f"1, {int(n)}), p -> -(p.ni))"
+            )
         idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
         ranked = F.reverse(
             F.array_sort(
@@ -428,6 +463,7 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
         )
         return F.transform(F.slice(ranked, 1, n), lambda p: -p["ni"])
 
+    cell_sims.sql = cell_sims_sql
     return cell_sims, top_cells
 
 
@@ -451,8 +487,8 @@ def ivf_index(
         embeddings.select(
             F.col(id_col), to_double_array(F.col(vec_col)).alias("v")
         )
-        .withColumn("__vnorm", l2_norm(F.col("v")))
-        .withColumn("__sims", cell_sims(F.col("v"), F.col("__vnorm")))
+        .withColumn("__vnorm", l2_norm("v"))
+        .withColumn("__sims", cell_sims("v", "__vnorm"))
         .select(
             F.col(id_col),
             "v",
@@ -504,13 +540,13 @@ def ivf_knn_join(
             F.col(query_id_col).alias("qid"),
             to_double_array(F.col(query_vec_col)).alias("qv"),
         )
-        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .withColumn("__qnorm", l2_norm("qv"))
         .select(
             "qid",
             "qv",
             "__qnorm",
             F.explode(
-                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+                top_cells(cell_sims.sql("qv", "__qnorm"), nprobe)
             ).alias("cell"),
         )
     )
@@ -521,13 +557,13 @@ def ivf_knn_join(
     # expression bit-for-bit.
     denom = F.col("__n") * F.col("__qnorm")
     scored = (
-        assigned.withColumn("__n", l2_norm(F.col("v")))
+        assigned.withColumn("__n", l2_norm("v"))
         .join(q, on="cell")
         .select(
             F.col("qid"),
             F.col(id_col),
             F.round(
-                F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).otherwise(
+                F.when(denom != 0, dot("v", "qv") / denom).otherwise(
                     F.lit(0.0)
                 ),
                 6,
@@ -600,13 +636,13 @@ def ivf_recall_report(
             F.col(id_col).alias("qid"),
             to_double_array(F.col(vec_col)).alias("qv"),
         )
-        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .withColumn("__qnorm", l2_norm("qv"))
         .select(
             "qid",
             "qv",
             "__qnorm",
             F.posexplode(
-                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), max_np)
+                top_cells(cell_sims.sql("qv", "__qnorm"), max_np)
             ).alias("__p", "cell"),
         )
         .withColumn("cell_rank", (F.col("__p") + 1).cast("int"))
@@ -614,14 +650,14 @@ def ivf_recall_report(
     )
     denom = F.col("__n") * F.col("__qnorm")
     cand = (
-        assigned.withColumn("__n", l2_norm(F.col("v")))
+        assigned.withColumn("__n", l2_norm("v"))
         .join(q, on="cell")
         .select(
             "qid",
             F.col(id_col),
             F.round(
                 F.when(
-                    denom != 0, dot(F.col("v"), F.col("qv")) / denom
+                    denom != 0, dot("v", "qv") / denom
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("sim"),
@@ -733,12 +769,12 @@ def ivf_topk(
     )
     q = F.broadcast(
         query_df.select(to_double_array(F.col(vec_col)).alias("qv"))
-        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .withColumn("__qnorm", l2_norm("qv"))
         .select(
             "qv",
             "__qnorm",
             F.explode(
-                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+                top_cells(cell_sims.sql("qv", "__qnorm"), nprobe)
             ).alias("cell"),
         )
     )
@@ -747,12 +783,12 @@ def ivf_topk(
     # cosine_similarity.
     denom = F.col("__n") * F.col("__qnorm")
     return (
-        assigned.withColumn("__n", l2_norm(F.col("v")))
+        assigned.withColumn("__n", l2_norm("v"))
         .join(q, on="cell")
         .select(
             F.col(id_col),
             F.round(
-                F.when(denom != 0, dot(F.col("v"), F.col("qv")) / denom).otherwise(
+                F.when(denom != 0, dot("v", "qv") / denom).otherwise(
                     F.lit(0.0)
                 ),
                 6,
@@ -1055,13 +1091,13 @@ def semantic_decontamination(
             F.col(eval_id_col).alias("qid"),
             to_double_array(F.col(eval_vec_col)).alias("qv"),
         )
-        .withColumn("__qnorm", l2_norm(F.col("qv")))
+        .withColumn("__qnorm", l2_norm("qv"))
         .select(
             "qid",
             "qv",
             "__qnorm",
             F.explode(
-                top_cells(cell_sims(F.col("qv"), F.col("__qnorm")), nprobe)
+                top_cells(cell_sims.sql("qv", "__qnorm"), nprobe)
             ).alias("cell"),
         )
     )
@@ -1070,14 +1106,14 @@ def semantic_decontamination(
     # cosine_similarity expression.
     denom = F.col("__n") * F.col("__qnorm")
     worst = (
-        assigned.withColumn("__n", l2_norm(F.col("v")))
+        assigned.withColumn("__n", l2_norm("v"))
         .join(q, on="cell")
         .groupBy(id_col)
         .agg(
             F.max(
                 F.round(
                     F.when(
-                        denom != 0, dot(F.col("v"), F.col("qv")) / denom
+                        denom != 0, dot("v", "qv") / denom
                     ).otherwise(F.lit(0.0)),
                     6,
                 )
@@ -1176,7 +1212,7 @@ def semantic_decontamination_pq(
             *(["__adc_cdots"] if residual else []),
             F.explode(
                 top_cells(
-                    cell_sims(F.col("__qv"), F.col("__adc_norm")), nprobe
+                    cell_sims.sql("__qv", "__adc_norm"), nprobe
                 )
             ).alias("cell"),
         )
@@ -1186,7 +1222,7 @@ def semantic_decontamination_pq(
         .groupBy(id_col)
         .agg(
             F.max(
-                F.round(adc_cos(F.col("codes")), screen_round_digits)
+                F.round(adc_cos("codes"), screen_round_digits)
             ).alias("__max_sim")
         )
     )
@@ -1724,14 +1760,14 @@ def fit_pq_codebooks(
         base = base.sample(fraction=sample_fraction, seed=seed)
     if centroids is not None:
         cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
-        base = base.withColumn("__n", l2_norm(F.col("v"))).select(
+        base = base.withColumn("__n", l2_norm("v")).select(
             F.element_at(
-                top_cells(cell_sims(F.col("v"), F.col("__n")), 1), 1
+                top_cells(cell_sims.sql("v", "__n"), 1), 1
             ).alias("cell"),
             "v",
         )
         base = base.select(
-            _residual_expr(F.col("v"), F.col("cell"), centroids).alias("v")
+            _residual_expr("v", "cell", centroids).alias("v")
         )
     if rotation is not None:
         rot_lit = nested_double_lit(
@@ -1780,6 +1816,12 @@ def _residual_expr(vec_expr, cell_expr, centroids: list[list[float]]):
     subspace slices of this expression are bit-identical to slicing
     first and subtracting per-subspace — the SQL twins subtract over
     the full vector too."""
+    if isinstance(vec_expr, str) and isinstance(cell_expr, str):
+        cent_sql = double_sql([[float(x) for x in c] for c in centroids])
+        return F.expr(
+            f"zip_with({to_double_array_sql(vec_expr)}, "
+            f"element_at({cent_sql}, {cell_expr} + 1), (a, b) -> a - b)"
+        )
     cent_lit = nested_double_lit(
         [[float(x) for x in c] for c in centroids]
     )
@@ -1916,16 +1958,16 @@ def fit_opq_rotation(
     )
     if centroids is not None:
         cell_sims, top_cells = _centroid_exprs(centroids, round_assign_digits)
-        base = base.withColumn("__n", l2_norm(F.col("v"))).select(
+        base = base.withColumn("__n", l2_norm("v")).select(
             F.col(id_col),
             F.element_at(
-                top_cells(cell_sims(F.col("v"), F.col("__n")), 1), 1
+                top_cells(cell_sims.sql("v", "__n"), 1), 1
             ).alias("cell"),
             "v",
         )
         base = base.select(
             F.col(id_col),
-            _residual_expr(F.col("v"), F.col("cell"), centroids).alias("v"),
+            _residual_expr("v", "cell", centroids).alias("v"),
         )
     rows = (
         base
@@ -2019,17 +2061,21 @@ def _pq_exprs(
         # Subvector and its squared norm materialized ONCE per
         # subspace in their own selects — inlined into the candidate
         # lambda they would re-evaluate per codebook entry (the q43
-        # re-fold trap).
+        # re-fold trap). vec_expr may be any Column (residual algebra,
+        # a plain column); everything downstream of __pqv is built as
+        # one-parse SQL strings over the materialized names (r17 —
+        # the HOF builders' py4j round trips dominated the PQ query
+        # family's wall clock).
         if rotation is not None:
-            rot_lit = nested_double_lit(
-                [[float(x) for x in r] for r in rotation]
-            )
+            rot_sql = double_sql([[float(x) for x in r] for r in rotation])
             stage1 = df.withColumn(
                 "__pqv0", to_double_array(vec_expr)
             ).select(
                 "*",
-                F.transform(
-                    rot_lit, lambda row: dot(row, F.col("__pqv0"))
+                F.expr(
+                    f"transform({rot_sql}, row -> "
+                    + dot_sql("row", "__pqv0")
+                    + ")"
                 ).alias("__pqv"),
             )
         else:
@@ -2037,14 +2083,14 @@ def _pq_exprs(
         stage2 = stage1.select(
             "*",
             *[
-                F.slice(F.col("__pqv"), j * d + 1, d).alias(f"__pqs{j}")
+                F.expr(f"slice(__pqv, {j * d + 1}, {d})").alias(f"__pqs{j}")
                 for j in range(m)
             ],
         )
         return stage2.select(
             "*",
             *[
-                dot(F.col(f"__pqs{j}"), F.col(f"__pqs{j}")).alias(f"__pqn{j}")
+                F.expr(dot_sql(f"__pqs{j}", f"__pqs{j}")).alias(f"__pqn{j}")
                 for j in range(m)
             ],
         )
@@ -2054,55 +2100,48 @@ def _pq_exprs(
     # folds per subspace = 8-12s; fully-unrolled scalar arithmetic
     # (1024 multiply-add nodes) = 8-16s; zip_with over CreateArray
     # literal trees = ~5s. The winner is zip_with over SINGLE Literal
-    # nodes (F.lit of the nested Python list — one plan node per
-    # codebook instead of 128 scalar literals): ~1-2s. The per-element
-    # float arithmetic and order are identical in every form, so the
-    # SQL twins never changed.
-    def _dists(j: int):
-        cb_lit = nested_double_lit(
-            [[float(x) for x in cb] for cb in codebooks[j]]
-        )
-        cb2_lit = nested_double_lit(
+    # nodes (one plan node per codebook instead of 128 scalar
+    # literals): ~1-2s. The per-element float arithmetic and order are
+    # identical in every form, so the SQL twins never changed.
+    def _dists_sql(j: int) -> str:
+        cb = double_sql([[float(x) for x in cb] for cb in codebooks[j]])
+        cb2 = double_sql(
             [float(sum(x * x for x in cb)) for cb in codebooks[j]]
         )
-        return F.zip_with(
-            cb_lit,
-            cb2_lit,
-            lambda cbv, cb2: (
-                F.col(f"__pqn{j}")
-                - 2.0 * dot(F.col(f"__pqs{j}"), cbv)
-                + cb2
-            ),
+        return (
+            f"zip_with({cb}, {cb2}, (cbv, cb2) -> "
+            f"__pqn{j} - 2.0D * {dot_sql(f'__pqs{j}', 'cbv')} + cb2)"
+        )
+
+    def _rounded_dists_sql(j: int) -> str:
+        return (
+            f"transform({_dists_sql(j)}, x -> round(x, {int(round_digits)}))"
         )
 
     def codes_col():
         per_j = []
         for j in range(m):
-            dists = F.transform(
-                _dists(j), lambda x: F.round(x, round_digits)
-            )
+            rd = _rounded_dists_sql(j)
             per_j.append(
-                (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+                f"CAST(array_position({rd}, array_min({rd})) - 1 AS INT)"
             )
-        return F.array(*per_j)
+        return F.expr("array(" + ", ".join(per_j) + ")")
 
     def luts_col():
-        return F.array(
-            *[
-                F.transform(
-                    _dists(j),
-                    lambda x: F.round(x * 1e9).cast("long"),
-                )
+        return F.expr(
+            "array("
+            + ", ".join(
+                f"transform({_dists_sql(j)}, "
+                "x -> CAST(round(x * 1000000000.0D, 0) AS BIGINT))"
                 for j in range(m)
-            ]
+            )
+            + ")"
         )
 
     def min_dist_col(j: int):
         # the ASSIGNED entry's rounded distance — array_min of the
         # same rounded array codes_col argmins over
-        return F.array_min(
-            F.transform(_dists(j), lambda x: F.round(x, round_digits))
-        )
+        return F.expr(f"array_min({_rounded_dists_sql(j)})")
 
     return prep, codes_col, luts_col, min_dist_col
 
@@ -2230,16 +2269,19 @@ def pq_adc_screen_kit(
         ]
 
     def prep_raw(df: DataFrame, vec_expr) -> DataFrame:
+        # vec_expr may be any Column; everything downstream of __adcv
+        # is one-parse SQL over the materialized names (r17 — the HOF
+        # builders' py4j round trips dominated wall clock).
         if rotation is not None:
-            rot_lit = nested_double_lit(
-                [[float(x) for x in r] for r in rotation]
-            )
+            rot_sql = double_sql([[float(x) for x in r] for r in rotation])
             stage1 = df.withColumn(
                 "__adcv0", to_double_array(vec_expr)
             ).select(
                 "*",
-                F.transform(
-                    rot_lit, lambda row: dot(row, F.col("__adcv0"))
+                F.expr(
+                    f"transform({rot_sql}, row -> "
+                    + dot_sql("row", "__adcv0")
+                    + ")"
                 ).alias("__adcv"),
             )
         else:
@@ -2247,38 +2289,81 @@ def pq_adc_screen_kit(
         stage2 = stage1.select(
             "*",
             *[
-                F.slice(F.col("__adcv"), j * d + 1, d).alias(f"__adcs{j}")
+                F.expr(f"slice(__adcv, {j * d + 1}, {d})").alias(
+                    f"__adcs{j}"
+                )
                 for j in range(m)
             ],
         )
 
-        def _lut(j: int):  # factory — HOF lambdas must not close over j
-            def _dot_entry(cbv):
-                return dot(F.col(f"__adcs{j}"), cbv)
-
-            return F.transform(
-                nested_double_lit(
-                    [[float(x) for x in cb] for cb in codebooks[j]]
-                ),
-                _dot_entry,
+        def _lut_sql(j: int) -> str:
+            cb = double_sql([[float(x) for x in c] for c in codebooks[j]])
+            return (
+                f"transform({cb}, cbv -> "
+                + dot_sql(f"__adcs{j}", "cbv")
+                + ")"
             )
 
         extra = []
         if residual:
             extra.append(
-                F.transform(
-                    nested_double_lit(cent),
-                    lambda cv: dot(F.col("__adcv"), cv),
+                F.expr(
+                    f"transform({double_sql(cent)}, cv -> "
+                    + dot_sql("__adcv", "cv")
+                    + ")"
                 ).alias("__adc_cdots")
             )
         return stage2.select(
             *df.columns,
-            F.array(*[_lut(j) for j in range(m)]).alias("__adc_luts"),
-            l2_norm(F.col("__adcv")).alias("__adc_norm"),
+            F.expr(
+                "array(" + ", ".join(_lut_sql(j) for j in range(m)) + ")"
+            ).alias("__adc_luts"),
+            l2_norm("__adcv").alias("__adc_norm"),
             *extra,
         )
 
     def adc_cos(codes_col, cell_col=None):
+        # codes_col / cell_col: column NAMES (one server-side parse)
+        # or Columns (original builder path) — identical trees.
+        if isinstance(codes_col, str) and (
+            cell_col is None or isinstance(cell_col, str)
+        ):
+            if residual:
+                cell1 = f"({cell_col if cell_col is not None else 'cell'} + 1)"
+                dotsum = f"element_at(__adc_cdots, {cell1})"
+                r2 = f"element_at({double_sql(c2)}, {cell1})"
+                rt_cell = f"element_at({double_sql(rt)}, {cell1})"
+                for j in range(m):
+                    code1 = f"(element_at({codes_col}, {j + 1}) + 1)"
+                    dotsum = (
+                        f"{dotsum} + element_at(element_at(__adc_luts, "
+                        f"{j + 1}), {code1})"
+                    )
+                    r2 = (
+                        f"{r2} + element_at(element_at({rt_cell}, "
+                        f"{j + 1}), {code1})"
+                    )
+            else:
+                cb2_sql = double_sql(cb2)
+                dotsum = None
+                r2 = None
+                for j in range(m):
+                    code1 = f"(element_at({codes_col}, {j + 1}) + 1)"
+                    t = (
+                        f"element_at(element_at(__adc_luts, {j + 1}), "
+                        f"{code1})"
+                    )
+                    n = (
+                        f"element_at(element_at({cb2_sql}, {j + 1}), "
+                        f"{code1})"
+                    )
+                    dotsum = t if dotsum is None else f"{dotsum} + {t}"
+                    r2 = n if r2 is None else f"{r2} + {n}"
+            den = f"(__adc_norm * sqrt({r2}))"
+            return F.expr(
+                f"CASE WHEN ({den} != 0) THEN (({dotsum}) / {den}) "
+                "ELSE 0.0D END"
+            )
         if residual:
             cell1 = (
                 cell_col if cell_col is not None else F.col("cell")
@@ -2367,7 +2452,7 @@ def ivf_pq_index(
         codebooks, round_digits, rotation=rotation
     )
     vec = (
-        _residual_expr(F.col("v"), F.col("cell"), centroids)
+        _residual_expr("v", "cell", centroids)
         if residual
         else F.col("v")
     )
@@ -2419,7 +2504,7 @@ def pq_reconstruction_report(
             embeddings, centroids, id_col, vec_col, round_assign_digits
         )
         prepped = prep(
-            assigned, _residual_expr(F.col("v"), F.col("cell"), centroids)
+            assigned, _residual_expr("v", "cell", centroids)
         )
     else:
         prepped = prep(
@@ -2509,7 +2594,7 @@ def pq_cell_distortion_report(
             embeddings, centroids, id_col, vec_col, round_assign_digits
         )
     prepped = prep(
-        assigned, _residual_expr(F.col("v"), F.col("cell"), centroids)
+        assigned, _residual_expr("v", "cell", centroids)
     )
     total = None
     for j in range(m):
@@ -2639,18 +2724,18 @@ def ivf_pq_knn_join(
         qr = queries.select(
             F.col(query_id_col).alias("qid"),
             to_double_array(F.col(query_vec_col)).alias("__qv"),
-        ).withColumn("__qnorm", l2_norm(F.col("__qv")))
+        ).withColumn("__qnorm", l2_norm("__qv"))
         qcells = qr.select(
             "qid",
             "__qv",
             F.explode(
                 top_cells(
-                    cell_sims(F.col("__qv"), F.col("__qnorm")), nprobe
+                    cell_sims.sql("__qv", "__qnorm"), nprobe
                 )
             ).alias("cell"),
         )
         qprep = prep(
-            qcells, _residual_expr(F.col("__qv"), F.col("cell"), centroids)
+            qcells, _residual_expr("__qv", "cell", centroids)
         )
         q = F.broadcast(
             qprep.select("qid", "cell", luts_col().alias("__luts"))
@@ -2662,14 +2747,14 @@ def ivf_pq_knn_join(
                 to_double_array(F.col(query_vec_col)).alias("__qv"),
             ),
             F.col("__qv"),
-        ).withColumn("__qnorm", l2_norm(F.col("__qv")))
+        ).withColumn("__qnorm", l2_norm("__qv"))
         q = F.broadcast(
             qbase.select(
                 "qid",
                 luts_col().alias("__luts"),
                 F.explode(
                     top_cells(
-                        cell_sims(F.col("__qv"), F.col("__qnorm")), nprobe
+                        cell_sims.sql("__qv", "__qnorm"), nprobe
                     )
                 ).alias("cell"),
             )
@@ -2708,7 +2793,7 @@ def ivf_pq_knn_join(
         .withColumn(
             "sim",
             F.round(
-                cosine_similarity(F.col("__qrv"), F.col("__cv")),
+                cosine_similarity("__qrv", "__cv"),
                 rerank_round_digits,
             ),
         )
@@ -2787,17 +2872,17 @@ def pq_rerank_recall_report(
     )
     corp = embeddings.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    ).withColumn("__cn", l2_norm("__cv"))
     qraw = F.broadcast(
         queries.select(
             F.col(id_col).alias("qid"),
             to_double_array(F.col(vec_col)).alias("__qv3"),
-        ).withColumn("__qn3", l2_norm(F.col("__qv3")))
+        ).withColumn("__qn3", l2_norm("__qv3"))
     )
     denom = F.col("__cn") * F.col("__qn3")
     sim = F.round(
         F.when(
-            denom != 0, dot(F.col("__cv"), F.col("__qv3")) / denom
+            denom != 0, dot("__cv", "__qv3") / denom
         ).otherwise(F.lit(0.0)),
         6,
     )

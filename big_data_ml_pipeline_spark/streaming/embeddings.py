@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, l2_norm
+from ..functions.vector import cosine_similarity, l2_norm, l2_norm_sql
 from ..operators.similarity import ivf_index, semdedup
 from ..session import apply_runtime_confs
 
@@ -465,7 +465,7 @@ def ingest_embeddings_stream(
         return df_.select(
             *keep_cols,
             F.explode(
-                _pc_top(_pc_sims(F.col("v"), l2_norm(F.col("v"))), nprobe)
+                _pc_top(_pc_sims.sql("v", l2_norm_sql("v")), nprobe)
             ).alias("cell"),
         )
 
@@ -973,7 +973,7 @@ def ingest_embeddings_stream(
                 b_side
                 .join(a_side, on="cell")
                 .filter(F.col("id_a") < F.col("id_b"))
-                .filter(_adc_sim(F.col("__acodes")) >= F.lit(threshold))
+                .filter(_adc_sim("__acodes") >= F.lit(threshold))
                 .select("id_a", "id_b")
                 .localCheckpoint(eager=True)
             )
@@ -1000,7 +1000,7 @@ def ingest_embeddings_stream(
                         ),
                         on="cell",
                     )
-                    .filter(_adc_sim(F.col("__scodes")) >= F.lit(threshold))
+                    .filter(_adc_sim("__scodes") >= F.lit(threshold))
                     .select(
                         F.col("__sid").alias("id_a"),
                         F.col(id_col).alias("id_b"),
