@@ -2792,18 +2792,39 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     eval_df = docs.filter(F.col("doc_id") % 20 == 0)
+    # Materialize the shared pipeline stages ONCE (localCheckpoint —
+    # guide §5, and proportional_mix's own docstring: "when the input
+    # is an expensive pipeline stage, materialize it first"). Without
+    # the pins, every downstream reference re-expands its whole
+    # subtree: the r18 before-plan re-scanned documents.parquet 30×
+    # and embeddings.parquet 8× in ONE noop run (zero ReusedExchange —
+    # the references never canonicalize equal), re-running the
+    # tokenize/gate/contamination stages inside single-threaded
+    # broadcast builds. Three pins (gated corpus, decontaminated
+    # corpus, pruned id table) collapse that to one pass per stage;
+    # output is byte-identical (oracle-checked) — only the recompute
+    # count changes. Each bench run re-derives the checkpoints from
+    # the parquet inputs inside the timed region (no cross-run state).
+    # Repartition BEFORE the gate (not after): the sf-scale source is
+    # one parquet split, so gating after the scan would tokenize the
+    # whole corpus in ONE task — shuffling raw rows first spreads the
+    # CPU-heavy signal computation across the cluster. At real scale
+    # the source has thousands of splits and the exchange is the same
+    # one the downstream doc_id consumers need anyway.
     kept = (
-        text_ops.quality_rules(docs, text_col="text", min_tokens=30)
+        text_ops.quality_rules(
+            docs.repartition(F.col("doc_id")), text_col="text", min_tokens=30
+        )
         .filter(F.col("keep"))
         .select("doc_id", "lang", "source", "text")
-        .repartition(F.col("doc_id"))
+        .localCheckpoint()
     )
     clean_ids = (
         dedup_ops.ngram_contamination(kept, eval_df, n=5, min_hits=1)
         .filter(~F.col("contaminated"))
         .select("doc_id")
     )
-    clean = kept.join(clean_ids, "doc_id", "left_semi")
+    clean = kept.join(clean_ids, "doc_id", "left_semi").localCheckpoint()
     excised = text_ops.excise_duplicate_spans(clean, k=5, min_len=10)
     sem = sim_ops.semdedup(
         emb,
@@ -2827,6 +2848,7 @@ def q156_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tokens"
             ),
         )
+        .localCheckpoint()
     )
     mixed = set_ops.proportional_mix(
         pruned, Q115_MIX_WEIGHTS, group_col="source", key_cols=["doc_id"]

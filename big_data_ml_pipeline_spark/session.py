@@ -36,6 +36,22 @@ BUILD_CONFS: dict[str, str] = {
     # 10 MB broadcast threshold, as declared (never wired) by the
     # reference at config/pipeline_config.yaml:133.
     "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+    # Guide §5 / §9: size the JVM heap to the machine instead of
+    # Spark's 1 GiB default — a local[N] JVM is driver AND all
+    # executors in one heap, and 32 concurrent tasks over 1 GiB spend
+    # the run in GC (measured r18: the bench tail degraded 4-8× as
+    # listener/plan state accumulated; an 8g heap removed it). On a
+    # real cluster spark-submit's --driver-memory wins (a running JVM
+    # ignores this), so the env knob only governs self-built local
+    # sessions.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Cap UI/listener retention: a long bench run otherwise retains
+    # every execution's formatted plan string (ours run to thousands
+    # of lines) in heap. Observability-only — the per-query REST pulls
+    # in tools/profile_queries.py read far fewer than these caps.
+    "spark.sql.ui.retainedExecutions": "100",
+    "spark.ui.retainedJobs": "300",
+    "spark.ui.retainedStages": "500",
 }
 
 
