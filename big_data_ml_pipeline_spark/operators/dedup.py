@@ -20,6 +20,8 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import cached_expr
+
 from .text import fingerprint
 
 
@@ -94,8 +96,13 @@ def _ensure_parallelism(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     # queryExecution().toRdd() reports the same partition count as
     # df.rdd but skips PySpark's Python-RDD conversion layer (an extra
     # analysis pass + pickle-serializer plan): 1.07 s → 0.19 s per
-    # probe at sf0.1 (r17). Decision and values are unchanged.
-    n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    # probe at sf0.1 (r17). Decision and values are unchanged. It is
+    # a private py4j surface, so degrade to the public (slow) probe
+    # rather than raising if a Spark upgrade moves it.
+    try:
+        n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        n_parts = df.rdd.getNumPartitions()
     if n_parts < max(2, int(target * min_fraction)):
         return df.repartition(target)
     return df
@@ -236,10 +243,10 @@ def minhash_signatures(
     # per-seed Column builders cost ~8 py4j round trips each — ~0.5 s
     # of pure driver time per call at num_hashes=64). Identical trees.
     mins = [
-        F.expr(f"min(xxhash64(shingle, {i}))").alias(f"__m{i}")
+        cached_expr(f"min(xxhash64(shingle, {i}))").alias(f"__m{i}")
         for i in range(num_hashes)
     ]
-    sig = F.expr(
+    sig = cached_expr(
         "array(" + ",".join(f"__m{i}" for i in range(num_hashes)) + ")"
     )
     return sh.groupBy("id").agg(*mins).select("id", sig.alias("sig"))
@@ -444,7 +451,7 @@ def simhash_signatures(
     # per column (r17: the Column builders cost ~2 s of pure driver
     # time per call at bits=64). Identical trees, integer-exact.
     votes = [
-        F.expr(
+        cached_expr(
             f"sum(CASE WHEN ((shiftright(h, {i}) & CAST(1 AS BIGINT)) = 1) "
             "THEN 1 ELSE -1 END)"
         ).alias(f"__v{i}")
@@ -462,7 +469,7 @@ def simhash_signatures(
             f"{sh} | CASE WHEN (__v{i} > 0) THEN CAST({bit} AS BIGINT) "
             "ELSE CAST(0 AS BIGINT) END"
         )
-    return agg.select("id", F.expr(sh).alias("sh"))
+    return agg.select("id", cached_expr(sh).alias("sh"))
 
 
 def simhash(text: Column, bits: int = 64) -> Column:

@@ -32,7 +32,9 @@ from ..functions.vector import (
     double_sql,
     l2_norm,
     l2_norm_sql,
+    cached_expr,
     nested_double_lit,
+    safe_ident,
     to_double_array,
     to_double_array_sql,
 )
@@ -417,8 +419,8 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
     cnorm_sql = double_sql(
         [math.sqrt(sum(x * x for x in c)) for c in cents]
     )
-    cent_lit = F.expr(cent_sql)
-    cnorm_lit = F.expr(cnorm_sql)
+    cent_lit = cached_expr(cent_sql)
+    cnorm_lit = cached_expr(cnorm_sql)
 
     def cell_sims_sql(vec: str, vnorm: str) -> str:
         den = f"({vnorm} * nc)"
@@ -432,8 +434,18 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
         return s
 
     def cell_sims(vec, vnorm):
-        if isinstance(vec, str) and isinstance(vnorm, str):
-            return F.expr(cell_sims_sql(vec, vnorm))
+        # String operands are substituted INSIDE the (c, nc) lambda
+        # body, so names must be plain identifiers and not c/nc;
+        # anything else takes the (identical-tree) Column path.
+        if (
+            safe_ident(vec, ("c", "nc")) is not None
+            and safe_ident(vnorm, ("c", "nc")) is not None
+        ):
+            return cached_expr(cell_sims_sql(vec, vnorm))
+        if isinstance(vec, str):
+            vec = F.col(vec)
+        if isinstance(vnorm, str):
+            vnorm = F.col(vnorm)
         sims = F.zip_with(
             cent_lit,
             cnorm_lit,
@@ -447,7 +459,7 @@ def _centroid_exprs(cents: list[list[float]], round_assign_digits: int | None):
 
     def top_cells(sims, n: int):
         if isinstance(sims, str):
-            return F.expr(
+            return cached_expr(
                 f"transform(slice(reverse(array_sort(zip_with({sims}, "
                 f"sequence(0, {len(cents) - 1}), "
                 "(s, i) -> struct(s AS s, (-i) AS ni)))), "
@@ -1816,12 +1828,17 @@ def _residual_expr(vec_expr, cell_expr, centroids: list[list[float]]):
     subspace slices of this expression are bit-identical to slicing
     first and subtracting per-subspace — the SQL twins subtract over
     the full vector too."""
-    if isinstance(vec_expr, str) and isinstance(cell_expr, str):
+    if (
+        safe_ident(vec_expr) is not None
+        and safe_ident(cell_expr) is not None
+    ):
         cent_sql = double_sql([[float(x) for x in c] for c in centroids])
-        return F.expr(
+        return cached_expr(
             f"zip_with({to_double_array_sql(vec_expr)}, "
             f"element_at({cent_sql}, {cell_expr} + 1), (a, b) -> a - b)"
         )
+    if isinstance(cell_expr, str):
+        cell_expr = F.col(cell_expr)
     cent_lit = nested_double_lit(
         [[float(x) for x in c] for c in centroids]
     )
@@ -2072,7 +2089,7 @@ def _pq_exprs(
                 "__pqv0", to_double_array(vec_expr)
             ).select(
                 "*",
-                F.expr(
+                cached_expr(
                     f"transform({rot_sql}, row -> "
                     + dot_sql("row", "__pqv0")
                     + ")"
@@ -2083,14 +2100,14 @@ def _pq_exprs(
         stage2 = stage1.select(
             "*",
             *[
-                F.expr(f"slice(__pqv, {j * d + 1}, {d})").alias(f"__pqs{j}")
+                cached_expr(f"slice(__pqv, {j * d + 1}, {d})").alias(f"__pqs{j}")
                 for j in range(m)
             ],
         )
         return stage2.select(
             "*",
             *[
-                F.expr(dot_sql(f"__pqs{j}", f"__pqs{j}")).alias(f"__pqn{j}")
+                cached_expr(dot_sql(f"__pqs{j}", f"__pqs{j}")).alias(f"__pqn{j}")
                 for j in range(m)
             ],
         )
@@ -2125,10 +2142,10 @@ def _pq_exprs(
             per_j.append(
                 f"CAST(array_position({rd}, array_min({rd})) - 1 AS INT)"
             )
-        return F.expr("array(" + ", ".join(per_j) + ")")
+        return cached_expr("array(" + ", ".join(per_j) + ")")
 
     def luts_col():
-        return F.expr(
+        return cached_expr(
             "array("
             + ", ".join(
                 f"transform({_dists_sql(j)}, "
@@ -2141,7 +2158,7 @@ def _pq_exprs(
     def min_dist_col(j: int):
         # the ASSIGNED entry's rounded distance — array_min of the
         # same rounded array codes_col argmins over
-        return F.expr(f"array_min({_rounded_dists_sql(j)})")
+        return cached_expr(f"array_min({_rounded_dists_sql(j)})")
 
     return prep, codes_col, luts_col, min_dist_col
 
@@ -2278,7 +2295,7 @@ def pq_adc_screen_kit(
                 "__adcv0", to_double_array(vec_expr)
             ).select(
                 "*",
-                F.expr(
+                cached_expr(
                     f"transform({rot_sql}, row -> "
                     + dot_sql("row", "__adcv0")
                     + ")"
@@ -2289,7 +2306,7 @@ def pq_adc_screen_kit(
         stage2 = stage1.select(
             "*",
             *[
-                F.expr(f"slice(__adcv, {j * d + 1}, {d})").alias(
+                cached_expr(f"slice(__adcv, {j * d + 1}, {d})").alias(
                     f"__adcs{j}"
                 )
                 for j in range(m)
@@ -2307,7 +2324,7 @@ def pq_adc_screen_kit(
         extra = []
         if residual:
             extra.append(
-                F.expr(
+                cached_expr(
                     f"transform({double_sql(cent)}, cv -> "
                     + dot_sql("__adcv", "cv")
                     + ")"
@@ -2315,7 +2332,7 @@ def pq_adc_screen_kit(
             )
         return stage2.select(
             *df.columns,
-            F.expr(
+            cached_expr(
                 "array(" + ", ".join(_lut_sql(j) for j in range(m)) + ")"
             ).alias("__adc_luts"),
             l2_norm("__adcv").alias("__adc_norm"),
@@ -2325,8 +2342,8 @@ def pq_adc_screen_kit(
     def adc_cos(codes_col, cell_col=None):
         # codes_col / cell_col: column NAMES (one server-side parse)
         # or Columns (original builder path) — identical trees.
-        if isinstance(codes_col, str) and (
-            cell_col is None or isinstance(cell_col, str)
+        if safe_ident(codes_col) is not None and (
+            cell_col is None or safe_ident(cell_col) is not None
         ):
             if residual:
                 cell1 = f"({cell_col if cell_col is not None else 'cell'} + 1)"
@@ -2360,10 +2377,14 @@ def pq_adc_screen_kit(
                     dotsum = t if dotsum is None else f"{dotsum} + {t}"
                     r2 = n if r2 is None else f"{r2} + {n}"
             den = f"(__adc_norm * sqrt({r2}))"
-            return F.expr(
+            return cached_expr(
                 f"CASE WHEN ({den} != 0) THEN (({dotsum}) / {den}) "
                 "ELSE 0.0D END"
             )
+        if isinstance(codes_col, str):
+            codes_col = F.col(codes_col)
+        if isinstance(cell_col, str):
+            cell_col = F.col(cell_col)
         if residual:
             cell1 = (
                 cell_col if cell_col is not None else F.col("cell")

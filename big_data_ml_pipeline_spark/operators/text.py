@@ -13,6 +13,8 @@ import sys
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import cached_expr
+
 from .projection import with_columns
 
 #: Tiny per-language stopword marker sets for the heuristic language ID.
@@ -1022,7 +1024,7 @@ def bpe_learn_merges(
     round_sizes: list[int] = []
     while len(learned) < int(n_merges):
         units = F.split(
-            F.expr("substring(seg, 2, length(seg) - 2)"), s + s
+            cached_expr("substring(seg, 2, length(seg) - 2)"), s + s
         )
         pair_arr = F.when(
             F.size(units) >= 2,
@@ -2305,25 +2307,31 @@ def bm25_topk_wand(
             "(max_tf, min_dl); this state predates them — re-ingest or "
             "use bm25_topk_from_postings"
         )
-    srow = (
-        lex.filter(F.col("token").isNull())
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("sum_dl").cast("long").alias("sum_dl"),
+    # ONE driver job for both the global-stats row (token IS NULL —
+    # its own group under groupBy) and the per-term impact partials:
+    # the old shape collected them as two sequential jobs, pure fixed
+    # latency at query time (r18 §1 — every wand call is collect-paced).
+    # Sums over the null group aggregate exactly the rows the old
+    # token-IS-NULL filter saw; token rows carry n_docs=sum_dl=0 and
+    # the null row carries df=cnt=0, so the split below is lossless.
+    srows = (
+        lex.filter(
+            F.col("token").isNull() | F.col("token").isin(*tlist)
         )
-        .collect()[0]
-    )
-    n_docs, sum_dl = srow["n_docs"] or 0, srow["sum_dl"] or 0
-    trows = (
-        lex.filter(F.col("token").isin(*tlist))
         .groupBy("token")
         .agg(
             F.sum("df").cast("long").alias("df"),
             F.max("max_tf").cast("long").alias("max_tf"),
             F.min("min_dl").cast("long").alias("min_dl"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_dl").cast("long").alias("sum_dl"),
         )
         .collect()
     )
+    null_row = next((r for r in srows if r["token"] is None), None)
+    n_docs = (null_row["n_docs"] if null_row is not None else 0) or 0
+    sum_dl = (null_row["sum_dl"] if null_row is not None else 0) or 0
+    trows = [r for r in srows if r["token"] is not None]
     def full() -> DataFrame:
         if prune_stats is not None:
             prune_stats["delegated"] = True
@@ -2863,7 +2871,7 @@ def proximity_bm25_topk_from_postings(
         spans = spans.filter(F.col("min_span") <= int(max_span))
     distinct = sorted({str(t) for t in query_terms})
     per_doc = _bm25_terms_per_doc(postings, lexicon, distinct, k1, b)
-    boost_q = F.expr(
+    boost_q = cached_expr(
         "CAST(1000000 AS BIGINT) DIV (CAST(min_span AS BIGINT) + 1)"
     )
     return (

@@ -13,13 +13,24 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: AQE toggle. Production/bench/driver default: ON (guide §2 — runtime
+#: coalescing + skew-join splitting are load-bearing at scale). The
+#: test suite sets SPARK_GRAFT_AQE=false (tests/conftest.py): at unit
+#: fixture sizes AQE's per-stage re-planning + per-stage codegen units
+#: dominate wall clock (measured r18 on the pq-ingest test shape:
+#: 184 s → 53 s for two tiny ingests with AQE off; results identical —
+#: AQE changes physical scheduling, never semantics). Tests that
+#: assert AQE behavior (the skew-join split) flip it back on locally
+#: via spark.conf.set — it is a runtime-settable SQL conf.
+_AQE = os.environ.get("SPARK_GRAFT_AQE", "true")
+
 #: Runtime-settable confs applied to *any* session (including one handed
 #: to us by a test harness) before running engine queries.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.enabled": _AQE,
+    "spark.sql.adaptive.coalescePartitions.enabled": _AQE,
+    "spark.sql.adaptive.skewJoin.enabled": _AQE,
     # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read it as a
     # nanos-since-epoch BIGINT (the events.ts column) — the catalog
     # normalizes it back to a microsecond TimestampType.

@@ -11,6 +11,14 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Unit fixtures are tiny: AQE's per-stage re-planning (and the extra
+# per-stage codegen units it forces) dominated the r17/r18 suite wall
+# clock (driver budget overrun — VERDICT r17 item 2). AQE is a runtime
+# physical-scheduling feature with identical results; tests that assert
+# AQE behavior re-enable it locally (test_scale_techniques). Must be
+# set BEFORE the session module import reads it.
+os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+
 from big_data_ml_pipeline_spark.session import get_session
 
 SF0001 = "/root/testdata/sf0.001"

@@ -166,3 +166,26 @@ def test_nested_double_lit_bit_exact(spark):
         nested_double_lit([1.0, math.inf])
     with _pytest.raises(ValueError, match="non-finite"):
         nested_double_lit([[math.nan]])
+
+    # ≥64 flat elements switches double_sql to the from_json rendering
+    # (one expression node instead of an N-node CreateArray tree); pin
+    # THAT branch bit-exactly too, including the subnormal/−0.0/
+    # max-double edges — json.dumps→Jackson parse must round-trip
+    # every bit pattern the array() branch does.
+    from big_data_ml_pipeline_spark.functions.vector import double_sql
+
+    big = edge + [rng.gauss(0, 1) for _ in range(64 - len(edge))]
+    assert len(big) == 64
+    rendered = double_sql(big)
+    assert rendered.startswith("from_json("), rendered
+    nested_big = [big[i : i + 16] for i in range(0, 64, 16)]
+    assert double_sql(nested_big).startswith("from_json(")
+    row2 = df.select(
+        nested_double_lit(big).alias("flat"),
+        nested_double_lit(nested_big).alias("nested"),
+    ).collect()[0]
+    for g, w in zip(row2["flat"], big):
+        assert struct.pack("d", g) == struct.pack("d", float(w)), (g, w)
+    got_nested = [x for a in row2["nested"] for x in a]
+    for g, w in zip(got_nested, big):
+        assert struct.pack("d", g) == struct.pack("d", float(w)), (g, w)

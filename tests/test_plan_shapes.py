@@ -131,14 +131,17 @@ def test_q74_all_predicates_reach_the_scan(spark):
 
 
 def test_whole_stage_codegen_on_hot_path(spark):
-    # AQE reports isFinalPlan=false (no codegen spans) until an action
-    # runs; execute, then inspect the finalized adaptive plan.
+    # Execute, then inspect the executed plan (under AQE the codegen
+    # spans only appear once the adaptive plan finalizes; the suite
+    # session runs AQE-off, where the static executed plan shows them
+    # directly — the codegen claim is the same either way).
     df = entrymod.queries()["q01_pricing_summary"](spark, SF0001)
     df.collect()
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in p
+    if "AdaptiveSparkPlan" in p:
+        assert "isFinalPlan=true" in p
     # codegen stages print as '*(n) Operator' in the simple plan string
-    assert "*(1) HashAggregate" in p or "WholeStageCodegen" in p
+    assert "*(1) HashAggregate" in p or "*(2) HashAggregate" in p or "WholeStageCodegen" in p
 
 
 def test_q79_argmin_single_window_dims_broadcast(spark):

@@ -92,6 +92,10 @@ def test_aqe_splits_skewed_join_partition(spark):
     from pyspark.sql import functions as F
 
     confs = {
+        # The suite session runs AQE-off (conftest — unit-scale wall
+        # clock); this test asserts AQE behavior, so pin it on locally.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": "-1",   # force SMJ
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",

@@ -14,6 +14,7 @@ Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (bench contract),
 
 from __future__ import annotations
 
+import calendar
 import io
 import json
 import os
@@ -64,8 +65,10 @@ def main() -> None:
             st = j.get("submissionTime", "")
             if not st:
                 continue
-            # ISO "2026-08-17T21:00:00.000GMT"
-            ts = time.mktime(
+            # ISO "2026-08-17T21:00:00.000GMT" — explicitly GMT, so
+            # convert with timegm; mktime would apply the LOCAL zone
+            # and mis-attribute jobs on any non-UTC machine.
+            ts = calendar.timegm(
                 time.strptime(st.split(".")[0], "%Y-%m-%dT%H:%M:%S")
             )
             if ts * 1000 >= t0_ms - 1000:
